@@ -1,0 +1,152 @@
+package graft.filter
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Serializable predicate specs — the engine's FilterChainStep.
+ *
+ * Reference: dynamic/filter/FilterChainStep.java:36-45 — a JVM interface
+ * `filter(Message): Boolean` where **true means DROP** (inverse of SQL
+ * WHERE), persisted as JSON (dynamic/JSON.java:42-93,
+ * sideline/persistence/FilterChainStepSerializer.java) so sidelines survive
+ * restarts.
+ *
+ * Spark-first redesign: instead of arbitrary JVM code evaluated row-by-row,
+ * a spec is a small ADT that *compiles to a Catalyst `Column`*. That keeps
+ * predicates inside whole-stage codegen, lets Catalyst push them into the
+ * parquet/Kafka scan, and stays JSON-serializable for the control table.
+ * Arbitrary-code steps (the reference's escape hatch) are still possible via
+ * [[FilterSpec.Raw]] (a SQL expression string) — documented as the slow(er)
+ * path only because it bypasses spec introspection, not codegen.
+ *
+ * DROP semantics are preserved: `spec.dropColumn` is true for rows the chain
+ * removes; [[FilterChain.keep]] negates into a WHERE for the firehose and
+ * un-negates for sideline replays (reference NegatingFilterChainStep.java:33-63).
+ */
+sealed trait FilterSpec extends Serializable {
+  /** Column that evaluates TRUE when the row should be DROPPED. */
+  def dropColumn: Column
+  def toJson: String = JsonMethods.compact(JsonMethods.render(FilterSpec.toJValue(this)))
+}
+
+object FilterSpec {
+  /** Drop when `key` (string column) is in the list — reference
+   * sideline/recipes/trigger/KeyFilter.java:36-50. At 100 TB a huge
+   * skip-list should become a broadcast anti-join instead; see
+   * [[graft.ops.SkipList]]. */
+  final case class KeyIn(field: String, keys: Seq[String]) extends FilterSpec {
+    def dropColumn: Column = col(field).isin(keys: _*)
+  }
+
+  /** Drop when field == value — reference test NumberFilter (README.md:418-431). */
+  final case class FieldEq(field: String, value: JValue) extends FilterSpec {
+    def dropColumn: Column = col(field) === lit(jvalueToScala(value))
+  }
+
+  /** Drop when field <op> value, op in lt/le/gt/ge. */
+  final case class FieldCmp(field: String, op: String, value: JValue) extends FilterSpec {
+    def dropColumn: Column = {
+      val c = col(field); val v = lit(jvalueToScala(value))
+      op match {
+        case "lt" => c < v
+        case "le" => c <= v
+        case "gt" => c > v
+        case "ge" => c >= v
+        case other => throw new IllegalArgumentException(s"bad cmp op: $other")
+      }
+    }
+  }
+
+  /** Logical NOT — the heart of sideline replay (process only what was
+   * dropped). Reference: dynamic/filter/NegatingFilterChainStep.java:33-63. */
+  final case class Not(inner: FilterSpec) extends FilterSpec {
+    def dropColumn: Column = !inner.dropColumn
+  }
+
+  /** Drop if ANY inner spec drops. */
+  final case class AnyOf(steps: Seq[FilterSpec]) extends FilterSpec {
+    def dropColumn: Column = steps.map(_.dropColumn).reduceLeft(_ || _)
+  }
+
+  /** Drop if ALL inner specs drop. */
+  final case class AllOf(steps: Seq[FilterSpec]) extends FilterSpec {
+    def dropColumn: Column = steps.map(_.dropColumn).reduceLeft(_ && _)
+  }
+
+  /** Always drop — reference dynamic/filter/StaticMessageFilter.java:36-82. */
+  case object DropAll extends FilterSpec { def dropColumn: Column = lit(true) }
+
+  /** Never drop. */
+  case object DropNone extends FilterSpec { def dropColumn: Column = lit(false) }
+
+  /** Escape hatch: a raw SQL boolean expression with drop semantics. */
+  final case class Raw(sql: String) extends FilterSpec {
+    def dropColumn: Column = expr(sql)
+  }
+
+  private def jvalueToScala(v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => i.toLong
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d
+    case JBool(b)    => b
+    case JNull       => null
+    case other       => throw new IllegalArgumentException(s"unsupported literal: $other")
+  }
+
+  private[filter] def toJValue(spec: FilterSpec): JValue = spec match {
+    case KeyIn(f, ks) =>
+      JObject("op" -> JString("key_in"), "field" -> JString(f),
+        "keys" -> JArray(ks.map(JString(_)).toList))
+    case FieldEq(f, v) =>
+      JObject("op" -> JString("field_eq"), "field" -> JString(f), "value" -> v)
+    case FieldCmp(f, op, v) =>
+      JObject("op" -> JString("field_cmp"), "field" -> JString(f),
+        "cmp" -> JString(op), "value" -> v)
+    case Not(i)    => JObject("op" -> JString("not"), "inner" -> toJValue(i))
+    case AnyOf(ss) => JObject("op" -> JString("any"), "steps" -> JArray(ss.map(toJValue).toList))
+    case AllOf(ss) => JObject("op" -> JString("all_of"), "steps" -> JArray(ss.map(toJValue).toList))
+    case DropAll   => JObject("op" -> JString("all"))
+    case DropNone  => JObject("op" -> JString("none"))
+    case Raw(sql)  => JObject("op" -> JString("raw"), "sql" -> JString(sql))
+  }
+
+  def fromJson(json: String): FilterSpec = fromJValue(JsonMethods.parse(json))
+
+  def fromJValue(v: JValue): FilterSpec = {
+    def str(o: JObject, k: String): String = (o \ k) match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"expected string $k, got $other")
+    }
+    v match {
+      case o: JObject =>
+        str(o, "op") match {
+          case "key_in" =>
+            val keys = (o \ "keys") match {
+              case JArray(xs) => xs.map { case JString(s) => s; case x => x.toString }
+              case other => throw new IllegalArgumentException(s"bad keys: $other")
+            }
+            KeyIn(str(o, "field"), keys)
+          case "field_eq"  => FieldEq(str(o, "field"), o \ "value")
+          case "field_cmp" => FieldCmp(str(o, "field"), str(o, "cmp"), o \ "value")
+          case "not"       => Not(fromJValue(o \ "inner"))
+          case "any"       => AnyOf(steps(o))
+          case "all_of"    => AllOf(steps(o))
+          case "all"       => DropAll
+          case "none"      => DropNone
+          case "raw"       => Raw(str(o, "sql"))
+          case other       => throw new IllegalArgumentException(s"unknown op: $other")
+        }
+      case other => throw new IllegalArgumentException(s"expected object, got $other")
+    }
+  }
+
+  private def steps(o: JObject): Seq[FilterSpec] = (o \ "steps") match {
+    case JArray(xs) => xs.map(fromJValue)
+    case other => throw new IllegalArgumentException(s"bad steps: $other")
+  }
+}

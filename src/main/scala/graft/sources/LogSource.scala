@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.model.{ConsumerPartition, ConsumerState, LogSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The engine's source abstraction — the reference's Consumer interface
+ * (dynamic/consumer/Consumer.java:40-103: open/nextRecord/commitOffset/
+ * getCurrentState/...) re-expressed declaratively: a LogSource does not
+ * iterate records, it *describes* a (possibly offset-bounded) scan as a
+ * DataFrame and lets Spark plan it. Offset tracking (the reference's
+ * PartitionOffsetManager machinery) is subsumed by Structured Streaming's
+ * checkpoint in streaming mode and by explicit [start, end) bounds in batch
+ * replay mode — see SURVEY.md §1.3.
+ *
+ * Contract: the returned DataFrame contains at least LogSchema.metaColumns
+ * (namespace, partition, offset, key, value); payload columns ride along so
+ * predicates can reference them directly (unlike the reference, where the
+ * payload is an opaque Values list and every filter deserializes by hand).
+ */
+trait LogSource extends Serializable {
+  def namespace: String
+
+  /** Unbounded scan of everything currently in the log (batch snapshot). */
+  def read(spark: SparkSession): DataFrame
+
+  /** Offset-bounded scan: rows with start <= offset < end per partition.
+   * Missing partition in `starting` => from the beginning; missing in
+   * `ending` => to the current end (mirrors Kafka startingOffsets /
+   * endingOffsets semantics; reference VirtualSpout ending-bound check at
+   * dynamic/VirtualSpout.java:337-358). `starting` offsets are EXCLUSIVE
+   * last-finished watermarks, matching the reference's resume-after rule
+   * (kafka/Consumer.java:62-90: restart replays everything after the
+   * committed watermark). */
+  def readBounded(
+      spark: SparkSession,
+      starting: ConsumerState,
+      ending: Option[ConsumerState]): DataFrame = {
+    val df = read(spark)
+    val afterStart =
+      if (starting.offsets.isEmpty) df
+      else {
+        val startExpr = starting.offsets.collect {
+          case (ConsumerPartition(ns, p), off) if ns == namespace =>
+            (col("partition") === p) && (col("offset") <= off)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        df.filter(!startExpr)
+      }
+    ending match {
+      case None => afterStart
+      case Some(end) =>
+        // A partition absent from the ending state contributes nothing:
+        // the snapshot was taken when that partition did not exist, so a
+        // bounded replay must not read past the snapshot (reference
+        // doesMessageExceedEndingOffset treats unknown as exceed).
+        val endExpr = end.offsets.collect {
+          case (ConsumerPartition(ns, p), off) if ns == namespace =>
+            (col("partition") === p) && (col("offset") <= off)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        afterStart.filter(endExpr)
+    }
+  }
+
+  /** Current high-watermark per partition (reference
+   * Consumer.getCurrentState / lag gauges, kafka/Consumer.java:373-426). */
+  def currentState(spark: SparkSession): ConsumerState = {
+    val rows = read(spark)
+      .groupBy(col("partition"))
+      .agg(max(col("offset")).as("end_offset"))
+      .collect()
+    ConsumerState(rows.map { r =>
+      ConsumerPartition(namespace, r.getInt(0)) -> r.getLong(1)
+    }.toMap)
+  }
+}
+
+/**
+ * Log view over the driver-provided `events.parquet` — the deterministic
+ * "offset identity without Kafka" mapping from FIXTURES.md §B:
+ *   namespace = 'events', partition = user_id % numPartitions,
+ *   offset    = row_number() over (partition by partition order by event_id) - 1,
+ *   key       = cast(user_id as string), value = props.
+ *
+ * The row_number shuffle is the price of synthesizing offsets from a table;
+ * a real Kafka log carries (partition, offset) natively and this class is
+ * replaced by the Kafka source (format("kafka"), assign/startingOffsets) at
+ * production scale. Offsets are only synthesized once per job and the
+ * window partitions by the SAME key downstream operators group on, so AQE
+ * can reuse the exchange.
+ */
+final case class ParquetEventLog(dir: String, numPartitions: Int = 4)
+    extends LogSource {
+  val namespace = "events"
+
+  def read(spark: SparkSession): DataFrame = {
+    val raw = graft.Tables.events(spark, dir)
+    val part = (col("user_id") % numPartitions).cast("int")
+    val w = Window.partitionBy(col("partition")).orderBy(col("event_id"))
+    raw
+      // events has a DOUBLE `value` column; the log schema reserves `value`
+      // for the opaque payload (= props), so the metric rides as event_value.
+      .withColumnRenamed("value", "event_value")
+      .withColumn("namespace", lit(namespace))
+      .withColumn("partition", part)
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+      .withColumn("key", col("user_id").cast("string"))
+      .withColumn("value", col("props"))
+      .select(
+        col("namespace"), col("partition"), col("offset"), col("key"),
+        col("value"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("event_value"))
+      .withColumn("source_id", lit("firehose:main"))
+  }
+}

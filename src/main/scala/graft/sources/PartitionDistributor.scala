@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic contiguous-range split of sorted partition ids across N
+ * consumer instances — reference
+ * dynamic/consumer/PartitionDistributor.java:48-109.
+ *
+ * The reference's greedy algorithm (fill each consumer up to
+ * ceil(P/C) partitions, but advance early whenever the remaining consumers
+ * would otherwise get none) has the closed form
+ *
+ *   consumer(i) = max( floor(i / ceil(P/C)),  C - P + i )        (0-based rank i)
+ *
+ * which we use both as a pure function (engine-side placement decisions) and
+ * as a Catalyst expression (so placement is computable distributedly for
+ * millions of partitions, instead of the reference's driver-side loop).
+ * Spark itself doesn't need this for task scheduling — it exists for parity
+ * and for multi-query source assignment in the coordinator.
+ */
+object PartitionDistributor {
+
+  /** Consumer index owning sorted-rank `rank` of `totalPartitions`, split
+   * across `totalConsumers`. */
+  def consumerForRank(totalConsumers: Int, totalPartitions: Int, rank: Int): Int = {
+    require(totalConsumers > 0, "You cannot have less than 1 totalConsumers!")
+    require(totalConsumers <= totalPartitions, "more consumers than partitions")
+    require(rank >= 0 && rank < totalPartitions, s"bad rank $rank")
+    val maxPerInstance =
+      math.ceil(totalPartitions.toDouble / totalConsumers).toInt
+    math.max(rank / maxPerInstance, totalConsumers - totalPartitions + rank)
+  }
+
+  /** Partition ids assigned to `consumerIndex` — same contract as the
+   * reference's calculatePartitionAssignment. */
+  def assign(totalConsumers: Int, consumerIndex: Int, allPartitionIds: Seq[Int]): Seq[Int] = {
+    require(consumerIndex >= 0 && consumerIndex < totalConsumers,
+      s"Your consumerIndex is invalid! Range should be [0 -> ${totalConsumers - 1}]")
+    val sorted = allPartitionIds.sorted
+    sorted.zipWithIndex.collect {
+      case (pid, rank) if consumerForRank(totalConsumers, sorted.size, rank) == consumerIndex => pid
+    }
+  }
+
+  /** DataFrame form: adds `consumer_index` to a frame of distinct
+   * `partitionCol` values. The rank window is over a tiny frame (one row per
+   * log partition), so the single-partition window is not a scale concern. */
+  def assignmentDf(partitions: DataFrame, partitionCol: Column, totalConsumers: Int): DataFrame = {
+    val w = Window.orderBy(partitionCol)
+    partitions
+      .select(partitionCol.as("partition"))
+      .distinct()
+      .withColumn("rank", row_number().over(w) - 1)
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("consumer_index",
+        greatest(
+          floor(col("rank") / ceil(col("total") / totalConsumers)).cast("int"),
+          (lit(totalConsumers) - col("total") + col("rank")).cast("int")))
+      .drop("rank", "total")
+  }
+}

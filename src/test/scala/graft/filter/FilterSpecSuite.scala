@@ -1,0 +1,63 @@
+package graft.filter
+
+import graft.SparkSuite
+import org.json4s.{JInt, JString}
+
+class FilterSpecSuite extends SparkSuite {
+  import FilterSpec._
+
+  private val specs: Seq[FilterSpec] = Seq(
+    KeyIn("key", Seq("tenant-3", "tenant-7")),
+    FieldEq("user_id", JInt(3)),
+    FieldCmp("value", "lt", JInt(0)),
+    FieldCmp("value", "ge", JInt(10)),
+    Not(KeyIn("key", Seq("a"))),
+    AnyOf(Seq(FieldEq("k", JString("x")), DropAll)),
+    AllOf(Seq(FieldCmp("v", "gt", JInt(1)), FieldCmp("v", "le", JInt(9)))),
+    DropAll,
+    DropNone,
+    Raw("user_id % 2 = 0"))
+
+  test("JSON roundtrip is identity for every spec shape") {
+    specs.foreach { s =>
+      assert(FilterSpec.fromJson(s.toJson) === s, s.toJson)
+    }
+  }
+
+  test("drop semantics: KeyIn drops listed keys only") {
+    import spark.implicits._
+    val df = Seq("tenant-1", "tenant-3", "tenant-7", "tenant-9").toDF("key")
+    val chain = FilterChain.empty.withStep("s1", KeyIn("key", Seq("tenant-3", "tenant-7")))
+    val kept = df.filter(chain.keep).as[String].collect().sorted
+    assert(kept === Array("tenant-1", "tenant-9"))
+    val sidelined = df.filter(chain.sidelined("s1")).as[String].collect().sorted
+    assert(sidelined === Array("tenant-3", "tenant-7"))
+  }
+
+  test("Not inverts; chain of many steps drops union of matches") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("user_id")
+    val chain = FilterChain.empty
+      .withStep("a", FieldEq("user_id", JInt(3)))
+      .withStep("b", FieldCmp("user_id", "ge", JInt(9)))
+    val kept = df.filter(chain.keep).as[Int].collect().sorted
+    assert(kept === Array(1, 2, 4, 5, 6, 7, 8))
+    // Negated step keeps only what it dropped
+    val negated = df.filter(Not(FieldEq("user_id", JInt(3))).dropColumn === false)
+    assert(negated.as[Int].collect().sorted === Array(3))
+  }
+
+  test("empty chain keeps everything; DropAll drops everything") {
+    import spark.implicits._
+    val df = (1 to 5).toDF("x")
+    assert(df.filter(FilterChain.empty.keep).count() === 5)
+    assert(df.filter(FilterChain.empty.withStep("z", DropAll).keep).count() === 0)
+  }
+
+  test("filter predicate is pushed into the parquet scan") {
+    val df = graft.Tables.events(spark, sfDir)
+    val chain = FilterChain.empty.withStep("s", KeyIn("event_type", Seq("click")))
+    val plan = df.filter(chain.keep).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("event_type"), plan)
+  }
+}
