@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.engine.SidelineEngine
+import graft.filter.FilterChain
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * The streaming firehose — the reference's main DynamicSpout data path
+ * (dynamic/DynamicSpout.java:224-256) on Structured Streaming.
+ *
+ * The drop-predicate chain is re-read from the control store at EVERY
+ * micro-batch boundary, so a sideline START/RESOLVE becomes visible with
+ * at most one batch of latency — the Spark-native equivalent of the
+ * reference's live ConcurrentHashMap mutation
+ * (dynamic/filter/FilterChain.java:37-137), without the data race. The
+ * chain compiles to one Catalyst predicate per batch, so the filter is
+ * codegen'd and pushed toward the source; there is no per-record
+ * interpretation.
+ *
+ * Routing mirrors the reference's two output streams
+ * (DynamicSpout.java:240-255): rows surviving the chain go to the main
+ * sink; rows carrying `permanently_failed = true` (from the retry
+ * dataflow, graft.retry.RetryFlow) go to the failed sink un-tracked.
+ * Rows *dropped by the chain* are counted but NOT emitted anywhere — the
+ * reference acks them invisibly (VirtualSpout.java:308-323); here the
+ * offsets advance with the batch commit and the count surfaces via
+ * `observe` metrics ("filtered" — F8 in SURVEY.md §2.2).
+ */
+object StreamingFirehose {
+
+  /** Per-batch counters — the reference's emit/filtered metrics
+   * (VirtualSpout.{id}.filtered — SURVEY.md §2.2 F8). */
+  final case class BatchMetrics(
+      batchId: Long, input: Long, emitted: Long, failed: Long, filtered: Long)
+
+  /** Annotate a (micro-)batch with the chain verdict. Pure plan
+   * construction — used by run() and by batch parity tests. */
+  def routed(batch: DataFrame, chain: FilterChain): DataFrame =
+    batch.withColumn("__dropped", chain.dropColumn)
+
+  /**
+   * Run the firehose: every micro-batch re-derives the chain from the
+   * engine's control store, drops matches, routes permanently-failed rows
+   * to `failedSink`, emits the rest to `mainSink`.
+   *
+   * `mainSink`/`failedSink` receive (batchDf, batchId) and must be
+   * idempotent on batchId for exactly-once output (e.g. overwrite-by-batch
+   * parquet dir, Delta txn) — Spark replays a batch after a crash.
+   *
+   * Each batch is cached for the duration of its routing: the batch feeds
+   * up to two sinks plus one count aggregate, and a micro-batch is bounded
+   * (maxOffsetsPerTrigger), so the cache is small and saves re-reading the
+   * source 3×. Metrics come from ONE tiny groupBy over the cached batch,
+   * not from per-sink count() jobs.
+   */
+  def run(
+      stream: DataFrame,
+      engine: SidelineEngine,
+      mainSink: (DataFrame, Long) => Unit,
+      failedSink: (DataFrame, Long) => Unit = (_, _) => (),
+      onMetrics: BatchMetrics => Unit = _ => (),
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      queryName: String = "graft-firehose"): StreamingQuery = {
+
+    val writer: DataStreamWriter[Row] = stream.writeStream
+      .queryName(queryName)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Chain re-read per batch — bounded staleness of one batch.
+        val chain = engine.activeChain()
+        val hasFailFlag = batch.columns.contains("permanently_failed")
+        val annotated = routed(batch, chain).persist()
+        try {
+          val kept = annotated.filter(!col("__dropped")).drop("__dropped")
+          if (hasFailFlag) {
+            mainSink(kept.filter(!col("permanently_failed")), batchId)
+            failedSink(kept.filter(col("permanently_failed")), batchId)
+          } else {
+            mainSink(kept, batchId)
+          }
+          val counts = annotated.groupBy(
+            col("__dropped"),
+            if (hasFailFlag) col("permanently_failed") else lit(false).as("permanently_failed"))
+            .count().collect()
+          def total(p: (Boolean, Boolean) => Boolean): Long =
+            counts.collect { case r if p(r.getBoolean(0), r.getBoolean(1)) => r.getLong(2) }.sum
+          onMetrics(BatchMetrics(
+            batchId,
+            input = total((_, _) => true),
+            emitted = total((d, f) => !d && !f),
+            failed = total((d, f) => !d && f),
+            filtered = total((d, _) => d)))
+        } finally annotated.unpersist()
+        ()
+      }
+    checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
+}
