@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: compare_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <name>.parquet the Verify main wrote, runs the matching oracle
+SQL from oracle_sql.json in DuckDB over the same testdata parquet, and
+compares: row count, column names, and a hash over column-name-sorted,
+row-sorted stringified values (mirroring the described driver behavior).
+"""
+import sys, json, glob, os, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return hashlib.md5("\x02".join(out).encode()).hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    ok = bad = 0
+    for name in sorted(oracle):
+        pq = os.path.join(out_dir, name)
+        files = glob.glob(f"{pq}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no spark output")
+            bad += 1
+            continue
+        s = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+        scols, srows = s.columns, s.fetchall()
+        try:
+            o = con.sql(oracle[name])
+            ocols, orows = o.columns, o.fetchall()
+        except Exception as e:
+            print(f"SQLERR   {name}: {e}")
+            bad += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"SCHEMA   {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
+            bad += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"ROWS     {name}: spark={len(srows)} oracle={len(orows)}")
+            bad += 1
+            continue
+        if canon(srows, scols) != canon(orows, ocols):
+            print(f"HASH     {name}: value mismatch ({len(srows)} rows)")
+            # print first differing row for debugging
+            sset = {tuple(str(x) for x in r) for r in srows}
+            oset = {tuple(str(x) for x in r) for r in orows}
+            d1 = list(sset - oset)[:2]
+            d2 = list(oset - sset)[:2]
+            print(f"  spark-only: {d1}\n  oracle-only: {d2}")
+            bad += 1
+            continue
+        print(f"OK       {name} ({len(srows)} rows)")
+        ok += 1
+    print(f"\n{ok} ok, {bad} bad")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

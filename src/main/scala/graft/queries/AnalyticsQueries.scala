@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator surface (SURVEY.md §2.3/2.4/2.5/2.10/2.11 — ABSENT
+ * in the reference, required by the blueprint taxonomy): aggregations,
+ * joins (broadcast/semi/anti/multiway), window functions, top-k, set ops,
+ * rollup/cube — each as idiomatic DataFrame plans Catalyst can optimize.
+ *
+ * Scale notes (100 TB design review per query):
+ *  - dims (region/nation/customer/supplier/part) are broadcast-joined —
+ *    lineitem/orders never shuffle for them below the autoBroadcast
+ *    threshold; at real scale the same plans AQE-convert automatically.
+ *  - aggregations are partial (map-side combine) by construction.
+ *  - top-k via orderBy+limit = TakeOrderedAndProject (no full sort).
+ *  - all double aggregates are rounded to stabilize FP across engines.
+ */
+object AnalyticsQueries {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical partial-agg plan. */
+  private val q1 = QueryDef(
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** TPC-H Q3-shaped: broadcast dim join + agg + deterministic top-10. */
+  private val q3 = QueryDef(
+    (s, dir) => Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10),
+    Some("""SELECT o_orderkey,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q5-shaped: 6-way join through region→nation→customer→orders→
+    * lineitem→supplier with the co-nation constraint. */
+  private val q5 = QueryDef(
+    (s, dir) => Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name")),
+    Some("""SELECT n_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM region, nation, customer, orders, lineitem, supplier
+      |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+      |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+      |  AND l_orderkey = o_orderkey AND s_suppkey = l_suppkey
+      |  AND s_nationkey = c_nationkey
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
+  /** Semi+anti join (§2.3 skip-list at scale): customers with an open
+    * order (semi) and no finished order (anti). At 100 TB both probe sides
+    * shuffle on the join key only; skip-lists broadcast. */
+  private val semiAnti = QueryDef(
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o.filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o.filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Ranking window: top-3 orders per customer (deterministic tie-break). */
+  private val windowTopN = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
+  /** Analytic window with frame spec: running revenue per customer over
+    * order date (rows between unbounded preceding and current row). */
+  private val windowRunning = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Global top-k — TakeOrderedAndProject, no total sort at scale. */
+  private val topkOrders = QueryDef(
+    (s, dir) => Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(20),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
+
+  /** EXCEPT (§2.11): customers with open orders but no finished ones. */
+  private val setopExcept = QueryDef(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin))
+
+  /** INTERSECT (§2.11): customers with both open and pending orders. */
+  private val setopIntersect = QueryDef(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin))
+
+  /** Aggregation stats incl. exact distinct (§2.4 extension surface). */
+  private val aggEventStats = QueryDef(
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg("value"), 4).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  ROUND(AVG(value), 4) AS avg_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value,
+      |  ROUND(SUM(value), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** ROLLUP grouping sets (§2.4 taxonomy). */
+  private val rollupLineitem = QueryDef(
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  /** CUBE grouping sets. */
+  private val cubeLineitem = QueryDef(
+    (s, dir) => Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "q1_pricing_summary" -> q1,
+    "q3_top_revenue" -> q3,
+    "q5_region_revenue" -> q5,
+    "join_semi_anti" -> semiAnti,
+    "window_topn_per_customer" -> windowTopN,
+    "window_running_total" -> windowRunning,
+    "topk_orders" -> topkOrders,
+    "setop_except" -> setopExcept,
+    "setop_intersect" -> setopIntersect,
+    "agg_event_stats" -> aggEventStats,
+    "rollup_lineitem" -> rollupLineitem,
+    "cube_lineitem" -> cubeLineitem)
+}

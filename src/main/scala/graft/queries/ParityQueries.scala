@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.filter.{FilterChain, FilterSpec}
+import graft.model.{ConsumerPartition, ConsumerState}
+import graft.retry.ExponentialBackoffRetry
+import graft.sources.{ParquetEventLog, PartitionDistributor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.{JDouble, JString}
+
+/**
+ * Reference-parity queries (SURVEY.md §2) — each exercises one operator of
+ * the reference surface through the engine's public API, with a DuckDB
+ * oracle over the same parquet. All run on the synthesized `events` log
+ * (FIXTURES.md §B log mapping, 4 partitions).
+ */
+object ParityQueries {
+  import QueryDef.logCte
+
+  private val P = 4
+
+  private def log(spark: SparkSession, dir: String): DataFrame =
+    ParquetEventLog(dir, P).read(spark)
+      .withColumnRenamed("partition", "log_partition")
+      .withColumnRenamed("offset", "log_offset")
+
+  /** Reference KeyFilter sideline recipe (F4): tenant skip-list on the
+    * firehose. */
+  private val fhKeyfilter = QueryDef(
+    (s, dir) => {
+      val chain = FilterChain.empty.withStep("skip",
+        FilterSpec.KeyIn("key", Seq("3", "7", "101")))
+      log(s, dir).filter(chain.keep)
+        .select("log_partition", "log_offset", "event_id", "key", "event_type")
+        .orderBy("event_id")
+    },
+    Some(s"""$logCte
+      |SELECT log_partition, log_offset, event_id, key, event_type FROM log
+      |WHERE NOT (key IN ('3','7','101')) ORDER BY event_id""".stripMargin))
+
+  /** Multi-step chain (F2): drop if ANY of key-skip, low-value, error-type
+    * matches. */
+  private val fhChain = QueryDef(
+    (s, dir) => {
+      val chain = FilterChain.empty
+        .withStep("keys", FilterSpec.KeyIn("key", Seq("5", "11")))
+        .withStep("low", FilterSpec.FieldCmp("event_value", "lt", JDouble(5.0)))
+        .withStep("errs", FilterSpec.FieldEq("event_type", JString("error")))
+      log(s, dir).filter(chain.keep)
+        .select("event_id", "log_partition", "log_offset", "event_type")
+        .orderBy("event_id")
+    },
+    Some(s"""$logCte
+      |SELECT event_id, log_partition, log_offset, event_type FROM log
+      |WHERE NOT (key IN ('5','11') OR event_value < 5.0 OR event_type = 'error')
+      |ORDER BY event_id""".stripMargin))
+
+  /** Sideline replay (SL2/F3): ONLY the dropped rows, inside the offset
+    * window (start exclusive, end inclusive — watermark semantics). */
+  private val sidelineReplay = QueryDef(
+    (s, dir) => {
+      val src = ParquetEventLog(dir, P)
+      val start = ConsumerState((0 until P).map(p =>
+        ConsumerPartition("events", p) -> 100L).toMap)
+      val end = ConsumerState((0 until P).map(p =>
+        ConsumerPartition("events", p) -> 200L).toMap)
+      val step = FilterSpec.KeyIn("key", Seq("3", "7"))
+      src.readBounded(s, start, Some(end))
+        .filter(step.dropColumn)
+        .withColumnRenamed("partition", "log_partition")
+        .withColumnRenamed("offset", "log_offset")
+        .select("log_partition", "log_offset", "event_id", "key")
+        .orderBy("log_partition", "log_offset")
+    },
+    Some(s"""$logCte
+      |SELECT log_partition, log_offset, event_id, key FROM log
+      |WHERE key IN ('3','7') AND log_offset > 100 AND log_offset <= 200
+      |ORDER BY log_partition, log_offset""".stripMargin))
+
+  /** THE parity invariant (BASELINE.md): firehose-during ∪ sideline ≡
+    * unfiltered window. The oracle is the plain window scan — a hash match
+    * proves the two outputs partition the window exactly. */
+  private val sidelineUnionParity = QueryDef(
+    (s, dir) => {
+      val src = ParquetEventLog(dir, P)
+      val start = ConsumerState((0 until P).map(p =>
+        ConsumerPartition("events", p) -> 100L).toMap)
+      val end = ConsumerState((0 until P).map(p =>
+        ConsumerPartition("events", p) -> 200L).toMap)
+      val step = FilterSpec.KeyIn("key", Seq("3", "7"))
+      val chain = FilterChain.empty.withStep("r", step)
+      val window = src.readBounded(s, start, Some(end))
+      val firehose = window.filter(chain.keep)
+      val sideline = window.filter(chain.sidelined("r"))
+      firehose.unionByName(sideline)
+        .withColumnRenamed("partition", "log_partition")
+        .withColumnRenamed("offset", "log_offset")
+        .select("log_partition", "log_offset", "event_id", "key", "event_type")
+        .orderBy("log_partition", "log_offset")
+    },
+    Some(s"""$logCte
+      |SELECT log_partition, log_offset, event_id, key, event_type FROM log
+      |WHERE log_offset > 100 AND log_offset <= 200
+      |ORDER BY log_partition, log_offset""".stripMargin))
+
+  /** Deserialize-project (P1): JSON payload decode; null decode would drop
+    * (reference Consumer.java:351-360). */
+  private val deserializeProject = QueryDef(
+    (s, dir) => log(s, dir)
+      .withColumn("k", get_json_object(col("value"), "$.k").cast("int"))
+      .filter(col("k").isNotNull)
+      .select("event_id", "key", "k")
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin))
+
+  /** Offset-bounded scan (S1 bounded replay): [50, 150] per partition. */
+  private val offsetWindowScan = QueryDef(
+    (s, dir) => {
+      val src = ParquetEventLog(dir, P)
+      val start = ConsumerState((0 until P).map(p =>
+        ConsumerPartition("events", p) -> 50L).toMap)
+      val end = ConsumerState((0 until P).map(p =>
+        ConsumerPartition("events", p) -> 150L).toMap)
+      src.readBounded(s, start, Some(end))
+        .withColumnRenamed("partition", "log_partition")
+        .withColumnRenamed("offset", "log_offset")
+        .select("log_partition", "log_offset", "event_id", "key")
+        .orderBy("log_partition", "log_offset")
+    },
+    Some(s"""$logCte
+      |SELECT log_partition, log_offset, event_id, key FROM log
+      |WHERE log_offset > 50 AND log_offset <= 150
+      |ORDER BY log_partition, log_offset""".stripMargin))
+
+  /** Partition→consumer assignment (S4) for 3 consumer instances —
+    * closed form of the reference's greedy split. */
+  private val partitionAssignment = QueryDef(
+    (s, dir) => PartitionDistributor.assignmentDf(
+        log(s, dir).select(col("log_partition")), col("log_partition"), 3)
+      .withColumnRenamed("partition", "log_partition")
+      .select("log_partition", "consumer_index")
+      .orderBy("log_partition"),
+    Some(s"""$logCte, parts AS (SELECT DISTINCT log_partition FROM log),
+      |r AS (SELECT log_partition,
+      |             row_number() OVER (ORDER BY log_partition) - 1 AS rnk,
+      |             count(*) OVER () AS total FROM parts)
+      |SELECT log_partition,
+      |       CAST(GREATEST(rnk // CAST(CEIL(total / 3.0) AS BIGINT),
+      |                     3 - total + rnk) AS INT) AS consumer_index
+      |FROM r ORDER BY log_partition""".stripMargin))
+
+  /** Contiguous-ack watermark (§1.3): acks for all offsets except where
+    * event_id % 10 = 3; watermark = highest contiguous acked offset
+    * (reference PartitionOffsetManager.finishOffset:119-165). */
+  private val ackWatermark = QueryDef(
+    (s, dir) => log(s, dir)
+      .withColumn("acked", col("event_id") % 10 =!= 3)
+      .groupBy(col("log_partition"))
+      .agg(coalesce(
+        min(when(!col("acked"), col("log_offset"))) - 1,
+        max(col("log_offset"))).as("last_finished_offset"))
+      .orderBy("log_partition"),
+    Some(s"""$logCte
+      |SELECT log_partition,
+      |       COALESCE(MIN(CASE WHEN event_id % 10 = 3 THEN log_offset END) - 1,
+      |                MAX(log_offset)) AS last_finished_offset
+      |FROM log GROUP BY log_partition ORDER BY log_partition""".stripMargin))
+
+  /** Per-partition progress + lag metrics (SpoutPartitionProgressMonitor
+    * :60-170 / Consumer lag gauges :373-426): processed/unprocessed/
+    * percent_complete from (start=0, current=watermark, end=max). */
+  private val partitionProgress = QueryDef(
+    (s, dir) => log(s, dir)
+      .withColumn("acked", col("event_id") % 10 =!= 3)
+      .groupBy(col("log_partition"))
+      .agg(
+        coalesce(min(when(!col("acked"), col("log_offset"))) - 1,
+          max(col("log_offset"))).as("current_offset"),
+        max(col("log_offset")).as("ending_offset"))
+      .withColumn("total_processed", col("current_offset"))
+      .withColumn("total_unprocessed", col("ending_offset") - col("current_offset"))
+      .withColumn("percent_complete",
+        round(col("current_offset") * 100.0 / col("ending_offset"), 2))
+      .select("log_partition", "current_offset", "ending_offset",
+        "total_processed", "total_unprocessed", "percent_complete")
+      .orderBy("log_partition"),
+    Some(s"""$logCte, w AS (
+      |  SELECT log_partition,
+      |         COALESCE(MIN(CASE WHEN event_id % 10 = 3 THEN log_offset END) - 1,
+      |                  MAX(log_offset)) AS current_offset,
+      |         MAX(log_offset) AS ending_offset
+      |  FROM log GROUP BY log_partition)
+      |SELECT log_partition, current_offset, ending_offset,
+      |       current_offset AS total_processed,
+      |       ending_offset - current_offset AS total_unprocessed,
+      |       ROUND(current_offset * 100.0 / ending_offset, 2) AS percent_complete
+      |FROM w ORDER BY log_partition""".stripMargin))
+
+  /** Retry scheduling (R1/R2/R5): error events as failures with synthetic
+    * fail counts; backoff delay + retry-vs-dead-letter routing per the
+    * default policy with limit 3. */
+  private val retryBackoff = QueryDef(
+    (s, dir) => {
+      val policy = ExponentialBackoffRetry(retryLimit = 3,
+        initialDelayMs = 1000, multiplier = 2.0, maxDelayMs = 900000)
+      log(s, dir).filter(col("event_type") === "error")
+        .withColumn("fail_count", (col("event_id") % 5 + 1).cast("int"))
+        .withColumn("retry_delay_ms",
+          least(lit(policy.initialDelayMs) *
+              pow(lit(policy.multiplier), col("fail_count") - 1),
+            lit(policy.maxDelayMs.toDouble)).cast("long"))
+        .withColumn("can_retry", policy.retryFurther(col("fail_count")))
+        .select("event_id", "fail_count", "retry_delay_ms", "can_retry")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+      |       CAST(event_id % 5 + 1 AS INT) AS fail_count,
+      |       CAST(LEAST(1000 * POWER(2.0, CAST(event_id % 5 AS INT)), 900000.0) AS BIGINT) AS retry_delay_ms,
+      |       CAST(event_id % 5 + 1 AS INT) < 3 AS can_retry
+      |FROM events WHERE event_type = 'error' ORDER BY event_id""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "fh_keyfilter" -> fhKeyfilter,
+    "fh_chain" -> fhChain,
+    "sideline_replay" -> sidelineReplay,
+    "sideline_union_parity" -> sidelineUnionParity,
+    "deserialize_project" -> deserializeProject,
+    "offset_window_scan" -> offsetWindowScan,
+    "partition_assignment" -> partitionAssignment,
+    "ack_watermark" -> ackWatermark,
+    "partition_progress" -> partitionProgress,
+    "retry_backoff" -> retryBackoff)
+}

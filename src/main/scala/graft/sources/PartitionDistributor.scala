@@ -49,7 +49,7 @@ object PartitionDistributor {
    * `partitionCol` values. The rank window is over a tiny frame (one row per
    * log partition), so the single-partition window is not a scale concern. */
   def assignmentDf(partitions: DataFrame, partitionCol: Column, totalConsumers: Int): DataFrame = {
-    val w = Window.orderBy(partitionCol)
+    val w = Window.orderBy(col("partition"))
     partitions
       .select(partitionCol.as("partition"))
       .distinct()
