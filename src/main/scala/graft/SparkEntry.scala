@@ -1,4 +1,5 @@
 package graft
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{AnalyticsQueries, ParityQueries, QueryDef}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
@@ -9,7 +10,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
 
   private def defs: Map[String, QueryDef] =
-    ParityQueries.all ++ AnalyticsQueries.all
+    ParityQueries.all ++ AnalyticsQueries.all ++
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The sideline parity invariant — the reference's signature feature. */

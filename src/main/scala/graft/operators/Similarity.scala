@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor operators over the `embeddings` table
+ * (64-dim float vectors).
+ *
+ *  - Brute-force cosine top-k: the correctness baseline. Queries broadcast
+ *    (tiny), corpus streams — no shuffle of the corpus; top-k per query is
+ *    a ranking window over (queries × corpus), which at 100 TB becomes a
+ *    per-partition partial top-k + merge (TakeOrdered shape).
+ *  - SRP-LSH (sign-random-projection): the scale path. Signatures are
+ *    per-row arithmetic (no shuffle); the candidate join shuffles only
+ *    (vec_id, 16-bit signature). Planes are deterministic ±1 vectors
+ *    derived from md5, so the oracle reproduces them bit-for-bit.
+ *
+ * FP determinism: dot products are EXPLICIT left-associated 64-term sums
+ * over doubles in both engines (no list_sum / HOF fold whose accumulation
+ * order might differ), so similarity values hash-match exactly.
+ */
+object Similarity {
+
+  private val Dim = 64
+  private val NumQueries = 5
+  private val TopK = 10
+
+  /** Left-assoc Σ aExpr[i]*bExpr[i] over doubles, Spark side (1-based
+    * element_at). */
+  private def dotCol(a: String, b: String): Column =
+    (1 to Dim).map(i =>
+      element_at(col(a), i).cast("double") * element_at(col(b), i).cast("double"))
+      .reduce(_ + _)
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private val annCosineTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("v_norm", sqrt(dotCol("v", "v")))
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+        .withColumn("q_norm", sqrt(dotCol("q", "q")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(queries).join(corpus, col("vec_id") =!= col("query_id"))
+        .withColumn("sim", dotCol("q", "v") / (col("q_norm") * col("v_norm")))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT vec_id, embedding AS v,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS v_norm
+      |  FROM embeddings),
+      |queries AS (
+      |  SELECT vec_id AS query_id, embedding AS q,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS q_norm
+      |  FROM embeddings WHERE vec_id < $NumQueries),
+      |scored AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |         (${dotSql("q", "v")}) / (q_norm * v_norm) AS sim
+      |  FROM queries, corpus WHERE vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  private val NumPlanes = 16
+
+  /** Deterministic ±1 hyperplanes: sign(p,d) = +1 iff the first hex digit
+    * of md5("srp:p:d") is < '8'. Same bits in any engine. */
+  private[operators] def planeSign(p: Int, d: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srp:$p:$d".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
+  private def projCol(p: Int): Column =
+    (1 to Dim).map { i =>
+      val s = planeSign(p, i - 1)
+      element_at(col("embedding"), i).cast("double") * lit(s.toDouble)
+    }.reduce(_ + _)
+
+  private def projSql(p: Int): String =
+    (1 to Dim).map { i =>
+      val s = planeSign(p, i - 1)
+      s"CAST(embedding[$i] AS DOUBLE) * ($s.0)"
+    }.mkString(" + ")
+
+  private val annLshSrp = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val signature = (0 until NumPlanes).map { p =>
+        when(projCol(p) >= 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+      Tables.embeddings(s, dir)
+        .withColumn("signature", signature)
+        .withColumn("bucket_size",
+          count(lit(1)).over(Window.partitionBy("signature")))
+        .select("vec_id", "signature", "bucket_size")
+        .orderBy("vec_id")
+    },
+    Some {
+      val sigSql = (0 until NumPlanes).map { p =>
+        s"CASE WHEN (${projSql(p)}) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, CAST($sigSql AS BIGINT) AS signature FROM embeddings)
+         |SELECT vec_id, signature,
+         |       count(*) OVER (PARTITION BY signature) AS bucket_size
+         |FROM sig ORDER BY vec_id""".stripMargin
+    })
+
+  /** LSH-accelerated near-neighbor pairs: exact cosine, but only within a
+    * signature bucket — the candidate set the SRP index admits. */
+  private val annLshPairs = QueryDef(
+    (s, dir) => {
+      val signature = (0 until NumPlanes).map { p =>
+        when(projCol(p) >= 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+      val sig = Tables.embeddings(s, dir)
+        .withColumn("signature", signature)
+        .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
+      val a = sig.select(col("vec_id").as("vec_id_1"), col("signature"),
+        col("embedding").as("e1"), col("norm").as("n1"))
+      val b = sig.select(col("vec_id").as("vec_id_2"), col("signature"),
+        col("embedding").as("e2"), col("norm").as("n2"))
+      a.join(b, Seq("signature"))
+        .filter(col("vec_id_1") < col("vec_id_2"))
+        .withColumn("sim", dotCol("e1", "e2") / (col("n1") * col("n2")))
+        .select(col("vec_id_1"), col("vec_id_2"), round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id_1", "vec_id_2")
+    },
+    Some {
+      val sigSql = (0 until NumPlanes).map { p =>
+        s"CASE WHEN (${projSql(p)}) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, CAST($sigSql AS BIGINT) AS signature,
+         |         SQRT(${dotSql("embedding", "embedding")}) AS norm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         |       ROUND((${dotSql("a.embedding", "b.embedding")}) / (a.norm * b.norm), 4) AS sim
+         |FROM sig a JOIN sig b
+         |  ON a.signature = b.signature AND a.vec_id < b.vec_id
+         |ORDER BY vec_id_1, vec_id_2""".stripMargin
+    })
+
+  val all: Map[String, QueryDef] = Map(
+    "ann_cosine_topk" -> annCosineTopk,
+    "ann_lsh_srp" -> annLshSrp,
+    "ann_lsh_pairs" -> annLshPairs)
+}

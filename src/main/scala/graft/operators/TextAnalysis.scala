@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines
+ * (beyond the reference surface — SURVEY.md §7.1 item 6): token counting,
+ * quality scoring, language ID, document fingerprinting.
+ *
+ * Design rules for 100 TB:
+ *  - everything is per-row narrow computation (no shuffle at all) built
+ *    from codegen'd `functions`/HOFs — no UDFs, no driver loops;
+ *  - token arrays are computed once per query plan and reused;
+ *  - deterministic across engines: md5-based hashing only (identical in
+ *    Spark and DuckDB), explicit rounding on every double output.
+ */
+object TextAnalysis {
+
+  /** Tokens of the single-space-separated `text` column. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Token count + distinct-token count + char stats — the basic
+    * token-accounting operator. */
+  private val textTokens = QueryDef(
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+      |  CAST(length(text) AS INT) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private def stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: stopword ratio, lexical diversity, mean token
+    * length, composite score — the heuristics used to filter web corpora. */
+  private val textQuality = QueryDef(
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tokens"))
+      .withColumn("diversity",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("diversity"), 4).as("diversity"),
+        round(col("avg_token_len"), 4).as("avg_token_len"),
+        // floor-based half-up rounding: Spark's round() goes through the
+        // decimal string repr while DuckDB rounds the exact binary value —
+        // they disagree on .5 boundaries (e.g. 0.25375). floor(x*1e4+0.5)
+        // computes identically on identical doubles in both engines.
+        (floor((least(col("n_tokens") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("stop_ratio")) * col("diversity")) * 1e4 + 0.5) / 1e4)
+          .as("quality_score"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |    len(list_filter(toks, t -> t IN ($stopList))) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |    len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE) AS diversity,
+      |    (length(text) - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  ROUND(stop_ratio, 4) AS stop_ratio,
+      |  ROUND(diversity, 4) AS diversity,
+      |  ROUND(avg_token_len, 4) AS avg_token_len,
+      |  FLOOR(LEAST(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * diversity * 1e4 + 0.5) / 1e4 AS quality_score
+      |FROM q ORDER BY doc_id""".stripMargin))
+
+  /** Marker-token profiles for the n-gram-heuristic language ID. Tiny and
+    * hardcoded: language ID at corpus scale is a per-row scoring pass, not
+    * a model join. Ties break alphabetically (deterministic). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "la", "les"),
+    "zh" -> Seq("de", "le", "shi"))
+
+  private val textLangId = QueryDef(
+    (s, dir) => {
+      var df = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+      for ((lang, markers) <- langMarkers) {
+        val list = markers.map(m => s"'$m'").mkString(", ")
+        df = df.withColumn(s"score_$lang",
+          expr(s"size(filter(toks, t -> t IN ($list)))") / col("n_tokens"))
+      }
+      val langs = langMarkers.map(_._1)
+      // argmax with alphabetical tie-break: first lang whose score >= all
+      val predicted = langs.foldRight(lit(langs.last)) { (lang, rest) =>
+        val ge = langs.filter(_ != lang)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(ge, lit(lang)).otherwise(rest)
+      }
+      df.select(
+          col("doc_id"),
+          predicted.as("predicted_lang"),
+          round(greatest(langs.map(l => col(s"score_$l")): _*), 4).as("confidence"),
+          col("lang").as("labeled_lang"))
+        .withColumn("agrees", col("predicted_lang") === col("labeled_lang"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val scoreCols = langMarkers.map { case (lang, markers) =>
+        val list = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($list))) / CAST(n_tokens AS DOUBLE) AS score_$lang"
+      }.mkString(",\n    ")
+      val langs = langMarkers.map(_._1)
+      val caseExpr = langs.init.map { lang =>
+        val ge = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$lang'"
+      }.mkString(" ")
+      val greatest = s"GREATEST(${langs.map(l => s"score_$l").mkString(", ")})"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE $caseExpr ELSE '${langs.last}' END AS predicted_lang,
+         |  ROUND($greatest, 4) AS confidence,
+         |  lang AS labeled_lang,
+         |  (CASE $caseExpr ELSE '${langs.last}' END) = lang AS agrees
+         |FROM sc ORDER BY doc_id""".stripMargin
+    })
+
+  /** Document fingerprinting: full-content fingerprint over normalized
+    * text plus a shorter prefix band (the cheap pre-cluster key used
+    * before pairwise dedup). */
+  private val docFingerprint = QueryDef(
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("normalized",
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+      .select(
+        col("doc_id"),
+        md5(col("normalized")).as("fingerprint"),
+        substring(md5(col("normalized")), 1, 8).as("fingerprint_band"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+      |  substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 8) AS fingerprint_band
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_lang_id" -> textLangId,
+    "doc_fingerprint" -> docFingerprint)
+}

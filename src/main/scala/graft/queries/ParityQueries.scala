@@ -63,8 +63,8 @@ object ParityQueries {
       val start = ConsumerState((0 until P).map(p =>
         ConsumerPartition("events", p) -> 100L).toMap)
       val end = ConsumerState((0 until P).map(p =>
-        ConsumerPartition("events", p) -> 200L).toMap)
-      val step = FilterSpec.KeyIn("key", Seq("3", "7"))
+        ConsumerPartition("events", p) -> 400L).toMap)
+      val step = FilterSpec.KeyIn("key", Seq("3", "7", "11", "19", "23"))
       src.readBounded(s, start, Some(end))
         .filter(step.dropColumn)
         .withColumnRenamed("partition", "log_partition")
@@ -74,7 +74,7 @@ object ParityQueries {
     },
     Some(s"""$logCte
       |SELECT log_partition, log_offset, event_id, key FROM log
-      |WHERE key IN ('3','7') AND log_offset > 100 AND log_offset <= 200
+      |WHERE key IN ('3','7','11','19','23') AND log_offset > 100 AND log_offset <= 400
       |ORDER BY log_partition, log_offset""".stripMargin))
 
   /** THE parity invariant (BASELINE.md): firehose-during ∪ sideline ≡
