@@ -60,12 +60,32 @@ object Dedup {
         col("band"), col("sh").as("sh1"))
       val b = base.select(col("doc_id").as("doc_id_2"), col("lang"),
         col("band"), col("sh").as("sh2"))
-      a.join(b, Seq("lang", "band"))
-        .filter(col("doc_id_1") < col("doc_id_2"))
+      // Scale fixes, all semantics-preserving (verified: identical oracle):
+      //  1. documents is one small parquet file = ONE input partition, and
+      //     a broadcast-hash join inherits probe-side partitioning — so the
+      //     whole quadratic block-join ran in a single task (78s at sf0.1).
+      //     An explicit-count round-robin repartition (AQE never coalesces
+      //     user-numbered repartitions) spreads probe rows — and therefore
+      //     pairs — across all cores. The shuffle moves only 5k raw rows;
+      //     shingle arrays are computed above the exchange, once per row.
+      //  2. Ratio guard: j <= min/max for sets, so j >= 0.8 implies
+      //     min(|sh1|,|sh2|) >= 0.8*max(...) — integer-cheap, halves the
+      //     pairs reaching array_intersect, zero recall loss.
+      //  3. Integer threshold instead of a jaccard-expression filter:
+      //     i/(n1+n2-i) >= 0.8  <=>  9i >= 4(n1+n2), so the expensive
+      //     array_intersect is evaluated once per candidate pair in the
+      //     filter; the double-valued jaccard is recomputed only for the
+      //     handful of survivors.
+      val a2 = a.repartition(64)
+      a2.join(b, Seq("lang", "band"))
+        .filter(col("doc_id_1") < col("doc_id_2") &&
+          least(size(col("sh1")), size(col("sh2"))) >=
+            lit(0.8) * greatest(size(col("sh1")), size(col("sh2"))))
+        .filter(lit(9) * size(array_intersect(col("sh1"), col("sh2"))) >=
+          lit(4) * (size(col("sh1")) + size(col("sh2"))))
         .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("sh1")) + size(col("sh2")) - col("inter")))
-        .filter(col("jaccard") >= 0.8)
         .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     },
@@ -101,7 +121,9 @@ object Dedup {
     }.mkString(",\n    ")
 
   private val dedupMinhash = QueryDef(
-    (s, dir) => Tables.documents(s, dir)
+    // single-file input = one partition; spread the K*|shingles| md5 work
+    // across cores before the per-row signature computation
+    (s, dir) => Tables.documents(s, dir).repartition(64)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", shinglesExpr)
       .select(col("doc_id") +: minhashCols: _*)
@@ -117,7 +139,7 @@ object Dedup {
     * is the shuffle, and it carries no document content. */
   private val dedupMinhashPairs = QueryDef(
     (s, dir) => {
-      val sig = Tables.documents(s, dir)
+      val sig = Tables.documents(s, dir).repartition(64)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("sh", shinglesExpr)
         .select(col("doc_id") +: minhashCols: _*)
@@ -149,7 +171,7 @@ object Dedup {
     * map-side-combined groupBy. */
   private val dedupSimhash = QueryDef(
     (s, dir) => {
-      val toks = Tables.documents(s, dir)
+      val toks = Tables.documents(s, dir).repartition(64)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("h", md5(col("tok")))
       val bitSums = (0 until 16).map { b =>

@@ -28,12 +28,16 @@ object Similarity {
   private val NumQueries = 5
   private val TopK = 10
 
-  /** Left-assoc Σ aExpr[i]*bExpr[i] over doubles, Spark side (1-based
-    * element_at). */
+  /** Left-assoc Σ a[i]*b[i] over doubles. HOF form, NOT an unrolled
+    * 64-term expression: aggregate(zip_with(...)) folds sequentially from
+    * 0.0, which is bit-identical to the oracle's explicit left-associated
+    * sum (0.0 + x1 == x1 exactly), while keeping the expression tree ~10
+    * nodes — the unrolled form made janino codegen compilation, not the
+    * data, the dominant bench cost. */
   private def dotCol(a: String, b: String): Column =
-    (1 to Dim).map(i =>
-      element_at(col(a), i).cast("double") * element_at(col(b), i).cast("double"))
-      .reduce(_ + _)
+    aggregate(
+      zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i =>
@@ -42,7 +46,8 @@ object Similarity {
   private val annCosineTopk = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, dir)
+      // single-file input = one partition; spread the O(Dim) per-row math
+      val emb = Tables.embeddings(s, dir).repartition(64)
       val corpus = emb.select(col("vec_id"), col("embedding").as("v"))
         .withColumn("v_norm", sqrt(dotCol("v", "v")))
       val queries = emb.filter(col("vec_id") < NumQueries)
@@ -90,11 +95,16 @@ object Similarity {
     if (((digest(0) >> 4) & 0xf) < 8) 1 else -1
   }
 
+  /** All 16 planes as ONE nested literal (a constant object at runtime —
+    * nothing to codegen per element). */
+  private lazy val planesLit: Column = typedLit(
+    (0 until NumPlanes).map(p => (0 until Dim).map(d => planeSign(p, d).toDouble)))
+
   private def projCol(p: Int): Column =
-    (1 to Dim).map { i =>
-      val s = planeSign(p, i - 1)
-      element_at(col("embedding"), i).cast("double") * lit(s.toDouble)
-    }.reduce(_ + _)
+    aggregate(
+      zip_with(col("embedding"), element_at(planesLit, p + 1),
+        (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, x) => acc + x)
 
   private def projSql(p: Int): String =
     (1 to Dim).map { i =>
@@ -108,7 +118,7 @@ object Similarity {
       val signature = (0 until NumPlanes).map { p =>
         when(projCol(p) >= 0, 1L << p).otherwise(0L)
       }.reduce(_ + _)
-      Tables.embeddings(s, dir)
+      Tables.embeddings(s, dir).repartition(64)
         .withColumn("signature", signature)
         .withColumn("bucket_size",
           count(lit(1)).over(Window.partitionBy("signature")))
@@ -136,11 +146,15 @@ object Similarity {
       val sig = Tables.embeddings(s, dir)
         .withColumn("signature", signature)
         .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
-      val a = sig.select(col("vec_id").as("vec_id_1"), col("signature"),
-        col("embedding").as("e1"), col("norm").as("n1"))
+      // probe side parallelized; build side stays broadcast — without the
+      // explicit hint the post-repartition size estimate flips the plan to
+      // a sort-merge join whose sort keys re-evaluate the signature
+      // expression per comparison (observed 30s vs 6s at sf0.1)
+      val a = sig.repartition(64).select(col("vec_id").as("vec_id_1"),
+        col("signature"), col("embedding").as("e1"), col("norm").as("n1"))
       val b = sig.select(col("vec_id").as("vec_id_2"), col("signature"),
         col("embedding").as("e2"), col("norm").as("n2"))
-      a.join(b, Seq("signature"))
+      a.join(broadcast(b), Seq("signature"))
         .filter(col("vec_id_1") < col("vec_id_2"))
         .withColumn("sim", dotCol("e1", "e2") / (col("n1") * col("n2")))
         .select(col("vec_id_1"), col("vec_id_2"), round(col("sim"), 4).as("sim"))
