@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.retry.{ExponentialBackoffRetry, FailedTuplesFirstRetry}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class RetryingFlowSuite extends SparkSuite {
+
+  test("retry dataflow: backoff, retries-first, dead-letter after limit") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("graft-retry").toString
+    val store = new RetryingFlow.RetryStore(spark, dir)
+    // value % 3 == 0 fails until its 2nd attempt; value % 5 == 0 fails
+    // forever (hits the limit and dead-letters). 15 fails both ways ->
+    // dead-letters (5-rule keeps failing it).
+    val isFailure = (col("value") % 5 === 0) ||
+      (col("value") % 3 === 0 && col("fail_count") < 1)
+    val policy = ExponentialBackoffRetry(retryLimit = 3,
+      initialDelayMs = 0, multiplier = 1.0, maxDelayMs = 0)
+
+    // batch 1: values 1..10
+    val b1 = (1 to 10).toDF("value")
+    val (s1, d1) = RetryingFlow.processBatch(spark, store, b1, policy, isFailure)
+    // 3,6,9 fail (first attempt), 5,10 fail (forever-rule): all retryable
+    assert(s1.select("value").as[Int].collect().sorted === Seq(1, 2, 4, 7, 8))
+    assert(d1.count() === 0)
+
+    // batch 2: empty fresh input; due retries flow back in first
+    val b2 = spark.emptyDataset[Int].toDF("value")
+    val (s2, d2) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    // 3,6,9 now have fail_count=1 -> succeed; 5,10 fail again (count=2)
+    assert(s2.select("value").as[Int].collect().sorted === Seq(3, 6, 9))
+    assert(d2.count() === 0)
+
+    // two more rounds: 5,10 reach the retry limit (3) and dead-letter
+    val (s3, d3) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    assert(s3.count() === 0 && d3.count() === 0)
+    val (s4, d4) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    assert(s4.count() === 0)
+    assert(d4.select("value").as[Int].collect().sorted === Seq(5, 10))
+    assert(d4.filter(col("permanently_failed")).count() === 2)
+
+    // retry table drained
+    val (s5, d5) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    assert(s5.count() === 0 && d5.count() === 0)
+  }
+
+  test("backoff schedule defers retries that are not yet due") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("graft-retry2").toString
+    val store = new RetryingFlow.RetryStore(spark, dir)
+    val policy = ExponentialBackoffRetry(retryLimit = -1,
+      initialDelayMs = 3600L * 1000, multiplier = 2.0, maxDelayMs = 7200L * 1000)
+    val isFailure = col("value") % 2 === 0
+
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val (s1, _) = RetryingFlow.processBatch(spark, store,
+      (1 to 4).toDF("value"), policy, isFailure, now = t0)
+    assert(s1.select("value").as[Int].collect().sorted === Seq(1, 3))
+
+    // 1 second later: backoff (1h) not elapsed -> nothing re-enters
+    val later = lit("2026-01-01 00:00:01").cast("timestamp")
+    val empty = spark.emptyDataset[Int].toDF("value")
+    val (s2, d2) = RetryingFlow.processBatch(spark, store, empty, policy,
+      // without retries the failure predicate sees nothing
+      isFailure, now = later)
+    assert(s2.count() === 0 && d2.count() === 0)
+    // the retry table still holds both rows for the future
+    assert(store.read().get.count() === 2)
+
+    // 2 hours later: due; they fail again and reschedule with 2h backoff
+    val muchLater = lit("2026-01-01 02:00:00").cast("timestamp")
+    val (s3, _) = RetryingFlow.processBatch(spark, store, empty, policy,
+      isFailure, now = muchLater)
+    assert(s3.count() === 0)
+    val table = store.read().get
+    assert(table.count() === 2)
+    assert(table.filter(col("fail_count") === 2).count() === 2)
+  }
+}
