@@ -1,6 +1,6 @@
 package graft
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{AnalyticsQueries, ParityQueries, QueryDef}
+import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,7 +10,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
 
   private def defs: Map[String, QueryDef] =
-    ParityQueries.all ++ AnalyticsQueries.all ++
+    ParityQueries.all ++ AnalyticsQueries.all ++ EventTimeQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -24,8 +24,11 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // `ts div 1000` (integer division) — NOT `/ 1000` which is a double
+    // divide: epoch-nanos (~1.7e18) exceed double's 53-bit mantissa and
+    // come back off by up to a microsecond.
     if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
