@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSuite
+import graft.SparkEntry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/**
+ * Physical-plan assertions — the 100 TB design review as executable
+ * checks (the builder prompt's explain() loop): predicates reach the
+ * parquet scan, small dims broadcast, top-k never global-sorts, and the
+ * hot per-row paths stay inside WholeStageCodegen.
+ */
+class PlanSuite extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("chain predicates push into the parquet scan on a native-offset log") {
+    // On the synthesized parquet log the drop-chain CANNOT push below the
+    // offset window (filtering first would renumber offsets — see
+    // ParquetEventLog docs); on a log with native offsets (Kafka, or any
+    // source already carrying partition/offset) the same chain reaches the
+    // scan. Assert the native case:
+    import graft.filter.{FilterChain, FilterSpec}
+    val chain = FilterChain.empty.withStep("s",
+      FilterSpec.KeyIn("event_type", Seq("error", "signup")))
+    val df = graft.Tables.events(spark, sfDir).filter(chain.keep)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("Not(In(event_type"), p.take(2000))
+  }
+
+  test("scan reads only referenced columns (projection pruning)") {
+    val p = plan("topk_orders")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      p.take(2000))
+  }
+
+  test("global top-k is TakeOrderedAndProject, not a total sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("GlobalLimit"), p.take(2000))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact table for dims)") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("semi/anti joins stay broadcast at dim scale") {
+    val p = plan("join_semi_anti")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // two HashAggregate phases around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("narrow per-row operators run without any shuffle") {
+    // text_quality is pure per-row computation: its plan must be
+    // exchange-free (modulo the final presentation sort's range exchange)
+    val df = SparkEntry.queries("text_tokens")(spark, sfDir)
+    def shuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(shuffles).sum
+    }
+    val exec = df.queryExecution.executedPlan
+    // one rangepartitioning exchange for the orderBy is allowed; no
+    // hash-partitioned (aggregation/join) shuffles may appear
+    val s = exec.toString
+    assert(!s.contains("hashpartitioning"), s.take(2000))
+  }
+
+  test("chain filter evaluation stays inside WholeStageCodegen") {
+    // AQE prints no codegen spans pre-execution, so assert on the
+    // non-adaptive executed plan of the chain filter itself.
+    import graft.filter.{FilterChain, FilterSpec}
+    val chain = FilterChain.empty
+      .withStep("a", FilterSpec.KeyIn("event_type", Seq("error")))
+      .withStep("b", FilterSpec.FieldCmp("value", "lt", org.json4s.JDouble(1.0)))
+    val df = graft.Tables.events(spark, sfDir).filter(chain.keep)
+    df.collect() // force final adaptive plan
+    // codegen stages render as "*(n)" prefixes in the plan string
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p.take(2000))
+  }
+}
