@@ -1,6 +1,6 @@
 package graft
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef}
+import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef, ScalarQueries}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def defs: Map[String, QueryDef] =
     ParityQueries.all ++ AnalyticsQueries.all ++ EventTimeQueries.all ++
+      ScalarQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -90,6 +90,20 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
       .filter(p.step.dropColumn)
   }
 
+  /** Streaming RESUME (SL2's live parallel catch-up): an unbounded
+    * streaming read from the start snapshot with the NEGATED predicate,
+    * to be launched as a second query under the coordinator (own pool /
+    * rate cap). At RESOLVE the coordinator stops this stream and drains
+    * the now-closed window with the batch [[sidelineReplay]] — the
+    * SURVEY §2.9 SL3 mapping ("flip sideline query to bounded"). */
+  def sidelineReplayStream(id: String, spark: SparkSession,
+      source: graft.sources.FileLogSource): DataFrame = {
+    val p = require2(id)
+    require(p.sidelineType == SidelineType.Resume,
+      s"sideline $id is ${p.sidelineType.name}, stream replay needs RESUME")
+    source.readStreamFrom(spark, p.startingState).filter(p.step.dropColumn)
+  }
+
   /** Restart recovery — reference loadSidelines
    * (SidelineSpoutHandler.java:227-322): list persisted requests and
    * return what must be running. The caller (coordinator/reconcile loop)

@@ -175,8 +175,42 @@ object Similarity {
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
     })
 
+  /** Embedding-cosine near-dup dedup: pairs over the similarity
+    * threshold; the higher vec_id of each pair is the drop candidate,
+    * keeping the lowest-id representative (greedy keeper rule). Brute
+    * force here (correctness oracle); the SRP-LSH bucketed variant above
+    * is the same computation restricted to candidate buckets at scale. */
+  private val NearDupThreshold = 0.45
+
+  private val dedupEmbeddingCosine = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
+      val a = emb.repartition(64).select(col("vec_id").as("vec_id_keeper"),
+        col("embedding").as("e1"), col("norm").as("n1"))
+      val b = emb.select(col("vec_id").as("vec_id_dropped"),
+        col("embedding").as("e2"), col("norm").as("n2"))
+      a.join(broadcast(b), col("vec_id_keeper") < col("vec_id_dropped"))
+        .withColumn("sim", dotCol("e1", "e2") / (col("n1") * col("n2")))
+        .filter(col("sim") >= NearDupThreshold)
+        .select(col("vec_id_keeper"), col("vec_id_dropped"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id_keeper", "vec_id_dropped")
+    },
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS norm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_id_keeper, b.vec_id AS vec_id_dropped,
+      |       ROUND((${dotSql("a.embedding", "b.embedding")}) / (a.norm * b.norm), 4) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE (${dotSql("a.embedding", "b.embedding")}) / (a.norm * b.norm) >= $NearDupThreshold
+      |ORDER BY vec_id_keeper, vec_id_dropped""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_srp" -> annLshSrp,
-    "ann_lsh_pairs" -> annLshPairs)
+    "ann_lsh_pairs" -> annLshPairs,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 }

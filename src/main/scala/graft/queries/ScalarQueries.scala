@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Scalar-function surface (SURVEY.md §2.12 — the reference has no scalar
+ * library; payloads are opaque): string/date/math/array/json functions as
+ * one oracle-checked showcase per family, all codegen'd built-ins.
+ */
+object ScalarQueries {
+
+  private val strings = QueryDef(
+    (s, dir) => Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        lower(col("c_mktsegment")).as("lower_seg"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 4).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      |  UPPER(c_name) AS upper_name, LOWER(c_mktsegment) AS lower_seg,
+      |  CAST(LENGTH(c_name) AS INT) AS name_len,
+      |  SUBSTR(c_name, 1, 4) AS name_prefix,
+      |  concat_ws('|', c_mktsegment, c_name) AS seg_name,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+      |  TRIM('  pad  ') AS trimmed
+      |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  private val datesMath = QueryDef(
+    (s, dir) => Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        abs(col("o_totalprice") * -1).as("abs_price"),
+        ceil(col("o_totalprice")).as("ceil_price"),
+        floor(col("o_totalprice")).as("floor_price"),
+        (col("o_orderkey") % 7).as("mod7"),
+        greatest(col("o_totalprice"), lit(1000.0)).as("floor1000"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  ABS(o_totalprice * -1) AS abs_price,
+      |  CAST(CEIL(o_totalprice) AS BIGINT) AS ceil_price,
+      |  CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+      |  o_orderkey % 7 AS mod7,
+      |  GREATEST(o_totalprice, 1000.0) AS floor1000
+      |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  private val arraysJson = QueryDef(
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        expr("sort_array(slice(toks, 1, 3))").as("first3_sorted"),
+        to_json(struct(col("doc_id"), col("lang"))).as("as_json"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n,
+      |  toks[1] AS first_tok,
+      |  toks[-1] AS last_tok,
+      |  list_contains(toks, 'spark') AS has_spark,
+      |  list_sort(toks[1:3]) AS first3_sorted,
+      |  '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}' AS as_json
+      |FROM t ORDER BY doc_id""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "scalar_strings" -> strings,
+    "scalar_dates_math" -> datesMath,
+    "scalar_arrays_json" -> arraysJson)
+}
