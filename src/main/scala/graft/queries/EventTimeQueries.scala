@@ -76,7 +76,7 @@ object EventTimeQueries {
   private val approxDistinct = QueryDef(
     (s, dir) => Tables.events(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type"),
     None)

@@ -94,7 +94,17 @@ final case class ParquetEventLog(dir: String, numPartitions: Int = 4)
     extends LogSource {
   val namespace = "events"
 
-  def read(spark: SparkSession): DataFrame = {
+  /** The synthesized log view is the engine's "open consumer": cache it
+    * per (session, dir, P) so the offset-synthesis window runs once per
+    * process, not once per query — the reference likewise keeps one
+    * consumer open across nextRecord calls. Real log sources
+    * (KafkaLogSource/FileLogSource) carry native offsets and skip this. */
+  def read(spark: SparkSession): DataFrame =
+    ParquetEventLog.cache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, numPartitions),
+      build(spark).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def build(spark: SparkSession): DataFrame = {
     val raw = graft.Tables.events(spark, dir)
     val part = (col("user_id") % numPartitions).cast("int")
     val w = Window.partitionBy(col("partition")).orderBy(col("event_id"))
@@ -113,4 +123,9 @@ final case class ParquetEventLog(dir: String, numPartitions: Int = 4)
         col("event_type"), col("event_value"))
       .withColumn("source_id", lit("firehose:main"))
   }
+}
+
+object ParquetEventLog {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
 }
