@@ -46,17 +46,18 @@ object Similarity {
   private val annCosineTopk = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // single-file input = one partition; spread the O(Dim) per-row math
+      // single-file input = one partition; spread the O(Dim) per-row math.
+      // sim via the native codegen'd expression (bit-identical to the HOF
+      // fold and to the oracle's explicit sums).
       val emb = Tables.embeddings(s, dir).repartition(64)
       val corpus = emb.select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("v_norm", sqrt(dotCol("v", "v")))
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-        .withColumn("q_norm", sqrt(dotCol("q", "q")))
       val w = Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("neighbor_id"))
       broadcast(queries).join(corpus, col("vec_id") =!= col("query_id"))
-        .withColumn("sim", dotCol("q", "v") / (col("q_norm") * col("v_norm")))
+        .withColumn("sim",
+          graft.functions.VectorFunctions.cosineSimilarity(col("q"), col("v")))
         .withColumnRenamed("vec_id", "neighbor_id")
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
@@ -184,15 +185,17 @@ object Similarity {
 
   private val dedupEmbeddingCosine = QueryDef(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
+      // the native codegen'd expression (graft.functions.CosineSimilarity)
+      // computes dot+norms in one tight loop per pair — bit-identical to
+      // the HOF fold (VectorExpressionsSuite), so the oracle still matches
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val a = emb.repartition(64).select(col("vec_id").as("vec_id_keeper"),
-        col("embedding").as("e1"), col("norm").as("n1"))
+        col("embedding").as("e1"))
       val b = emb.select(col("vec_id").as("vec_id_dropped"),
-        col("embedding").as("e2"), col("norm").as("n2"))
+        col("embedding").as("e2"))
       a.join(broadcast(b), col("vec_id_keeper") < col("vec_id_dropped"))
-        .withColumn("sim", dotCol("e1", "e2") / (col("n1") * col("n2")))
+        .withColumn("sim",
+          graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
         .filter(col("sim") >= NearDupThreshold)
         .select(col("vec_id_keeper"), col("vec_id_dropped"),
           round(col("sim"), 4).as("sim"))

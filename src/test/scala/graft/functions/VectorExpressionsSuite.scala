@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.{SparkSuite, Tables}
+import graft.operators.Similarity
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSuite extends SparkSuite {
+
+  test("native cosine matches the HOF fold bit-for-bit on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val pairs = a.crossJoin(b).filter(col("id1") < col("id2"))
+
+    def hofDot(x: String, y: String) = aggregate(
+      zip_with(col(x), col(y), (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hof = hofDot("e1", "e2") /
+      (sqrt(hofDot("e1", "e1")) * sqrt(hofDot("e2", "e2")))
+    val native = VectorFunctions.cosineSimilarity(col("e1"), col("e2"))
+
+    // bit-for-bit: both accumulate left-to-right over doubles
+    val diff = pairs.select(abs(hof - native).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff === 0.0)
+  }
+
+  test("SQL registration via extensions: SELECT cosine_similarity(...)") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_v")
+    val rows = spark.sql(
+      """SELECT a.vec_id, b.vec_id, cosine_similarity(a.embedding, b.embedding) AS s
+        |FROM emb_v a JOIN emb_v b ON a.vec_id < b.vec_id""".stripMargin)
+      .collect()
+    assert(rows.length === 45)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("codegen path: expression evaluates inside WholeStageCodegen") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val df = emb.select(
+      VectorFunctions.cosineSimilarity(col("embedding"), col("embedding")).as("self"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p.take(1500))
+    // self-similarity ~ 1 (sqrt(x)*sqrt(x) rounds, so not bit-exact)
+    val Seq(lo, hi) = df.agg(min("self"), max("self")).head().toSeq
+      .map(_.asInstanceOf[Double])
+    assert(math.abs(lo - 1.0) < 1e-12 && math.abs(hi - 1.0) < 1e-12)
+  }
+
+  test("null and error semantics") {
+    val sparkS = spark
+    import sparkS.implicits._
+    GraftExtensions.register(spark)
+    val one = Seq((Array(1.0f, 0f), Array(1.0f, 0f))).toDF("a", "b")
+    assert(one.selectExpr("cosine_similarity(a, b)").head().getDouble(0) === 1.0)
+    assert(one.selectExpr("cosine_similarity(a, CAST(NULL AS ARRAY<FLOAT>))")
+      .head().isNullAt(0))
+    val bad = Seq((Array(1.0f), Array(1.0f, 2f))).toDF("a", "b")
+    intercept[Exception](bad.selectExpr("cosine_similarity(a, b)").collect())
+  }
+}
