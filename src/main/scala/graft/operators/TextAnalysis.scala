@@ -31,12 +31,22 @@ object TextAnalysis {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct_tokens"),
-        length(col("text")).as("n_chars_actual"))
+        length(col("text")).as("n_chars_actual"),
+        // GPT-style pre-tokenizer classes: letter runs / digit runs /
+        // other-symbol runs (the BPE-ish count used for budget estimates)
+        size(regexp_extract_all(col("text"),
+          lit("\\p{L}+|\\d+|[^\\s\\p{L}\\d]+"), lit(0))).as("n_regex_tokens"),
+        // subword estimate: BPE yields roughly ceil(len/4) units per word
+        expr("aggregate(transform(toks, t -> CAST(ceil(length(t) / 4.0) AS INT)), 0, (a, x) -> a + x)")
+          .as("n_subword_est"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
-      |  CAST(length(text) AS INT) AS n_chars_actual
+      |  CAST(length(text) AS INT) AS n_chars_actual,
+      |  CAST(len(regexp_extract_all(text, '\p{L}+|\d+|[^\s\p{L}\d]+', 0)) AS INT) AS n_regex_tokens,
+      |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+      |         t -> CAST(ceil(length(t) / 4.0) AS INT))), (a, x) -> a + x) AS INT) AS n_subword_est
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
@@ -158,12 +168,23 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(col("normalized")).as("fingerprint"),
-        substring(md5(col("normalized")), 1, 8).as("fingerprint_band"))
+        substring(md5(col("normalized")), 1, 8).as("fingerprint_band"),
+        // polynomial rolling hash over character codes, mod 1e9+7 each
+        // step (no overflow, engine-identical): h = (h*31 + code) % p
+        expr("""aggregate(transform(split(normalized, ''), c -> ascii(c)),
+               |0L, (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin)
+          .as("rolling_hash"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-      |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
-      |  substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 8) AS fingerprint_band
-      |FROM documents ORDER BY doc_id""".stripMargin))
+    Some("""WITH n AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS normalized
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(normalized) AS fingerprint,
+      |  substr(md5(normalized), 1, 8) AS fingerprint_band,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(normalized, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
+      |FROM n ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(
     "text_tokens" -> textTokens,
