@@ -211,9 +211,81 @@ object Similarity {
       |WHERE (${dotSql("a.embedding", "b.embedding")}) / (a.norm * b.norm) >= $NearDupThreshold
       |ORDER BY vec_id_keeper, vec_id_dropped""".stripMargin))
 
+  private val NumCentroids = 8
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `NumCentroids` vectors stand in for trained centroids — swap in
+    * k-means output at scale), every vector assigned to its nearest
+    * centroid (nlist=8), queries probe ONLY their own cell (nprobe=1) and
+    * re-rank exactly inside it. The partition-by-cell shape is the scale
+    * path: the corpus shuffles once on cell id, each probe touches
+    * 1/nlist of the data. Recall loss vs brute force is inherent to
+    * nprobe=1 — the oracle reproduces the same index, so results match. */
+  private val annIvfTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cos = graft.functions.VectorFunctions.cosineSimilarity _
+      val emb = Tables.embeddings(s, dir).repartition(64)
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cent_id"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("csim", cos(col("embedding"), col("cvec")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+      val queries = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("cell"),
+          col("embedding").as("q"))
+      val wRank = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(queries)
+        .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cos(col("q"), col("embedding")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      |  WHERE vec_id < $NumCentroids),
+      |assigned AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell, e.embedding,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             (${dotSql("e.embedding", "c.cvec")}) /
+      |             (SQRT(${dotSql("e.embedding", "e.embedding")}) *
+      |              SQRT(${dotSql("c.cvec", "c.cvec")})) DESC, c.cent_id) AS arn
+      |    FROM embeddings e, cents c)
+      |  WHERE arn = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, cell, embedding AS q FROM assigned
+      |  WHERE vec_id < $NumQueries),
+      |scored AS (
+      |  SELECT qu.query_id, a.vec_id AS neighbor_id,
+      |         (${dotSql("qu.q", "a.embedding")}) /
+      |         (SQRT(${dotSql("qu.q", "qu.q")}) *
+      |          SQRT(${dotSql("a.embedding", "a.embedding")})) AS sim
+      |  FROM queries qu JOIN assigned a
+      |    ON qu.cell = a.cell AND a.vec_id <> qu.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_srp" -> annLshSrp,
     "ann_lsh_pairs" -> annLshPairs,
+    "ann_ivf_topk" -> annIvfTopk,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 }
