@@ -23,6 +23,10 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // self-sufficient on sessions the driver builds without our configs:
+    // the nanos flag is a dynamic SQL conf, set it before the schema read
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `ts div 1000` (integer division) — NOT `/ 1000` which is a double
     // divide: epoch-nanos (~1.7e18) exceed double's 53-bit mantissa and
