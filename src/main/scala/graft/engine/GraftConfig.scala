@@ -1,0 +1,85 @@
+package graft.engine
+
+import graft.retry.{ExponentialBackoffRetry, FailedTuplesFirstRetry, NeverRetry, RetryPolicy}
+import graft.sideline.{ControlStore, FileControlStore, InMemoryControlStore}
+
+import scala.util.matching.Regex
+
+/**
+ * Config-driven wiring — the reference's FactoryManager + SpoutConfig
+ * (dynamic/FactoryManager.java, config/SpoutConfig.java): every pluggable
+ * resolved from string config so deployments swap implementations without
+ * code. Key names mirror the reference's where a counterpart exists.
+ *
+ * Resolution order for classes: known preset name, then Class.forName
+ * (the reference's reflection path — any class with a no-arg constructor
+ * implementing the right trait).
+ */
+final case class GraftConfig(settings: Map[String, String]) {
+
+  private def get(key: String): Option[String] = settings.get(key).map(_.trim)
+  private def getLong(key: String, dflt: Long): Long =
+    get(key).map(_.toLong).getOrElse(dflt)
+  private def getInt(key: String, dflt: Int): Int =
+    get(key).map(_.toInt).getOrElse(dflt)
+  private def getDouble(key: String, dflt: Double): Double =
+    get(key).map(_.toDouble).getOrElse(dflt)
+
+  /** spout.retry_manager.class + spout.retry_manager.* knobs
+    * (SpoutConfig.java:204,222,242,258,271). */
+  def retryPolicy: RetryPolicy =
+    get("spout.retry_manager.class").getOrElse("exponential_backoff") match {
+      case "exponential_backoff" |
+           "com.salesforce.storm.spout.dynamic.retry.ExponentialBackoffRetryManager" =>
+        ExponentialBackoffRetry(
+          retryLimit = getInt("spout.retry_manager.retry_limit", 25),
+          initialDelayMs = getLong("spout.retry_manager.initial_delay_ms", 1000L),
+          multiplier = getDouble("spout.retry_manager.delay_multiplier", 2.0),
+          maxDelayMs = getLong("spout.retry_manager.retry_delay_max_ms", 900000L))
+      case "failed_tuples_first" |
+           "com.salesforce.storm.spout.dynamic.retry.FailedTuplesFirstRetryManager" =>
+        FailedTuplesFirstRetry
+      case "never" |
+           "com.salesforce.storm.spout.dynamic.retry.NeverRetryManager" =>
+        NeverRetry
+      case className => instantiate[RetryPolicy](className)
+    }
+
+  /** Control store: preset "memory", a directory path via
+    * sideline.persistence.dir, or a class name. */
+  def controlStore: ControlStore =
+    get("sideline.persistence.class").getOrElse("file") match {
+      case "memory" => new InMemoryControlStore
+      case "file" =>
+        new FileControlStore(get("sideline.persistence.dir").getOrElse(
+          throw new IllegalArgumentException(
+            "sideline.persistence.dir required for the file control store")))
+      case className => instantiate[ControlStore](className)
+    }
+
+  /** spout.coordinator.max_concurrent_virtual_spouts (SpoutConfig:398). */
+  def maxConcurrentQueries: Int =
+    getInt("spout.coordinator.max_concurrent_virtual_spouts",
+      QueryCoordinator.DefaultMaxConcurrent)
+
+  /** Throttle policy (ThrottledMessageBuffer/RatioMessageBuffer config
+    * surface: regex + reduced rate + poll ratio). */
+  def throttlePolicy: ThrottlePolicy = ThrottlePolicy(
+    defaultRatePerTrigger = getLong("buffer.rate_per_trigger", 10000L),
+    throttledRatePerTrigger = getLong("buffer.throttled_rate_per_trigger", 1000L),
+    throttledPattern = get("buffer.throttled_spout_id_regex").map(new Regex(_)),
+    triggerRatio = getInt("buffer.throttled_trigger_ratio", 1))
+
+  /** Consumer-state flush cadence (SpoutConfig:374) — checkpoint commit
+    * interval guidance for sinks that batch their own state. */
+  def stateFlushIntervalMs: Long =
+    getLong("spout.coordinator.consumer_state_flush_interval_ms", 30000L)
+
+  private def instantiate[T](className: String): T =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[T]
+}
+
+object GraftConfig {
+  val default: GraftConfig = GraftConfig(Map.empty)
+}

@@ -1,0 +1,66 @@
+package graft.engine
+
+import graft.retry.{ExponentialBackoffRetry, FailedTuplesFirstRetry, NeverRetry}
+import graft.sideline.InMemoryControlStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A RetryPolicy loadable purely by class name (reference FactoryManager
+  * reflection path). */
+final class CustomTestPolicy extends graft.retry.RetryPolicy {
+  val retryLimit = 7
+  def delayMs(failCount: Int): Long = 5L
+  def retryAt(failedAtCol: org.apache.spark.sql.Column,
+      failCountCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    failedAtCol
+}
+
+class GraftConfigSuite extends AnyFunSuite {
+
+  test("defaults mirror the reference's shipped configuration") {
+    val c = GraftConfig.default
+    val p = c.retryPolicy.asInstanceOf[ExponentialBackoffRetry]
+    assert(p.retryLimit === 25 && p.initialDelayMs === 1000L &&
+      p.multiplier === 2.0 && p.maxDelayMs === 900000L)
+    assert(c.maxConcurrentQueries === 10)
+    assert(c.stateFlushIntervalMs === 30000L)
+    assert(c.throttlePolicy.triggerRatio === 1)
+  }
+
+  test("preset names and reference class names resolve") {
+    assert(GraftConfig(Map("spout.retry_manager.class" -> "never"))
+      .retryPolicy === NeverRetry)
+    assert(GraftConfig(Map("spout.retry_manager.class" ->
+      "com.salesforce.storm.spout.dynamic.retry.FailedTuplesFirstRetryManager"))
+      .retryPolicy === FailedTuplesFirstRetry)
+    val tuned = GraftConfig(Map(
+      "spout.retry_manager.retry_limit" -> "3",
+      "spout.retry_manager.initial_delay_ms" -> "50")).retryPolicy
+      .asInstanceOf[ExponentialBackoffRetry]
+    assert(tuned.retryLimit === 3 && tuned.initialDelayMs === 50L)
+  }
+
+  test("reflection path instantiates user classes (FactoryManager)") {
+    val p = GraftConfig(Map("spout.retry_manager.class" ->
+      "graft.engine.CustomTestPolicy")).retryPolicy
+    assert(p.retryLimit === 7)
+  }
+
+  test("control store wiring: memory preset, file requires dir, class name") {
+    assert(GraftConfig(Map("sideline.persistence.class" -> "memory"))
+      .controlStore.isInstanceOf[InMemoryControlStore])
+    intercept[IllegalArgumentException](GraftConfig.default.controlStore)
+    val dir = java.nio.file.Files.createTempDirectory("cfg").toString
+    val store = GraftConfig(Map("sideline.persistence.dir" -> dir)).controlStore
+    assert(store.list().isEmpty)
+  }
+
+  test("throttle policy from config") {
+    val t = GraftConfig(Map(
+      "buffer.throttled_spout_id_regex" -> "sideline",
+      "buffer.throttled_rate_per_trigger" -> "123",
+      "buffer.throttled_trigger_ratio" -> "5")).throttlePolicy
+    assert(t.ratePerTrigger("x:sideline:1") === 123L)
+    assert(t.triggerIntervalMs("x:sideline:1", 100) === 500L)
+    assert(t.ratePerTrigger("firehose") === 10000L)
+  }
+}
