@@ -57,10 +57,27 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
 
   /** RESOLVE: stop dropping on the firehose, stamp the ending offsets; the
    * replay window is now closed and drainable
-   * (SidelineSpoutHandler.resolve:488-537). */
-  def resolve(id: String, spark: SparkSession): SidelinePayload = {
+   * (SidelineSpoutHandler.resolve:488-537).
+   *
+   * Alignment caveat (streaming): this convenience form snapshots the
+   * log's CURRENT high watermark, which is only batch-aligned if the
+   * firehose is quiesced (stopped or between triggers). A micro-batch
+   * planned before the RESOLVE whose foreachBatch runs after it would
+   * re-read the chain without this step and double-emit rows ≤ ending.
+   * When a firehose is live, snapshot the ending from the firehose's own
+   * committed progress and call [[resolveAt]] instead — the reference has
+   * the same window and closes it by ordering filters before the firehose
+   * start (SidelineSpoutHandler.java:316-321). */
+  def resolve(id: String, spark: SparkSession): SidelinePayload =
+    resolveAt(id, log.currentState(spark))
+
+  /** RESOLVE with a caller-supplied ending snapshot — use the offsets of
+   * the firehose's last COMMITTED micro-batch (StreamingQueryProgress
+   * sources.endOffset) so the replay bound coincides with a batch boundary
+   * the firehose actually observed with the filter still active. */
+  def resolveAt(id: String, ending: ConsumerState): SidelinePayload = {
     val p = require2(id).transitionTo(SidelineType.Resolve)
-      .copy(endingState = Some(log.currentState(spark)))
+      .copy(endingState = Some(ending))
     store.persist(p)
     p
   }
@@ -87,7 +104,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     require(p.sidelineType != SidelineType.Start,
       s"sideline $id not resumed yet — no replay exists in START state")
     log.readBounded(spark, p.startingState, p.endingState)
-      .filter(p.step.dropColumn)
+      .filter(p.step.dropColumnNullSafe)
   }
 
   /** Streaming RESUME (SL2's live parallel catch-up): an unbounded
@@ -101,7 +118,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     val p = require2(id)
     require(p.sidelineType == SidelineType.Resume,
       s"sideline $id is ${p.sidelineType.name}, stream replay needs RESUME")
-    source.readStreamFrom(spark, p.startingState).filter(p.step.dropColumn)
+    source.readStreamFrom(spark, p.startingState).filter(p.step.dropColumnNullSafe)
   }
 
   /** Restart recovery — reference loadSidelines

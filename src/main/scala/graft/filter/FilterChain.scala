@@ -26,17 +26,24 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
 
   def hasStep(id: String): Boolean = steps.contains(id)
 
-  /** TRUE when any step drops the row (reference FilterChain.filter:72-85). */
+  /** TRUE when any step drops the row (reference FilterChain.filter:72-85).
+   * Each step's verdict is null-safed with coalesce(_, false): a NULL
+   * verdict (e.g. KeyIn on a NULL key) means "not dropped", so every row
+   * lands on exactly one side of the firehose ∪ sideline partition instead
+   * of silently vanishing from both under SQL three-valued logic. */
   def dropColumn: Column =
     if (steps.isEmpty) lit(false)
-    else steps.toSeq.sortBy(_._1).map(_._2.dropColumn).reduceLeft(_ || _)
+    else steps.toSeq.sortBy(_._1)
+      .map(_._2.dropColumnNullSafe)
+      .reduceLeft(_ || _)
 
   /** WHERE predicate for the firehose: rows that survive the chain. */
   def keep: Column = !dropColumn
 
   /** WHERE predicate for a sideline replay of step `id`: ONLY the rows that
-   * step dropped (reference NegatingFilterChainStep semantics). */
-  def sidelined(id: String): Column = steps(id).dropColumn
+   * step dropped (reference NegatingFilterChainStep semantics). Null-safed
+   * the same way as [[dropColumn]] so both sides use one definition. */
+  def sidelined(id: String): Column = steps(id).dropColumnNullSafe
 }
 
 object FilterChain {

@@ -29,6 +29,13 @@ import org.json4s.jackson.JsonMethods
 sealed trait FilterSpec extends Serializable {
   /** Column that evaluates TRUE when the row should be DROPPED. */
   def dropColumn: Column
+
+  /** [[dropColumn]] with a NULL verdict coerced to false ("not dropped").
+   * Both the firehose (negated) and the sideline replay (un-negated) must
+   * evaluate THIS form: under three-valued logic a NULL verdict would
+   * exclude the row from both sides, breaking firehose ∪ sideline ≡ input. */
+  def dropColumnNullSafe: Column = coalesce(dropColumn, lit(false))
+
   def toJson: String = JsonMethods.compact(JsonMethods.render(FilterSpec.toJValue(this)))
 }
 

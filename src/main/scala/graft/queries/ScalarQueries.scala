@@ -66,7 +66,9 @@ object ScalarQueries {
         element_at(col("toks"), 1).as("first_tok"),
         element_at(col("toks"), -1).as("last_tok"),
         array_contains(col("toks"), "spark").as("has_spark"),
-        expr("sort_array(slice(toks, 1, 3))").as("first3_sorted"),
+        // stringified (array_join) so the oracle comparator hashes a scalar,
+        // not an unhashable list cell
+        array_join(expr("sort_array(slice(toks, 1, 3))"), ",").as("first3_sorted"),
         to_json(struct(col("doc_id"), col("lang"))).as("as_json"))
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents)
@@ -75,7 +77,7 @@ object ScalarQueries {
       |  toks[1] AS first_tok,
       |  toks[-1] AS last_tok,
       |  list_contains(toks, 'spark') AS has_spark,
-      |  list_sort(toks[1:3]) AS first3_sorted,
+      |  array_to_string(list_sort(toks[1:3]), ',') AS first3_sorted,
       |  '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}' AS as_json
       |FROM t ORDER BY doc_id""".stripMargin))
 

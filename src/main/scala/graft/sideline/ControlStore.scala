@@ -48,10 +48,16 @@ final class FileControlStore(dir: String) extends ControlStore {
 
   override def list(): Seq[SidelinePayload] = synchronized {
     if (!Files.exists(root)) Seq.empty
-    else Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .map(p => SidelinePayload.fromJson(Files.readString(p)))
-      .toSeq.sortBy(_.id)
+    else {
+      // Files.list holds an open directory handle until closed; this runs
+      // per micro-batch, so close it eagerly instead of waiting for GC
+      val stream = Files.list(root)
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .map(p => SidelinePayload.fromJson(Files.readString(p)))
+        .toSeq.sortBy(_.id)
+      finally stream.close()
+    }
   }
 
   override def clear(id: String): Unit = synchronized {

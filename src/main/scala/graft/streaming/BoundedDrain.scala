@@ -34,6 +34,10 @@ object BoundedDrain {
 
     require(ending.offsets.nonEmpty, "bounded drain needs a non-empty ending state")
     val seen = new ConcurrentHashMap[Int, Long]()
+    // started counts down once queryRef is assigned; the completer thread
+    // awaits it so a first micro-batch that already satisfies the bound
+    // (before writeStream.start() returns) cannot observe a null queryRef
+    val started = new java.util.concurrent.CountDownLatch(1)
     @volatile var queryRef: StreamingQuery = null
     @volatile var completed = false
 
@@ -61,14 +65,17 @@ object BoundedDrain {
         }
         if (done && !completed) {
           completed = true
-          val self = queryRef
           new Thread(() => {
-            try self.stop() finally onComplete()
+            try {
+              started.await()
+              queryRef.stop()
+            } finally onComplete()
           }, s"$queryName-completer").start()
         }
         ()
       }.start()
     queryRef = q
+    started.countDown()
     q
   }
 }

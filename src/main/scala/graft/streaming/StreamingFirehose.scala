@@ -73,7 +73,15 @@ object StreamingFirehose {
         // Chain re-read per batch — bounded staleness of one batch.
         val chain = engine.activeChain()
         val hasFailFlag = batch.columns.contains("permanently_failed")
-        val annotated = routed(batch, chain).persist()
+        // Null-safe routing flags: the chain verdict is coalesced inside
+        // FilterChain; a NULL permanently_failed means "not failed" so the
+        // split filters and the metrics groupBy never see a NULL flag.
+        val normalized =
+          if (hasFailFlag)
+            batch.withColumn("permanently_failed",
+              coalesce(col("permanently_failed"), lit(false)))
+          else batch
+        val annotated = routed(normalized, chain).persist()
         try {
           val kept = annotated.filter(!col("__dropped")).drop("__dropped")
           if (hasFailFlag) {
