@@ -104,7 +104,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     require(p.sidelineType != SidelineType.Start,
       s"sideline $id not resumed yet — no replay exists in START state")
     log.readBounded(spark, p.startingState, p.endingState)
-      .filter(p.step.dropColumnNullSafe)
+      .filter(p.step.sidelinedColumn)
   }
 
   /** Streaming RESUME (SL2's live parallel catch-up): an unbounded
@@ -118,7 +118,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     val p = require2(id)
     require(p.sidelineType == SidelineType.Resume,
       s"sideline $id is ${p.sidelineType.name}, stream replay needs RESUME")
-    source.readStreamFrom(spark, p.startingState).filter(p.step.dropColumnNullSafe)
+    source.readStreamFrom(spark, p.startingState).filter(p.step.sidelinedColumn)
   }
 
   /** Restart recovery — reference loadSidelines

@@ -27,23 +27,33 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
   def hasStep(id: String): Boolean = steps.contains(id)
 
   /** TRUE when any step drops the row (reference FilterChain.filter:72-85).
-   * Each step's verdict is null-safed with coalesce(_, false): a NULL
-   * verdict (e.g. KeyIn on a NULL key) means "not dropped", so every row
-   * lands on exactly one side of the firehose ∪ sideline partition instead
-   * of silently vanishing from both under SQL three-valued logic. */
+   * Each step's verdict is null-safed (NULL = "not dropped"): a NULL
+   * verdict (e.g. KeyIn on a NULL key) would otherwise silently remove the
+   * row from BOTH the firehose and the sideline replay under SQL
+   * three-valued logic. Value form — never NULL, safe for annotation
+   * columns and metrics groupBys. */
   def dropColumn: Column =
     if (steps.isEmpty) lit(false)
     else steps.toSeq.sortBy(_._1)
       .map(_._2.dropColumnNullSafe)
       .reduceLeft(_ || _)
 
-  /** WHERE predicate for the firehose: rows that survive the chain. */
-  def keep: Column = !dropColumn
+  /** WHERE predicate for the firehose: rows that survive the chain. Same
+   * truth table as !dropColumn, but built as a conjunction of per-step
+   * (NOT p OR p IS NULL) terms so each conjunct stays translatable into
+   * source pushdown (a coalesce() wrapper is not a translatable source
+   * filter and would disable pushdown). */
+  def keep: Column =
+    if (steps.isEmpty) lit(true)
+    else steps.toSeq.sortBy(_._1)
+      .map(_._2.keepColumn)
+      .reduceLeft(_ && _)
 
   /** WHERE predicate for a sideline replay of step `id`: ONLY the rows that
    * step dropped (reference NegatingFilterChainStep semantics). Null-safed
-   * the same way as [[dropColumn]] so both sides use one definition. */
-  def sidelined(id: String): Column = steps(id).dropColumnNullSafe
+   * with the same NULL="not dropped" convention as [[keep]], in the
+   * pushdown-friendly p AND (p IS NOT NULL) form. */
+  def sidelined(id: String): Column = steps(id).sidelinedColumn
 }
 
 object FilterChain {

@@ -32,9 +32,28 @@ sealed trait FilterSpec extends Serializable {
 
   /** [[dropColumn]] with a NULL verdict coerced to false ("not dropped").
    * Both the firehose (negated) and the sideline replay (un-negated) must
-   * evaluate THIS form: under three-valued logic a NULL verdict would
-   * exclude the row from both sides, breaking firehose ∪ sideline ≡ input. */
+   * agree on this coercion: under three-valued logic a NULL verdict would
+   * exclude the row from both sides, breaking firehose ∪ sideline ≡ input.
+   * This is the VALUE form (for annotation columns / metrics); in filter
+   * context prefer [[keepColumn]] / [[sidelinedColumn]], which encode the
+   * same truth table as AND/OR/IS NULL conjuncts that Catalyst can still
+   * translate into parquet/Kafka source pushdown (coalesce() is not a
+   * translatable source filter and would disable pushdown entirely). */
   def dropColumnNullSafe: Column = coalesce(dropColumn, lit(false))
+
+  /** Filter-context keep predicate: true iff this step does NOT drop the
+   * row (NULL verdict = keep). ≡ !dropColumnNullSafe, written as
+   * (NOT p) OR (p IS NULL). Leaf specs override this to put the IS NULL
+   * test on the FIELD attribute instead of the verdict expression —
+   * Or(Not(In(f,…)), IsNull(f)) translates into a parquet/Kafka source
+   * filter, while IsNull(<expression>) does not and would disable
+   * pushdown of the whole disjunct. */
+  def keepColumn: Column = { val p = dropColumn; !p || p.isNull }
+
+  /** Filter-context sideline-replay predicate: true iff this step DOES
+   * drop the row (NULL verdict = not dropped). ≡ dropColumnNullSafe,
+   * written as p AND (p IS NOT NULL) so p itself remains pushdown-able. */
+  def sidelinedColumn: Column = { val p = dropColumn; p && p.isNotNull }
 
   def toJson: String = JsonMethods.compact(JsonMethods.render(FilterSpec.toJValue(this)))
 }
@@ -46,11 +65,16 @@ object FilterSpec {
    * [[graft.ops.SkipList]]. */
   final case class KeyIn(field: String, keys: Seq[String]) extends FilterSpec {
     def dropColumn: Column = col(field).isin(keys: _*)
+    // keys are non-null strings, so the verdict is NULL iff the field is
+    override def keepColumn: Column = !dropColumn || col(field).isNull
   }
 
   /** Drop when field == value — reference test NumberFilter (README.md:418-431). */
   final case class FieldEq(field: String, value: JValue) extends FilterSpec {
     def dropColumn: Column = col(field) === lit(jvalueToScala(value))
+    override def keepColumn: Column =
+      if (value == JNull) super.keepColumn
+      else !dropColumn || col(field).isNull
   }
 
   /** Drop when field <op> value, op in lt/le/gt/ge. */
@@ -65,6 +89,9 @@ object FilterSpec {
         case other => throw new IllegalArgumentException(s"bad cmp op: $other")
       }
     }
+    override def keepColumn: Column =
+      if (value == JNull) super.keepColumn
+      else !dropColumn || col(field).isNull
   }
 
   /** Logical NOT — the heart of sideline replay (process only what was

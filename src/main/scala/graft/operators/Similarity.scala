@@ -144,18 +144,20 @@ object Similarity {
       val signature = (0 until NumPlanes).map { p =>
         when(projCol(p) >= 0, 1L << p).otherwise(0L)
       }.reduce(_ + _)
-      val sig = Tables.embeddings(s, dir)
+      // Scale-safe plan (r1 verdict): a SHUFFLE HASH join on signature —
+      // both sides hash-partitioned by the 16-bit signature, signature
+      // materialized in the map-stage projection below each exchange. No
+      // broadcast of the corpus (the r1 plan broadcast ALL of b — fine at
+      // sf0.1, dead at 100 TB) and no sort-merge join (whose sort keys
+      // re-evaluated the signature aggregate per comparison — 30s vs 6s).
+      val sig = Tables.embeddings(s, dir).repartition(64)
         .withColumn("signature", signature)
         .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
-      // probe side parallelized; build side stays broadcast — without the
-      // explicit hint the post-repartition size estimate flips the plan to
-      // a sort-merge join whose sort keys re-evaluate the signature
-      // expression per comparison (observed 30s vs 6s at sf0.1)
-      val a = sig.repartition(64).select(col("vec_id").as("vec_id_1"),
+      val a = sig.select(col("vec_id").as("vec_id_1"),
         col("signature"), col("embedding").as("e1"), col("norm").as("n1"))
       val b = sig.select(col("vec_id").as("vec_id_2"), col("signature"),
         col("embedding").as("e2"), col("norm").as("n2"))
-      a.join(broadcast(b), Seq("signature"))
+      a.join(b.hint("shuffle_hash"), Seq("signature"))
         .filter(col("vec_id_1") < col("vec_id_2"))
         .withColumn("sim", dotCol("e1", "e2") / (col("n1") * col("n2")))
         .select(col("vec_id_1"), col("vec_id_2"), round(col("sim"), 4).as("sim"))
@@ -178,22 +180,57 @@ object Similarity {
 
   /** Embedding-cosine near-dup dedup: pairs over the similarity
     * threshold; the higher vec_id of each pair is the drop candidate,
-    * keeping the lowest-id representative (greedy keeper rule). Brute
-    * force here (correctness oracle); the SRP-LSH bucketed variant above
-    * is the same computation restricted to candidate buckets at scale. */
+    * keeping the lowest-id representative (greedy keeper rule).
+    *
+    * Candidates come from SRP banding (r1 verdict: the all-pairs
+    * broadcast nested-loop join was O(N²) with the whole corpus on the
+    * broadcast side — impossible at 100 TB). Banding: the 16 SRP planes
+    * split into 4 bands of 4; two vectors are candidates iff they agree
+    * on ALL 4 sign bits of ANY band. For cosine s the per-plane agreement
+    * probability is p = 1 − acos(s)/π, so recall = 1 − (1 − p⁴)⁴ ≈ 0.54
+    * at s = 0.45 (this threshold) and ≈ 0.96 at s = 0.9 (true
+    * near-dups). Misses are the documented LSH trade; every candidate is
+    * verified with EXACT cosine so there are no false positives.
+    *
+    * Scale shape: band ids are per-row arithmetic below the exchange; the
+    * candidate join shuffles (vec_id, band) only; embeddings are fetched
+    * per candidate side via shuffle hash joins on vec_id — nothing
+    * corpus-sized is ever broadcast and no all-pairs comparison exists. */
   private val NearDupThreshold = 0.45
+  private val DedupBands = 4
+  private val DedupRowsPerBand = NumPlanes / DedupBands
+
+  /** Band id for band b: b*16 + the 4 sign bits of planes 4b..4b+3. */
+  private def bandCol(b: Int): Column =
+    (0 until DedupRowsPerBand).map { j =>
+      when(projCol(DedupRowsPerBand * b + j) >= 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _) + lit(b * 16L)
+
+  private def bandSql(b: Int): String = {
+    val bits = (0 until DedupRowsPerBand).map { j =>
+      s"CASE WHEN (${projSql(DedupRowsPerBand * b + j)}) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"${b * 16} + $bits"
+  }
 
   private val dedupEmbeddingCosine = QueryDef(
     (s, dir) => {
       // the native codegen'd expression (graft.functions.CosineSimilarity)
       // computes dot+norms in one tight loop per pair — bit-identical to
       // the HOF fold (VectorExpressionsSuite), so the oracle still matches
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val a = emb.repartition(64).select(col("vec_id").as("vec_id_keeper"),
-        col("embedding").as("e1"))
-      val b = emb.select(col("vec_id").as("vec_id_dropped"),
-        col("embedding").as("e2"))
-      a.join(broadcast(b), col("vec_id_keeper") < col("vec_id_dropped"))
+      val emb = Tables.embeddings(s, dir).repartition(64)
+        .select(col("vec_id"), col("embedding"))
+      val bands = emb.select(col("vec_id"),
+        explode(array((0 until DedupBands).map(bandCol): _*)).as("band"))
+      val cand = bands.withColumnRenamed("vec_id", "vec_id_keeper")
+        .join(bands.withColumnRenamed("vec_id", "vec_id_dropped").hint("shuffle_hash"), "band")
+        .filter(col("vec_id_keeper") < col("vec_id_dropped"))
+        .select("vec_id_keeper", "vec_id_dropped").distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_id_keeper"),
+          col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_keeper")
+        .join(emb.select(col("vec_id").as("vec_id_dropped"),
+          col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_dropped")
         .withColumn("sim",
           graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
         .filter(col("sim") >= NearDupThreshold)
@@ -204,11 +241,19 @@ object Similarity {
     Some(s"""WITH e AS (
       |  SELECT vec_id, embedding,
       |         SQRT(${dotSql("embedding", "embedding")}) AS norm
-      |  FROM embeddings)
-      |SELECT a.vec_id AS vec_id_keeper, b.vec_id AS vec_id_dropped,
-      |       ROUND((${dotSql("a.embedding", "b.embedding")}) / (a.norm * b.norm), 4) AS sim
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE (${dotSql("a.embedding", "b.embedding")}) / (a.norm * b.norm) >= $NearDupThreshold
+      |  FROM embeddings),
+      |bands AS (
+      |  SELECT vec_id, unnest([${(0 until DedupBands).map(bandSql).mkString(",\n    ")}]) AS band
+      |  FROM embeddings),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_id_keeper, b.vec_id AS vec_id_dropped
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id)
+      |SELECT c.vec_id_keeper, c.vec_id_dropped,
+      |       ROUND((${dotSql("e1.embedding", "e2.embedding")}) / (e1.norm * e2.norm), 4) AS sim
+      |FROM cand c
+      |JOIN e e1 ON c.vec_id_keeper = e1.vec_id
+      |JOIN e e2 ON c.vec_id_dropped = e2.vec_id
+      |WHERE (${dotSql("e1.embedding", "e2.embedding")}) / (e1.norm * e2.norm) >= $NearDupThreshold
       |ORDER BY vec_id_keeper, vec_id_dropped""".stripMargin))
 
   private val NumCentroids = 8

@@ -82,6 +82,31 @@ class PlanSuite extends SparkSuite {
     assert(!s.contains("hashpartitioning"), s.take(2000))
   }
 
+  test("ann_lsh_pairs joins by shuffled signature — never broadcasts the corpus") {
+    val df = SparkEntry.queries("ann_lsh_pairs")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("dedup_embedding_cosine routes through SRP candidates — no all-pairs join") {
+    val df = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("dedup_ngram_jaccard generates candidates via LSH bands, not a blocked self-join") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("chain filter evaluation stays inside WholeStageCodegen") {
     // AQE prints no codegen spans pre-execution, so assert on the
     // non-adaptive executed plan of the chain filter itself.
