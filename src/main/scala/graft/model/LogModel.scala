@@ -72,7 +72,7 @@ final case class ConsumerState(offsets: Map[ConsumerPartition, Long]) {
 object ConsumerState {
   val empty: ConsumerState = ConsumerState(Map.empty)
 
-  private[model] def escape(s: String): String =
+  private[graft] def escape(s: String): String =
     s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -4,6 +4,8 @@ import graft.model.{ConsumerPartition, ConsumerState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /**
  * The production log source: Kafka via Spark's built-in connector — the
  * reference's Consumer (dynamic/kafka/Consumer.java:199-311) collapses to
@@ -19,12 +21,24 @@ import org.apache.spark.sql.functions._
  *  - out-of-range recovery (Consumer.java:548-590: seek earliest/latest)
  *    → `startingOffsets=earliest` + `failOnDataLoss=false`;
  *  - poll batching (300ms poll, max.poll.records, Consumer.java:483-532)
- *    → micro-batch planning + `maxOffsetsPerTrigger` / `minPartitions`.
+ *    → micro-batch planning + `maxOffsetsPerTrigger` / `minPartitions`;
+ *  - end-offset metadata (lag gauges, Consumer.java:373-426) → one
+ *    KafkaConsumer.endOffsets RPC in [[currentState]], NOT a topic scan.
  *
- * NOTE: requires spark-sql-kafka-0-10 on the cluster classpath (not
- * shipped in this container — the class compiles against core APIs only
- * and is exercised by unit tests at the offsets-JSON boundary; the
- * parquet-backed [[ParquetEventLog]] is the tested stand-in).
+ * Assignment semantics: Spark's Kafka source requires a specific-offsets
+ * JSON to name EVERY partition being read, so bounded reads run in
+ * `assign` mode over [[resolvedPartitions]] (the explicit `partitions`
+ * list, else the live partition set from one metadata RPC) and fill
+ * partitions missing from a ConsumerState with the -2/-1 sentinels
+ * (earliest/latest) — the LogSource contract's "missing ⇒ from the
+ * beginning / to the end" (reference resume rule, Consumer.java:62-90).
+ *
+ * NOTE: requires spark-sql-kafka-0-10 (which bundles kafka-clients) on
+ * the cluster classpath — not shipped in this container. The class
+ * compiles against core APIs only (kafka-clients is reached via
+ * reflection) and is exercised by unit tests at the offsets-JSON
+ * boundary; the parquet-backed [[ParquetEventLog]] is the tested
+ * stand-in.
  *
  * Kafka's startingOffsets are EXCLUSIVE of the committed watermark
  * position only when derived via [[startingOffsetsJson]], which adds 1 to
@@ -35,24 +49,56 @@ import org.apache.spark.sql.functions._
 final case class KafkaLogSource(
     bootstrapServers: String,
     topic: String,
+    partitions: Seq[Int] = Seq.empty,
     extraOptions: Map[String, String] = Map.empty) extends LogSource {
 
   val namespace: String = topic
 
-  /** Kafka JSON for "start after these last-finished offsets". */
+  /** Spark Kafka sentinels inside specific-offsets JSON. */
+  private val SentinelEarliest = -2L
+  private val SentinelLatest = -1L
+
+  /** Kafka JSON for "start after these last-finished offsets" over the
+    * given assignment; partitions absent from the state read from the
+    * beginning (-2). */
+  def startingOffsetsJson(state: ConsumerState, assigned: Seq[Int]): String =
+    offsetsJson(state, assigned, shift = 1, sentinel = SentinelEarliest)
+
+  /** Convenience without an assignment: named offsets only (subscribe
+    * mode), or "earliest" for an empty state. */
   def startingOffsetsJson(state: ConsumerState): String =
     if (state.offsets.isEmpty) "earliest"
     else ConsumerState(state.offsets.map { case (cp, off) => cp -> (off + 1) }).toJson
 
   /** Kafka JSON for "stop after these last-produced offsets" (exclusive
-    * bound = inclusive watermark + 1). */
+    * bound = inclusive watermark + 1); partitions absent from the state
+    * read to the current end (-1). */
+  def endingOffsetsJson(state: ConsumerState, assigned: Seq[Int]): String =
+    offsetsJson(state, assigned, shift = 1, sentinel = SentinelLatest)
+
   def endingOffsetsJson(state: ConsumerState): String =
     ConsumerState(state.offsets.map { case (cp, off) => cp -> (off + 1) }).toJson
 
-  private def base(r: org.apache.spark.sql.DataFrameReader) = r
+  private def offsetsJson(state: ConsumerState, assigned: Seq[Int],
+      shift: Long, sentinel: Long): String =
+    ConsumerState(assigned.map { p =>
+      val cp = ConsumerPartition(topic, p)
+      cp -> state.offsets.get(cp).map(_ + shift).getOrElse(sentinel)
+    }.toMap).toJson
+
+  /** The `assign` option payload: {"topic":[0,1,...]}. */
+  def assignJson(assigned: Seq[Int]): String =
+    s"""{"${graft.model.ConsumerState.escape(topic)}":[${assigned.sorted.mkString(",")}]}"""
+
+  /** The partition set bounded reads run over: the explicit list when
+    * configured (reference PartitionDistributor-style pinning), else the
+    * live set from one metadata RPC. */
+  def resolvedPartitions(): Seq[Int] =
+    if (partitions.nonEmpty) partitions.sorted else KafkaMeta.partitionsOf(bootstrapServers, topic)
+
+  private def common(r: org.apache.spark.sql.DataFrameReader) = r
     .format("kafka")
     .option("kafka.bootstrap.servers", bootstrapServers)
-    .option("subscribe", topic)
     .option("failOnDataLoss", "false")
     .options(extraOptions)
 
@@ -67,7 +113,9 @@ final case class KafkaLogSource(
     col("timestamp").as("ts"))
 
   def read(spark: SparkSession): DataFrame =
-    normalize(base(spark.read)
+    normalize(common(spark.read)
+      .option(if (partitions.nonEmpty) "assign" else "subscribe",
+        if (partitions.nonEmpty) assignJson(partitions) else topic)
       .option("startingOffsets", "earliest")
       .load())
 
@@ -75,10 +123,12 @@ final case class KafkaLogSource(
       spark: SparkSession,
       starting: ConsumerState,
       ending: Option[ConsumerState]): DataFrame = {
-    val r = base(spark.read)
-      .option("startingOffsets", startingOffsetsJson(starting))
+    val assigned = resolvedPartitions()
+    val r = common(spark.read)
+      .option("assign", assignJson(assigned))
+      .option("startingOffsets", startingOffsetsJson(starting, assigned))
     normalize(ending.fold(r.option("endingOffsets", "latest"))(e =>
-      r.option("endingOffsets", endingOffsetsJson(e))).load())
+      r.option("endingOffsets", endingOffsetsJson(e, assigned))).load())
   }
 
   /** Streaming read for the firehose. `maxOffsetsPerTrigger` is the
@@ -88,12 +138,100 @@ final case class KafkaLogSource(
     val sr = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
       .option("failOnDataLoss", "false")
-      .option("startingOffsets", startingOffsetsJson(from))
       .options(extraOptions)
+    val assigned =
+      if (partitions.nonEmpty) partitions.sorted
+      else if (from.offsets.nonEmpty) from.partitionsFor(topic)
+      else Seq.empty
+    val sub =
+      if (assigned.nonEmpty)
+        sr.option("assign", assignJson(assigned))
+          .option("startingOffsets", startingOffsetsJson(from, assigned))
+      else
+        sr.option("subscribe", topic)
+          .option("startingOffsets", "earliest")
     normalize(maxOffsetsPerTrigger
-      .fold(sr)(n => sr.option("maxOffsetsPerTrigger", n.toString))
+      .fold(sub)(n => sub.option("maxOffsetsPerTrigger", n.toString))
       .load())
   }
+
+  /** End offsets from ONE Kafka metadata RPC — the r1 implementation
+    * inherited [[LogSource.currentState]], which computed max(offset) by
+    * scanning the ENTIRE topic; every sideline START/RESOLVE paid a
+    * full-history read for metadata Kafka serves directly
+    * (kafka/Consumer.java:373-426 polls the same endpoint for lag).
+    * Kafka end offsets are next-to-produce (exclusive); ConsumerState
+    * carries inclusive last offsets, so subtract 1 and skip empty
+    * partitions. */
+  override def currentState(spark: SparkSession): ConsumerState = {
+    val ids =
+      if (partitions.nonEmpty) partitions
+      else KafkaMeta.partitionsOf(bootstrapServers, topic)
+    val ends = KafkaMeta.endOffsets(bootstrapServers, topic, ids)
+    ConsumerState(ends.collect {
+      case (p, end) if end > 0 => ConsumerPartition(topic, p) -> (end - 1L)
+    })
+  }
+}
+
+/**
+ * Kafka metadata access via reflection: kafka-clients ships with
+ * spark-sql-kafka-0-10 on any deployment that can actually read this
+ * source, but is absent from this build's compile classpath (zero-egress
+ * container). Reflection keeps the module compiling against Spark core
+ * only; on a cluster these calls bind to the real client. Fails with a
+ * clear error when the client is missing.
+ */
+private[sources] object KafkaMeta {
+
+  private def withConsumer[A](bootstrapServers: String)(f: (AnyRef, Class[_], Class[_]) => A): A = {
+    val consumerCls =
+      try Class.forName("org.apache.kafka.clients.consumer.KafkaConsumer")
+      catch {
+        case e: ClassNotFoundException =>
+          throw new IllegalStateException(
+            "kafka-clients is not on the classpath — KafkaLogSource metadata " +
+              "calls (currentState/resolvedPartitions) require the Spark Kafka " +
+              "connector deployment (spark-sql-kafka-0-10)", e)
+      }
+    val tpCls = Class.forName("org.apache.kafka.common.TopicPartition")
+    val props = new java.util.Properties()
+    props.put("bootstrap.servers", bootstrapServers)
+    val deser = "org.apache.kafka.common.serialization.ByteArrayDeserializer"
+    props.put("key.deserializer", deser)
+    props.put("value.deserializer", deser)
+    val consumer = consumerCls.getConstructor(classOf[java.util.Properties])
+      .newInstance(props).asInstanceOf[AnyRef]
+    try f(consumer, consumerCls, tpCls)
+    finally consumerCls.getMethod("close").invoke(consumer)
+  }
+
+  /** Live partition ids of a topic (one partitionsFor RPC). */
+  def partitionsOf(bootstrapServers: String, topic: String): Seq[Int] =
+    withConsumer(bootstrapServers) { (consumer, consumerCls, _) =>
+      val infos = consumerCls.getMethod("partitionsFor", classOf[String])
+        .invoke(consumer, topic).asInstanceOf[java.util.List[AnyRef]]
+      infos.asScala.map { pi =>
+        pi.getClass.getMethod("partition").invoke(pi)
+          .asInstanceOf[java.lang.Integer].intValue
+      }.toSeq.sorted
+    }
+
+  /** End offsets (exclusive, next-to-produce) for the given partitions
+    * (one endOffsets RPC). */
+  def endOffsets(bootstrapServers: String, topic: String,
+      parts: Seq[Int]): Map[Int, Long] =
+    withConsumer(bootstrapServers) { (consumer, consumerCls, tpCls) =>
+      val ctor = tpCls.getConstructor(classOf[String], classOf[Int])
+      val tps = parts.map(p => ctor.newInstance(topic, Int.box(p)).asInstanceOf[AnyRef])
+      val ends = consumerCls.getMethod("endOffsets", classOf[java.util.Collection[_]])
+        .invoke(consumer, tps.asJava)
+        .asInstanceOf[java.util.Map[AnyRef, java.lang.Long]]
+      ends.asScala.map { case (tp, end) =>
+        val p = tpCls.getMethod("partition").invoke(tp)
+          .asInstanceOf[java.lang.Integer].intValue
+        p -> end.longValue
+      }.toMap
+    }
 }

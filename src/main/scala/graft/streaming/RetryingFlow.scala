@@ -96,22 +96,20 @@ object RetryingFlow {
         .withColumn("permanently_failed", lit(true))
         .drop("failed_at")
 
-      // materialize outputs BEFORE rewriting the table they derive from
-      val deadOut = dead.collectAsDF(spark)
-      val successOut = successes.collectAsDF(spark)
+      // Cut lineage BEFORE rewriting the table the outputs derive from —
+      // the due-retry rows were read from the live directory that
+      // store.replace() is about to swap. localCheckpoint materializes the
+      // partitions on the EXECUTORS (eager), so unlike the r1 collect()
+      // this never funnels a whole micro-batch through driver memory.
+      // Caveat (documented trade): locally-checkpointed blocks die with
+      // their executor; the outputs are micro-batch-transient and the
+      // surrounding foreachBatch replays the batch on failure, so recovery
+      // is the streaming engine's, not this table's.
+      val deadOut = dead.localCheckpoint(true)
+      val successOut = successes.localCheckpoint(true)
       val newTable = notDue.fold(toRetry)(nd => nd.unionByName(toRetry))
       store.replace(newTable)
       (successOut, deadOut)
     } finally { input.unpersist(); () }
-  }
-
-  private implicit class DfOps(private val df: DataFrame) extends AnyVal {
-    /** Pin a small control frame to local rows so later table rewrites
-      * cannot invalidate its lineage. Retry-flow outputs per batch are
-      * micro-batch sized. */
-    def collectAsDF(spark: SparkSession): DataFrame =
-      spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
-        df.schema)
   }
 }

@@ -48,6 +48,25 @@ class RetryingFlowSuite extends SparkSuite {
     assert(s5.count() === 0 && d5.count() === 0)
   }
 
+  test("success path is never collected to the driver (plan inspection)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("graft-retry3").toString
+    val store = new RetryingFlow.RetryStore(spark, dir)
+    val policy = ExponentialBackoffRetry(retryLimit = 3,
+      initialDelayMs = 0, multiplier = 1.0, maxDelayMs = 0)
+    val (s, d) = RetryingFlow.processBatch(spark, store,
+      (1 to 100).toDF("value"), policy, isFailure = col("value") % 2 === 0)
+    // a driver-side collect would surface as a LocalRelation/LocalTableScan;
+    // localCheckpoint keeps the rows on the executors as an RDD scan
+    for (df <- Seq(s, d)) {
+      val logical = df.queryExecution.logical.toString
+      assert(!logical.contains("LocalRelation"), logical)
+      assert(logical.contains("LogicalRDD"), logical)
+    }
+    assert(s.count() === 50)
+  }
+
   test("backoff schedule defers retries that are not yet due") {
     val sparkS = spark
     import sparkS.implicits._
