@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.retry.{ExponentialBackoffRetry, FailedTuplesFirstRetry, NeverRetry, RetryPolicy}
-import graft.sideline.{ControlStore, FileControlStore, InMemoryControlStore}
+import graft.sideline.{ControlStore, DirectoryWatchTrigger, FileControlStore, InMemoryControlStore, SidelineTrigger}
 
 import scala.util.matching.Regex
 
@@ -74,6 +74,28 @@ final case class GraftConfig(settings: Map[String, String]) {
     * interval guidance for sinks that batch their own state. */
   def stateFlushIntervalMs: Long =
     getLong("spout.coordinator.consumer_state_flush_interval_ms", 30000L)
+
+  /** SL4 reconcile cadence — reference sideline.refresh_interval_seconds
+    * (SidelineConfig, default 600 s; timer at
+    * SidelineSpoutHandler.java:196-214). */
+  def refreshIntervalSeconds: Long =
+    getLong("sideline.refresh_interval_seconds", 600L)
+
+  /** SL6 pluggable trigger — reference sideline.trigger_class
+    * (SidelineSpoutHandler.createSidelineTriggers:650-672). Preset
+    * "directory_watch" (the zero-egress ZookeeperWatchTrigger analogue,
+    * needs sideline.trigger.watch_dir) or any SidelineTrigger class name. */
+  def sidelineTrigger: Option[SidelineTrigger] =
+    get("sideline.trigger_class").map {
+      case "directory_watch" |
+           "com.salesforce.storm.spout.sideline.recipes.trigger.zookeeper.ZookeeperWatchTrigger" =>
+        new DirectoryWatchTrigger(
+          get("sideline.trigger.watch_dir").getOrElse(
+            throw new IllegalArgumentException(
+              "sideline.trigger.watch_dir required for the directory_watch trigger")),
+          getLong("sideline.trigger.poll_interval_ms", 1000L))
+      case className => instantiate[SidelineTrigger](className)
+    }
 
   private def instantiate[T](className: String): T =
     Class.forName(className).getDeclaredConstructor()

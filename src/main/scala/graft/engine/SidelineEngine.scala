@@ -121,6 +121,30 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     source.readStreamFrom(spark, p.startingState).filter(p.step.sidelinedColumn)
   }
 
+  /** Current lifecycle state of a request, if any. */
+  def status(id: String): Option[SidelineType] =
+    store.retrieve(id).map(_.sidelineType)
+
+  /** The control-plane facade handed to [[graft.sideline.SidelineTrigger]]s
+   * (reference SidelineController.java:35, wired at
+   * SidelineSpoutHandler.createSidelineTriggers:650-672). Closes over the
+   * session so external signal sources never need Spark handles. */
+  def controller(spark: SparkSession): SidelineController = {
+    val self = this
+    new SidelineController {
+      override def isStarted(id: String): Boolean =
+        self.status(id).contains(SidelineType.Start)
+      override def isResumed(id: String): Boolean =
+        self.status(id).contains(SidelineType.Resume)
+      override def isResolving(id: String): Boolean =
+        self.status(id).contains(SidelineType.Resolve)
+      override def start(req: SidelineRequest): SidelinePayload =
+        self.start(req, spark)
+      override def resume(id: String): SidelinePayload = self.resume(id)
+      override def resolve(id: String): SidelinePayload = self.resolve(id, spark)
+    }
+  }
+
   /** Restart recovery — reference loadSidelines
    * (SidelineSpoutHandler.java:227-322): list persisted requests and
    * return what must be running. The caller (coordinator/reconcile loop)

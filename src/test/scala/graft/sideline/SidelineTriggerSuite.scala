@@ -1,0 +1,132 @@
+package graft.sideline
+
+import graft.SparkSuite
+import graft.engine.{SidelineEngine, SidelineReconciler}
+import graft.filter.FilterSpec
+import graft.sources.ParquetEventLog
+
+import java.nio.file.Files
+
+/**
+ * SL6/SL7/SL4 coverage: an external TriggerEvent document drives the full
+ * sideline lifecycle with NO programmatic API calls, and the reconcile
+ * loop re-surfaces persisted replays after an engine restart (reference
+ * ZookeeperWatchTrigger.java:61-382 + SidelineSpoutHandler.java:196-214).
+ */
+class SidelineTriggerSuite extends SparkSuite {
+
+  private val step = FilterSpec.KeyIn("event_type", Seq("error"))
+
+  private def event(t: SidelineType): TriggerEvent =
+    TriggerEvent(t, step, createdAtMillis = Some(42L), createdBy = "ops",
+      description = "skip errors for maintenance", processed = false)
+
+  test("TriggerEvent JSON roundtrip and identifier stability") {
+    val e = event(SidelineType.Start)
+    val back = TriggerEvent.fromJson(e.toJson)
+    assert(back === e)
+    // identifier = md5(step JSON) + created-at millis (reference
+    // TriggerEvent.getIdentifier:112-125): same step+timestamp → same id,
+    // so the RESUME/RESOLVE docs address the sideline the START created
+    assert(back.identifier === e.identifier)
+    assert(event(SidelineType.Resume).identifier === e.identifier)
+    assert(e.identifier.matches("[a-f0-9]{32}-42"))
+    assert(TriggerEvent.fromJson(e.markProcessed.toJson).processed)
+  }
+
+  test("dropped TriggerEvent docs drive START -> RESUME -> RESOLVE with no API calls") {
+    val watch = Files.createTempDirectory("graft-trigger").toString
+    val engine = SidelineEngine.inMemory(ParquetEventLog(sfDir))
+    val trigger = new DirectoryWatchTrigger(watch)
+    trigger.setSidelineController(engine.controller(spark))
+
+    val id = DirectoryWatchTrigger.publish(watch, event(SidelineType.Start))
+    assert(engine.status(id).isEmpty)
+    trigger.pollOnce()
+    assert(engine.status(id).contains(SidelineType.Start))
+    val started = engine.store.retrieve(id).get
+    assert(started.startingState.offsets.nonEmpty)
+
+    // processed flag flipped: a second poll must not re-apply (start
+    // would throw on an existing id)
+    trigger.pollOnce()
+    assert(engine.status(id).contains(SidelineType.Start))
+
+    // The log is a static parquet snapshot, so nothing arrives after the
+    // START offsets — rewind the persisted starting state to simulate the
+    // stream having grown since START (offset-window arithmetic itself is
+    // covered by SidelineEngineSuite; this test exercises the trigger path)
+    engine.store.persist(engine.store.retrieve(id).get
+      .copy(startingState = graft.model.ConsumerState.empty))
+
+    // RESUME doc has the same identifier -> overwrites the processed START
+    // doc (one control doc per sideline, type advances — the reference
+    // updates the same ZK node)
+    DirectoryWatchTrigger.publish(watch, event(SidelineType.Resume))
+    trigger.pollOnce()
+    assert(engine.status(id).contains(SidelineType.Resume))
+    // the replay window is live: only dropped rows flow
+    val replay = engine.sidelineReplay(id, spark)
+    assert(replay.count() > 0)
+    assert(replay.filter(org.apache.spark.sql.functions.col("event_type") =!= "error").count() === 0)
+
+    DirectoryWatchTrigger.publish(watch, event(SidelineType.Resolve))
+    trigger.pollOnce()
+    assert(engine.status(id).contains(SidelineType.Resolve))
+    assert(engine.store.retrieve(id).get.endingState.isDefined)
+    trigger.close()
+  }
+
+  test("out-of-order docs are ignored until their precondition holds") {
+    val watch = Files.createTempDirectory("graft-trigger-ooo").toString
+    val engine = SidelineEngine.inMemory(ParquetEventLog(sfDir))
+    val trigger = new DirectoryWatchTrigger(watch)
+    trigger.setSidelineController(engine.controller(spark))
+
+    // RESOLVE before anything exists: skipped (not resumed), no crash;
+    // doc IS marked processed — the reference likewise treats an
+    // inapplicable event as handled rather than retrying it forever
+    val id = DirectoryWatchTrigger.publish(watch, event(SidelineType.Resolve))
+    trigger.pollOnce()
+    assert(engine.status(id).isEmpty)
+    trigger.close()
+  }
+
+  test("scheduled watcher picks up a dropped doc without explicit polling") {
+    val watch = Files.createTempDirectory("graft-trigger-async").toString
+    val engine = SidelineEngine.inMemory(ParquetEventLog(sfDir))
+    val trigger = new DirectoryWatchTrigger(watch, pollIntervalMs = 50L)
+    trigger.setSidelineController(engine.controller(spark))
+    trigger.open(Map.empty)
+    try {
+      val id = DirectoryWatchTrigger.publish(watch, event(SidelineType.Start))
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (engine.status(id).isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(engine.status(id).contains(SidelineType.Start))
+    } finally trigger.close()
+  }
+
+  test("reconciler re-surfaces persisted replays after an engine restart") {
+    val ctlDir = Files.createTempDirectory("graft-reconcile").toString
+    val log = ParquetEventLog(sfDir)
+    val engine1 = new SidelineEngine(log, new FileControlStore(ctlDir))
+    val id = engine1.start(SidelineRequest("maint-1", step), spark).id
+    engine1.resume(id)
+
+    // "crash": engine1 dropped; a fresh engine over the same store must
+    // re-surface the RESUME replay on its first reconcile pass
+    val engine2 = new SidelineEngine(log, new FileControlStore(ctlDir))
+    val relaunched = scala.collection.mutable.Buffer.empty[String]
+    val rec = new SidelineReconciler(engine2, refreshIntervalSeconds = 600,
+      onPayload = p => if (p.sidelineType == SidelineType.Resume) relaunched += p.id)
+    try {
+      rec.runOnce()
+      assert(relaunched.toSeq === Seq(id))
+      // idempotence contract: a second pass surfaces it again; the
+      // launcher's registry check makes the relaunch a no-op
+      rec.runOnce()
+      assert(relaunched.toSeq === Seq(id, id))
+    } finally rec.close()
+  }
+}
