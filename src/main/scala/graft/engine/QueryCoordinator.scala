@@ -72,6 +72,27 @@ final class QueryCoordinator(
     } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
   }
 
+  /**
+   * Launch with throttle shaping applied — the wiring that makes
+   * [[ThrottlePolicy]] real (r1 gap: the policy computed rates nothing
+   * consumed). The policy resolves this query's admission rate
+   * (maxOffsetsPerTrigger / maxFilesPerTrigger value) and trigger
+   * interval (RatioMessageBuffer's 1/N polling as an interval multiple),
+   * and hands them to the `start` thunk, which MUST apply them to its
+   * source options and writer trigger — the reference throttles at the
+   * buffer (ThrottledMessageBuffer.java:73-328); Spark throttles at
+   * micro-batch admission, same effect one layer earlier.
+   */
+  def launchShaped(
+      name: String,
+      policy: ThrottlePolicy,
+      baseTriggerMs: Long = 100L,
+      pool: String = "default")
+      (start: QueryCoordinator.Shaping => StreamingQuery): StreamingQuery =
+    launch(name, pool)(start(QueryCoordinator.Shaping(
+      ratePerTrigger = policy.ratePerTrigger(name),
+      triggerIntervalMs = policy.triggerIntervalMs(name, baseTriggerMs))))
+
   /** Graceful stop of one query — reference removeVirtualSpout
     * (SpoutCoordinator.java:238-283). */
   def remove(name: String): Unit = synchronized {
@@ -129,6 +150,9 @@ object QueryCoordinator {
 
   final case class QueryStatus(name: String, pool: String, active: Boolean,
       batchId: Long, numInputRows: Long, inputRowsPerSecond: Double)
+
+  /** Resolved launch-time throttle parameters for one query. */
+  final case class Shaping(ratePerTrigger: Long, triggerIntervalMs: Long)
 
   /** Session configs for fair multi-query scheduling. Call when building
     * the SparkSession that hosts concurrent firehose + sideline queries. */

@@ -70,16 +70,31 @@ object EventTimeQueries {
       |ORDER BY user_id, session_start""".stripMargin))
 
   /** HLL sketch distinct (§2.4 extension): approx_count_distinct per
-    * event type. NO oracle — sketch estimates are engine-specific by
-    * construction; the driver records a rows-only check. The exact
-    * distinct lives in agg_event_stats for the correctness story. */
+    * event type, made ORACLE-GATEABLE (r1 verdict: `no_oracle` rows are
+    * ungraded): the sketch estimate itself is engine-specific, but HLL is
+    * deterministic for fixed input, so the query emits the exact count
+    * plus a `within_bounds` boolean (|approx−exact|/exact ≤ 3·rsd — the
+    * standard error bound holds with overwhelming margin) and the oracle
+    * asserts the same columns with within_bounds = TRUE. A broken sketch
+    * now hash-mismatches instead of passing silently. rsd = 0.05 (the
+    * r1 rsd = 0.02 doubled sketch width for no gate benefit and was the
+    * main suspect in its 11.5 s bench outlier). */
   private val approxDistinct = QueryDef(
-    (s, dir) => Tables.events(s, dir)
-      .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
-      .orderBy("event_type"),
-    None)
+    (s, dir) => {
+      val rsd = 0.05
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("within_bounds",
+          abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= lit(3 * rsd))
+        .select(col("event_type"), col("exact_users"), col("within_bounds"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(
     "window_tumbling" -> tumbling,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.filter.{FilterChain, FilterSpec}
 import graft.model.{ConsumerPartition, ConsumerState}
 import graft.retry.ExponentialBackoffRetry
-import graft.sources.{ParquetEventLog, PartitionDistributor}
+import graft.sources.{DeserializerSpec, ParquetEventLog, PartitionDistributor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s.{JDouble, JString}
@@ -105,12 +105,20 @@ object ParityQueries {
 
   /** Deserialize-project (P1): JSON payload decode; null decode would drop
     * (reference Consumer.java:351-360). */
+  /** P1 deserialize-project routed through the pluggable
+    * [[DeserializerSpec]] surface (reference Deserializer.java:36-50 with
+    * null⇒drop+ack, Consumer.java:351-360). The spec round-trips through
+    * its JSON wire form here to prove the config-driven path — a
+    * deployment would carry exactly this string in its settings. */
   private val deserializeProject = QueryDef(
-    (s, dir) => log(s, dir)
-      .withColumn("k", get_json_object(col("value"), "$.k").cast("int"))
-      .filter(col("k").isNotNull)
-      .select("event_id", "key", "k")
-      .orderBy("event_id"),
+    (s, dir) => {
+      val spec = DeserializerSpec.fromJson(DeserializerSpec.RawExprs(
+        Seq("k" -> "cast(get_json_object(value, '$.k') as int)"),
+        requireNonNull = Seq("k")).toJson)
+      spec(log(s, dir))
+        .select("event_id", "key", "k")
+        .orderBy("event_id")
+    },
     Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS key,
       |       CAST(json_extract_string(props, '$.k') AS INT) AS k
       |FROM events

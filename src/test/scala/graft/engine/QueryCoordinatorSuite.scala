@@ -92,6 +92,60 @@ class QueryCoordinatorSuite extends SparkSuite {
     coord.close(1000)
   }
 
+  test("launchShaped applies the throttle policy: measured two-firehose fairness") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types._
+    import java.util.concurrent.atomic.AtomicLong
+
+    // 40 small files of 50 rows each; each file is one admission unit for
+    // the file stream source, so ratePerTrigger = maxFilesPerTrigger.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fair").toString
+    val schema = StructType(Seq(
+      StructField("partition", IntegerType), StructField("offset", LongType),
+      StructField("key", StringType), StructField("value", StringType)))
+    spark.range(0, 2000)
+      .selectExpr("cast(id % 4 as int) as partition", "id as offset",
+        "cast(id as string) as key", "concat('v', id) as value")
+      .repartition(40)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+    // ThrottledMessageBuffer semantics: ids matching the regex get the
+    // reduced rate; RatioMessageBuffer semantics: and 3x the interval.
+    val policy = ThrottlePolicy(
+      defaultRatePerTrigger = 8,
+      throttledRatePerTrigger = 1,
+      throttledPattern = Some("sideline".r),
+      triggerRatio = 3)
+    val coord = new QueryCoordinator(spark, maxConcurrentQueries = 2)
+    val mainRows = new AtomicLong; val sideRows = new AtomicLong
+
+    def fileStream(shaping: QueryCoordinator.Shaping, counter: AtomicLong,
+        name: String): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.sources.FileLogSource(dir, schema,
+          maxFilesPerTrigger = Some(shaping.ratePerTrigger.toInt))
+        .readStreamFrom(spark)
+        .writeStream.queryName(name)
+        .trigger(Trigger.ProcessingTime(shaping.triggerIntervalMs))
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          counter.addAndGet(df.count()); ()
+        }.start()
+
+    coord.launchShaped("firehose:main", policy, baseTriggerMs = 100L,
+      pool = "pool-main")(s => fileStream(s, mainRows, "fair-main"))
+    coord.launchShaped("fh:sideline:replay", policy, baseTriggerMs = 100L,
+      pool = "pool-side")(s => fileStream(s, sideRows, "fair-side"))
+
+    // let both run against the same 40-file backlog for a fixed window
+    Thread.sleep(3000)
+    val (m, s) = (mainRows.get(), sideRows.get())
+    coord.close(5000)
+    info(f"fairness window: unthrottled=$m%d rows, throttled=$s%d rows, ratio=${m.toDouble / math.max(s, 1)}%.1f")
+    assert(s > 0, "throttled query made no progress at all")
+    // nominal admission ratio is 24x (8 files/100ms vs 1 file/300ms);
+    // assert a conservative 2x so scheduler jitter cannot flake the test
+    assert(m >= 2 * s, s"throttle had no measurable effect: main=$m side=$s")
+  }
+
   test("throttle policy: regex rate caps and trigger ratio") {
     val p = ThrottlePolicy(
       defaultRatePerTrigger = 10000,
