@@ -61,6 +61,20 @@ final class StreamingMetricsBridge(recorder: MetricsRecorder)
     recorder.assign(s"$name.inputRowsPerSecond",
       if (p.inputRowsPerSecond.isNaN) 0.0 else p.inputRowsPerSecond)
     recorder.assign(s"$name.batchId", p.batchId.toDouble)
+    // Live lag gauge — the reference publishes per-partition
+    // currentOffset/endOffset/lag every 30 s (kafka/Consumer.java:373-426).
+    // Spark's SourceProgress carries the same data: endOffset = where this
+    // batch ended, latestOffset = the source's current head; both are
+    // partition-offset JSON for partitioned sources (Kafka).
+    p.sources.zipWithIndex.foreach { case (s, i) =>
+      StreamingMetricsBridge.lagBetween(s.latestOffset, s.endOffset).foreach { lags =>
+        lags.foreach { case (cp, lag) =>
+          recorder.assign(
+            s"$name.source$i.lag.${cp.namespace}.${cp.partition}", lag.toDouble)
+        }
+        recorder.assign(s"$name.source$i.lag", lags.values.sum.toDouble)
+      }
+    }
   }
 }
 
@@ -70,4 +84,26 @@ object StreamingMetricsBridge {
     spark.streams.addListener(b)
     b
   }
+
+  /** Per-partition lag = latestOffset − endOffset, for sources whose
+    * progress offsets are partition-offset JSON ({"topic":{"0":off}} —
+    * Kafka's wire form, which ConsumerState shares). Non-partitioned
+    * sources (file/rate) report other shapes and yield None. Clamped at 0:
+    * a head observed before the batch planned can trail the batch end. */
+  private[metrics] def lagBetween(latestJson: String, endJson: String)
+      : Option[Map[graft.model.ConsumerPartition, Long]] =
+    for {
+      latest <- parseOffsets(latestJson)
+      end <- parseOffsets(endJson)
+    } yield latest.offsets.map { case (cp, lo) =>
+      cp -> math.max(0L, lo - end.offsets.getOrElse(cp, lo))
+    }
+
+  private def parseOffsets(json: String): Option[graft.model.ConsumerState] =
+    Option(json).flatMap { j =>
+      try {
+        val s = graft.model.ConsumerState.fromJson(j)
+        if (s.offsets.nonEmpty) Some(s) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 }

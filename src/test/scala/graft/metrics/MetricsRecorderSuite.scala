@@ -19,6 +19,29 @@ class MetricsRecorderSuite extends SparkSuite {
     assert(s("work.ms") >= 0.0)
   }
 
+  test("lag gauge: latestOffset - endOffset per partition from progress JSON") {
+    import graft.model.ConsumerPartition
+    // Kafka-style progress offsets (the same wire form ConsumerState uses)
+    val lags = StreamingMetricsBridge.lagBetween(
+      latestJson = """{"events": {"0": 120, "1": 80, "2": 50}}""",
+      endJson = """{"events": {"0": 100, "1": 80}}""").get
+    assert(lags(ConsumerPartition("events", 0)) === 20L)
+    assert(lags(ConsumerPartition("events", 1)) === 0L)
+    // partition absent from endOffset (joined after the batch planned):
+    // lag defaults to 0 rather than inventing a full-history backlog
+    assert(lags(ConsumerPartition("events", 2)) === 0L)
+
+    // clamped: a stale latest observed before the batch end cannot go negative
+    val clamped = StreamingMetricsBridge.lagBetween(
+      """{"t": {"0": 5}}""", """{"t": {"0": 9}}""").get
+    assert(clamped(ConsumerPartition("t", 0)) === 0L)
+
+    // non-partitioned source shapes yield no lag gauge
+    assert(StreamingMetricsBridge.lagBetween("""{"logOffset": 5}""", """{"logOffset": 3}""").isEmpty)
+    assert(StreamingMetricsBridge.lagBetween(null, """{"t": {"0": 1}}""").isEmpty)
+    assert(StreamingMetricsBridge.lagBetween("not json", """{"t": {"0": 1}}""").isEmpty)
+  }
+
   test("streaming bridge records per-query progress gauges") {
     val sparkS = spark
     import sparkS.implicits._
