@@ -327,10 +327,118 @@ object Similarity {
       |       ROUND(sim, 4) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
+  /** IVF with TRAINED centroids and multi-cell probing (r1 stretch):
+    * one Lloyd iteration from the deterministic seed (first `NumCentroids`
+    * vectors), centroid components ROUNDED to 6 decimals on both engines
+    * so the trained quantizer is bit-identical despite double-sum
+    * ordering differences (the repo's standard FP-determinism trade —
+    * see NOTES r1), then queries probe their `NProbe` nearest cells
+    * instead of 1, recovering most of nprobe=1's recall loss. At scale:
+    * training is one groupBy over (cell, 64 dims); assignment and probing
+    * shuffle on cell id exactly like [[annIvfTopk]]. */
+  private val NProbe = 2
+
+  private val annIvfKmeansTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // cosine over possibly-double arrays via the HOF dot (the native
+      // expression is float-array-specific)
+      def cosine(a: String, b: String): Column =
+        dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
+      val emb = Tables.embeddings(s, dir).repartition(64)
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      def nearestCell(points: DataFrame, cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+        points.join(broadcast(cents))
+          .withColumn("csim", cosine("embedding", "cvec"))
+          .withColumn("arn", row_number().over(w))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+      }
+      // one Lloyd iteration: mean of each seed-assigned cell, rounded
+      val assigned0 = nearestCell(emb, seeds)
+      val trained = assigned0.groupBy(col("cell").as("cent_id"))
+        .agg(array((1 to Dim).map(i =>
+          round(avg(element_at(col("embedding"), i).cast("double")), 6)): _*).as("cvec"))
+      val assigned = nearestCell(emb, trained)
+      val queries = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      // nprobe=2: per query, the 2 nearest trained cells
+      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+      val probes = queries.join(broadcast(trained))
+        .withColumn("csim", cosine("q", "cvec"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= NProbe)
+        .select(col("query_id"), col("q"), col("cent_id").as("cell"))
+      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(probes)
+        .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosine("q", "embedding"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      def cosSql(a: String, b: String) =
+        s"(${dotSql(a, b)}) / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)}))"
+      val trainedList = (1 to Dim)
+        .map(i => s"ROUND(AVG(CAST(embedding[$i] AS DOUBLE)), 6)")
+        .mkString("[", ",\n      ", "]")
+      s"""WITH seeds AS (
+      |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      |  WHERE vec_id < $NumCentroids),
+      |assigned0 AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell, e.embedding,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id) AS arn
+      |    FROM embeddings e, seeds c)
+      |  WHERE arn = 1),
+      |trained AS (
+      |  SELECT cell AS cent_id, $trainedList AS cvec
+      |  FROM assigned0 GROUP BY cell),
+      |assigned AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell, e.embedding,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id) AS arn
+      |    FROM embeddings e, trained c)
+      |  WHERE arn = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, embedding AS q FROM assigned
+      |  WHERE vec_id < $NumQueries),
+      |probes AS (
+      |  SELECT query_id, q, cell FROM (
+      |    SELECT qu.query_id, qu.q, c.cent_id AS cell,
+      |           row_number() OVER (PARTITION BY qu.query_id ORDER BY
+      |             ${cosSql("qu.q", "c.cvec")} DESC, c.cent_id) AS prn
+      |    FROM queries qu, trained c)
+      |  WHERE prn <= $NProbe),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         ${cosSql("p.q", "a.embedding")} AS sim
+      |  FROM probes p JOIN assigned a
+      |    ON p.cell = a.cell AND a.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    })
+
   val all: Map[String, QueryDef] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_srp" -> annLshSrp,
     "ann_lsh_pairs" -> annLshPairs,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_ivf_kmeans_topk" -> annIvfKmeansTopk,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 }
