@@ -81,8 +81,53 @@ object ScalarQueries {
       |  '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}' AS as_json
       |FROM t ORDER BY doc_id""".stripMargin))
 
+  /** Map functions: str_to_map construction, size/lookup/keys/values.
+    * Map-typed outputs are projected to scalars (joined keys/values) so
+    * the oracle comparator hashes strings; the DuckDB side reproduces the
+    * VALUES with plain string ops — value equivalence is the gate, the
+    * Spark side is what exercises the map operators. */
+  private val maps = QueryDef(
+    (s, dir) => Tables.customer(s, dir)
+      .withColumn("m", expr(
+        "str_to_map(concat('seg:', c_mktsegment, ',nat:', c_nationkey), ',', ':')"))
+      .select(
+        col("c_custkey"),
+        size(col("m")).as("m_size"),
+        element_at(col("m"), "seg").as("seg"),
+        array_join(map_keys(col("m")), ",").as("m_keys"),
+        array_join(map_values(col("m")), ",").as("m_vals"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      |  2 AS m_size,
+      |  c_mktsegment AS seg,
+      |  'seg,nat' AS m_keys,
+      |  c_mktsegment || ',' || CAST(c_nationkey AS VARCHAR) AS m_vals
+      |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  /** Regexp family: extract (group), extract_all, count, boolean match —
+    * over the TPC-H name format 'Customer#000000001' (the driver's
+    * customer table carries no phone column). */
+  private val regex = QueryDef(
+    (s, dir) => Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "#([0-9]+)$", 1).as("cust_num"),
+        array_join(regexp_extract_all(col("c_name"), lit("[A-Za-z]+|[0-9]+"), lit(0)), "/")
+          .as("name_parts"),
+        regexp_count(col("c_name"), lit("[0-9]")).as("digit_count"),
+        col("c_name").rlike("0{3}").as("has_triple_zero"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      |  regexp_extract(c_name, '#([0-9]+)$', 1) AS cust_num,
+      |  array_to_string(regexp_extract_all(c_name, '[A-Za-z]+|[0-9]+'), '/') AS name_parts,
+      |  CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS digit_count,
+      |  regexp_matches(c_name, '0{3}') AS has_triple_zero
+      |FROM customer ORDER BY c_custkey""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "scalar_strings" -> strings,
     "scalar_dates_math" -> datesMath,
-    "scalar_arrays_json" -> arraysJson)
+    "scalar_arrays_json" -> arraysJson,
+    "scalar_maps" -> maps,
+    "scalar_regex" -> regex)
 }
