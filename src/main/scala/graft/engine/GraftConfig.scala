@@ -81,6 +81,16 @@ final case class GraftConfig(settings: Map[String, String]) {
   def refreshIntervalSeconds: Long =
     getLong("sideline.refresh_interval_seconds", 600L)
 
+  /** O5 lifecycle hooks — reference spout.handler_class
+    * (SpoutConfig, DynamicSpout.open:215-217); default no-op. */
+  def engineHooks: EngineHooks =
+    get("spout.handler.class").getOrElse("noop") match {
+      case "noop" |
+           "com.salesforce.storm.spout.dynamic.handler.NoopSpoutHandler" =>
+        EngineHooks.Noop
+      case className => instantiate[EngineHooks](className)
+    }
+
   /** SL6 pluggable trigger — reference sideline.trigger_class
     * (SidelineSpoutHandler.createSidelineTriggers:650-672). Preset
     * "directory_watch" (the zero-egress ZookeeperWatchTrigger analogue,

@@ -23,9 +23,10 @@ final class GraftRuntime(
     val log: LogSource,
     val config: GraftConfig) extends AutoCloseable {
 
+  val hooks: EngineHooks = config.engineHooks
   val engine: SidelineEngine = new SidelineEngine(log, config.controlStore)
   val coordinator: QueryCoordinator =
-    new QueryCoordinator(spark, config.maxConcurrentQueries)
+    new QueryCoordinator(spark, config.maxConcurrentQueries, hooks)
 
   /** The configured trigger, wired to this engine's controller and opened
     * (polling). None when no sideline.trigger_class is configured. */
@@ -36,6 +37,8 @@ final class GraftRuntime(
   }
 
   @volatile private var reconciler: Option[SidelineReconciler] = None
+
+  EngineHooks.safely("onEngineOpen")(hooks.onEngineOpen(this))
 
   /** Install the SL4 reconcile loop. `onPayload` must be idempotent (it
     * receives every persisted request each cycle — check the
@@ -54,5 +57,6 @@ final class GraftRuntime(
     reconciler.foreach(_.close())
     trigger.foreach(_.close())
     coordinator.close()
+    EngineHooks.safely("onEngineClose")(hooks.onEngineClose(this))
   }
 }

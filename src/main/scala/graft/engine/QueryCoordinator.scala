@@ -33,7 +33,8 @@ import scala.util.matching.Regex
  */
 final class QueryCoordinator(
     spark: SparkSession,
-    maxConcurrentQueries: Int = QueryCoordinator.DefaultMaxConcurrent) {
+    maxConcurrentQueries: Int = QueryCoordinator.DefaultMaxConcurrent,
+    hooks: EngineHooks = EngineHooks.Noop) {
 
   final case class Registered(name: String, pool: String, query: StreamingQuery)
 
@@ -68,6 +69,7 @@ final class QueryCoordinator(
       val q = start
       registry.put(name, Registered(name, pool, q))
       terminated.put(q.id, name)
+      EngineHooks.safely(s"onQueryStart($name)")(hooks.onQueryStart(name))
       q
     } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
   }
@@ -98,7 +100,16 @@ final class QueryCoordinator(
   def remove(name: String): Unit = synchronized {
     registry.remove(name).foreach { r =>
       if (r.query.isActive) r.query.stop()
+      EngineHooks.safely(s"onQueryStop($name)")(hooks.onQueryStop(name))
     }
+  }
+
+  /** Report a bounded query's self-completion (BoundedDrain onComplete) —
+    * deregisters and fires the completion hook
+    * (VirtualSpoutHandler.onVirtualSpoutCompletion). */
+  def completed(name: String): Unit = synchronized {
+    registry.remove(name)
+    EngineHooks.safely(s"onQueryCompletion($name)")(hooks.onQueryCompletion(name))
   }
 
   def get(name: String): Option[StreamingQuery] = registry.get(name).map(_.query)
@@ -137,6 +148,7 @@ final class QueryCoordinator(
     registry.values.foreach { r =>
       val left = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
       try r.query.awaitTermination(left) catch { case _: Exception => () }
+      EngineHooks.safely(s"onQueryStop(${r.name})")(hooks.onQueryStop(r.name))
     }
     registry.clear()
     spark.streams.removeListener(listener)

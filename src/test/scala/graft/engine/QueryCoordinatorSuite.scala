@@ -146,6 +146,31 @@ class QueryCoordinatorSuite extends SparkSuite {
     assert(m >= 2 * s, s"throttle had no measurable effect: main=$m side=$s")
   }
 
+  test("lifecycle hooks fire on launch/remove/completion/close and isolate failures") {
+    val events = scala.collection.mutable.Buffer.empty[String]
+    val hooks = new EngineHooks {
+      override def onQueryStart(name: String): Unit = { events += s"start:$name"; () }
+      override def onQueryStop(name: String): Unit = {
+        events += s"stop:$name"
+        // hook failures must not break the coordinator
+        throw new RuntimeException("hook boom")
+      }
+      override def onQueryCompletion(name: String): Unit = { events += s"done:$name"; () }
+    }
+    val coord = new QueryCoordinator(spark, maxConcurrentQueries = 3, hooks)
+    val (_, _, start1) = memQuery("h1")
+    val (_, _, start2) = memQuery("h2")
+    start1(coord); start2(coord)
+    assert(events.toSeq === Seq("start:h1", "start:h2"))
+    coord.remove("h1") // onQueryStop throws — swallowed
+    assert(events.toSeq === Seq("start:h1", "start:h2", "stop:h1"))
+    // bounded-drain self-completion path
+    coord.completed("h2")
+    assert(events.last === "done:h2")
+    assert(coord.activeNames.isEmpty || !coord.activeNames.contains("h2"))
+    coord.close(2000)
+  }
+
   test("throttle policy: regex rate caps and trigger ratio") {
     val p = ThrottlePolicy(
       defaultRatePerTrigger = 10000,
