@@ -31,10 +31,20 @@ def canon(rows, cols):
     return hashlib.md5("\x02".join(out).encode()).hexdigest()
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
+    # bounded memory + spill: right after a Spark JVM exits the allocator
+    # can transiently fail with bad_alloc despite free RAM; a modest limit
+    # plus a temp dir makes DuckDB spill instead of dying
+    con.sql("SET memory_limit='16GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = bad = 0
     for name in sorted(oracle):
@@ -50,9 +60,21 @@ def main(sf_dir, out_dir):
             o = con.sql(oracle[name])
             ocols, orows = o.columns, o.fetchall()
         except Exception as e:
-            print(f"SQLERR   {name}: {e}")
-            bad += 1
-            continue
+            if "Out of Memory" in str(e) or "bad allocation" in str(e):
+                # poisoned connection after a transient alloc failure —
+                # reconnect once and retry this query
+                try:
+                    con = connect(sf_dir)
+                    o = con.sql(oracle[name])
+                    ocols, orows = o.columns, o.fetchall()
+                except Exception as e2:
+                    print(f"SQLERR   {name}: {e2}")
+                    bad += 1
+                    continue
+            else:
+                print(f"SQLERR   {name}: {e}")
+                bad += 1
+                continue
         if sorted(scols) != sorted(ocols):
             print(f"SCHEMA   {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
             bad += 1
