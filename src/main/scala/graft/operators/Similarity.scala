@@ -150,9 +150,14 @@ object Similarity {
       // broadcast of the corpus (the r1 plan broadcast ALL of b — fine at
       // sf0.1, dead at 100 TB) and no sort-merge join (whose sort keys
       // re-evaluated the signature aggregate per comparison — 30s vs 6s).
+      // signature+norm materialized below ONE signature-partitioned
+      // exchange; both self-join aliases read that same exchange
+      // (ReusedExchange), so the 16-fold projection runs once per row,
+      // not once per side
       val sig = Tables.embeddings(s, dir).repartition(64)
         .withColumn("signature", signature)
         .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
+        .repartition(col("signature"))
       val a = sig.select(col("vec_id").as("vec_id_1"),
         col("signature"), col("embedding").as("e1"), col("norm").as("n1"))
       val b = sig.select(col("vec_id").as("vec_id_2"), col("signature"),
@@ -220,8 +225,11 @@ object Similarity {
       // the HOF fold (VectorExpressionsSuite), so the oracle still matches
       val emb = Tables.embeddings(s, dir).repartition(64)
         .select(col("vec_id"), col("embedding"))
+      // band ids materialized below one band-partitioned exchange shared
+      // by both candidate-join sides (ReusedExchange)
       val bands = emb.select(col("vec_id"),
         explode(array((0 until DedupBands).map(bandCol): _*)).as("band"))
+        .repartition(col("band"))
       val cand = bands.withColumnRenamed("vec_id", "vec_id_keeper")
         .join(bands.withColumnRenamed("vec_id", "vec_id_dropped").hint("shuffle_hash"), "band")
         .filter(col("vec_id_keeper") < col("vec_id_dropped"))
