@@ -144,6 +144,32 @@ object AnalyticsQueries {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Navigation + distribution analytic functions: lag/lead (order-gap
+    * analysis per customer), ntile quartiles, percent_rank — the §2.5
+    * analytic family beyond ranking/frames. */
+  private val windowLeadLag = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_key", lead("o_orderkey", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_key",
+          "quartile", "pr")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  ROUND(percent_rank() OVER w, 6) AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   /** Global top-k — TakeOrderedAndProject, no total sort at scale. */
   private val topkOrders = QueryDef(
     (s, dir) => Tables.orders(s, dir)
@@ -224,6 +250,7 @@ object AnalyticsQueries {
     "join_semi_anti" -> semiAnti,
     "window_topn_per_customer" -> windowTopN,
     "window_running_total" -> windowRunning,
+    "window_lead_lag" -> windowLeadLag,
     "topk_orders" -> topkOrders,
     "setop_except" -> setopExcept,
     "setop_intersect" -> setopIntersect,
