@@ -144,6 +144,30 @@ object AnalyticsQueries {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Agg-subquery join (TPC-H Q17 shape): small-quantity revenue for one
+    * brand, threshold = 20% of each part's average quantity. Scale shape:
+    * the per-part average is a partial-agg shuffle on l_partkey that
+    * co-partitions with the self-join; the filtered part dim broadcasts. */
+  private val q17SmallQty = QueryDef(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val brandParts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#13")
+        .select("p_partkey")
+      val avgQty = li.groupBy("l_partkey").agg(avg("l_quantity").as("aq"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(avgQty, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN (SELECT l_partkey, AVG(l_quantity) AS aq
+      |      FROM lineitem GROUP BY l_partkey) a
+      |  ON l.l_partkey = a.l_partkey
+      |WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * a.aq""".stripMargin))
+
   /** Navigation + distribution analytic functions: lag/lead (order-gap
     * analysis per customer), ntile quartiles, percent_rank — the §2.5
     * analytic family beyond ranking/frames. */
@@ -247,6 +271,7 @@ object AnalyticsQueries {
     "q1_pricing_summary" -> q1,
     "q3_top_revenue" -> q3,
     "q5_region_revenue" -> q5,
+    "q17_small_qty" -> q17SmallQty,
     "join_semi_anti" -> semiAnti,
     "window_topn_per_customer" -> windowTopN,
     "window_running_total" -> windowRunning,
