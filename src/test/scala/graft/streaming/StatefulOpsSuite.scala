@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.StatefulOps.KeyedEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import java.sql.Timestamp
+
+class StatefulOpsSuite extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState running stats accumulate per key across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    // timeoutMs = 0 (NoTimeout): with a processing-time timeout the
+    // engine schedules batches forever and processAllAvailable never
+    // returns — see StatefulOps.runningStats scaladoc
+    val out = StatefulOps.runningStats(spark, input.toDS(), timeoutMs = 0)
+    val q = out.writeStream.format("memory").queryName("running_stats")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      input.addData(
+        KeyedEvent("a", ts("2026-01-01 00:00:00"), 1.0),
+        KeyedEvent("a", ts("2026-01-01 00:00:01"), 2.0),
+        KeyedEvent("b", ts("2026-01-01 00:00:02"), 10.0))
+      q.processAllAvailable()
+      input.addData(KeyedEvent("a", ts("2026-01-01 00:00:03"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_stats")
+        .as[StatefulOps.KeyRunningStats].collect()
+      // batch 1 emits a:(2, 3.0) and b:(1, 10.0); batch 2 folds the prior
+      // state forward and emits a:(3, 7.0) — state crossed the batches
+      assert(rows.exists(r => r.key == "a" && r.n == 2 && r.sum == 3.0 && !r.closed))
+      assert(rows.exists(r => r.key == "a" && r.n == 3 && r.sum == 7.0 && !r.closed))
+      assert(rows.exists(r => r.key == "b" && r.n == 1 && r.sum == 10.0 && !r.closed))
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream join enriches within the tolerance window") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prim = MemoryStream[KeyedEvent]
+    val sec = MemoryStream[KeyedEvent]
+    val joined = StatefulOps.enrichWithin(prim.toDS(), sec.toDS(),
+      watermark = "10 seconds", toleranceSec = 5)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      prim.addData(
+        KeyedEvent("k1", ts("2026-01-01 00:00:10"), 1.0),
+        KeyedEvent("k2", ts("2026-01-01 00:00:10"), 2.0))
+      sec.addData(
+        KeyedEvent("k1", ts("2026-01-01 00:00:12"), 100.0), // within +5s
+        KeyedEvent("k2", ts("2026-01-01 00:00:30"), 200.0)) // outside window
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("key", "rvalue").as[(String, Double)].collect().toSet
+      assert(rows === Set(("k1", 100.0)),
+        "only the within-tolerance match may join")
+    } finally q.stop()
+  }
+}
