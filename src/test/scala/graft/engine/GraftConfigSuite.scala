@@ -14,6 +14,9 @@ final class CustomTestPolicy extends graft.retry.RetryPolicy {
     failedAtCol
 }
 
+/** EngineHooks loadable purely by class name. */
+final class CustomTestHooks extends EngineHooks
+
 class GraftConfigSuite extends AnyFunSuite {
 
   test("defaults mirror the reference's shipped configuration") {
@@ -52,6 +55,31 @@ class GraftConfigSuite extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("cfg").toString
     val store = GraftConfig(Map("sideline.persistence.dir" -> dir)).controlStore
     assert(store.list().isEmpty)
+  }
+
+  test("sideline trigger wiring: none by default, directory_watch preset, knobs") {
+    assert(GraftConfig.default.sidelineTrigger.isEmpty)
+    intercept[IllegalArgumentException](
+      GraftConfig(Map("sideline.trigger_class" -> "directory_watch")).sidelineTrigger)
+    val dir = java.nio.file.Files.createTempDirectory("cfg-trigger").toString
+    val t = GraftConfig(Map(
+      "sideline.trigger_class" -> "directory_watch",
+      "sideline.trigger.watch_dir" -> dir)).sidelineTrigger
+    assert(t.exists(_.isInstanceOf[graft.sideline.DirectoryWatchTrigger]))
+    t.foreach(_.close())
+    assert(GraftConfig.default.refreshIntervalSeconds === 600L)
+    assert(GraftConfig(Map("sideline.refresh_interval_seconds" -> "30"))
+      .refreshIntervalSeconds === 30L)
+  }
+
+  test("engine hooks wiring: noop default, reference class alias, user class") {
+    assert(GraftConfig.default.engineHooks === EngineHooks.Noop)
+    assert(GraftConfig(Map("spout.handler.class" ->
+      "com.salesforce.storm.spout.dynamic.handler.NoopSpoutHandler"))
+      .engineHooks === EngineHooks.Noop)
+    val h = GraftConfig(Map("spout.handler.class" ->
+      "graft.engine.CustomTestHooks")).engineHooks
+    assert(h.isInstanceOf[CustomTestHooks])
   }
 
   test("throttle policy from config") {

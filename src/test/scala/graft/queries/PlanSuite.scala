@@ -107,6 +107,22 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("dedup_simhash_pairs joins by shuffled nibble band — no corpus broadcast") {
+    val df = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("q17 broadcasts the filtered part dim; lineitem agg is partial") {
+    val df = SparkEntry.queries("q17_small_qty")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("chain filter evaluation stays inside WholeStageCodegen") {
     // AQE prints no codegen spans pre-execution, so assert on the
     // non-adaptive executed plan of the chain filter itself.

@@ -61,4 +61,42 @@ class BoundedDrainSuite extends SparkSuite {
     assert(completions === 1)
     assert(engine.loadSidelines().isEmpty)
   }
+
+  test("self-completion routes through coordinator lifecycle hooks (SL3 -> O5)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.engine.{EngineHooks, QueryCoordinator}
+    val dir = Files.createTempDirectory("graft-drain2").toString
+    val schema = StructType.fromDDL(
+      "partition INT, offset LONG, key STRING, value STRING")
+    (0 until 20).map(o => (0, o.toLong, s"${o % 2}", s"v$o"))
+      .toDF("partition", "offset", "key", "value")
+      .write.parquet(s"$dir/c0")
+
+    val events = mutable.ArrayBuffer.empty[String]
+    val hooks = new EngineHooks {
+      override def onQueryStart(name: String): Unit = { events += s"start:$name"; () }
+      override def onQueryCompletion(name: String): Unit = { events += s"done:$name"; () }
+    }
+    val coord = new QueryCoordinator(spark, 2, hooks)
+    val log = FileLogSource(dir, schema)
+    val ending = log.currentState(spark)
+    coord.launch("drain-q") {
+      BoundedDrain.run(
+        log.readStreamFrom(spark),
+        ending,
+        sink = (_, _) => (),
+        queryName = "drain-q",
+        // the BoundedDrain completion hook reports back to the
+        // coordinator, which deregisters and fires onQueryCompletion —
+        // the reference's onVirtualSpoutCompletion wiring
+        onComplete = () => coord.completed("drain-q"))
+    }
+    val deadline = System.nanoTime() + 30_000_000_000L
+    while (!events.contains("done:drain-q") && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(events.toSeq === Seq("start:drain-q", "done:drain-q"))
+    assert(coord.get("drain-q").isEmpty, "completed query must be deregistered")
+    coord.close(2000)
+  }
 }
