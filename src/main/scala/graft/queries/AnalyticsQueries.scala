@@ -194,6 +194,35 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Per-group top-k via the custom typed Aggregator (§2.14 UDAF
+    * surface): same results as window_topn, but aggregated with bounded
+    * per-group buffers (map-side partial top-k) instead of a
+    * sort-every-row window — at 100 TB the shuffle carries ≤ k rows per
+    * (map partition, group). Oracle reuses the row_number() formulation:
+    * equivalence of the two plans IS the check. */
+  private val aggTopkUdaf = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{Scored, TopKAggregator}
+      val topk = new TopKAggregator(3).toColumn.name("topk")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, price) => Scored(id, price) }
+        .agg(topk)
+        .flatMap { case (cust, items) =>
+          items.zipWithIndex.map { case (r, i) => (cust, r.id, r.score, i + 1) }
+        }
+        .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
   /** Global top-k — TakeOrderedAndProject, no total sort at scale. */
   private val topkOrders = QueryDef(
     (s, dir) => Tables.orders(s, dir)
@@ -276,6 +305,7 @@ object AnalyticsQueries {
     "window_topn_per_customer" -> windowTopN,
     "window_running_total" -> windowRunning,
     "window_lead_lag" -> windowLeadLag,
+    "agg_topk_udaf" -> aggTopkUdaf,
     "topk_orders" -> topkOrders,
     "setop_except" -> setopExcept,
     "setop_intersect" -> setopIntersect,
