@@ -286,6 +286,24 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
+  /** General GROUPING SETS (the arbitrary-sets form rollup/cube
+    * specialize): per-(flag,status), per-status, and grand total — note
+    * the per-status set is NOT a rollup prefix. Uses Dataset.groupingSets
+    * (Spark 4 API). */
+  private val groupingSetsLineitem = QueryDef(
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
   /** CUBE grouping sets. */
   private val cubeLineitem = QueryDef(
     (s, dir) => Tables.lineitem(s, dir)
@@ -311,5 +329,6 @@ object AnalyticsQueries {
     "setop_intersect" -> setopIntersect,
     "agg_event_stats" -> aggEventStats,
     "rollup_lineitem" -> rollupLineitem,
-    "cube_lineitem" -> cubeLineitem)
+    "cube_lineitem" -> cubeLineitem,
+    "groupingsets_lineitem" -> groupingSetsLineitem)
 }
