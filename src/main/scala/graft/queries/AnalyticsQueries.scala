@@ -194,6 +194,41 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** AS-OF join (brief §custom-operators preference (a): compose
+    * existing ops): each 'error' event matched to the same user's most
+    * recent 'signup' at-or-before it (by (ts, event_id) order). The
+    * scale-safe formulation is ONE ordered window pass with
+    * last(ignoreNulls) over the merged timeline — never the naive range
+    * join, whose (error × earlier-signups) blow-up is quadratic per
+    * user. Shuffles once on user_id; sort is per-user within partitions. */
+  private val joinAsof = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("signup_id",
+          when(col("event_type") === "signup", col("event_id")))
+        .withColumn("last_signup_id",
+          last("signup_id", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_event_id"), col("user_id"),
+          col("last_signup_id"))
+        .orderBy("error_event_id")
+    },
+    Some("""WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN event_type = 'signup' THEN event_id END AS signup_id
+      |  FROM events),
+      |w AS (
+      |  SELECT *, LAST_VALUE(signup_id IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+      |  FROM t)
+      |SELECT event_id AS error_event_id, user_id, last_signup_id
+      |FROM w WHERE event_type = 'error' ORDER BY error_event_id""".stripMargin))
+
   /** Per-group top-k via the custom typed Aggregator (§2.14 UDAF
     * surface): same results as window_topn, but aggregated with bounded
     * per-group buffers (map-side partial top-k) instead of a
@@ -324,6 +359,7 @@ object AnalyticsQueries {
     "window_running_total" -> windowRunning,
     "window_lead_lag" -> windowLeadLag,
     "agg_topk_udaf" -> aggTopkUdaf,
+    "join_asof" -> joinAsof,
     "topk_orders" -> topkOrders,
     "setop_except" -> setopExcept,
     "setop_intersect" -> setopIntersect,
