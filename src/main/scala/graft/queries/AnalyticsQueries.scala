@@ -194,6 +194,45 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** PIVOT: event counts per user pivoted into one column per event
+    * type. The explicit value list keeps the plan single-pass (no
+    * distinct-scan to discover columns) and the schema static — the
+    * 100 TB rule for pivots. */
+  private val pivotEvents = QueryDef(
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS "view"
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Bounded range join: per order, lineitems shipped within 30 days of
+    * the order date. The equi key (orderkey) carries the join — the range
+    * predicate is a post-join filter, so this stays a sort-merge/shuffle
+    * join on the key, never an unbounded interval explosion. */
+  private val joinRange = QueryDef(
+    (s, dir) => Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= date_add(col("o_orderdate"), 30))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped_30d"),
+        round(sum("l_extendedprice"), 2).as("rev_30d"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, COUNT(*) AS n_shipped_30d,
+      |  ROUND(SUM(l_extendedprice), 2) AS rev_30d
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
+
   /** AS-OF join (brief §custom-operators preference (a): compose
     * existing ops): each 'error' event matched to the same user's most
     * recent 'signup' at-or-before it (by (ts, event_id) order). The
@@ -360,6 +399,8 @@ object AnalyticsQueries {
     "window_lead_lag" -> windowLeadLag,
     "agg_topk_udaf" -> aggTopkUdaf,
     "join_asof" -> joinAsof,
+    "join_range" -> joinRange,
+    "pivot_events" -> pivotEvents,
     "topk_orders" -> topkOrders,
     "setop_except" -> setopExcept,
     "setop_intersect" -> setopIntersect,
