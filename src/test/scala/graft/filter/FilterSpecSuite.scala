@@ -1,3 +1,5 @@
+// (seeded-fuzz roundtrip test appended below — offline env has no
+// scalacheck-plus, so deterministic seeded generation stands in)
 package graft.filter
 
 import graft.SparkSuite
@@ -59,5 +61,36 @@ class FilterSpecSuite extends SparkSuite {
     val chain = FilterChain.empty.withStep("s", KeyIn("event_type", Seq("click")))
     val plan = df.filter(chain.keep).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") && plan.contains("event_type"), plan)
+  }
+
+  test("seeded fuzz: random nested spec trees survive the JSON roundtrip") {
+    import org.json4s.{JBool, JDouble, JInt, JString}
+    val rnd = new scala.util.Random(20260812L)
+    def leaf(): FilterSpec = rnd.nextInt(6) match {
+      case 0 => FilterSpec.KeyIn(s"f${rnd.nextInt(5)}",
+        Seq.fill(1 + rnd.nextInt(4))(s"k${rnd.nextInt(100)}"))
+      case 1 => FilterSpec.FieldEq(s"f${rnd.nextInt(5)}", JInt(rnd.nextInt(1000)))
+      case 2 => FilterSpec.FieldCmp(s"f${rnd.nextInt(5)}",
+        Seq("lt", "le", "gt", "ge")(rnd.nextInt(4)), JDouble(rnd.nextDouble()))
+      case 3 => FilterSpec.FieldEq("flag", JBool(rnd.nextBoolean()))
+      case 4 => FilterSpec.Raw(s"f${rnd.nextInt(5)} IS NOT NULL")
+      case _ => FilterSpec.FieldEq("s", JString(s"v${rnd.nextInt(50)}"))
+    }
+    def tree(depth: Int): FilterSpec =
+      if (depth == 0) leaf()
+      else rnd.nextInt(5) match {
+        case 0 => FilterSpec.Not(tree(depth - 1))
+        case 1 => FilterSpec.AnyOf(Seq.fill(1 + rnd.nextInt(3))(tree(depth - 1)))
+        case 2 => FilterSpec.AllOf(Seq.fill(1 + rnd.nextInt(3))(tree(depth - 1)))
+        case 3 => if (rnd.nextBoolean()) FilterSpec.DropAll else FilterSpec.DropNone
+        case _ => leaf()
+      }
+    (1 to 200).foreach { i =>
+      val spec = tree(3)
+      val back = FilterSpec.fromJson(spec.toJson)
+      assert(back === spec, s"iteration $i: $spec")
+      // and the re-serialized form is stable (codec is a fixpoint)
+      assert(back.toJson === spec.toJson, s"iteration $i json")
+    }
   }
 }
