@@ -43,27 +43,43 @@ object Similarity {
     (1 to Dim).map(i =>
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
+  /** Per-query top-k via the bounded [[graft.functions.TopKAggregator]]
+    * (r2 verdict #2): a partial (map-side) aggregation shuffles AT MOST k
+    * rows per (map partition, query) — vs the old `row_number` window,
+    * which funneled the whole corpus into one reducer task per query.
+    * Ordering (score DESC, id ASC) matches the oracle's window exactly,
+    * so the row_number() SQL formulation stays the oracle. */
+  private def topKPerQuery(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val topk = new TopKAggregator(TopK).toColumn.name("topk")
+    scored.select(col("query_id"), col("neighbor_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, sim) => Scored(id, sim) }
+      .agg(topk)
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case (r, i) => (qid, i + 1, r.id, r.score) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "sim")
+      .withColumn("sim", round(col("sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
   private val annCosineTopk = QueryDef(
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // single-file input = one partition; spread the O(Dim) per-row math.
       // sim via the native codegen'd expression (bit-identical to the HOF
       // fold and to the oracle's explicit sums).
       val emb = Tables.embeddings(s, dir).repartition(64)
-      val corpus = emb.select(col("vec_id"), col("embedding").as("v"))
+      val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      broadcast(queries).join(corpus, col("vec_id") =!= col("query_id"))
+      val scored = broadcast(queries)
+        .join(corpus, col("neighbor_id") =!= col("query_id"))
         .withColumn("sim",
           graft.functions.VectorFunctions.cosineSimilarity(col("q"), col("v")))
-        .withColumnRenamed("vec_id", "neighbor_id")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("query_id", "rank")
+      topKPerQuery(s, scored)
     },
     Some(s"""WITH corpus AS (
       |  SELECT vec_id, embedding AS v,
@@ -266,6 +282,47 @@ object Similarity {
 
   private val NumCentroids = 8
 
+  /** Nearest-centroid as ONE per-row HOF fold over the (tiny, broadcast)
+    * centroid array (r2 verdict #1): replaces the broadcast-cross-join +
+    * `row_number` window, which blew the corpus up ×nlist through a
+    * shuffle and a per-vec_id sort just to pick an argmax. Here nothing
+    * shuffles and nothing is replicated: each row scans the nlist-entry
+    * array once. Tie-break: the array is sorted by cent_id and the fold
+    * replaces only on a STRICT csim improvement, so ties keep the lowest
+    * cent_id — exactly the oracle's `ORDER BY csim DESC, cent_id`.
+    * `exclude` skips one cell (used for nprobe=2's second-best probe). */
+  private def nearestCentroid(cents: Column, vec: Column, nrm: Column,
+      exclude: Column = lit(-1L)): Column =
+    aggregate(
+      cents,
+      struct(lit(-1L).as("cent_id"), lit(-2.0).as("csim")),
+      (acc, c) => {
+        val csim = aggregate(
+          zip_with(vec, c.getField("cvec"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (a, x) => a + x) / (nrm * c.getField("cnrm"))
+        when(c.getField("cent_id") =!= exclude && csim > acc.getField("csim"),
+          struct(c.getField("cent_id").as("cent_id"), csim.as("csim")))
+          .otherwise(acc)
+      })
+
+  /** Collapse a centroid relation (cent_id, cvec, cnrm) into ONE row
+    * holding the cent_id-sorted array — the broadcast payload for
+    * [[nearestCentroid]]. `sort_array` orders by the struct's first
+    * field (cent_id), making the fold's tie-break deterministic
+    * regardless of collect_list's partition order. */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(
+      col("cent_id"), col("cvec"), col("cnrm")))).as("cents"))
+
+  /** Assign every embedding row to its nearest cell — zero shuffle, zero
+    * row blowup (the old plan's corpus×nlist join + window is gone). */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.join(broadcast(centroidArray(cents)))
+      .withColumn("best", nearestCentroid(col("cents"), col("embedding"), col("nrm")))
+      .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
+        col("embedding"), col("nrm"))
+
   /** IVF-style ANN: a deterministic coarse quantizer (the first
     * `NumCentroids` vectors stand in for trained centroids — swap in
     * k-means output at scale), every vector assigned to its nearest
@@ -276,33 +333,22 @@ object Similarity {
     * nprobe=1 — the oracle reproduces the same index, so results match. */
   private val annIvfTopk = QueryDef(
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val cos = graft.functions.VectorFunctions.cosineSimilarity _
       val emb = Tables.embeddings(s, dir).repartition(64)
         .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
       val cents = emb.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cent_id"))
-      val assigned = emb.join(broadcast(cents))
-        .withColumn("csim", cos(col("embedding"), col("cvec")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm"))
+      val assigned = assignCells(emb, cents)
       val queries = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("cell"),
           col("embedding").as("q"))
-      val wRank = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      broadcast(queries)
+      val scored = broadcast(queries)
         .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", cos(col("q"), col("embedding")))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("query_id", "rank")
+      topKPerQuery(s, scored)
     },
     Some(s"""WITH cents AS (
       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
@@ -335,122 +381,113 @@ object Similarity {
       |       ROUND(sim, 4) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
-  /** IVF with TRAINED centroids and multi-cell probing (r1 stretch):
-    * one Lloyd iteration from the deterministic seed (first `NumCentroids`
-    * vectors), centroid components ROUNDED to 6 decimals on both engines
-    * so the trained quantizer is bit-identical despite double-sum
-    * ordering differences (the repo's standard FP-determinism trade —
-    * see NOTES r1), then queries probe their `NProbe` nearest cells
-    * instead of 1, recovering most of nprobe=1's recall loss. At scale:
-    * training is one groupBy over (cell, 64 dims); assignment and probing
-    * shuffle on cell id exactly like [[annIvfTopk]]. */
+  /** IVF with TRAINED centroids and multi-cell probing: `KmeansIters`
+    * Lloyd iterations from the deterministic seed (first `NumCentroids`
+    * vectors — r2 verdict #6 upgraded this from a single toy iteration),
+    * centroid components ROUNDED to 6 decimals after EVERY iteration on
+    * both engines so the trained quantizer is bit-identical despite
+    * double-sum ordering differences (the repo's standard FP-determinism
+    * trade — see NOTES r1), then queries probe their `NProbe` nearest
+    * cells instead of 1, recovering most of nprobe=1's recall loss.
+    *
+    * Scale shape per iteration: assignment is the zero-shuffle
+    * [[nearestCentroid]] fold; the per-cell mean is ONE map-side-combined
+    * groupBy carrying (cell, 64 partial sums) — so k-means costs exactly
+    * `KmeansIters` narrow passes + tiny aggregations, and probing is two
+    * more per-row folds (no window, no join blowup anywhere). */
   private val NProbe = 2
+  private[operators] val KmeansIters = 3
 
   private val annIvfKmeansTopk = QueryDef(
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // norms precomputed ONCE per relation (IEEE-identical to inlining:
-      // same ops, same order — only evaluated once instead of per pair,
-      // cutting the per-pair HOF folds from 3 to 1)
+      // same ops, same order — only evaluated once instead of per pair)
       val emb = Tables.embeddings(s, dir).repartition(64)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
       val seeds = emb.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
           col("nrm").as("cnrm"))
-      // points carry (vec_id, embedding, nrm); cents carry (cent_id, cvec, cnrm)
-      def nearestCell(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-        emb.join(broadcast(cents))
-          .withColumn("csim", dotCol("embedding", "cvec") / (col("nrm") * col("cnrm")))
-          .withColumn("arn", row_number().over(w))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
-      }
-      // one Lloyd iteration: mean of each seed-assigned cell, rounded
-      val trained = nearestCell(seeds).groupBy(col("cell").as("cent_id"))
-        .agg(array((1 to Dim).map(i =>
-          round(avg(element_at(col("embedding"), i).cast("double")), 6)): _*).as("cvec"))
-        .withColumn("cnrm", sqrt(dotCol("cvec", "cvec")))
-      val assigned = nearestCell(trained)
-      val queries = assigned.filter(col("vec_id") < NumQueries)
+      def lloyd(cents: DataFrame): DataFrame =
+        assignCells(emb, cents).groupBy(col("cell").as("cent_id"))
+          .agg(array((1 to Dim).map(i =>
+            round(avg(element_at(col("embedding"), i).cast("double")), 6)): _*).as("cvec"))
+          .withColumn("cnrm", sqrt(dotCol("cvec", "cvec")))
+      val trained = (1 to KmeansIters).foldLeft(seeds)((c, _) => lloyd(c))
+      val assigned = assignCells(emb, trained)
+      val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q"),
           col("nrm").as("qnrm"))
-      // nprobe=2: per query, the 2 nearest trained cells
-      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
-      val probes = queries.join(broadcast(trained))
-        .withColumn("csim", dotCol("q", "cvec") / (col("qnrm") * col("cnrm")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= NProbe)
-        .select(col("query_id"), col("q"), col("qnrm"), col("cent_id").as("cell"))
-      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-      broadcast(probes)
+      // nprobe=2: the 2 nearest trained cells per query, via two
+      // zero-shuffle folds against the same broadcast centroid array
+      // (the second fold excludes the first's winner)
+      val probes = queries.join(broadcast(centroidArray(trained)))
+        .withColumn("p1", nearestCentroid(col("cents"), col("q"), col("qnrm")))
+        .withColumn("p2", nearestCentroid(col("cents"), col("q"), col("qnrm"),
+          col("p1").getField("cent_id")))
+        .select(col("query_id"), col("q"), col("qnrm"),
+          explode(array(col("p1").getField("cent_id"),
+            col("p2").getField("cent_id"))).as("cell"))
+      val scored = broadcast(probes)
         .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", dotCol("q", "embedding") / (col("qnrm") * col("nrm")))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("query_id", "rank")
+      topKPerQuery(s, scored)
     },
     Some {
       val trainedList = (1 to Dim)
         .map(i => s"ROUND(AVG(CAST(embedding[$i] AS DOUBLE)), 6)")
         .mkString("[", ",\n      ", "]")
+      def assignSql(cents: String): String =
+        s"SELECT vec_id, cell, embedding, nrm FROM (\n" +
+        s"    SELECT e.vec_id, c.cent_id AS cell, e.embedding, e.nrm,\n" +
+        s"           row_number() OVER (PARTITION BY e.vec_id ORDER BY\n" +
+        s"             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,\n" +
+        s"             c.cent_id) AS arn\n" +
+        s"    FROM e, $cents c)\n" +
+        s"  WHERE arn = 1"
+      val iterCtes = (1 to KmeansIters).map { i =>
+        val src = if (i == 1) "seeds" else s"t${i - 1}"
+        s"a${i - 1} AS (\n  ${assignSql(src)}),\n" +
+        s"t${i}m AS (\n  SELECT cell AS cent_id, $trainedList AS cvec\n" +
+        s"  FROM a${i - 1} GROUP BY cell),\n" +
+        s"t$i AS (\n  SELECT cent_id, cvec, SQRT(${dotSql("cvec", "cvec")}) AS cnrm\n" +
+        s"  FROM t${i}m)"
+      }.mkString(",\n")
       s"""WITH e AS (
-      |  SELECT vec_id, embedding,
-      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
-      |  FROM embeddings),
-      |seeds AS (
-      |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
-      |  WHERE vec_id < $NumCentroids),
-      |assigned0 AS (
-      |  SELECT vec_id, cell, embedding FROM (
-      |    SELECT e.vec_id, c.cent_id AS cell, e.embedding,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
-      |             c.cent_id) AS arn
-      |    FROM e, seeds c)
-      |  WHERE arn = 1),
-      |trained0 AS (
-      |  SELECT cell AS cent_id, $trainedList AS cvec
-      |  FROM assigned0 GROUP BY cell),
-      |trained AS (
-      |  SELECT cent_id, cvec, SQRT(${dotSql("cvec", "cvec")}) AS cnrm
-      |  FROM trained0),
-      |assigned AS (
-      |  SELECT vec_id, cell, embedding, nrm FROM (
-      |    SELECT e.vec_id, c.cent_id AS cell, e.embedding, e.nrm,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
-      |             c.cent_id) AS arn
-      |    FROM e, trained c)
-      |  WHERE arn = 1),
-      |queries AS (
-      |  SELECT vec_id AS query_id, embedding AS q, nrm AS qnrm FROM assigned
-      |  WHERE vec_id < $NumQueries),
-      |probes AS (
-      |  SELECT query_id, q, qnrm, cell FROM (
-      |    SELECT qu.query_id, qu.q, qu.qnrm, c.cent_id AS cell,
-      |           row_number() OVER (PARTITION BY qu.query_id ORDER BY
-      |             (${dotSql("qu.q", "c.cvec")}) / (qu.qnrm * c.cnrm) DESC,
-      |             c.cent_id) AS prn
-      |    FROM queries qu, trained c)
-      |  WHERE prn <= $NProbe),
-      |scored AS (
-      |  SELECT p.query_id, a.vec_id AS neighbor_id,
-      |         (${dotSql("p.q", "a.embedding")}) / (p.qnrm * a.nrm) AS sim
-      |  FROM probes p JOIN assigned a
-      |    ON p.cell = a.cell AND a.vec_id <> p.query_id),
-      |ranked AS (
-      |  SELECT query_id, neighbor_id, sim,
-      |         row_number() OVER (PARTITION BY query_id
-      |                            ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM scored)
-      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-      |       ROUND(sim, 4) AS sim
-      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  SELECT vec_id, embedding,
+         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+  FROM embeddings),
+seeds AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
+  WHERE vec_id < $NumCentroids),
+$iterCtes,
+assigned AS (
+  ${assignSql(s"t$KmeansIters")}),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q, nrm AS qnrm FROM e
+  WHERE vec_id < $NumQueries),
+probes AS (
+  SELECT query_id, q, qnrm, cell FROM (
+    SELECT qu.query_id, qu.q, qu.qnrm, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY qu.query_id ORDER BY
+             (${dotSql("qu.q", "c.cvec")}) / (qu.qnrm * c.cnrm) DESC,
+             c.cent_id) AS prn
+    FROM queries qu, t$KmeansIters c)
+  WHERE prn <= $NProbe),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         (${dotSql("p.q", "a.embedding")}) / (p.qnrm * a.nrm) AS sim
+  FROM probes p JOIN assigned a
+    ON p.cell = a.cell AND a.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       ROUND(sim, 4) AS sim
+FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     })
 
   val all: Map[String, QueryDef] = Map(
