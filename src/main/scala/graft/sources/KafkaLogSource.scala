@@ -131,6 +131,16 @@ final case class KafkaLogSource(
       r.option("endingOffsets", endingOffsetsJson(e, assigned))).load())
   }
 
+  /** Partition set a resuming streaming read assigns: the LIVE partition
+    * set (one metadata RPC) unioned with the state's partitions. Using
+    * the state alone silently drops (a) partitions that existed but had
+    * no committed offset at persist time and (b) partitions added to the
+    * topic afterwards — permanent firehose data loss, since `assign`
+    * mode never rebalances. State-absent members of the union start at
+    * the -2 earliest sentinel via [[startingOffsetsJson]]. */
+  def streamingAssignment(from: ConsumerState, live: Seq[Int]): Seq[Int] =
+    (live ++ from.partitionsFor(topic)).distinct.sorted
+
   /** Streaming read for the firehose. `maxOffsetsPerTrigger` is the
     * admission/throttle knob (ThrottlePolicy.ratePerTrigger feeds it). */
   def readStream(spark: SparkSession, from: ConsumerState = ConsumerState.empty,
@@ -142,7 +152,7 @@ final case class KafkaLogSource(
       .options(extraOptions)
     val assigned =
       if (partitions.nonEmpty) partitions.sorted
-      else if (from.offsets.nonEmpty) from.partitionsFor(topic)
+      else if (from.offsets.nonEmpty) streamingAssignment(from, resolvedPartitions())
       else Seq.empty
     val sub =
       if (assigned.nonEmpty)
@@ -162,15 +172,20 @@ final case class KafkaLogSource(
     * full-history read for metadata Kafka serves directly
     * (kafka/Consumer.java:373-426 polls the same endpoint for lag).
     * Kafka end offsets are next-to-produce (exclusive); ConsumerState
-    * carries inclusive last offsets, so subtract 1 and skip empty
-    * partitions. */
+    * carries inclusive last offsets, so subtract 1. Partitions that are
+    * EMPTY at snapshot time stay in the state with the explicit
+    * "nothing consumed" marker -1 (the +1 shift turns it into exclusive
+    * end 0): omitting them would make a later RESOLVE fill them with the
+    * -1 LATEST sentinel and read those partitions to the live head at
+    * replay time, double-emitting rows produced after the snapshot.
+    * Missing-from-state must only ever mean "unknown", never "empty". */
   override def currentState(spark: SparkSession): ConsumerState = {
     val ids =
       if (partitions.nonEmpty) partitions
       else KafkaMeta.partitionsOf(bootstrapServers, topic)
     val ends = KafkaMeta.endOffsets(bootstrapServers, topic, ids)
-    ConsumerState(ends.collect {
-      case (p, end) if end > 0 => ConsumerPartition(topic, p) -> (end - 1L)
+    ConsumerState(ends.map {
+      case (p, end) => ConsumerPartition(topic, p) -> (end - 1L)
     })
   }
 }

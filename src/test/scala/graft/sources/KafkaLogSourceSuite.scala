@@ -44,6 +44,34 @@ class KafkaLogSourceSuite extends AnyFunSuite {
     assert(e.getMessage.contains("kafka-clients"))
   }
 
+  test("streaming resume assigns the UNION of live and state partitions") {
+    // A state persisted when only partitions {0,2} had committed offsets
+    // must not confine the resumed stream to {0,2}: partition 1 (live,
+    // no offset yet) and partition 3 (added after persist) would be
+    // silently never consumed — permanent data loss in assign mode.
+    val unpinned = KafkaLogSource("broker:9092", "events")
+    val state = st(0 -> 41L, 2 -> 7L)
+    val assigned = unpinned.streamingAssignment(state, live = Seq(0, 1, 2, 3))
+    assert(assigned === Seq(0, 1, 2, 3))
+    // state-absent partitions start from the beginning, not latest
+    assert(unpinned.startingOffsetsJson(state, assigned) ===
+      """{"events": {"0": 42, "1": -2, "2": 8, "3": -2}}""")
+    // a state partition no longer in live metadata is still drained
+    assert(unpinned.streamingAssignment(state, live = Seq(0, 1)) === Seq(0, 1, 2))
+  }
+
+  test("empty-at-snapshot partition carries -1 (nothing consumed), bounding replay to end 0") {
+    // currentState keeps empty partitions with the explicit marker -1;
+    // as a RESOLVE ending snapshot the +1 shift yields exclusive end 0
+    // (read nothing) — NOT the -1 latest sentinel, which would leak
+    // post-RESOLVE rows into the replay and double-emit them.
+    val json = src.endingOffsetsJson(st(0 -> 99L, 1 -> -1L), Seq(0, 1, 2))
+    assert(json === """{"events": {"0": 100, "1": 0, "2": -1}}""")
+    // and as a starting state, -1 resumes from offset 0 (the beginning)
+    assert(src.startingOffsetsJson(st(1 -> -1L), Seq(1)) ===
+      """{"events": {"1": 0}}""")
+  }
+
   test("offsets JSON round-trips through ConsumerState.fromJson") {
     val s = st(0 -> 5L, 1 -> 10L)
     assert(ConsumerState.fromJson(s.toJson) === s)
