@@ -81,10 +81,13 @@ final case class GraftConfig(settings: Map[String, String]) {
   def refreshIntervalSeconds: Long =
     getLong("sideline.refresh_interval_seconds", 600L)
 
-  /** O5 lifecycle hooks — reference spout.handler_class
-    * (SpoutConfig, DynamicSpout.open:215-217); default no-op. */
+  /** O5 lifecycle hooks — reference spout.spout_handler_class
+    * (SpoutConfig, DynamicSpout.open:215-217); default no-op. The old
+    * non-reference spelling `spout.handler.class` stays as an alias so
+    * existing configs keep working. */
   def engineHooks: EngineHooks =
-    get("spout.handler.class").getOrElse("noop") match {
+    get("spout.spout_handler_class")
+      .orElse(get("spout.handler.class")).getOrElse("noop") match {
       case "noop" |
            "com.salesforce.storm.spout.dynamic.handler.NoopSpoutHandler" =>
         EngineHooks.Noop

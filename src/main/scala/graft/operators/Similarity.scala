@@ -199,19 +199,26 @@ object Similarity {
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
     })
 
-  /** Embedding-cosine near-dup dedup: pairs over the similarity
-    * threshold; the higher vec_id of each pair is the drop candidate,
-    * keeping the lowest-id representative (greedy keeper rule).
+  /** BANDED-CANDIDATE embedding-cosine near-dup dedup. Contract (and
+    * what the oracle checks): the pairs that (a) collide in at least one
+    * SRP band AND (b) verify at exact cosine ≥ the threshold; the higher
+    * vec_id of each pair is the drop candidate, keeping the lowest-id
+    * representative (greedy keeper rule). This is deliberately NOT
+    * "every pair over the threshold" — that exhaustive contract is
+    * O(N²) and was the r1 scale-killer (all-pairs broadcast NLJ); the
+    * banded contract is the one that survives 100 TB. The oracle
+    * reproduces the banding, so it pins both the candidate semantics
+    * and the exact-verify arithmetic; RECALL against the exhaustive
+    * threshold contract is measured independently (not just documented)
+    * in RecallSuite at small SF, where brute force is feasible.
     *
-    * Candidates come from SRP banding (r1 verdict: the all-pairs
-    * broadcast nested-loop join was O(N²) with the whole corpus on the
-    * broadcast side — impossible at 100 TB). Banding: the 16 SRP planes
-    * split into 4 bands of 4; two vectors are candidates iff they agree
-    * on ALL 4 sign bits of ANY band. For cosine s the per-plane agreement
-    * probability is p = 1 − acos(s)/π, so recall = 1 − (1 − p⁴)⁴ ≈ 0.54
-    * at s = 0.45 (this threshold) and ≈ 0.96 at s = 0.9 (true
-    * near-dups). Misses are the documented LSH trade; every candidate is
-    * verified with EXACT cosine so there are no false positives.
+    * Banding: the 16 SRP planes split into 4 bands of 4; two vectors are
+    * candidates iff they agree on ALL 4 sign bits of ANY band. For
+    * cosine s the per-plane agreement probability is
+    * p = 1 − acos(s)/π, so recall = 1 − (1 − p⁴)⁴ ≈ 0.54 at s = 0.45
+    * (this threshold) and ≈ 0.96 at s = 0.9 (true near-dups). Misses are
+    * the documented LSH trade; every candidate is verified with EXACT
+    * cosine so there are no false positives.
     *
     * Scale shape: band ids are per-row arithmetic below the exchange; the
     * candidate join shuffles (vec_id, band) only; embeddings are fetched

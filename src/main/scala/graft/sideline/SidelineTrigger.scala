@@ -159,10 +159,7 @@ final class DirectoryWatchTrigger(
     files.foreach { f =>
       try {
         val event = TriggerEvent.fromJson(Files.readString(f))
-        if (!event.processed) {
-          apply(event)
-          rewrite(f, event.markProcessed)
-        }
+        if (!event.processed && apply(event)) rewrite(f, event.markProcessed)
       } catch {
         case NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger(getClass)
@@ -171,22 +168,32 @@ final class DirectoryWatchTrigger(
     }
   }
 
-  /** Apply one event against the controller, skipping transitions the
-    * current state already passed (redeploy-safe — the reference replays
-    * the whole event dir on open). */
-  private def apply(event: TriggerEvent): Unit = {
+  /** Apply one event against the controller. Returns true when the event
+    * is DONE (it transitioned state now, or the state is already at/past
+    * its target — redeploy-safe, the reference replays the whole event
+    * dir on open) and may be marked processed. Returns false when the
+    * event's PRECONDITION does not hold yet (e.g. a RESUME doc observed
+    * one poll before its START overwrite lands): the doc stays
+    * unprocessed so the next poll retries it, instead of being consumed
+    * as a silent no-op that leaves the sideline stuck until an operator
+    * republishes. */
+  private def apply(event: TriggerEvent): Boolean = {
     val id = event.identifier
+    def started = controller.isStarted(id)
+    def resumed = controller.isResumed(id)
+    def resolving = controller.isResolving(id)
     event.sidelineType match {
       case SidelineType.Start =>
-        if (!controller.isStarted(id) && !controller.isResumed(id) &&
-          !controller.isResolving(id)) {
-          controller.start(SidelineRequest(id, event.step))
-          ()
+        if (!started && !resumed && !resolving) {
+          controller.start(SidelineRequest(id, event.step)); ()
         }
+        true // START has no precondition: applied now or already past
       case SidelineType.Resume =>
-        if (controller.isStarted(id)) { controller.resume(id); () }
+        if (started) { controller.resume(id); true }
+        else resumed || resolving // already past START+RESUME, or retry
       case SidelineType.Resolve =>
-        if (controller.isResumed(id)) { controller.resolve(id); () }
+        if (resumed) { controller.resolve(id); true }
+        else resolving // already resolving, or retry until RESUME lands
     }
   }
 

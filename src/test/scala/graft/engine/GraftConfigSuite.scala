@@ -74,12 +74,22 @@ class GraftConfigSuite extends AnyFunSuite {
 
   test("engine hooks wiring: noop default, reference class alias, user class") {
     assert(GraftConfig.default.engineHooks === EngineHooks.Noop)
-    assert(GraftConfig(Map("spout.handler.class" ->
+    // the reference SpoutConfig key spelling is authoritative — a
+    // reference-shaped config must NOT silently fall back to Noop
+    assert(GraftConfig(Map("spout.spout_handler_class" ->
       "com.salesforce.storm.spout.dynamic.handler.NoopSpoutHandler"))
       .engineHooks === EngineHooks.Noop)
-    val h = GraftConfig(Map("spout.handler.class" ->
+    val h = GraftConfig(Map("spout.spout_handler_class" ->
       "graft.engine.CustomTestHooks")).engineHooks
     assert(h.isInstanceOf[CustomTestHooks])
+    // pre-r3 spelling stays as a compat alias; reference key wins
+    val legacy = GraftConfig(Map("spout.handler.class" ->
+      "graft.engine.CustomTestHooks")).engineHooks
+    assert(legacy.isInstanceOf[CustomTestHooks])
+    assert(GraftConfig(Map(
+      "spout.spout_handler_class" -> "noop",
+      "spout.handler.class" -> "graft.engine.CustomTestHooks"))
+      .engineHooks === EngineHooks.Noop)
   }
 
   test("throttle policy from config") {

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * ANN/dedup RECALL harness (r2 verdict #5): the LSH/IVF queries trade
+ * recall for scale-safety, and `dedup_embedding_cosine`'s oracle checks
+ * its banded-candidate contract, not the exhaustive threshold contract.
+ * This suite MEASURES both trades against brute force (feasible at this
+ * SF: 500 vectors), so recall is an asserted number, not a doc claim:
+ *
+ *  - recall@10 of each approximate top-k query vs `ann_cosine_topk`
+ *    (exhaustive scoring — exact by construction);
+ *  - index recall of the SRP bucket structure (`ann_lsh_pairs`): how
+ *    many true top-10 neighbors share the query's 16-plane bucket;
+ *  - pair recall and false-positive count of `dedup_embedding_cosine`
+ *    vs ALL pairs with exact cosine >= 0.45 (the per-pair collision
+ *    probability 1-(1-p^4)^4, p = 1-acos(s)/pi predicts ~0.54 at the
+ *    threshold itself, higher for more-similar pairs).
+ *
+ * Bounds are set just under measured values on the driver datasets so a
+ * regression in banding/probing/assignment arithmetic trips the suite,
+ * while staying above what a broken index could plausibly score.
+ */
+class RecallSuite extends SparkSuite {
+
+  private val TopK = 10
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  /** query_id -> retrieved neighbor set. */
+  private def topkSets(name: String): Map[Long, Set[Long]] =
+    run(name).select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private lazy val exactTopk: Map[Long, Set[Long]] = topkSets("ann_cosine_topk")
+
+  /** Mean per-query |approx ∩ exact| / k. */
+  private def recallAt10(approx: Map[Long, Set[Long]]): Double = {
+    val per = exactTopk.toSeq.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  /** All (lo, hi) pairs with exact cosine >= threshold — brute force,
+    * test-only (this shape is exactly what the production queries must
+    * NOT do at scale). */
+  private def exactThresholdPairs(threshold: Double): Set[(Long, Long)] = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("ann_ivf_topk (nprobe=1, seed centroids) recall@10 vs brute force") {
+    // measured 0.880 on the driver dataset (deterministic index+data)
+    val r = recallAt10(topkSets("ann_ivf_topk"))
+    info(f"ann_ivf_topk recall@10 = $r%.3f")
+    assert(r >= 0.8, f"recall@10 $r%.3f below floor")
+  }
+
+  test("ann_ivf_kmeans_topk (trained, nprobe=2) recall@10 vs brute force") {
+    // measured 0.920 — at/above the r2 verdict's predicted >= 0.9 bound
+    // for a trained quantizer probing 2 of 8 cells
+    val r = recallAt10(topkSets("ann_ivf_kmeans_topk"))
+    info(f"ann_ivf_kmeans_topk recall@10 = $r%.3f")
+    assert(r >= 0.9, f"recall@10 $r%.3f below floor")
+  }
+
+  test("training + nprobe=2 beats the untrained nprobe=1 index") {
+    val trained = recallAt10(topkSets("ann_ivf_kmeans_topk"))
+    val seeded = recallAt10(topkSets("ann_ivf_topk"))
+    info(f"trained nprobe=2 $trained%.3f vs seeded nprobe=1 $seeded%.3f")
+    assert(trained >= seeded)
+  }
+
+  test("SRP bucket index recall: true top-10 neighbors sharing the query's bucket") {
+    // ann_lsh_pairs admits exact-cosine pairs only within one 16-plane
+    // bucket; its retrieval ceiling for a query is the set of neighbors
+    // in the query's bucket. Measure that ceiling against exact top-10.
+    val pairs = run("ann_lsh_pairs")
+      .select("vec_id_1", "vec_id_2").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = recallAt10(pairs)
+    info(f"ann_lsh_pairs bucket recall@10 = $r%.3f")
+    // a single FULL-signature bucket is a precision structure: per-plane
+    // agreement p = 1-acos(s)/pi gives p^16 ~ 6e-4 at this corpus's
+    // cosine range, so near-zero recall here is the PREDICTED behavior
+    // (measured 0.000), and it is exactly why the banded (4x4) variant
+    // below exists — banding must strictly beat the full bucket.
+    assert(r <= 0.2, f"full-bucket recall $r%.3f implausibly high — signature broken?")
+    val banded = recallAt10Banded()
+    info(f"banded (4x4) index recall@10 = $banded%.3f")
+    assert(banded > r, "banding failed to recover recall over the full bucket")
+  }
+
+  /** Retrieval ceiling of the 4x4 banded index used by
+    * dedup_embedding_cosine, measured on the same top-10 task. */
+  private def recallAt10Banded(): Double = {
+    val pairs = run("dedup_embedding_cosine")
+      .select("vec_id_keeper", "vec_id_dropped").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // banded admits only threshold-passing pairs; measure against the
+    // exact top-10 neighbors that ALSO pass the 0.45 threshold, i.e.
+    // the part of the top-10 task this index is asked to solve
+    val sims = exactThresholdPairs(0.45)
+      .flatMap(p => Seq(p, p.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val per = exactTopk.toSeq.flatMap { case (q, ex) =>
+      val target = ex & sims.getOrElse(q, Set.empty)
+      if (target.isEmpty) None
+      else Some(pairs.getOrElse(q, Set.empty).count(target).toDouble / target.size)
+    }
+    if (per.isEmpty) 1.0 else per.sum / per.size
+  }
+
+  test("dedup_embedding_cosine: zero false positives, measured pair recall vs exact") {
+    val banded = run("dedup_embedding_cosine")
+      .select("vec_id_keeper", "vec_id_dropped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactThresholdPairs(0.45)
+    val falsePos = banded -- exact
+    assert(falsePos.isEmpty, s"banded pairs not over threshold: $falsePos")
+    // measured 0.714 (5/7) — above the analytic ~0.54 floor at the
+    // threshold itself because most true pairs sit well above 0.45
+    val recall = if (exact.isEmpty) 1.0 else (banded & exact).size.toDouble / exact.size
+    info(f"dedup_embedding_cosine pair recall = $recall%.3f (${banded.size}/${exact.size})")
+    assert(recall >= 0.5)
+  }
+}

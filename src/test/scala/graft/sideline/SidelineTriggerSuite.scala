@@ -77,18 +77,29 @@ class SidelineTriggerSuite extends SparkSuite {
     trigger.close()
   }
 
-  test("out-of-order docs are ignored until their precondition holds") {
+  test("precondition-unmet docs stay unprocessed and retry until they apply") {
     val watch = Files.createTempDirectory("graft-trigger-ooo").toString
     val engine = SidelineEngine.inMemory(ParquetEventLog(sfDir))
     val trigger = new DirectoryWatchTrigger(watch)
     trigger.setSidelineController(engine.controller(spark))
 
-    // RESOLVE before anything exists: skipped (not resumed), no crash;
-    // doc IS marked processed — the reference likewise treats an
-    // inapplicable event as handled rather than retrying it forever
+    // RESOLVE observed before its sideline is RESUMED (the doc raced
+    // ahead of the state transition): it must be skipped WITHOUT being
+    // consumed — marking it processed here would swallow the event
+    // forever and leave the sideline stuck until an operator republishes
     val id = DirectoryWatchTrigger.publish(watch, event(SidelineType.Resolve))
     trigger.pollOnce()
     assert(engine.status(id).isEmpty)
+    val doc = java.nio.file.Paths.get(watch).resolve(s"$id.json")
+    assert(!TriggerEvent.fromJson(Files.readString(doc)).processed)
+
+    // once the sideline reaches RESUMED, the SAME pending doc applies on
+    // the next poll with no republish
+    engine.start(SidelineRequest(id, step), spark)
+    engine.resume(id)
+    trigger.pollOnce()
+    assert(engine.status(id).contains(SidelineType.Resolve))
+    assert(TriggerEvent.fromJson(Files.readString(doc)).processed)
     trigger.close()
   }
 
