@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /**
  * The retry/dead-letter dataflow (SURVEY.md §2.6) wired into a micro-batch
@@ -31,25 +32,78 @@ import java.nio.file.{Files, Paths}
  */
 object RetryingFlow {
 
-  /** Durable store for the retry table. */
+  /** Durable store for the retry table — TRANSACTIONAL (r2 verdict #3).
+    *
+    * The r2 implementation swapped a single `live` directory in two
+    * moves (live→old, staging→live); between them `live` did not exist,
+    * so a concurrent reader — or any reader after a crash at that point —
+    * saw an EMPTY retry table and silently dropped every scheduled
+    * retry. The reference's ZK persistence has no such window: each
+    * update is one atomic znode write
+    * (dynamic/persistence/ZookeeperPersistenceAdapter.java:121-130).
+    *
+    * This store restores that atomicity on a plain filesystem with a
+    * manifest pointer over immutable version directories (the same
+    * commit shape Delta/Iceberg use, which remain the drop-in at
+    * warehouse scale):
+    *
+    *   1. `replace` writes the new table to a fresh `v<n>` directory —
+    *      invisible to readers until committed;
+    *   2. the commit is ONE file rename of MANIFEST (tmp + ATOMIC_MOVE):
+    *      readers see the old complete version or the new complete
+    *      version, never absence, never a half-written mix;
+    *   3. a crash anywhere before the rename leaves MANIFEST pointing at
+    *      the old version — retries scheduled there are preserved;
+    *   4. GC keeps the previous generation alive for in-flight readers
+    *      (lazy DataFrames hand out file lists at plan time) and removes
+    *      older ones; orphaned uncommitted versions are collected by the
+    *      next successful replace.
+    */
   final class RetryStore(spark: SparkSession, dir: String) {
-    private val live = Paths.get(dir, "live")
-    private val staging = Paths.get(dir, "staging")
+    private val root = Paths.get(dir)
+    private val manifest = root.resolve("MANIFEST")
+
+    private def currentVersion(): Option[String] =
+      if (Files.exists(manifest)) Some(Files.readString(manifest).trim)
+      else None
 
     def read(): Option[DataFrame] =
-      if (Files.exists(live)) Some(spark.read.parquet(live.toString)) else None
+      currentVersion().map(v => spark.read.parquet(root.resolve(v).toString))
 
-    /** Atomic-enough replace for a filesystem table: write staging, swap
-      * directories. (Delta at scale — this is the plug point.) */
-    def replace(df: DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val tmp = Paths.get(dir, s".old-${System.nanoTime()}")
-      if (Files.exists(live)) Files.move(live, tmp)
-      Files.move(staging, live)
-      if (Files.exists(tmp)) {
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+    def replace(df: DataFrame): Unit = commit(writeVersion(df))
+
+    /** Step 1 — publish a complete but UNREFERENCED version directory.
+      * Exposed to tests so a crash between write and commit is a
+      * first-class scenario, not a race to reproduce. */
+    private[streaming] def writeVersion(df: DataFrame): String = {
+      Files.createDirectories(root)
+      val next = currentVersion()
+        .map(v => v.stripPrefix("v").toLong + 1).getOrElse(0L)
+      val name = f"v$next%020d"
+      df.write.mode(SaveMode.Overwrite).parquet(root.resolve(name).toString)
+      name
+    }
+
+    /** Step 2 — the atomic commit: rename a fresh manifest over the old
+      * one, then GC versions older than the previous generation. */
+    private[streaming] def commit(version: String): Unit = {
+      val prev = currentVersion()
+      val tmp = root.resolve(s".MANIFEST.tmp")
+      Files.writeString(tmp, version)
+      Files.move(tmp, manifest, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      gc(keep = Set(version) ++ prev)
+    }
+
+    private def gc(keep: Set[String]): Unit = {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v") && !keep(p.getFileName.toString))
+        .foreach { p =>
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      finally s.close()
     }
   }
 

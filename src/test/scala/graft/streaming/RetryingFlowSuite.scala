@@ -100,4 +100,52 @@ class RetryingFlowSuite extends SparkSuite {
     assert(table.count() === 2)
     assert(table.filter(col("fail_count") === 2).count() === 2)
   }
+
+  test("store replace is invisible to a concurrent reader (no empty-table window)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("graft-retry-txn").toString
+    val store = new RetryingFlow.RetryStore(spark, dir)
+    store.replace((1 to 5).toDF("value"))
+
+    // a reader plans against the CURRENT version...
+    val inFlight = store.read().get
+    // ...and a writer replaces the table underneath it. The r2 two-move
+    // swap had a window where the table directory was absent; with the
+    // manifest store the reader's version stays on disk (GC keeps one
+    // previous generation) and evaluates completely.
+    store.replace((10 to 12).toDF("value"))
+    assert(inFlight.select("value").as[Int].collect().sorted === Seq(1, 2, 3, 4, 5))
+    // a fresh read sees the new committed version
+    assert(store.read().get.select("value").as[Int].collect().sorted === Seq(10, 11, 12))
+  }
+
+  test("store crash between version write and commit loses nothing") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("graft-retry-crash").toString
+    val store = new RetryingFlow.RetryStore(spark, dir)
+    store.replace((1 to 3).toDF("value"))
+
+    // simulate a crash AFTER the new version's parquet is fully written
+    // but BEFORE the manifest commit: readers (including a post-restart
+    // store over the same dir) must still see the old complete table,
+    // never an empty or missing one
+    val orphan = store.writeVersion((100 to 200).toDF("value"))
+    val restarted = new RetryingFlow.RetryStore(spark, dir)
+    assert(restarted.read().get.select("value").as[Int].collect().sorted === Seq(1, 2, 3))
+
+    // the interrupted replace simply reruns: the next version number is
+    // still current+1, so the rerun OVERWRITES the orphan directory and
+    // commits it — the uncommitted content can never resurface
+    restarted.replace((7 to 9).toDF("value"))
+    assert(restarted.read().get.select("value").as[Int].collect().sorted === Seq(7, 8, 9))
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).toSet
+    assert(names.contains(orphan) && Files.readString(
+      java.nio.file.Paths.get(dir, "MANIFEST")).trim === orphan)
+
+    // version dirs stay bounded to current + previous generation
+    assert(names.count(_.startsWith("v")) <= 2)
+  }
 }
