@@ -2,6 +2,8 @@ package graft.streaming
 
 import graft.engine.SidelineEngine
 import graft.filter.FilterChain
+import graft.model.{ConsumerPartition, ConsumerState}
+import graft.sideline.SidelinePayload
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -36,6 +38,44 @@ object StreamingFirehose {
   final case class BatchMetrics(
       batchId: Long, input: Long, emitted: Long, failed: Long, filtered: Long)
 
+  /**
+   * Live-progress handle for a running firehose — the piece that makes
+   * RESOLVE safe WITHOUT quiescing the stream (r2 verdict #2).
+   *
+   * It tracks the per-partition high watermark of every batch the
+   * firehose has COMMITTED (each of which evaluated the then-active
+   * chain), and [[resolveAtCommitted]] stamps the RESOLVE ending from
+   * that state while holding the same lock the batch loop holds. That
+   * linearizes RESOLVE against the chain-read→process→commit critical
+   * section, closing the race the reference closes by ordering filter
+   * mutation before spout start (SidelineSpoutHandler.java:316-321 and
+   * ending snapshot at :488-537): without it, a batch could read the
+   * chain as ACTIVE (dropping sidelined rows) yet finish after the
+   * ending snapshot was taken — its dropped rows would sit ABOVE the
+   * ending bound, outside the replay window: silently lost. With the
+   * lock, every batch is entirely before the RESOLVE (its rows are
+   * ≤ ending and its drops replay) or entirely after (the chain is gone
+   * and its rows all emit, all > ending). Either way
+   * firehose ∪ sideline ≡ input holds with NO pause in processing.
+   */
+  final class FirehoseHandle {
+    private[streaming] val lock = new Object
+    @volatile private var committed: ConsumerState = ConsumerState.empty
+
+    /** High watermark of the last committed batch per partition. */
+    def committedState: ConsumerState = committed
+
+    private[streaming] def commit(batchState: ConsumerState): Unit =
+      committed = ConsumerState.merge(committed, batchState)
+
+    /** RESOLVE `id` with the ending stamped from committed progress,
+      * atomically with respect to the running batch loop. Blocks for at
+      * most one micro-batch (the reference's handler lock does the
+      * same). */
+    def resolveAtCommitted(engine: SidelineEngine, id: String): SidelinePayload =
+      lock.synchronized { engine.resolveAt(id, committed) }
+  }
+
   /** Annotate a (micro-)batch with the chain verdict. Pure plan
    * construction — used by run() and by batch parity tests. */
   def routed(batch: DataFrame, chain: FilterChain): DataFrame =
@@ -64,12 +104,10 @@ object StreamingFirehose {
       onMetrics: BatchMetrics => Unit = _ => (),
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      queryName: String = "graft-firehose"): StreamingQuery = {
+      queryName: String = "graft-firehose",
+      handle: Option[FirehoseHandle] = None): StreamingQuery = {
 
-    val writer: DataStreamWriter[Row] = stream.writeStream
-      .queryName(queryName)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
         // Chain re-read per batch — bounded staleness of one batch.
         val chain = engine.activeChain()
         val hasFailFlag = batch.columns.contains("permanently_failed")
@@ -102,8 +140,29 @@ object StreamingFirehose {
             emitted = total((d, f) => !d && !f),
             failed = total((d, f) => !d && f),
             filtered = total((d, _) => d)))
+          // commit the batch watermark LAST, while still inside the
+          // handle's critical section: a resolveAtCommitted ending either
+          // includes this whole batch or none of it
+          handle.foreach { h =>
+            val ns = if (annotated.columns.contains("namespace"))
+              col("namespace") else lit(engine.log.namespace)
+            val tops = annotated.groupBy(ns.as("ns"), col("partition"))
+              .agg(max(col("offset")).as("top")).collect()
+            h.commit(ConsumerState(tops.map(r =>
+              ConsumerPartition(r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap))
+          }
         } finally annotated.unpersist()
         ()
+    }
+
+    val writer: DataStreamWriter[Row] = stream.writeStream
+      .queryName(queryName)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        handle match {
+          case Some(h) => h.lock.synchronized(processBatch(batch, batchId))
+          case None => processBatch(batch, batchId)
+        }
       }
     checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
