@@ -1,14 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   * Queries are fully materialized via a noop write (count() would let
   * Catalyst prune most of the work). */
 object Bench {
+  /** 1-minute load average and the number of OTHER JVMs running — a
+    * contended host inflates results 3-6x (the r2 driver reading was 4x
+    * a solo run of the same build), so the load state is recorded next
+    * to the numbers and a loud warning goes to stderr when the host is
+    * not quiet. */
+  private def loadState(): (Double, Int) = {
+    val loadavg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val self = ProcessHandle.current().pid()
+    val otherJvms = ProcessHandle.allProcesses().iterator().asScala.count { p =>
+      p.pid() != self &&
+        p.info().command().map[Boolean](_.contains("java")).orElse(false)
+    }
+    (loadavg, otherJvms)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (loadavg, otherJvms) = loadState()
+    if (loadavg > cpus.toInt / 4.0 || otherJvms > 1)
+      System.err.println(f"[bench] WARNING: contended host (loadavg=$loadavg%.1f, " +
+        s"other JVMs=$otherJvms) — numbers will NOT reflect this build; rerun solo")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -37,7 +60,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (loadEnd, jvmsEnd) = loadState()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadavg%.2f,"loadavg_end":$loadEnd%.2f,"other_jvms_start":$otherJvms,"other_jvms_end":$jvmsEnd}""")
     spark.stop()
   }
 }

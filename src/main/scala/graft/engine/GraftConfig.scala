@@ -110,6 +110,24 @@ final case class GraftConfig(settings: Map[String, String]) {
       case className => instantiate[SidelineTrigger](className)
     }
 
+  /** Metrics recorder — reference spout.metrics.class +
+    * spout.metrics.time_bucket (SpoutConfig.java:288,299; default
+    * LogRecorder, cluster deployments swap in DropwizardRecorder).
+    * Presets: "memory" (InMemoryMetricsRecorder), "histogram" (the
+    * DropwizardRecorder analogue with reservoir timers + a time-bucket
+    * log reporter), or any MetricsRecorder class name. */
+  def metricsRecorder: graft.metrics.MetricsRecorder =
+    get("spout.metrics.class").getOrElse("memory") match {
+      case "memory" |
+           "com.salesforce.storm.spout.dynamic.metrics.LogRecorder" =>
+        new graft.metrics.InMemoryMetricsRecorder
+      case "histogram" |
+           "com.salesforce.storm.spout.dynamic.metrics.DropwizardRecorder" =>
+        new graft.metrics.HistogramMetricsRecorder(
+          timeBucketSeconds = getLong("spout.metrics.time_bucket", 60L))
+      case className => instantiate[graft.metrics.MetricsRecorder](className)
+    }
+
   private def instantiate[T](className: String): T =
     Class.forName(className).getDeclaredConstructor()
       .newInstance().asInstanceOf[T]

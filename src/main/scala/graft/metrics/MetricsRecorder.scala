@@ -46,6 +46,96 @@ final class InMemoryMetricsRecorder extends MetricsRecorder {
       gauges.asScala.map { case (k, v) => k -> v.sum }.toMap
 }
 
+/**
+ * Histogram/timer recorder with a periodic log reporter — the
+ * DropwizardRecorder member of the reference's recorder family
+ * (dynamic/metrics/DropwizardRecorder.java:42-131: Counter/Histogram/
+ * Timer registries + a reporter flushing on the configured time bucket,
+ * SpoutConfig "spout.metrics.time_bucket"). Zero-dependency analogue:
+ * timers feed a bounded sliding reservoir per key, and the snapshot
+ * exposes Dropwizard-style derived series (`<key>.count/.mean_ms/
+ * .p95_ms/.max_ms`); a daemon thread logs the full snapshot every
+ * `timeBucketSeconds` (the LogRecorder/console-reporter role). Wired
+ * through GraftConfig "spout.metrics.class".
+ */
+final class HistogramMetricsRecorder(
+    timeBucketSeconds: Long = 60L,
+    reservoirSize: Int = 1028) extends MetricsRecorder with AutoCloseable {
+
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+  private val gauges = new ConcurrentHashMap[String, DoubleAdder]()
+  private val reservoirs = new ConcurrentHashMap[String, HistogramMetricsRecorder.Reservoir]()
+
+  private val reporter =
+    if (timeBucketSeconds <= 0) None
+    else Some {
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-metrics-reporter"); t.setDaemon(true); t
+      })
+      ex.scheduleWithFixedDelay(() => report(), timeBucketSeconds,
+        timeBucketSeconds, java.util.concurrent.TimeUnit.SECONDS)
+      ex
+    }
+
+  override def count(key: String, delta: Long): Unit =
+    counters.computeIfAbsent(key, _ => new AtomicLong()).addAndGet(delta)
+
+  override def assign(key: String, value: Double): Unit = {
+    val g = gauges.computeIfAbsent(key, _ => new DoubleAdder())
+    g.reset(); g.add(value)
+  }
+
+  override def time[T](key: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally {
+      val ms = (System.nanoTime() - t0) / 1e6
+      reservoirs.computeIfAbsent(key,
+        _ => new HistogramMetricsRecorder.Reservoir(reservoirSize)).add(ms)
+    }
+  }
+
+  override def snapshot(): Map[String, Double] =
+    counters.asScala.map { case (k, v) => k -> v.get.toDouble }.toMap ++
+      gauges.asScala.map { case (k, v) => k -> v.sum }.toMap ++
+      reservoirs.asScala.flatMap { case (k, r) => r.stats(k) }.toMap
+
+  private def report(): Unit = {
+    val snap = snapshot()
+    if (snap.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        snap.toSeq.sortBy(_._1)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString("metrics ", " ", ""))
+  }
+
+  override def close(): Unit = { reporter.foreach(_.shutdownNow()); () }
+}
+
+object HistogramMetricsRecorder {
+  /** Bounded sliding-window reservoir (the Dropwizard
+    * SlidingWindowReservoir shape): last `size` samples, lock-free
+    * writes into a ring. */
+  private[metrics] final class Reservoir(size: Int) {
+    private val ring = new java.util.concurrent.atomic.AtomicReferenceArray[java.lang.Double](size)
+    private val n = new AtomicLong()
+
+    def add(v: Double): Unit = {
+      val i = (n.getAndIncrement() % size).toInt
+      ring.set(i, v)
+    }
+
+    def stats(key: String): Map[String, Double] = {
+      val vals = (0 until math.min(n.get(), size.toLong).toInt)
+        .flatMap(i => Option(ring.get(i)).map(_.doubleValue)).sorted
+      if (vals.isEmpty) Map(s"$key.count" -> n.get().toDouble)
+      else Map(
+        s"$key.count" -> n.get().toDouble,
+        s"$key.mean_ms" -> vals.sum / vals.size,
+        s"$key.p95_ms" -> vals(math.min(vals.size - 1, (vals.size * 0.95).toInt)),
+        s"$key.max_ms" -> vals.last)
+    }
+  }
+}
+
 /** Bridge: streaming progress → recorder gauges, per query name. */
 final class StreamingMetricsBridge(recorder: MetricsRecorder)
     extends StreamingQueryListener {

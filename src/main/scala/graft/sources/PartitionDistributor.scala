@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -45,20 +44,21 @@ object PartitionDistributor {
     }
   }
 
-  /** DataFrame form: adds `consumer_index` to a frame of distinct
-   * `partitionCol` values. The rank window is over a tiny frame (one row per
-   * log partition), so the single-partition window is not a scale concern. */
+  /** DataFrame form: adds `consumer_index` to the distinct `partitionCol`
+   * values. The distinct id list is metadata-sized (one row per LOG
+   * partition, a few hundred even on large Kafka topics), so it is
+   * collected and ranked on the driver through [[consumerForRank]] — the
+   * same closed form the engine uses for placement — instead of a global
+   * window, whose "WindowExec: No Partition Defined" warning drowned real
+   * signals in driver logs on every bench run (r2 verdict #7). */
   def assignmentDf(partitions: DataFrame, partitionCol: Column, totalConsumers: Int): DataFrame = {
-    val w = Window.orderBy(col("partition"))
-    partitions
-      .select(partitionCol.as("partition"))
-      .distinct()
-      .withColumn("rank", row_number().over(w) - 1)
-      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("consumer_index",
-        greatest(
-          floor(col("rank") / ceil(col("total") / totalConsumers)).cast("int"),
-          (lit(totalConsumers) - col("total") + col("rank")).cast("int")))
-      .drop("rank", "total")
+    val spark = partitions.sparkSession
+    val ids = partitions.select(partitionCol.cast("int").as("partition"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val rows = ids.zipWithIndex.map { case (pid, rank) =>
+      (pid, consumerForRank(totalConsumers, ids.length, rank))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("partition", "consumer_index")
   }
 }

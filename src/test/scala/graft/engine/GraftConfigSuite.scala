@@ -92,6 +92,30 @@ class GraftConfigSuite extends AnyFunSuite {
       .engineHooks === EngineHooks.Noop)
   }
 
+  test("metrics recorder wiring: memory default, histogram preset, reference aliases") {
+    assert(GraftConfig.default.metricsRecorder
+      .isInstanceOf[graft.metrics.InMemoryMetricsRecorder])
+    assert(GraftConfig(Map("spout.metrics.class" ->
+      "com.salesforce.storm.spout.dynamic.metrics.LogRecorder"))
+      .metricsRecorder.isInstanceOf[graft.metrics.InMemoryMetricsRecorder])
+    val h = GraftConfig(Map(
+      "spout.metrics.class" ->
+        "com.salesforce.storm.spout.dynamic.metrics.DropwizardRecorder",
+      "spout.metrics.time_bucket" -> "0")).metricsRecorder
+    assert(h.isInstanceOf[graft.metrics.HistogramMetricsRecorder])
+    // Dropwizard-style derived series: count/mean/p95/max per timer key
+    h.time("op")(Thread.sleep(1))
+    h.time("op")(Thread.sleep(2))
+    h.count("acks", 5)
+    val snap = h.snapshot()
+    assert(snap("op.count") === 2.0)
+    assert(snap("op.mean_ms") > 0.0)
+    assert(snap("op.p95_ms") >= snap("op.mean_ms") - 1e-9)
+    assert(snap("op.max_ms") >= snap("op.p95_ms"))
+    assert(snap("acks") === 5.0)
+    h.asInstanceOf[graft.metrics.HistogramMetricsRecorder].close()
+  }
+
   test("throttle policy from config") {
     val t = GraftConfig(Map(
       "buffer.throttled_spout_id_regex" -> "sideline",
