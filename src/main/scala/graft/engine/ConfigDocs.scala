@@ -1,0 +1,164 @@
+package graft.engine
+
+/**
+ * Config-key documentation registry + markdown generator — the
+ * reference's auto-generated README config tables
+ * (documentation/ConfigDocumentation.java annotations rendered by
+ * documentation/DocGenerator.java). One [[Entry]] per key that
+ * [[GraftConfig]] consults; [[markdown]] renders the reference-style
+ * table grouped by section, and [[main]] regenerates
+ * `docs/CONFIGURATION.md`. `ConfigDocsSuite` keeps code and docs in
+ * lockstep: every key literal read in GraftConfig.scala must have an
+ * entry here (and vice versa), and the committed file must match the
+ * renderer's output — the same drift guard the reference gets from
+ * regenerating its README in the build.
+ */
+object ConfigDocs {
+
+  final case class Entry(
+      key: String,
+      valueType: String,
+      default: String,
+      description: String,
+      section: String,
+      required: Boolean = false)
+
+  /** Reference class-name aliases accepted alongside each preset are in
+    * the description, not separate rows — they configure the same knob. */
+  val entries: Seq[Entry] = Seq(
+    // --- Retry (reference SpoutConfig "Failure handling") ---
+    Entry("spout.retry_manager.class", "String", "exponential_backoff",
+      "Retry policy for failed records: preset `exponential_backoff`, " +
+        "`failed_tuples_first`, `never`, a reference " +
+        "`...retry.*RetryManager` class-name alias, or any " +
+        "`graft.retry.RetryPolicy` class with a no-arg constructor.",
+      "Retry"),
+    Entry("spout.retry_manager.retry_limit", "Int", "25",
+      "Attempts before a record is routed to the permanently-failed " +
+        "sink (-1 semantics not supported; use a large value).",
+      "Retry"),
+    Entry("spout.retry_manager.initial_delay_ms", "Long", "1000",
+      "Delay before the first retry of a failed record.", "Retry"),
+    Entry("spout.retry_manager.delay_multiplier", "Double", "2.0",
+      "Exponential backoff multiplier applied per subsequent failure.",
+      "Retry"),
+    Entry("spout.retry_manager.retry_delay_max_ms", "Long", "900000",
+      "Upper bound on the computed backoff delay (15 min).", "Retry"),
+
+    // --- Persistence (reference "Persistence" section) ---
+    Entry("sideline.persistence.class", "String", "file",
+      "Sideline-request control store: preset `file` (atomic " +
+        "write-rename JSON docs under `sideline.persistence.dir`), " +
+        "`memory` (tests), or any `graft.sideline.ControlStore` class.",
+      "Persistence"),
+    Entry("sideline.persistence.dir", "String", "—",
+      "Directory backing the `file` control store. Required when " +
+        "`sideline.persistence.class` is `file`.",
+      "Persistence", required = true),
+
+    // --- Coordinator / engine ---
+    Entry("spout.coordinator.max_concurrent_virtual_spouts", "Int",
+      QueryCoordinator.DefaultMaxConcurrent.toString,
+      "Cap on concurrently running logical-source queries; excess " +
+        "submissions queue until a slot frees (reference " +
+        "SpoutCoordinator cap).",
+      "Coordinator"),
+    Entry("spout.coordinator.consumer_state_flush_interval_ms", "Long",
+      "30000",
+      "Checkpoint-commit cadence guidance for sinks that batch their " +
+        "own offset state.",
+      "Coordinator"),
+    Entry("spout.spout_handler_class", "String", "noop",
+      "Engine lifecycle hooks (open/close, query start/stop): preset " +
+        "`noop`, the reference `NoopSpoutHandler` alias, or any " +
+        "`graft.engine.EngineHooks` class. Legacy spelling " +
+        "`spout.handler.class` is accepted as an alias.",
+      "Coordinator"),
+    Entry("spout.handler.class", "String", "—",
+      "Deprecated alias for `spout.spout_handler_class`.", "Coordinator"),
+
+    // --- Buffer / throttling ---
+    Entry("buffer.rate_per_trigger", "Long", "10000",
+      "Per-trigger row cap for unthrottled firehose queries " +
+        "(`maxFilesPerTrigger`/`maxOffsetsPerTrigger` analogue).",
+      "Buffer"),
+    Entry("buffer.throttled_rate_per_trigger", "Long", "1000",
+      "Per-trigger row cap applied to queries matching the throttle " +
+        "regex (ThrottledMessageBuffer semantics).",
+      "Buffer"),
+    Entry("buffer.throttled_spout_id_regex", "Regex", "—",
+      "Queries whose id matches are throttled; unset disables " +
+        "throttling.",
+      "Buffer"),
+    Entry("buffer.throttled_trigger_ratio", "Int", "1",
+      "Trigger-interval stretch for throttled queries " +
+        "(RatioMessageBuffer semantics): fire every N-th interval.",
+      "Buffer"),
+
+    // --- Sideline ---
+    Entry("sideline.refresh_interval_seconds", "Long", "600",
+      "Cadence of the reconciler that re-reads persisted sideline " +
+        "requests and re-applies missing filters/replays (reference " +
+        "sideline.refresh_interval_seconds).",
+      "Sideline"),
+    Entry("sideline.trigger_class", "String", "—",
+      "Optional pluggable control input that starts/resumes/resolves " +
+        "sidelines: preset `directory_watch` (the ZookeeperWatchTrigger " +
+        "analogue; also accepted under its reference class name) or any " +
+        "`graft.sideline.SidelineTrigger` class.",
+      "Sideline"),
+    Entry("sideline.trigger.watch_dir", "String", "—",
+      "Directory watched for TriggerEvent JSON docs. Required when " +
+        "`sideline.trigger_class` is `directory_watch`.",
+      "Sideline", required = true),
+    Entry("sideline.trigger.poll_interval_ms", "Long", "1000",
+      "Poll cadence of the directory-watch trigger.", "Sideline"),
+
+    // --- Metrics ---
+    Entry("spout.metrics.class", "String", "memory",
+      "Metrics recorder: preset `memory` (in-memory counters/gauges; " +
+        "also the `LogRecorder` alias), `histogram` (reservoir timers " +
+        "with count/mean/p95/max series and a periodic log reporter; " +
+        "also the `DropwizardRecorder` alias), or any " +
+        "`graft.metrics.MetricsRecorder` class.",
+      "Metrics"),
+    Entry("spout.metrics.time_bucket", "Long", "60",
+      "Seconds between snapshot flushes of the `histogram` recorder's " +
+        "log reporter; <= 0 disables the reporter thread.",
+      "Metrics"))
+
+  private val SectionOrder =
+    Seq("Coordinator", "Retry", "Persistence", "Buffer", "Sideline", "Metrics")
+
+  /** Render the reference-README-style tables, one per section. */
+  def markdown: String = {
+    val sb = new StringBuilder
+    sb.append("# Configuration\n\n")
+    sb.append("Generated by `graft.engine.ConfigDocs` — do not edit by " +
+      "hand; run `sbt \"runMain graft.engine.ConfigDocs\"` to regenerate.\n")
+    sb.append("All keys are read by `graft.engine.GraftConfig`; reference " +
+      "(storm-dynamic-spout SpoutConfig/SidelineConfig) key names are " +
+      "kept where a counterpart exists, and reference implementation " +
+      "class names are accepted as preset aliases.\n")
+    for (section <- SectionOrder) {
+      sb.append(s"\n## $section\n\n")
+      sb.append("| Key | Type | Required | Default | Description |\n")
+      sb.append("| --- | --- | --- | --- | --- |\n")
+      for (e <- entries.filter(_.section == section)) {
+        val req = if (e.required) "conditionally" else ""
+        sb.append(s"| `${e.key}` | ${e.valueType} | $req | ${e.default} " +
+          s"| ${e.description} |\n")
+      }
+    }
+    sb.toString
+  }
+
+  /** Regenerate docs/CONFIGURATION.md (or args(0)). */
+  def main(args: Array[String]): Unit = {
+    val target = java.nio.file.Paths.get(
+      args.headOption.getOrElse("docs/CONFIGURATION.md"))
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(target, markdown)
+    println(s"wrote ${target.toAbsolutePath} (${entries.size} keys)")
+  }
+}
