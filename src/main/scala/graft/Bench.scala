@@ -28,8 +28,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // "*" (and any other non-numeric local[...] spec) is a valid CPU
+    // setting for the session master but not a number — fall back to the
+    // host's core count for the load-guard threshold only.
+    val cpuCount = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val (loadavg, otherJvms) = loadState()
-    if (loadavg > cpus.toInt / 4.0 || otherJvms > 1)
+    if (loadavg > cpuCount / 4.0 || otherJvms > 1)
       System.err.println(f"[bench] WARNING: contended host (loadavg=$loadavg%.1f, " +
         s"other JVMs=$otherJvms) — numbers will NOT reflect this build; rerun solo")
     val spark = Tables.configure(SparkSession.builder()

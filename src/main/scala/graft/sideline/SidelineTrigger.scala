@@ -119,10 +119,20 @@ object TriggerEvent {
  * processed=true. Errors on one event are logged and do not block others
  * (the reference likewise catches per-event, ZookeeperWatchTrigger
  * listener wiring at :109-160).
+ *
+ * Precondition-unmet docs do NOT retry forever: a RESUME/RESOLVE doc
+ * whose sideline never reaches the required state (typo'd identifier, or
+ * a sideline already completed and cleared so no status bit is set) is
+ * retried for `maxUnmetPolls` scans and then QUARANTINED — renamed to
+ * `<name>.quarantined` (out of the polled `*.json` namespace, still in
+ * the dir for operators to inspect) with a loud error log. Without the
+ * bound the watch dir never drains and every poll re-reads and re-applies
+ * the dead doc.
  */
 final class DirectoryWatchTrigger(
     watchDir: String,
-    pollIntervalMs: Long = 1000L) extends SidelineTrigger {
+    pollIntervalMs: Long = 1000L,
+    maxUnmetPolls: Int = 120) extends SidelineTrigger {
 
   private val root: Path = {
     val p = Paths.get(watchDir)
@@ -131,6 +141,10 @@ final class DirectoryWatchTrigger(
   }
   @volatile private var controller: SidelineController = _
   @volatile private var executor: ScheduledExecutorService = _
+  // consecutive precondition-unmet polls per doc file name; entries are
+  // dropped the moment a doc applies (or is quarantined), so the map is
+  // bounded by the number of currently-stuck docs
+  private val unmetPolls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   override def setSidelineController(c: SidelineController): Unit = controller = c
 
@@ -159,12 +173,32 @@ final class DirectoryWatchTrigger(
     files.foreach { f =>
       try {
         val event = TriggerEvent.fromJson(Files.readString(f))
-        if (!event.processed && apply(event)) rewrite(f, event.markProcessed)
+        if (!event.processed) {
+          if (apply(event)) {
+            unmetPolls.remove(f.getFileName.toString)
+            rewrite(f, event.markProcessed)
+          } else noteUnmet(f)
+        }
       } catch {
         case NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"sideline trigger event $f failed: ${e.getMessage}")
       }
+    }
+  }
+
+  /** Count a precondition-unmet poll; quarantine the doc past the bound. */
+  private def noteUnmet(f: Path): Unit = {
+    val n = unmetPolls.merge(f.getFileName.toString, 1, (a, b) => a + b)
+    if (n >= maxUnmetPolls) {
+      val target = f.resolveSibling(s"${f.getFileName}.quarantined")
+      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      unmetPolls.remove(f.getFileName.toString)
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"sideline trigger doc $f precondition unmet after $maxUnmetPolls " +
+          s"polls — QUARANTINED to $target; fix the doc (wrong identifier, " +
+          "or its sideline already completed) and rename it back to .json to retry")
     }
   }
 

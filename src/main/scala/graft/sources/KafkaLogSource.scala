@@ -54,9 +54,10 @@ final case class KafkaLogSource(
 
   val namespace: String = topic
 
-  /** Spark Kafka sentinels inside specific-offsets JSON. */
+  /** Spark Kafka sentinel inside specific-offsets JSON: -2 = earliest.
+    * (-1 = latest exists too but is deliberately never used as a fill —
+    * see [[endingOffsetsJson]].) */
   private val SentinelEarliest = -2L
-  private val SentinelLatest = -1L
 
   /** Kafka JSON for "start after these last-finished offsets" over the
     * given assignment; partitions absent from the state read from the
@@ -71,10 +72,17 @@ final case class KafkaLogSource(
     else ConsumerState(state.offsets.map { case (cp, off) => cp -> (off + 1) }).toJson
 
   /** Kafka JSON for "stop after these last-produced offsets" (exclusive
-    * bound = inclusive watermark + 1); partitions absent from the state
-    * read to the current end (-1). */
+    * bound = inclusive watermark + 1); partitions ABSENT from the state
+    * read NOTHING (exclusive end 0). Missing must only ever mean
+    * "unknown", never "to the live head": an ending snapshot that lacks
+    * a partition (e.g. a RESOLVE stamped from committed firehose
+    * progress before that partition ever committed a batch) bounds a
+    * replay that must not emit rows the post-RESOLVE firehose will also
+    * emit. Matches [[LogSource.readBounded]] and the reference's
+    * unknown-as-exceed rule (dynamic/VirtualSpout.java:337-358,
+    * doesMessageExceedEndingOffset). */
   def endingOffsetsJson(state: ConsumerState, assigned: Seq[Int]): String =
-    offsetsJson(state, assigned, shift = 1, sentinel = SentinelLatest)
+    offsetsJson(state, assigned, shift = 1, sentinel = 0L)
 
   def endingOffsetsJson(state: ConsumerState): String =
     ConsumerState(state.offsets.map { case (cp, off) => cp -> (off + 1) }).toJson
@@ -175,10 +183,9 @@ final case class KafkaLogSource(
     * carries inclusive last offsets, so subtract 1. Partitions that are
     * EMPTY at snapshot time stay in the state with the explicit
     * "nothing consumed" marker -1 (the +1 shift turns it into exclusive
-    * end 0): omitting them would make a later RESOLVE fill them with the
-    * -1 LATEST sentinel and read those partitions to the live head at
-    * replay time, double-emitting rows produced after the snapshot.
-    * Missing-from-state must only ever mean "unknown", never "empty". */
+    * end 0). Missing-from-state must only ever mean "unknown", never
+    * "empty" — and endings treat unknown as read-nothing (see
+    * [[endingOffsetsJson]]), so both directions are leak-free. */
   override def currentState(spark: SparkSession): ConsumerState = {
     val ids =
       if (partitions.nonEmpty) partitions

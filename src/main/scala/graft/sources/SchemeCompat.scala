@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -34,20 +34,33 @@ abstract class AbstractScheme extends Serializable {
   def deserialize(value: Array[Byte]): Seq[String]
 
   /** Adapt onto a LogSchema frame: decode `value`, drop null-decodes,
-    * project the output fields alongside the log columns. */
-  final def apply(df: DataFrame): DataFrame = {
+    * project the output fields alongside the log columns.
+    *
+    * TEXT PAYLOADS ONLY: LogSchema's `value` column is a String, so the
+    * bytes handed to [[deserialize]] are a UTF-8 RE-ENCODING of that
+    * string — arbitrary binary (Avro/protobuf, the reference ByteBuffer
+    * contract's main use case) does not round-trip through a String and
+    * would reach the Scheme corrupted. Schemes that decode binary
+    * payloads must use [[applyBinary]] on a source that preserves the
+    * original record bytes in a BinaryType column. */
+  final def apply(df: DataFrame): DataFrame =
+    applyBinary(df, col("value").cast("binary"))
+
+  /** Binary-payload path: `rawValue` must be a BinaryType column carrying
+    * the ORIGINAL record bytes (e.g. a Kafka `value` read without the
+    * string cast). This is the faithful port of the reference's
+    * deserialize(ByteBuffer) contract — no string round-trip anywhere. */
+  final def applyBinary(df: DataFrame, rawValue: Column): DataFrame = {
     val fields = outputFields
     require(fields.nonEmpty, "a Scheme must declare at least one output field")
-    val decode = udf { (v: String) =>
-      val out = deserialize(
-        Option(v).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).orNull)
-      Option(out).map { vs =>
+    val decode = udf { (v: Array[Byte]) =>
+      Option(deserialize(v)).map { vs =>
         require(vs.size == fields.size,
           s"scheme emitted ${vs.size} values for ${fields.size} fields")
         vs
       }
     }
-    val dec = df.withColumn("__scheme", decode(col("value")))
+    val dec = df.withColumn("__scheme", decode(rawValue))
       .filter(col("__scheme").isNotNull)
     fields.zipWithIndex.foldLeft(dec) { case (d, (n, i)) =>
       d.withColumn(n, col("__scheme").getItem(i))

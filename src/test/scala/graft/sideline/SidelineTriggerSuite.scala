@@ -103,6 +103,32 @@ class SidelineTriggerSuite extends SparkSuite {
     trigger.close()
   }
 
+  test("a doc whose precondition never holds is quarantined past the poll bound") {
+    val watch = Files.createTempDirectory("graft-trigger-dead").toString
+    val engine = SidelineEngine.inMemory(ParquetEventLog(sfDir))
+    val trigger = new DirectoryWatchTrigger(watch, maxUnmetPolls = 3)
+    trigger.setSidelineController(engine.controller(spark))
+
+    // a RESOLVE for a sideline that never existed (typo'd identifier, or
+    // one completed and cleared): retried a bounded number of polls, then
+    // moved out of the polled *.json namespace — the watch dir drains
+    // instead of re-reading the dead doc forever
+    val id = DirectoryWatchTrigger.publish(watch, event(SidelineType.Resolve))
+    val doc = java.nio.file.Paths.get(watch).resolve(s"$id.json")
+    trigger.pollOnce(); trigger.pollOnce()
+    assert(Files.exists(doc)) // still retrying below the bound
+    trigger.pollOnce()
+    assert(!Files.exists(doc))
+    val quarantined = doc.resolveSibling(s"$id.json.quarantined")
+    assert(Files.exists(quarantined))
+    // content preserved for the operator, still unprocessed
+    assert(!TriggerEvent.fromJson(Files.readString(quarantined)).processed)
+    // subsequent polls ignore it entirely
+    trigger.pollOnce()
+    assert(engine.status(id).isEmpty)
+    trigger.close()
+  }
+
   test("scheduled watcher picks up a dropped doc without explicit polling") {
     val watch = Files.createTempDirectory("graft-trigger-async").toString
     val engine = SidelineEngine.inMemory(ParquetEventLog(sfDir))

@@ -28,9 +28,15 @@ class KafkaLogSourceSuite extends AnyFunSuite {
     assert(json === """{"events": {"0": 42, "1": -2, "2": 8}}""")
   }
 
-  test("endingOffsets JSON converts inclusive watermarks to exclusive bounds, missing => latest") {
+  test("endingOffsets JSON converts inclusive watermarks to exclusive bounds, missing => read nothing") {
+    // A partition ABSENT from an ending state is UNKNOWN, not "to the
+    // live head": filling with the -1 latest sentinel would replay a
+    // never-committed partition up to the head — rows produced after a
+    // RESOLVE would be emitted by the chain-free firehose AND returned
+    // by the replay (double emit). Exclusive end 0 = read nothing,
+    // matching LogSource.readBounded's unknown-as-exceed.
     val json = src.endingOffsetsJson(st(1 -> 99L), Seq(0, 1, 2))
-    assert(json === """{"events": {"0": -1, "1": 100, "2": -1}}""")
+    assert(json === """{"events": {"0": 0, "1": 100, "2": 0}}""")
   }
 
   test("subscribe-mode starting offsets: earliest for an empty state") {
@@ -66,7 +72,7 @@ class KafkaLogSourceSuite extends AnyFunSuite {
     // (read nothing) — NOT the -1 latest sentinel, which would leak
     // post-RESOLVE rows into the replay and double-emit them.
     val json = src.endingOffsetsJson(st(0 -> 99L, 1 -> -1L), Seq(0, 1, 2))
-    assert(json === """{"events": {"0": 100, "1": 0, "2": -1}}""")
+    assert(json === """{"events": {"0": 100, "1": 0, "2": 0}}""")
     // and as a starting state, -1 resumes from offset 0 (the beginning)
     assert(src.startingOffsetsJson(st(1 -> -1L), Seq(1)) ===
       """{"events": {"1": 0}}""")

@@ -55,6 +55,28 @@ class SchemeCompatSuite extends SparkSuite {
     assert(viaSpec === viaScheme)
   }
 
+  test("binary payloads reach the Scheme verbatim through applyBinary") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // bytes that do NOT survive a String round-trip: 0xFF is not valid
+    // UTF-8, so the string-typed `value` path would corrupt it — this is
+    // the Avro/protobuf case the reference's ByteBuffer contract exists
+    // for. The Scheme decodes [tag-byte, payload...] → (hex tag, length).
+    val raw = Array[Byte](0xFF.toByte, 0x00, 0x7F, 0x80.toByte)
+    val scheme = new AbstractScheme {
+      def outputFields: Seq[String] = Seq("tag", "len")
+      def deserialize(value: Array[Byte]): Seq[String] =
+        if (value == null || value.isEmpty) null
+        else Seq(f"${value(0) & 0xff}%02x", value.length.toString)
+    }
+    val log = Seq((0, 0L, "k0", raw), (0, 1L, "k1", Array.empty[Byte]))
+      .toDF("partition", "offset", "key", "raw")
+    val out = scheme.applyBinary(log, col("raw"))
+      .select("offset", "tag", "len").orderBy("offset").collect().toSeq
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2))) ===
+      Seq((0L, "ff", "4"))) // empty payload dropped; 0xFF preserved
+  }
+
   test("a Scheme emitting the wrong arity fails loudly, not silently misaligned") {
     val sparkS = spark
     import sparkS.implicits._
