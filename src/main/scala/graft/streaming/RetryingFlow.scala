@@ -58,7 +58,17 @@ object RetryingFlow {
     *      (lazy DataFrames hand out file lists at plan time) and removes
     *      older ones; orphaned uncommitted versions are collected by the
     *      next successful replace.
-    */
+    *
+    * SINGLE-WRITER CONTRACT: exactly one writer — the micro-batch loop
+    * that owns this directory — may call `replace`/`writeVersion`/`commit`
+    * at a time. Two concurrent replacers can read the same
+    * currentVersion, overwrite each other's `v<n+1>` parquet mid-read,
+    * and race the manifest rename; and because GC keeps only
+    * current+previous, a DataFrame handed out two replaces ago fails at
+    * evaluation. Nothing here locks across processes (a plain filesystem
+    * has no fencing primitive — Delta/Iceberg bring one at warehouse
+    * scale); sharing a store dir between two streams is corruption, not
+    * coordination. */
   final class RetryStore(spark: SparkSession, dir: String) {
     private val root = Paths.get(dir)
     private val manifest = root.resolve("MANIFEST")
@@ -110,12 +120,28 @@ object RetryingFlow {
   /**
    * Process one micro-batch through the retry dataflow.
    *
+   * Ordering contract (reference at-least-once bias — ack FOLLOWS emit,
+   * dynamic/VirtualSpout.java:361-387): the updated retry table is
+   * written as an uncommitted version, `sinks` runs over the outputs,
+   * and only then does the manifest commit. A crash (or a `sinks`
+   * throw) before the commit leaves the OLD table current, so the
+   * replayed batch re-reads — and re-emits — the due retries instead of
+   * losing them; duplicates are absorbed by idempotent-on-batchId
+   * sinks, while the reverse ordering would drop due retries
+   * unrecoverably (removed from the committed table, outputs never
+   * written).
+   *
    * @param batch fresh rows (any schema S)
    * @param isFailure marks rows (over S + fail_count) that failed this round
    * @param now processing-time column for schedule evaluation
+   * @param sinks durable output writes, called BETWEEN the retry-table
+   *        version write and its commit — pass the real sink writes here
+   *        (not after the call returns) to get the crash ordering above.
+   *        Receives (successes, deadLetters), both already materialized
+   *        executor-side.
    * @return (successes (S + fail_count), deadLetters (S + fail_count +
-   *         permanently_failed)); the retry table is updated as a side
-   *         effect
+   *         permanently_failed)), after the retry-table commit — for
+   *         callers whose outputs are transient (tests, metrics)
    */
   def processBatch(
       spark: SparkSession,
@@ -123,7 +149,8 @@ object RetryingFlow {
       batch: DataFrame,
       policy: RetryPolicy,
       isFailure: org.apache.spark.sql.Column,
-      now: org.apache.spark.sql.Column = current_timestamp())
+      now: org.apache.spark.sql.Column = current_timestamp(),
+      sinks: (DataFrame, DataFrame) => Unit = (_, _) => ())
       : (DataFrame, DataFrame) = {
 
     val fresh = batch
@@ -162,7 +189,11 @@ object RetryingFlow {
       val deadOut = dead.localCheckpoint(true)
       val successOut = successes.localCheckpoint(true)
       val newTable = notDue.fold(toRetry)(nd => nd.unionByName(toRetry))
-      store.replace(newTable)
+      // state commits LAST: version write → caller's sinks → manifest
+      // move (see the ordering contract in the scaladoc above)
+      val version = store.writeVersion(newTable)
+      sinks(successOut, deadOut)
+      store.commit(version)
       (successOut, deadOut)
     } finally { input.unpersist(); () }
   }

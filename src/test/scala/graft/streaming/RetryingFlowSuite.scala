@@ -101,6 +101,42 @@ class RetryingFlowSuite extends SparkSuite {
     assert(table.filter(col("fail_count") === 2).count() === 2)
   }
 
+  test("crash between sink write and table commit replays due retries (at-least-once)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("graft-retry-order").toString
+    val store = new RetryingFlow.RetryStore(spark, dir)
+    val policy = ExponentialBackoffRetry(retryLimit = 3,
+      initialDelayMs = 0, multiplier = 1.0, maxDelayMs = 0)
+    // value 2 fails on its first attempt only
+    val isFailure = col("value") % 2 === 0 && col("fail_count") < 1
+
+    // batch 1: 2 is scheduled for retry
+    RetryingFlow.processBatch(spark, store, (1 to 3).toDF("value"), policy, isFailure)
+    assert(store.read().get.select("value").as[Int].collect() === Seq(2))
+
+    // batch 2 CRASHES mid-sink: the due retry (2) was pulled from the
+    // table and would have succeeded, but the process dies before the
+    // sink write completes. The retry table must still contain 2 — the
+    // old reverse ordering committed the drained table first, making the
+    // due retry unrecoverable (gone from state, never written to output).
+    val empty = spark.emptyDataset[Int].toDF("value")
+    val emitted = scala.collection.mutable.Buffer.empty[Int]
+    intercept[RuntimeException] {
+      RetryingFlow.processBatch(spark, store, empty, policy, isFailure,
+        sinks = (_, _) => throw new RuntimeException("sink crashed"))
+    }
+    val postCrash = new RetryingFlow.RetryStore(spark, dir) // fresh handle = restart
+    assert(postCrash.read().get.select("value").as[Int].collect() === Seq(2))
+
+    // the streaming engine replays the batch; this time the sinks land
+    // and the retry is emitted — at-least-once, never silently dropped
+    RetryingFlow.processBatch(spark, postCrash, empty, policy, isFailure,
+      sinks = (ok, _) => emitted ++= ok.select("value").as[Int].collect())
+    assert(emitted.toSeq === Seq(2))
+    assert(postCrash.read().get.count() === 0) // table drained and committed
+  }
+
   test("store replace is invisible to a concurrent reader (no empty-table window)") {
     val sparkS = spark
     import sparkS.implicits._
