@@ -167,20 +167,19 @@ object Similarity {
       // sf0.1, dead at 100 TB) and no sort-merge join (whose sort keys
       // re-evaluated the signature aggregate per comparison — 30s vs 6s).
       // signature+norm materialized below ONE signature-partitioned
-      // exchange; both self-join aliases read that same exchange
-      // (ReusedExchange), so the 16-fold projection runs once per row,
-      // not once per side
+      // exchange; every SkewGuard consumer (occupancy pass + both
+      // self-join sides, cold and hot) reads that same exchange
+      // (ReusedExchange), so the 16-fold projection runs once per row.
+      // Hot signatures (a dense SRP cell — THE skew-prone key of this
+      // repo, r3/r4 verdict #1) are triangle-salted by SkewGuard instead
+      // of landing one quadratic task.
       val sig = Tables.embeddings(s, dir).repartition(64)
-        .withColumn("signature", signature)
+        .withColumn("band", signature)
         .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
-        .repartition(col("signature"))
-      val a = sig.select(col("vec_id").as("vec_id_1"),
-        col("signature"), col("embedding").as("e1"), col("norm").as("n1"))
-      val b = sig.select(col("vec_id").as("vec_id_2"), col("signature"),
-        col("embedding").as("e2"), col("norm").as("n2"))
-      a.join(b.hint("shuffle_hash"), Seq("signature"))
-        .filter(col("vec_id_1") < col("vec_id_2"))
-        .withColumn("sim", dotCol("e1", "e2") / (col("n1") * col("n2")))
+        .repartition(col("band"))
+      SkewGuard.pairs(sig, "vec_id")
+        .withColumn("sim",
+          dotCol("embedding_1", "embedding_2") / (col("norm_1") * col("norm_2")))
         .select(col("vec_id_1"), col("vec_id_2"), round(col("sim"), 4).as("sim"))
         .orderBy("vec_id_1", "vec_id_2")
     },
@@ -253,10 +252,12 @@ object Similarity {
       val bands = emb.select(col("vec_id"),
         explode(array((0 until DedupBands).map(bandCol): _*)).as("band"))
         .repartition(col("band"))
-      val cand = bands.withColumnRenamed("vec_id", "vec_id_keeper")
-        .join(bands.withColumnRenamed("vec_id", "vec_id_dropped").hint("shuffle_hash"), "band")
-        .filter(col("vec_id_keeper") < col("vec_id_dropped"))
-        .select("vec_id_keeper", "vec_id_dropped").distinct()
+      // hot bands (boilerplate-dense SRP cells) triangle-salted by
+      // SkewGuard; cold bands keep the shuffle-hash self-join
+      val cand = SkewGuard.pairs(bands, "vec_id")
+        .select(col("vec_id_1").as("vec_id_keeper"),
+          col("vec_id_2").as("vec_id_dropped"))
+        .distinct()
       cand
         .join(emb.select(col("vec_id").as("vec_id_keeper"),
           col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_keeper")

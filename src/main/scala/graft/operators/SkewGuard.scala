@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew guard for banded self-joins — the candidate-generation shape shared
+ * by every LSH/banding dedup and ANN-pairs operator in this repo
+ * (`ann_lsh_pairs`, `dedup_simhash_pairs`, `dedup_minhash_pairs`,
+ * `dedup_ngram_jaccard`, `dedup_embedding_cosine`).
+ *
+ * Problem: `a.join(b, "band").filter(id1 < id2)` hash-partitions by band,
+ * so ONE hot band (boilerplate documents, a dense SRP cell) funnels into
+ * ONE task doing |band|² work. Every sf0.1 check passes — and a 100 TB
+ * corpus with a band holding 0.1% of rows never finishes. Reference
+ * philosophy analogue: bounding the damage a hot source can do is exactly
+ * the reference's ThrottledMessageBuffer
+ * (dynamic/buffer/ThrottledMessageBuffer.java:73-328) — a per-key
+ * throttle, re-expressed here as a per-bucket parallelism bound.
+ *
+ * Shape (all inside ONE physical plan — the banded input's exchange is
+ * reused by every consumer, so the expensive per-row columns below it are
+ * computed once):
+ *
+ *  1. occupancy pass: `groupBy(band).count()`, map-side combined — the
+ *     shuffle carries (band, long) only;
+ *  2. hot set = bands with count > cap. Bounded by rows/cap, broadcast;
+ *  3. COLD bands (the overwhelming majority): the existing shuffle-hash
+ *     self-join on band — plan unchanged;
+ *  4. HOT bands: triangle decomposition. Members are split into
+ *     `nsalt = min(maxSalt, ceil(n/cap))` groups by a deterministic hash
+ *     of the id; each row is replicated to the `nsalt` cells
+ *     {(min(g,k), max(g,k)) : k < nsalt} and the self-join key becomes
+ *     (band, cell). A pair with groups (g1, g2) collides in EXACTLY one
+ *     kept cell — (min(g1,g2), max(g1,g2)) — enforced by the post-join
+ *     cell-identity filter, so the output multiset is identical to the
+ *     plain join. Per-cell membership is ≤ 2·ceil(n/nsalt), so per-task
+ *     candidate work is bounded by ~4·(n/nsalt)² ≈ 4·cap² (independent of
+ *     |band|) until nsalt saturates at maxSalt, after which replication
+ *     cost (nsalt× the hot rows) stops growing and per-task work degrades
+ *     gracefully to (2n/maxSalt)². No silent caps: the salted path counts
+ *     its pairs through an observable metric (`skew_guard.salted_pairs`).
+ *
+ * The output of [[pairs]] is row-for-row (as a multiset) what the naive
+ * join produces: `band` plus every other input column suffixed `_1`/`_2`,
+ * filtered to `id_1 < id_2`. A pair sharing k bands still appears k times;
+ * callers `distinct()` downstream exactly as before, so DuckDB oracles are
+ * untouched.
+ */
+object SkewGuard {
+
+  /** Max bucket occupancy served by the plain per-band join. 1024 keeps a
+    * single cold task under ~0.5M candidate probes even when the per-pair
+    * verify is expensive (array_intersect). */
+  val DefaultCap = 1024
+
+  /** Replication bound for the salted path: a hot row is shuffled at most
+    * this many times, whatever the bucket size. */
+  val DefaultMaxSalt = 64
+
+  private val N = "__sg_n"
+  private val NSalt = "__sg_nsalt"
+  private val Grp = "__sg_grp"
+  private val Cell = "__sg_cell"
+  private val G1 = "__sg_g1"
+  private val G2 = "__sg_g2"
+
+  /** All within-band pairs of `banded` (columns: `band` + payload), as
+    * `band`, `<payload>_1`, `<payload>_2` with `idCol_1 < idCol_2` — the
+    * exact multiset of the naive band self-join, skew-guarded as per the
+    * class doc. For exchange reuse, pass `banded` already
+    * `.repartition(col("band"))`-ed (all five call sites do).
+    *
+    * @param observation optional [[Observation]] attached to the salted
+    *   branch (tests); production plans always carry the named
+    *   `skew_guard` observation, visible via `QueryExecution
+    *   .observedMetrics` / listeners. */
+  def pairs(
+      banded: DataFrame,
+      idCol: String,
+      cap: Int = DefaultCap,
+      maxSalt: Int = DefaultMaxSalt,
+      observation: Option[Observation] = None): DataFrame = {
+    require(cap > 0 && maxSalt > 1, s"bad skew-guard params: cap=$cap maxSalt=$maxSalt")
+    val payload = banded.columns.filter(_ != "band").toSeq
+    def suffixed(df: DataFrame, suffix: String): DataFrame =
+      df.select(df.columns.map {
+        case c if payload.contains(c) => col(c).as(c + suffix)
+        case c => col(c)
+      }.toIndexedSeq: _*)
+
+    // (1)+(2): occupancy over the reused band exchange; hot set broadcast.
+    val hot = banded.groupBy("band").agg(count(lit(1)).as(N))
+      .filter(col(N) > cap)
+    val ann = banded.join(broadcast(hot), Seq("band"), "left")
+
+    // (3) cold: the pre-guard plan, verbatim.
+    val cold = ann.filter(col(N).isNull).drop(N)
+    val coldPairs = suffixed(cold, "_1")
+      .join(suffixed(cold, "_2").hint("shuffle_hash"), Seq("band"))
+      .filter(col(idCol + "_1") < col(idCol + "_2"))
+
+    // (4) hot: triangle cells over deterministically-hashed groups.
+    val hotBase = ann.filter(col(N).isNotNull)
+      .withColumn(NSalt,
+        least(lit(maxSalt), ceil(col(N) / lit(cap.toDouble))).cast("int"))
+      .drop(N)
+      .withColumn(Grp, pmod(xxhash64(col(idCol)), col(NSalt)).cast("int"))
+      .withColumn(Cell, explode(transform(
+        sequence(lit(0), col(NSalt) - 1),
+        k => least(col(Grp), k) * col(NSalt) + greatest(col(Grp), k))))
+    val hotA = suffixed(hotBase, "_1").withColumnRenamed(Grp, G1)
+    val hotB = suffixed(hotBase, "_2").withColumnRenamed(Grp, G2)
+      .drop(NSalt)
+    val hotPairsRaw = hotA
+      .join(hotB.hint("shuffle_hash"), Seq("band", Cell))
+      .filter(col(idCol + "_1") < col(idCol + "_2"))
+      // exactly-once: keep the pair only in its own (min, max) group cell
+      .filter(least(col(G1), col(G2)) * col(NSalt) +
+        greatest(col(G1), col(G2)) === col(Cell))
+      .drop(Cell, G1, G2, NSalt)
+    val saltedMetrics = Seq(
+      count(lit(1)).as("salted_pairs"),
+      approx_count_distinct(col("band")).as("hot_bands"))
+    val hotPairs = observation match {
+      case Some(obs) => hotPairsRaw.observe(obs, saltedMetrics.head, saltedMetrics.tail: _*)
+      case None => hotPairsRaw.observe("skew_guard", saltedMetrics.head, saltedMetrics.tail: _*)
+    }
+
+    coldPairs.unionByName(hotPairs)
+  }
+
+  /** The salted branch's exploded frame (band, cell, payload, groups) —
+    * exposed for the skew suite to assert the per-cell occupancy bound
+    * without duplicating the salting arithmetic. */
+  private[operators] def saltedCells(
+      banded: DataFrame, idCol: String, cap: Int, maxSalt: Int): DataFrame = {
+    val hot = banded.groupBy("band").agg(count(lit(1)).as(N))
+      .filter(col(N) > cap)
+    banded.join(broadcast(hot), Seq("band"), "left")
+      .filter(col(N).isNotNull)
+      .withColumn(NSalt,
+        least(lit(maxSalt), ceil(col(N) / lit(cap.toDouble))).cast("int"))
+      .withColumn(Grp, pmod(xxhash64(col(idCol)), col(NSalt)).cast("int"))
+      .withColumn(Cell, explode(transform(
+        sequence(lit(0), col(NSalt) - 1),
+        k => least(col(Grp), k) * col(NSalt) + greatest(col(Grp), k))))
+      .select(col("band"), col(Cell).as("cell"), col(NSalt).as("nsalt"))
+  }
+}

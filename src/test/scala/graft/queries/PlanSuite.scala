@@ -82,22 +82,42 @@ class PlanSuite extends SparkSuite {
     assert(!s.contains("hashpartitioning"), s.take(2000))
   }
 
-  test("ann_lsh_pairs joins by shuffled signature — never broadcasts the corpus") {
-    val df = SparkEntry.queries("ann_lsh_pairs")(spark, sfDir)
-    df.collect() // finalize the adaptive plan
-    val p = df.queryExecution.executedPlan.toString
+  /** The skew guard's occupancy annotate is the ONE legitimate broadcast
+    * in the banded pairs queries: a BroadcastHashJoin keyed on band whose
+    * build side is the (band, count) aggregate — metadata-sized by
+    * construction. Anything else broadcasting (the corpus, embeddings)
+    * is the r1 scale bug coming back. */
+  private def assertBandedPairsPlan(name: String): Unit = {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // assert on the STATIC plan: AQE may legitimately downgrade the
+    // shuffle-hash candidate join to a broadcast at sf0.001 runtime sizes
+    // (a runtime optimization, not a design regression) — the design
+    // contract is what the planner commits to before stats arrive
+    val plan = df.queryExecution.sparkPlan
+    val p = plan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    // every broadcast join must be the skew guard's occupancy annotate:
+    // build side = the (band, __sg_n) count relation, metadata-sized by
+    // construction. (The hot lineage's IsNotNull filter legally rewrites
+    // the LeftOuter annotate to Inner — the build side is the tell.)
+    val bhjs = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhjs.nonEmpty, "expected the occupancy annotate broadcast")
+    bhjs.foreach { b =>
+      val build = if (b.buildSide == BuildRight) b.right else b.left
+      assert(build.output.map(_.name).contains("__sg_n"),
+        s"$name: non-occupancy broadcast of [${build.output.map(_.name).mkString(",")}]")
+    }
+  }
+
+  test("ann_lsh_pairs joins by shuffled signature — never broadcasts the corpus") {
+    assertBandedPairsPlan("ann_lsh_pairs")
   }
 
   test("dedup_embedding_cosine routes through SRP candidates — no all-pairs join") {
-    val df = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assertBandedPairsPlan("dedup_embedding_cosine")
   }
 
   test("dedup_ngram_jaccard generates candidates via LSH bands, not a blocked self-join") {
