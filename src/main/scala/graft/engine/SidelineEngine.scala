@@ -93,7 +93,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
    * beginning. */
   def firehose(spark: SparkSession,
       from: ConsumerState = ConsumerState.empty): DataFrame =
-    log.readBounded(spark, from, None).filter(activeChain().keep)
+    activeChain().applyKeep(log.readBounded(spark, from, None))
 
   /** A sideline replay: ONLY the rows request `id`'s step dropped, within
    * [startingState, endingState) — endingState open while RESUMEd, closed
@@ -103,8 +103,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     val p = require2(id)
     require(p.sidelineType != SidelineType.Start,
       s"sideline $id not resumed yet — no replay exists in START state")
-    log.readBounded(spark, p.startingState, p.endingState)
-      .filter(p.step.sidelinedColumn)
+    p.step.applySidelined(log.readBounded(spark, p.startingState, p.endingState))
   }
 
   /** Streaming RESUME (SL2's live parallel catch-up): an unbounded
@@ -118,7 +117,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     val p = require2(id)
     require(p.sidelineType == SidelineType.Resume,
       s"sideline $id is ${p.sidelineType.name}, stream replay needs RESUME")
-    source.readStreamFrom(spark, p.startingState).filter(p.step.sidelinedColumn)
+    p.step.applySidelined(source.readStreamFrom(spark, p.startingState))
   }
 
   /** Current lifecycle state of a request, if any. */

@@ -1,7 +1,7 @@
 package graft.filter
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
 
 /**
  * A set of identified drop-predicates, mutable at runtime.
@@ -54,6 +54,50 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
    * with the same NULL="not dropped" convention as [[keep]], in the
    * pushdown-friendly p AND (p IS NOT NULL) form. */
   def sidelined(id: String): Column = steps(id).sidelinedColumn
+
+  private def ordered: Seq[(String, FilterSpec)] = steps.toSeq.sortBy(_._1)
+
+  /** DataFrame-transform form of [[keep]] — THE application path for
+   * chains that may carry join-backed steps ([[FilterSpec.KeyInTable]]).
+   * Scalar steps compile to the identical single conjunction [[keep]]
+   * builds (pushdown intact); join-backed steps then apply as broadcast
+   * anti-joins. Engine call sites (firehose, sideline replay) all route
+   * through here, so a runtime-added KeyInTable step just works. */
+  def applyKeep(df: DataFrame): DataFrame = {
+    val (joins, scalars) = ordered.partition(_._2.joinBacked)
+    val filtered =
+      if (scalars.isEmpty) df
+      else df.filter(scalars.map(_._2.keepColumn).reduceLeft(_ && _))
+    joins.foldLeft(filtered)((d, kv) => kv._2.applyKeep(d))
+  }
+
+  /** DataFrame-transform form of [[sidelined]]: only the rows step `id`
+   * drops — a filter for scalar steps, a broadcast semi-join for
+   * join-backed ones. */
+  def applySidelined(id: String, df: DataFrame): DataFrame =
+    steps(id).applySidelined(df)
+
+  /** Annotate `df` with a never-NULL boolean `as` column carrying the
+   * whole chain's drop verdict — the firehose's routing/metrics column
+   * (value form of [[dropColumn]]). Scalar-only chains produce exactly
+   * the `withColumn(as, dropColumn)` plan of r1-r4; join-backed steps
+   * contribute via per-step annotate joins OR-ed in. */
+  def annotateDrop(df: DataFrame, as: String): DataFrame = {
+    val (joins, scalars) = ordered.partition(_._2.joinBacked)
+    val scalarVerdict =
+      if (scalars.isEmpty) lit(false)
+      else scalars.map(_._2.dropColumnNullSafe).reduceLeft(_ || _)
+    if (joins.isEmpty) df.withColumn(as, scalarVerdict)
+    else {
+      val tmp = joins.indices.map(i => s"__graft_drop_$i")
+      val annotated = joins.zip(tmp).foldLeft(df) {
+        case (d, ((_, s), t)) => s.annotateDrop(d, t)
+      }
+      annotated
+        .withColumn(as, tmp.map(col).foldLeft(scalarVerdict)(_ || _))
+        .drop(tmp: _*)
+    }
+  }
 }
 
 object FilterChain {

@@ -1,6 +1,6 @@
 package graft.filter
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -55,6 +55,26 @@ sealed trait FilterSpec extends Serializable {
    * written as p AND (p IS NOT NULL) so p itself remains pushdown-able. */
   def sidelinedColumn: Column = { val p = dropColumn; p && p.isNotNull }
 
+  /** True when this spec applies as a JOIN, not a scalar predicate —
+   * [[FilterSpec.KeyInTable]]. Join-backed specs must be TOP-LEVEL chain
+   * steps (the reference's chain is a flat step map too,
+   * dynamic/filter/FilterChain.java:37-43); their scalar accessors throw. */
+  def joinBacked: Boolean = false
+
+  /** DataFrame-transform form of "keep what this step does not drop".
+   * Scalar specs filter on [[keepColumn]] (plan unchanged); join-backed
+   * specs override with their join. */
+  def applyKeep(df: DataFrame): DataFrame = df.filter(keepColumn)
+
+  /** DataFrame-transform form of "only what this step drops" (the
+   * sideline-replay side). */
+  def applySidelined(df: DataFrame): DataFrame = df.filter(sidelinedColumn)
+
+  /** Annotate `df` with a never-NULL boolean `as` = this step's drop
+   * verdict — the firehose's routing/metrics column. */
+  def annotateDrop(df: DataFrame, as: String): DataFrame =
+    df.withColumn(as, dropColumnNullSafe)
+
   def toJson: String = JsonMethods.compact(JsonMethods.render(FilterSpec.toJValue(this)))
 }
 
@@ -67,6 +87,35 @@ object FilterSpec {
     def dropColumn: Column = col(field).isin(keys: _*)
     // keys are non-null strings, so the verdict is NULL iff the field is
     override def keepColumn: Column = !dropColumn || col(field).isNull
+  }
+
+  /** Drop when `field` is in a TABLE-BACKED key list — the at-scale form
+   * of [[KeyIn]] (r3/r4 verdict: a 1M-tenant skip-list must not become a
+   * 1M-literal `isin`). The chain JSON carries only the parquet path; the
+   * keys stream from storage into ONE broadcast exchange via
+   * [[graft.ops.SkipList]]: `applyKeep` = broadcast LEFT ANTI join,
+   * `applySidelined` = broadcast LEFT SEMI, `annotateDrop` = broadcast
+   * left-outer + coalesce. NULL truth table matches [[KeyIn]] exactly
+   * (NULL field: kept by the firehose, excluded from the replay —
+   * proven against KeyIn in SkipListSuite).
+   *
+   * Join-backed: cannot compile to a scalar [[dropColumn]], so it must
+   * sit as a top-level chain step (never nested in [[Not]]/[[AnyOf]]/
+   * [[AllOf]]) and chains carrying it must be applied through the
+   * DataFrame-transform path ([[FilterChain.applyKeep]] /
+   * [[FilterChain.applySidelined]] / [[FilterChain.annotateDrop]] — the
+   * engine's own call sites all do). */
+  final case class KeyInTable(field: String, path: String) extends FilterSpec {
+    private def list = graft.ops.SkipList(path)
+    override def joinBacked: Boolean = true
+    def dropColumn: Column = throw new UnsupportedOperationException(
+      s"KeyInTable($field, $path) is join-backed and has no scalar Column form; " +
+        "apply it as a top-level chain step via FilterChain.applyKeep/" +
+        "applySidelined/annotateDrop, not nested inside Not/AnyOf/AllOf")
+    override def applyKeep(df: DataFrame): DataFrame = list.antiJoin(df, col(field))
+    override def applySidelined(df: DataFrame): DataFrame = list.semiJoin(df, col(field))
+    override def annotateDrop(df: DataFrame, as: String): DataFrame =
+      list.annotateMatch(df, col(field), as)
   }
 
   /** Drop when field == value — reference test NumberFilter (README.md:418-431). */
@@ -136,6 +185,9 @@ object FilterSpec {
     case KeyIn(f, ks) =>
       JObject("op" -> JString("key_in"), "field" -> JString(f),
         "keys" -> JArray(ks.map(JString(_)).toList))
+    case KeyInTable(f, p) =>
+      JObject("op" -> JString("key_in_table"), "field" -> JString(f),
+        "path" -> JString(p))
     case FieldEq(f, v) =>
       JObject("op" -> JString("field_eq"), "field" -> JString(f), "value" -> v)
     case FieldCmp(f, op, v) =>
@@ -165,6 +217,7 @@ object FilterSpec {
               case other => throw new IllegalArgumentException(s"bad keys: $other")
             }
             KeyIn(str(o, "field"), keys)
+          case "key_in_table" => KeyInTable(str(o, "field"), str(o, "path"))
           case "field_eq"  => FieldEq(str(o, "field"), o \ "value")
           case "field_cmp" => FieldCmp(str(o, "field"), str(o, "cmp"), o \ "value")
           case "not"       => Not(fromJValue(o \ "inner"))

@@ -38,6 +38,35 @@ object ParityQueries {
       |SELECT log_partition, log_offset, event_id, key, event_type FROM log
       |WHERE NOT (key IN ('3','7','101')) ORDER BY event_id""".stripMargin))
 
+  /** 500 deterministic tenant keys — large enough that inlining them as a
+    * literal `isin` is the wrong shape (the r3/r4 SkipList point), small
+    * enough to stay test-fast. Fixed /tmp path so the static DuckDB oracle
+    * can scan the same parquet. */
+  private val SkipListPath = "/tmp/graft_skiplist_keys"
+  private val SkipListKeys: Seq[String] =
+    (0 until 500).map(i => ((i.toLong * 7919 + 13) % 5000).toString).distinct
+
+  /** Table-backed KeyFilter (F4 at scale): the skip-list lives in a
+    * parquet table and applies as a broadcast LEFT ANTI join through the
+    * engine's own chain path ([[FilterChain.applyKeep]] routing the
+    * join-backed [[FilterSpec.KeyInTable]] to [[graft.ops.SkipList]]).
+    * The spec round-trips through its JSON wire form, as it would on the
+    * sideline control store. */
+  private val fhSkiplistAnti = QueryDef(
+    (s, dir) => {
+      graft.ops.SkipList.write(s, SkipListPath, SkipListKeys)
+      val spec = FilterSpec.fromJson(
+        FilterSpec.KeyInTable("key", SkipListPath).toJson)
+      val chain = FilterChain.empty.withStep("skip", spec)
+      chain.applyKeep(log(s, dir))
+        .select("log_partition", "log_offset", "event_id", "key", "event_type")
+        .orderBy("event_id")
+    },
+    Some(s"""$logCte
+      |SELECT log_partition, log_offset, event_id, key, event_type FROM log
+      |WHERE key NOT IN (SELECT key FROM '$SkipListPath/*.parquet')
+      |ORDER BY event_id""".stripMargin))
+
   /** Multi-step chain (F2): drop if ANY of key-skip, low-value, error-type
     * matches. */
   private val fhChain = QueryDef(
@@ -233,6 +262,7 @@ object ParityQueries {
 
   val all: Map[String, QueryDef] = Map(
     "fh_keyfilter" -> fhKeyfilter,
+    "fh_skiplist_anti" -> fhSkiplistAnti,
     "fh_chain" -> fhChain,
     "sideline_replay" -> sidelineReplay,
     "sideline_union_parity" -> sidelineUnionParity,

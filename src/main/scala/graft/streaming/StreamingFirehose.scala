@@ -77,9 +77,13 @@ object StreamingFirehose {
   }
 
   /** Annotate a (micro-)batch with the chain verdict. Pure plan
-   * construction — used by run() and by batch parity tests. */
+   * construction — used by run() and by batch parity tests. Routed via
+   * the chain's transform path so join-backed steps
+   * ([[graft.filter.FilterSpec.KeyInTable]]) annotate through their
+   * broadcast join; scalar-only chains produce the same
+   * `withColumn(dropColumn)` plan as before. */
   def routed(batch: DataFrame, chain: FilterChain): DataFrame =
-    batch.withColumn("__dropped", chain.dropColumn)
+    chain.annotateDrop(batch, "__dropped")
 
   /**
    * Run the firehose: every micro-batch re-derives the chain from the
