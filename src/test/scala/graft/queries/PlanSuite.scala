@@ -56,6 +56,14 @@ class PlanSuite extends SparkSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
   }
 
+  test("table-backed skip-list applies as a broadcast LeftAnti join") {
+    // F4 at scale: the KeyInTable chain step must never shuffle the log —
+    // the key relation broadcasts and the log stays in place.
+    val p = plan("fh_skiplist_anti")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("aggregation is partial (map-side combine) before the shuffle") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
