@@ -40,11 +40,18 @@ object ParityQueries {
 
   /** 500 deterministic tenant keys — large enough that inlining them as a
     * literal `isin` is the wrong shape (the r3/r4 SkipList point), small
-    * enough to stay test-fast. Fixed /tmp path so the static DuckDB oracle
-    * can scan the same parquet. */
-  private val SkipListPath = "/tmp/graft_skiplist_keys"
+    * enough to stay test-fast. Path is per-process (concurrent harness runs
+    * must not collide) and written at most once per JVM — the oracle SQL
+    * below captures the same path at object init, and Verify dumps it from
+    * this same process, so DuckDB scans the parquet this run wrote. */
+  private val SkipListPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_skiplist_keys_${ProcessHandle.current().pid()}"
   private val SkipListKeys: Seq[String] =
     (0 until 500).map(i => ((i.toLong * 7919 + 13) % 5000).toString).distinct
+  private val skipListReady = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureSkipList(s: SparkSession): Unit =
+    if (skipListReady.compareAndSet(false, true))
+      graft.ops.SkipList.write(s, SkipListPath, SkipListKeys)
 
   /** Table-backed KeyFilter (F4 at scale): the skip-list lives in a
     * parquet table and applies as a broadcast LEFT ANTI join through the
@@ -54,7 +61,7 @@ object ParityQueries {
     * sideline control store. */
   private val fhSkiplistAnti = QueryDef(
     (s, dir) => {
-      graft.ops.SkipList.write(s, SkipListPath, SkipListKeys)
+      ensureSkipList(s)
       val spec = FilterSpec.fromJson(
         FilterSpec.KeyInTable("key", SkipListPath).toJson)
       val chain = FilterChain.empty.withStep("skip", spec)

@@ -25,8 +25,23 @@ import org.apache.spark.sql.functions.col
 class SkipListSuite extends SparkSuite {
   import FilterSpec.{KeyIn, KeyInTable}
 
+  private val baseDir = java.nio.file.Files.createTempDirectory("skiplist-suite")
+  private val dirSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("skiplist").toString + "/keys"
+    baseDir.resolve(s"keys-${dirSeq.incrementAndGet()}").toString
+
+  override def afterAll(): Unit = {
+    // Best-effort recursive delete of the suite's fixture dirs.
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    try rm(baseDir) catch { case _: Exception => () }
+    super.afterAll()
+  }
 
   /** key column with NULLs; id makes row identity visible. */
   private def input: DataFrame = {
@@ -114,12 +129,24 @@ class SkipListSuite extends SparkSuite {
     val chain = FilterChain.empty.withStep("s", KeyInTable("key", path))
     val df = chain.applyKeep(input)
     df.collect() // finalize AQE
-    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
+    // QueryStageExec is a LEAF in the adaptive plan, so SparkPlan.collect
+    // never descends into materialized stages; recurse through them by hand.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def find(p: SparkPlan): Seq[BroadcastHashJoinExec] = {
+      val here = p match {
+        case b: BroadcastHashJoinExec => Seq(b)
+        case _ => Seq.empty
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case other => other.children.flatMap(find)
+      }
+      here ++ below
     }
-    val plan = unwrap(df.queryExecution.executedPlan)
-    val bhjs = plan.collect { case b: BroadcastHashJoinExec => b }
+    val plan = df.queryExecution.executedPlan
+    val bhjs = find(plan)
     assert(bhjs.nonEmpty, plan.toString.take(3000))
     val anti = bhjs.filter(_.joinType.toString == "LeftAnti")
     assert(anti.nonEmpty, s"expected LeftAnti, got ${bhjs.map(_.joinType)}")
