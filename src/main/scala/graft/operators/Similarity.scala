@@ -240,37 +240,41 @@ object Similarity {
     s"${b * 16} + $bits"
   }
 
-  private val dedupEmbeddingCosine = QueryDef(
-    (s, dir) => {
-      // the native codegen'd expression (graft.functions.CosineSimilarity)
-      // computes dot+norms in one tight loop per pair — bit-identical to
-      // the HOF fold (VectorExpressionsSuite), so the oracle still matches
-      val emb = Tables.embeddings(s, dir).repartition(64)
-        .select(col("vec_id"), col("embedding"))
-      // band ids materialized below one band-partitioned exchange shared
-      // by both candidate-join sides (ReusedExchange)
-      val bands = emb.select(col("vec_id"),
-        explode(array((0 until DedupBands).map(bandCol): _*)).as("band"))
-        .repartition(col("band"))
-      // hot bands (boilerplate-dense SRP cells) triangle-salted by
-      // SkewGuard; cold bands keep the shuffle-hash self-join
-      val cand = SkewGuard.pairs(bands, "vec_id")
-        .select(col("vec_id_1").as("vec_id_keeper"),
-          col("vec_id_2").as("vec_id_dropped"))
-        .distinct()
-      cand
-        .join(emb.select(col("vec_id").as("vec_id_keeper"),
-          col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_keeper")
-        .join(emb.select(col("vec_id").as("vec_id_dropped"),
-          col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_dropped")
-        .withColumn("sim",
-          graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
-        .filter(col("sim") >= NearDupThreshold)
-        .select(col("vec_id_keeper"), col("vec_id_dropped"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("vec_id_keeper", "vec_id_dropped")
-    },
-    Some(s"""WITH e AS (
+  /** Verified embedding-cosine near-dup pairs (pre-ordering) — shared by
+    * the pairs query and the cluster query ([[Dedup]]). */
+  private[operators] def embeddingCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    // the native codegen'd expression (graft.functions.CosineSimilarity)
+    // computes dot+norms in one tight loop per pair — bit-identical to
+    // the HOF fold (VectorExpressionsSuite), so the oracle still matches
+    val emb = Tables.embeddings(s, dir).repartition(64)
+      .select(col("vec_id"), col("embedding"))
+    // band ids materialized below one band-partitioned exchange shared
+    // by both candidate-join sides (ReusedExchange)
+    val bands = emb.select(col("vec_id"),
+      explode(array((0 until DedupBands).map(bandCol): _*)).as("band"))
+      .repartition(col("band"))
+    // hot bands (boilerplate-dense SRP cells) triangle-salted by
+    // SkewGuard; cold bands keep the shuffle-hash self-join
+    val cand = SkewGuard.pairs(bands, "vec_id")
+      .select(col("vec_id_1").as("vec_id_keeper"),
+        col("vec_id_2").as("vec_id_dropped"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_id_keeper"),
+        col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_keeper")
+      .join(emb.select(col("vec_id").as("vec_id_dropped"),
+        col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_dropped")
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("vec_id_keeper"), col("vec_id_dropped"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** SQL twin of [[embeddingCosinePairs]] — reused (as a subquery) by the
+    * cluster oracle. */
+  private[operators] val embeddingCosinePairsSql: String =
+    s"""WITH e AS (
       |  SELECT vec_id, embedding,
       |         SQRT(${dotSql("embedding", "embedding")}) AS norm
       |  FROM embeddings),
@@ -285,8 +289,12 @@ object Similarity {
       |FROM cand c
       |JOIN e e1 ON c.vec_id_keeper = e1.vec_id
       |JOIN e e2 ON c.vec_id_dropped = e2.vec_id
-      |WHERE (${dotSql("e1.embedding", "e2.embedding")}) / (e1.norm * e2.norm) >= $NearDupThreshold
-      |ORDER BY vec_id_keeper, vec_id_dropped""".stripMargin))
+      |WHERE (${dotSql("e1.embedding", "e2.embedding")}) / (e1.norm * e2.norm) >= $NearDupThreshold""".stripMargin
+
+  private val dedupEmbeddingCosine = QueryDef(
+    (s, dir) => embeddingCosinePairs(s, dir)
+      .orderBy("vec_id_keeper", "vec_id_dropped"),
+    Some(s"$embeddingCosinePairsSql\nORDER BY vec_id_keeper, vec_id_dropped"))
 
   private val NumCentroids = 8
 

@@ -58,6 +58,8 @@ object SkewGuard {
     * this many times, whatever the bucket size. */
   val DefaultMaxSalt = 64
 
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val N = "__sg_n"
   private val NSalt = "__sg_nsalt"
   private val Grp = "__sg_grp"
@@ -72,8 +74,9 @@ object SkewGuard {
     * `.repartition(col("band"))`-ed (all five call sites do).
     *
     * @param observation optional [[Observation]] attached to the salted
-    *   branch (tests); production plans always carry the named
-    *   `skew_guard` observation, visible via `QueryExecution
+    *   branch (tests); production plans always carry a named
+    *   `skew_guard_<n>` observation (unique per call — one plan may guard
+    *   several banded joins), visible via `QueryExecution
     *   .observedMetrics` / listeners. */
   def pairs(
       banded: DataFrame,
@@ -124,7 +127,11 @@ object SkewGuard {
       approx_count_distinct(col("band")).as("hot_bands"))
     val hotPairs = observation match {
       case Some(obs) => hotPairsRaw.observe(obs, saltedMetrics.head, saltedMetrics.tail: _*)
-      case None => hotPairsRaw.observe("skew_guard", saltedMetrics.head, saltedMetrics.tail: _*)
+      // per-call unique suffix: one plan may guard several banded joins
+      // (e.g. the cluster query unions three pairs families), and Spark
+      // rejects duplicate observation names with differing results
+      case None => hotPairsRaw.observe(s"skew_guard_${obsSeq.incrementAndGet()}",
+        saltedMetrics.head, saltedMetrics.tail: _*)
     }
 
     coldPairs.unionByName(hotPairs)

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components (the transitive-dedup clustering primitive):
+ * exact agreement with a driver-side union-find on seeded random graphs,
+ * convergence/bound semantics, and the scale contract — after the first
+ * round, one shuffle per iteration, carrying (id, label) only.
+ */
+class ConnectedComponentsSuite extends SparkSuite {
+
+  private def verticesDf(n: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("doc_id")
+  }
+
+  private def edgesDf(edges: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    edges.toDF("a", "b")
+  }
+
+  /** Driver-side union-find oracle. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  private def labelsMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain + cycle + singleton resolve to min-id components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (6L, 7L), (7L, 8L), (8L, 6L), // cycle 6-7-8
+      (9L, 9L)) // self-loop, ignored
+    val r = ConnectedComponents.run(verticesDf(10), "doc_id", edgesDf(edges), "a", "b")
+    assert(r.converged)
+    assert(labelsMap(r.labels) === Map(
+      0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L))
+  }
+
+  test("matches union-find on a seeded random graph (duplicates included)") {
+    val n = 200
+    val rnd = new scala.util.Random(42)
+    // ~1.2 edges/vertex: many non-trivial components, some long chains
+    val edges = Seq.fill(240)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val dup = edges ++ edges.take(50) ++ edges.take(20).map(_.swap)
+    val r = ConnectedComponents.run(verticesDf(n), "doc_id", edgesDf(dup), "a", "b")
+    assert(r.converged)
+    assert(labelsMap(r.labels) === unionFind(n, edges))
+  }
+
+  test("no edges: every vertex is its own component, one round to converge") {
+    val r = ConnectedComponents.run(verticesDf(5), "doc_id",
+      edgesDf(Seq.empty), "a", "b")
+    assert(r.converged && r.iterations === 1)
+    assert(labelsMap(r.labels) === (0L until 5L).map(i => i -> i).toMap)
+  }
+
+  test("maxIters bounds the loop and reports non-convergence loudly") {
+    // a 7-hop path needs ~6 propagation rounds; 2 cannot finish
+    val chain = (0L until 7L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val r = ConnectedComponents.run(verticesDf(7), "doc_id",
+      edgesDf(chain), "a", "b", maxIters = 2)
+    assert(!r.converged && r.iterations === 2)
+    // partial labels are a REFINEMENT: never cross components, and all
+    // labels are valid component members (monotone toward the fixpoint)
+    val partial = labelsMap(r.labels)
+    partial.foreach { case (id, lbl) => assert(lbl <= id && lbl >= 0L) }
+    // the same graph converges exactly when given enough rounds
+    val full = ConnectedComponents.run(verticesDf(7), "doc_id",
+      edgesDf(chain), "a", "b")
+    assert(full.converged)
+    assert(labelsMap(full.labels) === (0L until 7L).map(i => i -> 0L).toMap)
+  }
+
+  test("steady-state iteration costs exactly one shuffle, of (id, label)") {
+    // the 100 TB contract: edges are cached pre-partitioned by src, labels
+    // arrive partitioned by id from the previous round's aggregate, so the
+    // propagation join realigns nothing — the min-label aggregate is the
+    // only exchange, and it carries two longs per row.
+    val n = 100
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edgesDf(edges)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().repartition(col("src")).cache()
+    val labels0 = verticesDf(n)
+      .select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    // round 1 output = what run() feeds every later round
+    val l1 = ConnectedComponents.step(labels0, sym).localCheckpoint(true)
+    val l2 = ConnectedComponents.step(l1, sym)
+    l2.collect()
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p match { case s: ShuffleExchangeExec => Seq(s); case _ => Seq.empty }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+        case other => other.children.flatMap(shuffles)
+      }
+      here ++ below
+    }
+    val ex = shuffles(l2.queryExecution.executedPlan)
+    assert(ex.size === 1, l2.queryExecution.executedPlan.toString.take(4000))
+    // the one exchange carries two longs (id + partial min) only — never payload
+    val out = ex.head.child.output
+    assert(out.size === 2 &&
+      out.forall(_.dataType == org.apache.spark.sql.types.LongType),
+      out.mkString(","))
+    sym.unpersist()
+  }
+}
