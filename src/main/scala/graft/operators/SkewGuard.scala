@@ -24,7 +24,18 @@ import org.apache.spark.sql.functions._
  *
  *  1. occupancy pass: `groupBy(band).count()`, map-side combined — the
  *     shuffle carries (band, long) only;
- *  2. hot set = bands with count > cap. Bounded by rows/cap, broadcast;
+ *  2. hot set = bands with count > cap, materialized at its OWN shuffle
+ *     boundary (re-partitioned by band) so AQE sizes it at runtime and
+ *     picks the annotate join accordingly: EMPTY (the skew-free common
+ *     case) ⇒ the left-outer annotate is eliminated outright and the
+ *     whole hot branch constant-folds away — the guard's cold path decays
+ *     to the occupancy agg alone; small ⇒ runtime broadcast, exactly the
+ *     classic plan; degenerate (a pathological hash or near-constant
+ *     bands can push |hot| toward rows/cap — multi-GB, NOT broadcastable)
+ *     ⇒ a co-partitioned shuffle join on band with no corpus reshuffle
+ *     (both sides already hash-partitioned by band). Nothing is ever
+ *     force-broadcast, so no driver OOM exists in any regime, and the
+ *     chosen shape is observable in the executed plan;
  *  3. COLD bands (the overwhelming majority): the existing shuffle-hash
  *     self-join on band — plan unchanged;
  *  4. HOT bands: triangle decomposition. Members are split into
@@ -92,10 +103,15 @@ object SkewGuard {
         case c => col(c)
       }.toIndexedSeq: _*)
 
-    // (1)+(2): occupancy over the reused band exchange; hot set broadcast.
+    // (1)+(2): occupancy over the reused band exchange. The explicit
+    // repartition puts the hot set behind a stage boundary of its own, so
+    // AQE sees its TRUE size before planning the annotate join: empty ⇒
+    // join eliminated (hot branch folds away), small ⇒ runtime broadcast,
+    // degenerate ⇒ co-partitioned join, never a forced broadcast.
     val hot = banded.groupBy("band").agg(count(lit(1)).as(N))
       .filter(col(N) > cap)
-    val ann = banded.join(broadcast(hot), Seq("band"), "left")
+      .repartition(col("band"))
+    val ann = banded.join(hot, Seq("band"), "left")
 
     // (3) cold: the pre-guard plan, verbatim.
     val cold = ann.filter(col(N).isNull).drop(N)
@@ -144,7 +160,8 @@ object SkewGuard {
       banded: DataFrame, idCol: String, cap: Int, maxSalt: Int): DataFrame = {
     val hot = banded.groupBy("band").agg(count(lit(1)).as(N))
       .filter(col(N) > cap)
-    banded.join(broadcast(hot), Seq("band"), "left")
+      .repartition(col("band"))
+    banded.join(hot, Seq("band"), "left")
       .filter(col(N).isNotNull)
       .withColumn(NSalt,
         least(lit(maxSalt), ceil(col(N) / lit(cap.toDouble))).cast("int"))

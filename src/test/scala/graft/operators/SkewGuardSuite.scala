@@ -84,6 +84,46 @@ class SkewGuardSuite extends SparkSuite {
     assert(obs.get("salted_pairs").asInstanceOf[Long] == 0L)
   }
 
+  test("degenerate near-constant bands survive with broadcasts disabled (hot set past any threshold)") {
+    // r5 verdict #2: the hot-set broadcast was bounded only by rows/cap —
+    // with a pathological hash or near-constant bands that is multi-GB.
+    // The guard must not DEPEND on broadcasting: with the broadcast
+    // threshold off (simulating |hot| past any threshold), the annotate
+    // must fall back to the co-partitioned join and stay correct.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      // EVERY band hot: 3 near-constant bands over 300 rows at cap=10
+      val banded = (0 until 300).map(id => (id.toLong, s"b${id % 3}", id.toLong))
+        .toDF("id", "band", "v").repartition(col("band"))
+      val guarded = normalized(SkewGuard.pairs(banded, "id", cap = 10, maxSalt = 8))
+      val naive = naivePairs(banded)
+      assert(guarded.exceptAll(naive).isEmpty && naive.exceptAll(guarded).isEmpty)
+      guarded.collect()
+      val p = guarded.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("skew-free data short-circuits the annotate: AQE eliminates the hot branch") {
+    // the guard's cold-path premium (r5 verdict #3): once the runtime-
+    // sized hot set materializes EMPTY, AQE must drop the left-outer
+    // annotate and the salted lineage wholesale — the executed plan decays
+    // to occupancy agg + the plain candidate join.
+    val banded = skewed(n = 400, hotShare = 0.0)
+    val df = SkewGuard.pairs(banded, "id", cap = 1024, maxSalt = 16)
+    df.collect()
+    // AQE's toString appends the pre-execution "Initial Plan"; judge the
+    // final plan section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("EmptyRelation"), p.take(3000)) // hot set proven empty
+    assert(!p.contains("LeftOuter"), p.take(3000)) // annotate join gone
+    assert(!p.contains("Generate"), p.take(3000)) // salted explode gone
+  }
+
   test("guard plan: corpus joins stay shuffle-hash; only the band-count relation broadcasts") {
     val banded = skewed(n = 900, hotShare = 0.35)
     val df = SkewGuard.pairs(banded, "id", cap = 40, maxSalt = 16)
