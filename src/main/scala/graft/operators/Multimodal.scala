@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: opaque `binary` payloads with typed
  * metadata, processed in partition-local batches.
  *
- * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
- * [[StubDecoder.decode]] derives deterministic fake dimensions from the
- * byte stream. Everything around it is the real Spark shape for
- * multimodal corpora at 100 TB:
+ * The decode step is REAL for images — [[MediaDecoder.decode]] sniffs the
+ * payload's magic bytes and runs PNG/JPEG/GIF/BMP through `javax.imageio`
+ * (JDK-built-in, no new dependency) for true dimensions and container
+ * format. Non-image payloads (the synthetic testdata uses document text
+ * as a stand-in byte stream) fall back to deterministic stub arithmetic,
+ * so oracles stay engine-checkable. Audio/video codecs are absent from
+ * the JDK, so frame sampling remains stubbed arithmetic. Everything
+ * around the decoder is the real Spark shape for multimodal corpora at
+ * 100 TB:
  *  - payloads live in a BINARY column next to a metadata struct (the
  *    parquet layout used for image/audio shards);
  *  - feature extraction runs via mapPartitions over a typed Dataset in
  *    fixed-size batches (the vectorized-decoder call shape: batch in,
  *    batch out, no per-row JNI crossings);
  *  - nothing is collected to the driver; output is columnar features.
- *
- * The `documents.text` bytes stand in for media payloads in the testdata.
  */
 object Multimodal {
 
@@ -30,22 +33,56 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, n_bytes: Int,
       payload_md5: String, width: Int, height: Int, format: String)
 
-  /** The stubbed media decoder. Deterministic arithmetic on the payload —
-    * replace with a real codec (??? boundary) when the runtime has one. */
-  object StubDecoder {
+  /** The media decoder: real `javax.imageio` decode for payloads whose
+    * magic bytes identify a JDK-supported image container; deterministic
+    * stub arithmetic for everything else (synthetic fixtures, unsupported
+    * media). Runs executor-side inside the batched mapPartitions. */
+  object MediaDecoder {
     val BatchSize = 64
 
-    def decode(batch: Seq[BinaryDoc]): Seq[MediaFeatures] = batch.map { d =>
-      val n = d.payload.length
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(d.payload).map("%02x".format(_)).mkString
+    /** Container format via magic bytes — cheap reject before the codec
+      * touches the stream (a 100 TB corpus mustn't pay a codec attempt
+      * per non-image row). */
+    def sniff(p: Array[Byte]): Option[String] = {
+      @inline def u(i: Int): Int = p(i) & 0xff
+      if (p.length >= 8 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' &&
+        u(3) == 'G' && u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a &&
+        u(7) == 0x0a) Some("png")
+      else if (p.length >= 3 && u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff)
+        Some("jpeg")
+      else if (p.length >= 6 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
+        u(3) == '8') Some("gif")
+      else if (p.length >= 2 && u(0) == 'B' && u(1) == 'M') Some("bmp")
+      else None
+    }
+
+    /** Stub path: deterministic arithmetic on the byte stream (pinned by
+      * the DuckDB oracles over the text-payload fixtures). */
+    private def stubFeatures(docId: Long, n: Int, hex: String): MediaFeatures =
       MediaFeatures(
-        doc_id = d.doc_id,
+        doc_id = docId,
         n_bytes = n,
         payload_md5 = hex,
         width = 64 + n % 577,
         height = 64 + (n * 31) % 353,
         format = Vector("jpeg", "png", "webp")(n % 3))
+
+    def decode(batch: Seq[BinaryDoc]): Seq[MediaFeatures] = batch.map { d =>
+      val n = d.payload.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(d.payload).map("%02x".format(_)).mkString
+      sniff(d.payload) match {
+        case Some(fmt) =>
+          // real decode; a lying/corrupt header degrades to the stub
+          // rather than failing the partition
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null)
+            MediaFeatures(d.doc_id, n, hex, img.getWidth, img.getHeight, fmt)
+          else stubFeatures(d.doc_id, n, hex)
+        case None => stubFeatures(d.doc_id, n, hex)
+      }
     }
   }
 
@@ -64,7 +101,7 @@ object Multimodal {
         col("meta.lang").as("lang"), col("meta.source").as("source"))
       .as[BinaryDoc]
       .mapPartitions { it =>
-        it.grouped(StubDecoder.BatchSize).flatMap(StubDecoder.decode)
+        it.grouped(MediaDecoder.BatchSize).flatMap(MediaDecoder.decode)
       }
   }
 
@@ -88,7 +125,7 @@ object Multimodal {
   /** Batched resize stage over extracted features. */
   def resizeFeatures(spark: SparkSession, feats: Dataset[MediaFeatures]): Dataset[ResizedMedia] = {
     import spark.implicits._
-    feats.mapPartitions(it => it.grouped(StubDecoder.BatchSize).flatMap(StubResizer.resize))
+    feats.mapPartitions(it => it.grouped(MediaDecoder.BatchSize).flatMap(StubResizer.resize))
   }
 
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_md5: String)
