@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-round quality/throughput artifact (r3 item #8): one tracked JSON
+ * with the numbers that would otherwise live only in test logs, so
+ * recall/throughput/salting regressions are diffable across rounds:
+ *
+ *  - StreamBench end-to-end firehose rows/second;
+ *  - ANN/dedup recalls vs brute force (the RecallSuite headline numbers);
+ *  - `skew_guard` observation totals per guarded pairs query (salted
+ *    pairs + hot bands actually seen at this SF).
+ *
+ * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+ *          runMain graft.MetricsReport <round> [outPath]
+ */
+object MetricsReport {
+
+  private val GuardedQueries = Seq("ann_lsh_pairs", "dedup_simhash_pairs",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_embedding_cosine")
+
+  /** query_id -> retrieved neighbor set for a top-k query. */
+  private def topkSets(spark: SparkSession, sfDir: String,
+      name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def recallAt10(exact: Map[Long, Set[Long]],
+      approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.toSeq.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  /** Brute-force threshold pairs — metrics-only, never a production shape. */
+  private def exactThresholdPairs(spark: SparkSession, sfDir: String,
+      threshold: Double): Set[(Long, Long)] = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  def main(args: Array[String]): Unit = {
+    val round = args.headOption.getOrElse("0").toIntOption.getOrElse(0)
+    val outPath = args.lift(1).getOrElse(s"METRICS_r$round.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. skew-guard observations from the PRODUCTION plans of the five
+    // guarded queries (observedMetrics carry the salted-branch counters)
+    val skew = GuardedQueries.map { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val rows = df.queryExecution.observedMetrics.collect {
+        case (k, r) if k.startsWith("skew_guard") => r
+      }
+      val salted = rows.map(_.getAs[Long]("salted_pairs")).sum
+      val hot = rows.map(_.getAs[Long]("hot_bands")).sum
+      name -> ((salted, hot))
+    }
+
+    // 2. recalls vs brute force (exact top-k + exact threshold pairs)
+    val exactTopk = topkSets(spark, sfDir, "ann_cosine_topk")
+    val ivf = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivf_topk"))
+    val kmeans = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivf_kmeans_topk"))
+    val banded = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+      .select("vec_id_keeper", "vec_id_dropped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exactThresholdPairs(spark, sfDir, 0.45)
+    val pairRecall =
+      if (exactPairs.isEmpty) 1.0
+      else (banded & exactPairs).size.toDouble / exactPairs.size
+    val falsePos = (banded -- exactPairs).size
+
+    // 3. dedup cluster structure at this SF
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+    val nDocs = clusters.count()
+    val nClusters = clusters.select("cluster_rep").distinct().count()
+
+    // 4. end-to-end streaming throughput
+    val stream = StreamBench.run(spark, sfDir)
+
+    val sg = skew.map { case (n, (s, h)) =>
+      s"""    "$n": {"salted_pairs": $s, "hot_bands": $h}"""
+    }.mkString(",\n")
+    val json =
+      f"""{
+         |  "round": $round,
+         |  "sf_dir": "$sfDir",
+         |  "recall": {
+         |    "ann_ivf_topk_at10": $ivf%.4f,
+         |    "ann_ivf_kmeans_topk_at10": $kmeans%.4f,
+         |    "dedup_embedding_cosine_pair_recall": $pairRecall%.4f,
+         |    "dedup_embedding_cosine_false_positives": $falsePos
+         |  },
+         |  "dedup_clusters": {"documents": $nDocs, "clusters": $nClusters},
+         |  "skew_guard": {
+         |$sg
+         |  },
+         |  "stream": {
+         |    "rows_per_sec": ${stream.rowsPerSec}%.0f,
+         |    "rows": ${stream.rows},
+         |    "emitted": ${stream.emitted},
+         |    "filtered": ${stream.filtered},
+         |    "batches": ${stream.batches},
+         |    "seconds": ${stream.seconds}%.2f
+         |  }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -22,16 +22,13 @@ import java.util.concurrent.atomic.LongAdder
  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.StreamBench
  */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  final case class Result(rowsPerSec: Double, rows: Long, emitted: Long,
+      filtered: Long, batches: Long, seconds: Double)
+
+  /** Drive the full firehose path over a staged many-file stream and
+    * measure end-to-end rows/second. Reused by [[MetricsReport]]. */
+  def run(spark: SparkSession, sfDir: String): Result = {
     // stage the events table ×10 as a many-file stream input (each file
     // is an admission unit; 48 files + maxFilesPerTrigger=12 → 4
     // micro-batches of ~250k rows at sf0.1 — small batches only measure
@@ -66,7 +63,20 @@ object StreamBench {
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
     val total = emitted.sum + filtered.sum
-    println(f"""{"metric":"stream_rows_per_sec","value":${total / sec}%.0f,"unit":"rows/sec","rows":$total,"emitted":${emitted.sum},"filtered":${filtered.sum},"batches":${batches.sum},"seconds":$sec%.2f,"sf":"$sfDir"}""")
+    Result(total / sec, total, emitted.sum, filtered.sum, batches.sum, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir)
+    println(f"""{"metric":"stream_rows_per_sec","value":${r.rowsPerSec}%.0f,"unit":"rows/sec","rows":${r.rows},"emitted":${r.emitted},"filtered":${r.filtered},"batches":${r.batches},"seconds":${r.seconds}%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
