@@ -133,15 +133,16 @@ object RetryingFlow {
    *
    * @param batch fresh rows (any schema S)
    * @param isFailure marks rows (over S + fail_count) that failed this round
-   * @param now processing-time column for schedule evaluation
    * @param sinks durable output writes, called BETWEEN the retry-table
-   *        version write and its commit — pass the real sink writes here
-   *        (not after the call returns) to get the crash ordering above.
-   *        Receives (successes, deadLetters), both already materialized
-   *        executor-side.
+   *        version write and its commit — REQUIRED (r4 verdict #3: when
+   *        this was an opt-in default, writing sinks after the call
+   *        returned silently reversed the crash ordering). Receives
+   *        (successes, deadLetters), both already materialized
+   *        executor-side. Callers with genuinely transient outputs use
+   *        [[processBatchTransient]], which says so in its name.
+   * @param now processing-time column for schedule evaluation
    * @return (successes (S + fail_count), deadLetters (S + fail_count +
-   *         permanently_failed)), after the retry-table commit — for
-   *         callers whose outputs are transient (tests, metrics)
+   *         permanently_failed)), after the retry-table commit
    */
   def processBatch(
       spark: SparkSession,
@@ -149,8 +150,8 @@ object RetryingFlow {
       batch: DataFrame,
       policy: RetryPolicy,
       isFailure: org.apache.spark.sql.Column,
-      now: org.apache.spark.sql.Column = current_timestamp(),
-      sinks: (DataFrame, DataFrame) => Unit = (_, _) => ())
+      sinks: (DataFrame, DataFrame) => Unit,
+      now: org.apache.spark.sql.Column = current_timestamp())
       : (DataFrame, DataFrame) = {
 
     val fresh = batch
@@ -197,4 +198,19 @@ object RetryingFlow {
       (successOut, deadOut)
     } finally { input.unpersist(); () }
   }
+
+  /** [[processBatch]] for callers whose outputs are TRANSIENT (tests,
+    * metrics probes): no durable sinks exist, so there is nothing to
+    * order against the commit, and the returned frames are the whole
+    * result. Production batch loops must use [[processBatch]] and write
+    * their sinks inside it. */
+  def processBatchTransient(
+      spark: SparkSession,
+      store: RetryStore,
+      batch: DataFrame,
+      policy: RetryPolicy,
+      isFailure: org.apache.spark.sql.Column,
+      now: org.apache.spark.sql.Column = current_timestamp())
+      : (DataFrame, DataFrame) =
+    processBatch(spark, store, batch, policy, isFailure, (_, _) => (), now)
 }

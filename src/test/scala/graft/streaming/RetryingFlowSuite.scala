@@ -23,28 +23,28 @@ class RetryingFlowSuite extends SparkSuite {
 
     // batch 1: values 1..10
     val b1 = (1 to 10).toDF("value")
-    val (s1, d1) = RetryingFlow.processBatch(spark, store, b1, policy, isFailure)
+    val (s1, d1) = RetryingFlow.processBatchTransient(spark, store, b1, policy, isFailure)
     // 3,6,9 fail (first attempt), 5,10 fail (forever-rule): all retryable
     assert(s1.select("value").as[Int].collect().sorted === Seq(1, 2, 4, 7, 8))
     assert(d1.count() === 0)
 
     // batch 2: empty fresh input; due retries flow back in first
     val b2 = spark.emptyDataset[Int].toDF("value")
-    val (s2, d2) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    val (s2, d2) = RetryingFlow.processBatchTransient(spark, store, b2, policy, isFailure)
     // 3,6,9 now have fail_count=1 -> succeed; 5,10 fail again (count=2)
     assert(s2.select("value").as[Int].collect().sorted === Seq(3, 6, 9))
     assert(d2.count() === 0)
 
     // two more rounds: 5,10 reach the retry limit (3) and dead-letter
-    val (s3, d3) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    val (s3, d3) = RetryingFlow.processBatchTransient(spark, store, b2, policy, isFailure)
     assert(s3.count() === 0 && d3.count() === 0)
-    val (s4, d4) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    val (s4, d4) = RetryingFlow.processBatchTransient(spark, store, b2, policy, isFailure)
     assert(s4.count() === 0)
     assert(d4.select("value").as[Int].collect().sorted === Seq(5, 10))
     assert(d4.filter(col("permanently_failed")).count() === 2)
 
     // retry table drained
-    val (s5, d5) = RetryingFlow.processBatch(spark, store, b2, policy, isFailure)
+    val (s5, d5) = RetryingFlow.processBatchTransient(spark, store, b2, policy, isFailure)
     assert(s5.count() === 0 && d5.count() === 0)
   }
 
@@ -55,7 +55,7 @@ class RetryingFlowSuite extends SparkSuite {
     val store = new RetryingFlow.RetryStore(spark, dir)
     val policy = ExponentialBackoffRetry(retryLimit = 3,
       initialDelayMs = 0, multiplier = 1.0, maxDelayMs = 0)
-    val (s, d) = RetryingFlow.processBatch(spark, store,
+    val (s, d) = RetryingFlow.processBatchTransient(spark, store,
       (1 to 100).toDF("value"), policy, isFailure = col("value") % 2 === 0)
     // a driver-side collect would surface as a LocalRelation/LocalTableScan;
     // localCheckpoint keeps the rows on the executors as an RDD scan
@@ -77,14 +77,14 @@ class RetryingFlowSuite extends SparkSuite {
     val isFailure = col("value") % 2 === 0
 
     val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
-    val (s1, _) = RetryingFlow.processBatch(spark, store,
+    val (s1, _) = RetryingFlow.processBatchTransient(spark, store,
       (1 to 4).toDF("value"), policy, isFailure, now = t0)
     assert(s1.select("value").as[Int].collect().sorted === Seq(1, 3))
 
     // 1 second later: backoff (1h) not elapsed -> nothing re-enters
     val later = lit("2026-01-01 00:00:01").cast("timestamp")
     val empty = spark.emptyDataset[Int].toDF("value")
-    val (s2, d2) = RetryingFlow.processBatch(spark, store, empty, policy,
+    val (s2, d2) = RetryingFlow.processBatchTransient(spark, store, empty, policy,
       // without retries the failure predicate sees nothing
       isFailure, now = later)
     assert(s2.count() === 0 && d2.count() === 0)
@@ -93,7 +93,7 @@ class RetryingFlowSuite extends SparkSuite {
 
     // 2 hours later: due; they fail again and reschedule with 2h backoff
     val muchLater = lit("2026-01-01 02:00:00").cast("timestamp")
-    val (s3, _) = RetryingFlow.processBatch(spark, store, empty, policy,
+    val (s3, _) = RetryingFlow.processBatchTransient(spark, store, empty, policy,
       isFailure, now = muchLater)
     assert(s3.count() === 0)
     val table = store.read().get
@@ -112,7 +112,7 @@ class RetryingFlowSuite extends SparkSuite {
     val isFailure = col("value") % 2 === 0 && col("fail_count") < 1
 
     // batch 1: 2 is scheduled for retry
-    RetryingFlow.processBatch(spark, store, (1 to 3).toDF("value"), policy, isFailure)
+    RetryingFlow.processBatchTransient(spark, store, (1 to 3).toDF("value"), policy, isFailure)
     assert(store.read().get.select("value").as[Int].collect() === Seq(2))
 
     // batch 2 CRASHES mid-sink: the due retry (2) was pulled from the
