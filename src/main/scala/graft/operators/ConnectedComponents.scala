@@ -95,7 +95,7 @@ object ConnectedComponents {
     // Labels only decrease, so the (exact, decimal) label sum is strictly
     // decreasing until fixpoint — equality means no label moved.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
     var prevSum = labelSum(labels)
     var iters = 0
