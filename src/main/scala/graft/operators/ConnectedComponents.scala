@@ -38,8 +38,16 @@ import org.apache.spark.sql.functions._
  *    Similarity.scala:325-332);
  *  - convergence is `sum(label)` cast to decimal(38,0) (no overflow at
  *    any id scale): labels only ever decrease, so an unchanged sum IS the
- *    fixpoint — one metadata-sized driver action per iteration, no join
- *    against the previous labels.
+ *    fixpoint — one metadata-sized driver action per iteration (which
+ *    also materializes the lazy checkpoint), no join against the
+ *    previous labels.
+ *
+ * Cost profile: at test SF the loop is bound by FIXED per-round job
+ * latency (~1s/round on local[32] for kilobyte-sized label tables, A/B
+ * measured identical with eager vs lazy checkpoints) — the same
+ * scale-invariant floor as the k-means Lloyd collects. The data-
+ * proportional cost, which is what matters at 100 TB, is one
+ * (id, label)-shuffle per round.
  */
 object ConnectedComponents {
 
@@ -101,7 +109,11 @@ object ConnectedComponents {
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      labels = step(labels, sym).localCheckpoint(true)
+      // LAZY checkpoint: the convergence sum below is the round's one
+      // action — it materializes the checkpointed blocks as it computes,
+      // so each round costs a single job instead of an eager-checkpoint
+      // job plus a sum job
+      labels = step(labels, sym).localCheckpoint(false)
       iters += 1
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
