@@ -63,6 +63,34 @@ object StatefulOps {
   }
 
   /**
+   * Exact dedup AT INGEST (the streaming face of the batch `dedup_exact`
+   * operator): emit the FIRST occurrence of each fingerprint; duplicates
+   * arriving within the watermark horizon of that first occurrence are
+   * dropped. State is keyed by fingerprint and bounded by the horizon —
+   * O(distinct fingerprints per horizon), never O(stream) — which is the
+   * only state contract that survives an unbounded 100 TB-scale ingest.
+   *
+   * The documented trade: a duplicate arriving AFTER its original's state
+   * expired re-emits (every bounded-state streaming dedup makes it); the
+   * batch dedup pass downstream (`dedup_exact` / `dedup_clusters`) is the
+   * exactness backstop, the standard ingest-dedup + corpus-dedup split.
+   *
+   * @param docs streaming DataFrame carrying `tsCol` (event time)
+   * @param fingerprint content identity, e.g. `md5(col("text"))`
+   * @param horizon watermark delay bounding both lateness and the dedup
+   *                memory, e.g. "10 minutes"
+   */
+  def dedupExactStream(
+      docs: org.apache.spark.sql.DataFrame,
+      fingerprint: org.apache.spark.sql.Column,
+      tsCol: String,
+      horizon: String): org.apache.spark.sql.DataFrame =
+    docs.withColumn("__fingerprint", fingerprint)
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__fingerprint")
+      .drop("__fingerprint")
+
+  /**
    * Watermarked stream-stream inner join (SURVEY.md §2.3 streaming
    * mapping): enrich a primary stream with a secondary stream on `key`
    * within ±`toleranceSec` of event time. Both sides carry watermarks so

@@ -64,4 +64,43 @@ class StatefulOpsSuite extends SparkSuite {
         "only the within-tolerance match may join")
     } finally q.stop()
   }
+
+  test("streaming exact dedup: first occurrence emits, in-horizon duplicates drop, state is bounded") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.md5
+    val input = MemoryStream[KeyedEvent] // key stands in for document text
+    val out = StatefulOps.dedupExactStream(
+      input.toDS().toDF(), md5($"key".cast("binary")), "ts", horizon = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // batch 1: A twice + B once → A once, B once
+      input.addData(
+        KeyedEvent("A", ts("2026-01-01 00:00:10"), 1.0),
+        KeyedEvent("A", ts("2026-01-01 00:00:11"), 2.0),
+        KeyedEvent("B", ts("2026-01-01 00:00:12"), 3.0))
+      q.processAllAvailable()
+      def emitted(): Seq[(String, Double)] = spark.table("stream_dedup")
+        .select("key", "value").as[(String, Double)].collect().toSeq
+      assert(emitted().map(_._1).sorted === Seq("A", "B"))
+      assert(emitted().toSet === Set(("A", 1.0), ("B", 3.0)), "first occurrence wins")
+
+      // batch 2: another A inside the horizon → still deduped ACROSS batches
+      input.addData(KeyedEvent("A", ts("2026-01-01 00:00:13"), 4.0))
+      q.processAllAvailable()
+      assert(emitted().count(_._1 == "A") === 1)
+
+      // far-future C advances the watermark past A's expiry (10 + 10s)…
+      input.addData(KeyedEvent("C", ts("2026-01-01 01:00:00"), 5.0))
+      q.processAllAvailable()
+      // …so a NEW A re-emits: the bounded-state trade, stated in the
+      // scaladoc — in-horizon memory only, never O(stream) state
+      input.addData(KeyedEvent("A", ts("2026-01-01 01:00:01"), 6.0))
+      q.processAllAvailable()
+      assert(emitted().count(_._1 == "A") === 2,
+        "state must expire with the watermark horizon (bounded-state contract)")
+    } finally q.stop()
+  }
 }
