@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
  * rather than record-at-a-time
  * (sideline/handler/SidelineSpoutHandler.java:488-537).
  *
- * Algorithm: iterative min-label propagation. Each vertex starts labeled
- * with itself; each round every vertex takes the min of its own label and
- * its neighbors' labels; fixpoint = every vertex carries the min id of its
- * component. Rounds needed = graph diameter (dedup components are
- * shallow template families, so single digits in practice), bounded by
- * `maxIters` with an explicit convergence verdict — never a silent cap.
+ * Algorithm: iterative min-label propagation with ADAPTIVE POINTER
+ * JUMPING. Each vertex starts labeled with itself; each round every
+ * vertex takes the min of its own label and its neighbors' labels
+ * (propagate). Propagation alone needs `diameter` rounds — the cheapest
+ * possible round, and enough for the shallow template families that
+ * dominate real corpora. If the graph is still unconverged after
+ * `shortcutAfter` rounds (a deep chain of drifting templates), every
+ * further round also replaces each label with its label's label
+ * (shortcut — labels are always real vertex ids, so the lookup is a
+ * self-join of the label table), doubling reach per round: a 1000-hop
+ * chain resolves in ~13 rounds instead of 1000. Bounded by `maxIters`
+ * with an explicit convergence verdict — never a silent cap.
  *
  * 100 TB shape, per iteration:
  *  - the symmetrized edge list is computed ONCE, hash-partitioned by
@@ -30,9 +36,11 @@ import org.apache.spark.sql.functions._
  *  - labels arrive partitioned by id (the previous iteration's groupBy
  *    output, preserved through `localCheckpoint`), so the edges⋈labels
  *    join needs NO new exchange on either side;
- *  - the only per-iteration shuffle is the min-label aggregate, map-side
- *    combined, carrying (id, long) — never document content
- *    (ConnectedComponentsSuite pins this with a plan assert);
+ *  - per iteration, the edge-proportional work shuffles ONCE (the
+ *    min-label aggregate, map-side combined); once engaged, the shortcut
+ *    adds one label-table-sized exchange (vertex-proportional, strictly
+ *    smaller). Everything shuffled is (id, long) — never document
+ *    content (ConnectedComponentsSuite pins this with a plan assert);
  *  - `localCheckpoint` between iterations cuts lineage so iteration k
  *    never replans k-1 nested joins (the k-means lineage lesson,
  *    Similarity.scala:325-332);
@@ -68,14 +76,31 @@ object ConnectedComponents {
       .groupBy("id").agg(min("label").as("label"))
   }
 
+  /** Pointer jump: label := label(label). Every label is a vertex id (a
+    * component member seen so far), so the lookup is a self-join that
+    * always matches; the coalesce is belt-and-braces. Monotone: the
+    * looked-up label is ≤ the label it replaces. */
+  private[operators] def shortcut(labels: DataFrame): DataFrame = {
+    val lookup = labels
+      .select(col("id").as("__lk_id"), col("label").as("__lk_label"))
+    labels.join(lookup, col("label") === col("__lk_id"), "left")
+      .select(col("id"),
+        coalesce(col("__lk_label"), col("label")).as("label"))
+  }
+
   /**
    * @param vertices relation containing `idCol` (unique long per vertex);
    *                 extra columns are ignored
    * @param edges    undirected pair list; duplicates and self-loops are
    *                 tolerated (deduped/ignored by construction)
-   * @param maxIters hard bound on propagation rounds (label propagation
-   *                 needs `diameter` rounds; near-dup components are
-   *                 shallow, so the default is generous)
+   * @param maxIters hard bound on rounds (with the shortcut engaged,
+   *                 convergence needs ~shortcutAfter + log2(diameter)
+   *                 rounds, so the default covers any component a real
+   *                 corpus can produce)
+   * @param shortcutAfter rounds of plain (cheapest) propagation before
+   *                 the pointer-jump joins in — shallow components, the
+   *                 overwhelmingly common case, converge without ever
+   *                 paying the extra label-table join
    */
   def run(
       vertices: DataFrame,
@@ -83,7 +108,8 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIters: Int = 25): Result = {
+      maxIters: Int = 25,
+      shortcutAfter: Int = 5): Result = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // Symmetrize + dedup once; partition by src so every iteration's join
@@ -113,7 +139,9 @@ object ConnectedComponents {
       // action — it materializes the checkpointed blocks as it computes,
       // so each round costs a single job instead of an eager-checkpoint
       // job plus a sum job
-      labels = step(labels, sym).localCheckpoint(false)
+      val propagated = step(labels, sym)
+      labels = (if (iters >= shortcutAfter) shortcut(propagated) else propagated)
+        .localCheckpoint(false)
       iters += 1
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0

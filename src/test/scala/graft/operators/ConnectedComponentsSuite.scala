@@ -86,11 +86,12 @@ class ConnectedComponentsSuite extends SparkSuite {
     assert(labelsMap(full.labels) === (0L until 7L).map(i => i -> 0L).toMap)
   }
 
-  test("steady-state iteration costs exactly one shuffle, of (id, label)") {
+  test("steady-state round: one edge-sized shuffle + one label-sized shuffle, longs only") {
     // the 100 TB contract: edges are cached pre-partitioned by src, labels
     // arrive partitioned by id from the previous round's aggregate, so the
     // propagation join realigns nothing — the min-label aggregate is the
-    // only exchange, and it carries two longs per row.
+    // only edge-proportional exchange; the pointer-jump self-join adds one
+    // label-table-sized exchange. Every shuffled row is two longs.
     val n = 100
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
@@ -102,10 +103,6 @@ class ConnectedComponentsSuite extends SparkSuite {
     val labels0 = verticesDf(n)
       .select(col("doc_id").as("id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    // round 1 output = what run() feeds every later round
-    val l1 = ConnectedComponents.step(labels0, sym).localCheckpoint(true)
-    val l2 = ConnectedComponents.step(l1, sym)
-    l2.collect()
     def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = {
       val here = p match { case s: ShuffleExchangeExec => Seq(s); case _ => Seq.empty }
       val below = p match {
@@ -115,13 +112,50 @@ class ConnectedComponentsSuite extends SparkSuite {
       }
       here ++ below
     }
-    val ex = shuffles(l2.queryExecution.executedPlan)
-    assert(ex.size === 1, l2.queryExecution.executedPlan.toString.take(4000))
-    // the one exchange carries two longs (id + partial min) only — never payload
-    val out = ex.head.child.output
-    assert(out.size === 2 &&
-      out.forall(_.dataType == org.apache.spark.sql.types.LongType),
-      out.mkString(","))
+    // round 1 output = what run() feeds every later round
+    val l1 = ConnectedComponents.shortcut(
+      ConnectedComponents.step(labels0, sym)).localCheckpoint(true)
+    // propagate alone: exactly ONE exchange
+    val prop = ConnectedComponents.step(l1, sym)
+    prop.collect()
+    val propEx = shuffles(prop.queryExecution.executedPlan)
+    assert(propEx.size === 1, prop.queryExecution.executedPlan.toString.take(4000))
+    // full round (propagate + shortcut): the shortcut adds one label-sized
+    // exchange; AQE may insert one more re-alignment when it locally
+    // downgrades the propagate join to broadcast (test-size artifact).
+    // The scale invariant is the payload: every shuffled row is two longs.
+    val round = ConnectedComponents.shortcut(ConnectedComponents.step(l1, sym))
+    round.collect()
+    val ex = shuffles(round.queryExecution.executedPlan)
+    assert(ex.size <= 3, round.queryExecution.executedPlan.toString.take(4000))
+    ex.foreach { e =>
+      val out = e.child.output
+      assert(out.size === 2 &&
+        out.forall(_.dataType == org.apache.spark.sql.types.LongType),
+        out.mkString(","))
+    }
     sym.unpersist()
+  }
+
+  test("giant boilerplate cluster (star) resolves in O(1) rounds") {
+    // the real-world hot case: thousands of exact/near dups of one
+    // template form a single giant component of diameter 2
+    val n = 5000
+    val star = (1L until n.toLong).map(i => (0L, i))
+    val r = ConnectedComponents.run(verticesDf(n), "doc_id", edgesDf(star), "a", "b")
+    assert(r.converged && r.iterations <= 3, s"star took ${r.iterations} rounds")
+    val labels = labelsMap(r.labels)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("pointer jumping: a 60-hop chain converges within default maxIters") {
+    // plain propagation needs 59 rounds (> default maxIters); once the
+    // adaptive shortcut engages, reach doubles per round
+    val n = 60
+    val chain = (0L until n.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
+    val r = ConnectedComponents.run(verticesDf(n), "doc_id", edgesDf(chain), "a", "b")
+    assert(r.converged, s"chain did not converge in ${r.iterations} rounds")
+    assert(r.iterations <= 12, s"expected ~shortcutAfter+log2(60) rounds, got ${r.iterations}")
+    assert(labelsMap(r.labels).values.forall(_ == 0L))
   }
 }
