@@ -90,6 +90,84 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark("__fingerprint")
       .drop("__fingerprint")
 
+  final case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  final case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int, band: Long)
+  /** Per-band memory: (doc_id, simhash, event-time millis) seen within
+    * the horizon. */
+  final case class BandState(entries: List[(Long, Long, Long)])
+
+  /**
+   * NEAR-dup detection AT INGEST (the streaming face of
+   * `dedup_simhash_pairs`): each document gets a 64-bit SimHash computed
+   * per row with higher-order functions — one xxhash64 per token, zero
+   * shuffle, no oracle constraint so no md5 — and is checked against the
+   * documents that shared any of its 4 16-bit signature bands within the
+   * event-time horizon. By the batch operator's pigeonhole argument, any
+   * pair within `maxHamming` = 3 shares at least one unchanged band, so
+   * banding loses nothing; state is keyed by band value and holds ONLY
+   * the in-horizon members of that band — O(collisions per horizon),
+   * never O(stream).
+   *
+   * Contract mirrors the batch pairs operators: a pair colliding in k
+   * bands emits up to k times (callers dedupe downstream), and a
+   * duplicate arriving after its original left the horizon is not
+   * reported — the batch dedup passes are the exactness backstop.
+   * Eviction is driven by arriving event times (a quiet band keeps its
+   * last entries until its next arrival; a production deployment adds a
+   * state timeout, kept out of tests for determinism — see
+   * [[runningStats]]).
+   */
+  def dedupSimhashStream(
+      spark: SparkSession,
+      docs: Dataset[DocEvent],
+      horizonMs: Long,
+      maxHamming: Int = 3): Dataset[NearDupHit] = {
+    import spark.implicits._
+    val bits = 64
+    val bandBits = 16
+    val nBands = bits / bandBits
+    // signed bit-sums: +1 for a set bit of the token hash, -1 otherwise;
+    // bit b of the signature is set iff its sum is >= 0 (same arithmetic
+    // as the batch simhashDf, with xxhash64 for the per-token hash)
+    val withSig = docs.toDF()
+      .withColumn("__hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .withColumn("__sums", expr(
+        s"""aggregate(__hs, array_repeat(0L, $bits),
+           |  (acc, h) -> zip_with(acc, sequence(0L, ${bits - 1}L),
+           |    (c, i) -> c + CASE WHEN (h >> CAST(i AS INT)) % 2 != 0
+           |                  THEN 1L ELSE -1L END))""".stripMargin))
+      .withColumn("__simhash", expr(
+        s"""aggregate(zip_with(__sums, sequence(0L, ${bits - 1}L),
+           |  (s, i) -> CASE WHEN s >= 0 THEN shiftleft(1L, CAST(i AS INT))
+           |            ELSE 0L END), 0L, (a, x) -> a + x)""".stripMargin))
+    val banded = withSig.select(col("doc_id"), col("__simhash"), col("ts"),
+        explode(array((0 until nBands).map { b =>
+          lit(b * 65536L) +
+            shiftright(col("__simhash"), bandBits * b).bitwiseAND(lit(65535L))
+        }: _*)).as("__band"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+    banded.groupByKey(_._4)
+      .flatMapGroupsWithState[BandState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (band, rows, state: GroupState[BandState]) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = Seq.newBuilder[NearDupHit]
+          // deterministic order within a batch: by doc id
+          rows.toSeq.sortBy(_._1).foreach { case (docId, sig, ts, _) =>
+            val t = ts.getTime
+            entries = entries.filter(e => t - e._3 <= horizonMs)
+            entries.foreach { case (pid, psig, _) =>
+              val ham = java.lang.Long.bitCount(sig ^ psig)
+              if (ham <= maxHamming && pid != docId)
+                out += NearDupHit(docId, pid, ham, band)
+            }
+            entries = (docId, sig, t) :: entries
+          }
+          state.update(BandState(entries))
+          out.result().iterator
+      }
+  }
+
   /**
    * Watermarked stream-stream inner join (SURVEY.md §2.3 streaming
    * mapping): enrich a primary stream with a secondary stream on `key`

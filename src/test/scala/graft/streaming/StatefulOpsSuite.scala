@@ -103,4 +103,48 @@ class StatefulOpsSuite extends SparkSuite {
         "state must expire with the watermark horizon (bounded-state contract)")
     } finally q.stop()
   }
+
+  test("streaming simhash near-dup: cross-batch hits within horizon, none past it") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StatefulOps.{DocEvent, NearDupHit}
+    val input = MemoryStream[DocEvent]
+    val out = StatefulOps.dedupSimhashStream(spark, input.toDS(),
+      horizonMs = 60_000L, maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("stream_neardup")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      val boiler = "the quick brown fox jumps over the lazy dog again and again"
+      val other = "completely unrelated legal disclaimer text mentioning nothing similar whatsoever"
+      // batch 1: two identical docs (hamming 0) + one unrelated
+      input.addData(
+        DocEvent(1L, boiler, ts("2026-01-01 00:00:00")),
+        DocEvent(2L, boiler, ts("2026-01-01 00:00:10")),
+        DocEvent(3L, other, ts("2026-01-01 00:00:20")))
+      q.processAllAvailable()
+      def hits(): Seq[NearDupHit] =
+        spark.table("stream_neardup").as[NearDupHit].collect().toSeq
+      // the identical pair is found (in up to 4 bands — k-band multiplicity
+      // is the batch pairs contract too); the unrelated doc matches nothing
+      val pairs1 = hits().map(h => (h.dup_of, h.doc_id)).distinct
+      assert(pairs1 === Seq((1L, 2L)), s"got ${hits()}")
+      assert(hits().forall(_.hamming === 0))
+
+      // batch 2: another copy inside the horizon → flagged against BOTH
+      // in-horizon originals, proving state crossed the batch boundary
+      input.addData(DocEvent(4L, boiler, ts("2026-01-01 00:00:30")))
+      q.processAllAvailable()
+      val pairs2 = hits().map(h => (h.dup_of, h.doc_id)).distinct.toSet
+      assert(pairs2 === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+
+      // batch 3: a copy arriving 10 minutes later — every prior entry is
+      // past the 60s horizon, so nothing is reported (bounded state, the
+      // documented trade; batch dedup is the backstop)
+      val before = hits().size
+      input.addData(DocEvent(5L, boiler, ts("2026-01-01 00:10:30")))
+      q.processAllAvailable()
+      assert(hits().size === before, s"horizon-expired entries matched: ${hits()}")
+    } finally q.stop()
+  }
 }
