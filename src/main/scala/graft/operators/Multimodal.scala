@@ -128,6 +128,61 @@ object Multimodal {
     feats.mapPartitions(it => it.grouped(MediaDecoder.BatchSize).flatMap(StubResizer.resize))
   }
 
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      thumb_w: Int, thumb_h: Int, thumb_png: Array[Byte])
+
+  /** REAL thumbnailing over the binary column: payloads whose magic bytes
+    * identify a JDK-decodable image are decoded, scaled into the
+    * [[StubResizer.ThumbBox]] square with Java2D (bilinear), and
+    * re-encoded as PNG; non-image payloads get the stub dimensional
+    * arithmetic and a null thumbnail. Batched mapPartitions like
+    * [[extractFeatures]] — the whole decode→scale→encode loop runs
+    * executor-side, emitting columnar (dims + thumbnail bytes). */
+  def resizeImages(spark: SparkSession, binaryDocs: DataFrame): Dataset[ResizedImage] = {
+    import spark.implicits._
+    def one(d: BinaryDoc): ResizedImage = {
+      val n = d.payload.length
+      val real = MediaDecoder.sniff(d.payload).flatMap { _ =>
+        Option(
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.payload))
+          catch { case _: java.io.IOException => null })
+      }
+      real match {
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val m = math.max(w, h)
+          val (tw, th) =
+            if (m <= StubResizer.ThumbBox) (w, h)
+            else (math.max(1, w * StubResizer.ThumbBox / m),
+              math.max(1, h * StubResizer.ThumbBox / m))
+          val thumb = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(thumb, "png", bos)
+          ResizedImage(d.doc_id, w, h, tw, th, bos.toByteArray)
+        case None =>
+          val w = 64 + n % 577
+          val h = 64 + (n * 31) % 353
+          val m = math.max(w, h)
+          val (tw, th) =
+            if (m <= StubResizer.ThumbBox) (w, h)
+            else (w * StubResizer.ThumbBox / m, h * StubResizer.ThumbBox / m)
+          ResizedImage(d.doc_id, w, h, tw, th, null)
+      }
+    }
+    binaryDocs
+      .select(col("doc_id"), col("payload"),
+        col("meta.lang").as("lang"), col("meta.source").as("source"))
+      .as[BinaryDoc]
+      .mapPartitions(_.grouped(MediaDecoder.BatchSize).flatMap(_.map(one)))
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Frame sampling: treat the payload as a clip of n_bytes/1000 + 1

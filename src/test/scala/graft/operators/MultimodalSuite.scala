@@ -73,6 +73,32 @@ class MultimodalSuite extends SparkSuite {
     assert((feats(2L).width, feats(2L).height) === ((64 + n % 577, 64 + (n * 31) % 353)))
   }
 
+  test("real resize: images scale into the thumb box and re-encode as valid PNG") {
+    import spark.implicits._
+    val png = realImage(200, 100, "png") // > ThumbBox → scales to 128x64
+    val small = realImage(50, 40, "jpeg") // <= ThumbBox → passes through
+    val txt = "not an image at all".getBytes("UTF-8")
+    val df = Seq((1L, png, "en", "img", 0L), (2L, small, "en", "img", 0L),
+      (3L, txt, "en", "txt", 0L))
+      .toDF("doc_id", "payload", "lang", "source", "n_chars")
+      .select(col("doc_id"), col("payload"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+    val out = Multimodal.resizeImages(spark, df)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert((out(1L).width, out(1L).height, out(1L).thumb_w, out(1L).thumb_h)
+      === ((200, 100, 128, 64)))
+    // the thumbnail is a REAL png at the thumb dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).thumb_png))
+    assert((back.getWidth, back.getHeight) === ((128, 64)))
+    // small image passes through unscaled
+    assert((out(2L).thumb_w, out(2L).thumb_h) === ((50, 40)))
+    // non-image payload keeps stub arithmetic, no thumbnail bytes
+    val n = txt.length
+    assert((out(3L).width, out(3L).height) === ((64 + n % 577, 64 + (n * 31) % 353)))
+    assert(out(3L).thumb_png === null)
+  }
+
   test("corrupt image header degrades to the stub instead of failing the batch") {
     // valid PNG magic, garbage body — ImageIO returns null/throws
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
