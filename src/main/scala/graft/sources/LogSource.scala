@@ -33,33 +33,86 @@ trait LogSource extends Serializable {
    * dynamic/VirtualSpout.java:337-358). `starting` offsets are EXCLUSIVE
    * last-finished watermarks, matching the reference's resume-after rule
    * (kafka/Consumer.java:62-90: restart replays everything after the
-   * committed watermark). */
+   * committed watermark).
+   *
+   * Scale shape: with few partitions the bounds inline as a literal
+   * predicate — pushdown-friendly, the parquet scan prunes on it. Past
+   * [[LogSource.MaxInlineBounds]] partitions the same disjunction becomes
+   * an expression-tree liability (a 10k-partition log would hand Catalyst
+   * a 10k-term Or: quadratic analysis, codegen blowup), so the bounds
+   * switch to a BROADCAST-JOINED per-partition bound table — metadata-
+   * sized by construction (one row per partition) and O(1) in expression
+   * size regardless of partition count. Both paths implement the exact
+   * same semantics (LogSourceBoundsSuite pins parity). */
   def readBounded(
       spark: SparkSession,
       starting: ConsumerState,
       ending: Option[ConsumerState]): DataFrame = {
+    val startOffsets = starting.offsets.collect {
+      case (ConsumerPartition(ns, p), off) if ns == namespace => p -> off
+    }
+    val endOffsets = ending.map(_.offsets.collect {
+      case (ConsumerPartition(ns, p), off) if ns == namespace => p -> off
+    })
+    val nBounds = startOffsets.size + endOffsets.map(_.size).getOrElse(0)
+    if (nBounds <= LogSource.MaxInlineBounds)
+      readBoundedInline(spark, startOffsets, endOffsets)
+    else readBoundedJoin(spark, startOffsets, endOffsets)
+  }
+
+  /** Literal-predicate bounds (small partition counts): pushes to the scan. */
+  private[sources] def readBoundedInline(
+      spark: SparkSession,
+      startOffsets: Map[Int, Long],
+      endOffsets: Option[Map[Int, Long]]): DataFrame = {
     val df = read(spark)
     val afterStart =
-      if (starting.offsets.isEmpty) df
+      if (startOffsets.isEmpty) df
       else {
-        val startExpr = starting.offsets.collect {
-          case (ConsumerPartition(ns, p), off) if ns == namespace =>
-            (col("partition") === p) && (col("offset") <= off)
+        val startExpr = startOffsets.map { case (p, off) =>
+          (col("partition") === p) && (col("offset") <= off)
         }.reduceOption(_ || _).getOrElse(lit(false))
         df.filter(!startExpr)
       }
-    ending match {
+    endOffsets match {
       case None => afterStart
       case Some(end) =>
         // A partition absent from the ending state contributes nothing:
         // the snapshot was taken when that partition did not exist, so a
         // bounded replay must not read past the snapshot (reference
         // doesMessageExceedEndingOffset treats unknown as exceed).
-        val endExpr = end.offsets.collect {
-          case (ConsumerPartition(ns, p), off) if ns == namespace =>
-            (col("partition") === p) && (col("offset") <= off)
+        val endExpr = end.map { case (p, off) =>
+          (col("partition") === p) && (col("offset") <= off)
         }.reduceOption(_ || _).getOrElse(lit(false))
         afterStart.filter(endExpr)
+    }
+  }
+
+  /** Broadcast-joined bounds (large partition counts): one row per
+    * partition, O(1) expression size. */
+  private[sources] def readBoundedJoin(
+      spark: SparkSession,
+      startOffsets: Map[Int, Long],
+      endOffsets: Option[Map[Int, Long]]): DataFrame = {
+    import spark.implicits._
+    val df = read(spark)
+    endOffsets match {
+      case Some(end) =>
+        // ending keyset decides admission (absent partition => no rows);
+        // carry the start bound on the same row where present
+        val bounds = end.toSeq
+          .map { case (p, e) => (p, e, startOffsets.get(p)) }
+          .toDF("partition", "__end_off", "__start_off")
+        df.join(broadcast(bounds), Seq("partition"))
+          .filter(col("offset") <= col("__end_off") &&
+            (col("__start_off").isNull || col("offset") > col("__start_off")))
+          .drop("__end_off", "__start_off")
+      case None =>
+        // start-only: absent partition reads from the beginning
+        val bounds = startOffsets.toSeq.toDF("partition", "__start_off")
+        df.join(broadcast(bounds), Seq("partition"), "left")
+          .filter(col("__start_off").isNull || col("offset") > col("__start_off"))
+          .drop("__start_off")
     }
   }
 
@@ -131,6 +184,15 @@ final case class ParquetEventLog(dir: String, numPartitions: Int = 4)
         col("event_type"), col("event_value"))
       .withColumn("source_id", lit("firehose:main"))
   }
+}
+
+object LogSource {
+  /** Max per-partition bounds inlined as a literal predicate before
+    * [[LogSource.readBounded]] switches to the broadcast-joined bound
+    * table. Inline wins while the disjunction is small (it reaches the
+    * parquet scan as a pushed filter); the join wins once expression size
+    * would grow with the partition count. */
+  val MaxInlineBounds = 64
 }
 
 object ParquetEventLog {
