@@ -29,21 +29,33 @@ final case class FileLogSource(
     spark.read.schema(schema).parquet(s"$dir/*")
 
   /** Unbounded streaming tail from after the given watermark state —
-    * the RESUME path. The offset predicate composes with the drop-step
-    * negation into one codegen'd filter. */
+    * the RESUME path. Few partitions: the offset predicate composes with
+    * the drop-step negation into one codegen'd filter. Past
+    * [[LogSource.MaxInlineBounds]] partitions: a stream-static broadcast
+    * join against the per-partition bound table, O(1) expression size
+    * (the batch readBounded makes the same switch, and for the same
+    * reason — a many-partition snapshot must not build a giant Or). */
   def readStreamFrom(spark: SparkSession,
       from: ConsumerState = ConsumerState.empty): DataFrame = {
     val r = spark.readStream.schema(schema)
     val sr = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString))
     val df = sr.parquet(s"$dir/*")
-    if (from.offsets.isEmpty) df
-    else {
-      val beforeStart = from.offsets.collect {
-        case (ConsumerPartition(ns, p), off) if ns == namespace =>
-          (col("partition") === p) && (col("offset") <= off)
+    val bounds = from.offsets.collect {
+      case (ConsumerPartition(ns, p), off) if ns == namespace => p -> off
+    }
+    if (bounds.isEmpty) df
+    else if (bounds.size <= LogSource.MaxInlineBounds) {
+      val beforeStart = bounds.map { case (p, off) =>
+        (col("partition") === p) && (col("offset") <= off)
       }.reduceOption(_ || _).getOrElse(lit(false))
       df.filter(!beforeStart)
+    } else {
+      import spark.implicits._
+      val b = bounds.toSeq.toDF("partition", "__start_off")
+      df.join(broadcast(b), Seq("partition"), "left")
+        .filter(col("__start_off").isNull || col("offset") > col("__start_off"))
+        .drop("__start_off")
     }
   }
 

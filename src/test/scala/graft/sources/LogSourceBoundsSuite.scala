@@ -83,4 +83,31 @@ class LogSourceBoundsSuite extends SparkSuite {
       Some(startMap(end).filter(_._1 < 4))))
     assert(rows(df) === expected)
   }
+
+  test("streaming resume from a many-partition snapshot takes the join path") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bounds-stream").toString
+    (0 until 2).foreach { p =>
+      (0L until 20L).map(o => (p, o, s"v$o"))
+        .toDF("partition", "offset", "value")
+        .write.mode("append").parquet(s"$dir/d$p")
+    }
+    val schema = spark.read.parquet(s"$dir/d0").schema
+    val src = FileLogSource(s"$dir/d*", schema)
+    // 1000-partition snapshot: inline would be the giant-Or hazard; the
+    // stream-static broadcast join must produce the exact resume window
+    val from = ConsumerState((0 until 1000).map(p =>
+      ConsumerPartition("file", p) -> 9L).toMap)
+    val q = src.readStreamFrom(spark, from)
+      .writeStream.format("memory").queryName("bounds_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.table("bounds_stream")
+        .select("partition", "offset").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(out === (for (p <- 0 until 2; o <- 10L until 20L) yield (p, o)).toSet)
+    } finally q.stop()
+  }
 }
