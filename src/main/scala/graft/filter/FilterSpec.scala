@@ -143,6 +143,18 @@ object FilterSpec {
       else !dropColumn || col(field).isNull
   }
 
+  /** Drop when `field` matches the regex (unanchored find, Java syntax —
+   * anchor with ^$ for full-match). The tenant-PATTERN recipe: the
+   * reference's FilterChainStep is arbitrary JVM code and its README
+   * filters on computed message traits; a regex over a field is the
+   * declarative form that still reaches codegen. NULL field ⇒ NULL
+   * verdict ⇒ kept by the firehose, excluded from the replay — the
+   * [[KeyIn]] truth table. */
+  final case class FieldRegex(field: String, pattern: String) extends FilterSpec {
+    def dropColumn: Column = col(field).rlike(pattern)
+    override def keepColumn: Column = !dropColumn || col(field).isNull
+  }
+
   /** Logical NOT — the heart of sideline replay (process only what was
    * dropped). Reference: dynamic/filter/NegatingFilterChainStep.java:33-63. */
   final case class Not(inner: FilterSpec) extends FilterSpec {
@@ -193,6 +205,9 @@ object FilterSpec {
     case FieldCmp(f, op, v) =>
       JObject("op" -> JString("field_cmp"), "field" -> JString(f),
         "cmp" -> JString(op), "value" -> v)
+    case FieldRegex(f, p) =>
+      JObject("op" -> JString("field_regex"), "field" -> JString(f),
+        "pattern" -> JString(p))
     case Not(i)    => JObject("op" -> JString("not"), "inner" -> toJValue(i))
     case AnyOf(ss) => JObject("op" -> JString("any"), "steps" -> JArray(ss.map(toJValue).toList))
     case AllOf(ss) => JObject("op" -> JString("all_of"), "steps" -> JArray(ss.map(toJValue).toList))
@@ -220,6 +235,7 @@ object FilterSpec {
           case "key_in_table" => KeyInTable(str(o, "field"), str(o, "path"))
           case "field_eq"  => FieldEq(str(o, "field"), o \ "value")
           case "field_cmp" => FieldCmp(str(o, "field"), str(o, "cmp"), o \ "value")
+          case "field_regex" => FieldRegex(str(o, "field"), str(o, "pattern"))
           case "not"       => Not(fromJValue(o \ "inner"))
           case "any"       => AnyOf(steps(o))
           case "all_of"    => AllOf(steps(o))

@@ -74,6 +74,24 @@ object ParityQueries {
       |WHERE key NOT IN (SELECT key FROM '$SkipListPath/*.parquet')
       |ORDER BY event_id""".stripMargin))
 
+  /** Tenant-PATTERN filter (the regex FilterChainStep recipe): drop every
+    * tenant whose key matches the pattern. The spec round-trips through
+    * its JSON wire form, as on the sideline control store. Anchored
+    * pattern keeps Spark rlike (Java regex, find semantics) and DuckDB
+    * regexp_matches agreeing. */
+  private val fhRegex = QueryDef(
+    (s, dir) => {
+      val spec = FilterSpec.fromJson(
+        FilterSpec.FieldRegex("key", "^1[0-9]$").toJson)
+      val chain = FilterChain.empty.withStep("pattern", spec)
+      chain.applyKeep(log(s, dir))
+        .select("log_partition", "log_offset", "event_id", "key", "event_type")
+        .orderBy("event_id")
+    },
+    Some(s"""$logCte
+      |SELECT log_partition, log_offset, event_id, key, event_type FROM log
+      |WHERE NOT regexp_matches(key, '^1[0-9]$$') ORDER BY event_id""".stripMargin))
+
   /** Multi-step chain (F2): drop if ANY of key-skip, low-value, error-type
     * matches. */
   private val fhChain = QueryDef(
@@ -270,6 +288,7 @@ object ParityQueries {
   val all: Map[String, QueryDef] = Map(
     "fh_keyfilter" -> fhKeyfilter,
     "fh_skiplist_anti" -> fhSkiplistAnti,
+    "fh_regex" -> fhRegex,
     "fh_chain" -> fhChain,
     "sideline_replay" -> sidelineReplay,
     "sideline_union_parity" -> sidelineUnionParity,

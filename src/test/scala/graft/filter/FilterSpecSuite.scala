@@ -14,6 +14,7 @@ class FilterSpecSuite extends SparkSuite {
     FieldCmp("value", "lt", JInt(0)),
     FieldCmp("value", "ge", JInt(10)),
     Not(KeyIn("key", Seq("a"))),
+    FieldRegex("key", "^tenant-[0-9]+$"),
     AnyOf(Seq(FieldEq("k", JString("x")), DropAll)),
     AllOf(Seq(FieldCmp("v", "gt", JInt(1)), FieldCmp("v", "le", JInt(9)))),
     DropAll,
@@ -47,6 +48,20 @@ class FilterSpecSuite extends SparkSuite {
     // Negated step keeps only what it dropped
     val negated = df.filter(Not(FieldEq("user_id", JInt(3))).dropColumn === false)
     assert(negated.as[Int].collect().sorted === Array(3))
+  }
+
+  test("FieldRegex: find semantics, NULL field kept on firehose / excluded from replay") {
+    import spark.implicits._
+    val df = Seq(Some("tenant-12"), Some("tenant-7"), Some("x-tenant-12-y"),
+      None, Some("other")).toDF("key")
+    val chain = FilterChain.empty.withStep("p", FieldRegex("key", "tenant-1[0-9]"))
+    // unanchored find: both tenant-12 forms drop; NULL keeps (KeyIn table)
+    val kept = df.filter(chain.keep).as[Option[String]].collect().toSet
+    assert(kept === Set(Some("tenant-7"), None, Some("other")))
+    val sidelined = df.filter(chain.sidelined("p")).as[Option[String]].collect().toSet
+    assert(sidelined === Set(Some("tenant-12"), Some("x-tenant-12-y")))
+    // keep ∪ sideline ≡ input — the chain invariant with NULLs present
+    assert(kept ++ sidelined === df.as[Option[String]].collect().toSet)
   }
 
   test("empty chain keeps everything; DropAll drops everything") {
