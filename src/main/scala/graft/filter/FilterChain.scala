@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions.{col, lit}
  * so Catalyst can push it into the scan.
  */
 final case class FilterChain(steps: Map[String, FilterSpec]) {
+  import FilterChain.balanced
+
   def withStep(id: String, step: FilterSpec): FilterChain =
     FilterChain(steps + (id -> step))
 
@@ -34,9 +36,8 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
    * columns and metrics groupBys. */
   def dropColumn: Column =
     if (steps.isEmpty) lit(false)
-    else steps.toSeq.sortBy(_._1)
-      .map(_._2.dropColumnNullSafe)
-      .reduceLeft(_ || _)
+    else balanced(steps.toSeq.sortBy(_._1)
+      .map(_._2.dropColumnNullSafe), _ || _)
 
   /** WHERE predicate for the firehose: rows that survive the chain. Same
    * truth table as !dropColumn, but built as a conjunction of per-step
@@ -45,9 +46,8 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
    * filter and would disable pushdown). */
   def keep: Column =
     if (steps.isEmpty) lit(true)
-    else steps.toSeq.sortBy(_._1)
-      .map(_._2.keepColumn)
-      .reduceLeft(_ && _)
+    else balanced(steps.toSeq.sortBy(_._1)
+      .map(_._2.keepColumn), _ && _)
 
   /** WHERE predicate for a sideline replay of step `id`: ONLY the rows that
    * step dropped (reference NegatingFilterChainStep semantics). Null-safed
@@ -67,7 +67,7 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
     val (joins, scalars) = ordered.partition(_._2.joinBacked)
     val filtered =
       if (scalars.isEmpty) df
-      else df.filter(scalars.map(_._2.keepColumn).reduceLeft(_ && _))
+      else df.filter(balanced(scalars.map(_._2.keepColumn), _ && _))
     joins.foldLeft(filtered)((d, kv) => kv._2.applyKeep(d))
   }
 
@@ -86,7 +86,7 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
     val (joins, scalars) = ordered.partition(_._2.joinBacked)
     val scalarVerdict =
       if (scalars.isEmpty) lit(false)
-      else scalars.map(_._2.dropColumnNullSafe).reduceLeft(_ || _)
+      else balanced(scalars.map(_._2.dropColumnNullSafe), _ || _)
     if (joins.isEmpty) df.withColumn(as, scalarVerdict)
     else {
       val tmp = joins.indices.map(i => s"__graft_drop_$i")
@@ -94,7 +94,7 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
         case (d, ((_, s), t)) => s.annotateDrop(d, t)
       }
       annotated
-        .withColumn(as, tmp.map(col).foldLeft(scalarVerdict)(_ || _))
+        .withColumn(as, balanced(scalarVerdict +: tmp.map(col), _ || _))
         .drop(tmp: _*)
     }
   }
@@ -102,4 +102,19 @@ final case class FilterChain(steps: Map[String, FilterSpec]) {
 
 object FilterChain {
   val empty: FilterChain = FilterChain(Map.empty)
+
+  /** Balanced pairwise reduction: a many-thousand-step chain must not
+    * compile to a left-deep expression tree — Catalyst's converters and
+    * optimizer recurse per node, and a linear-depth tree overflows the
+    * stack in exactly the way a 1000-term inline bounds predicate did
+    * (LogSourceBoundsSuite). Depth is log2(n) instead. */
+  private def balanced(cols: Seq[Column], op: (Column, Column) => Column): Column = {
+    var level = cols
+    while (level.size > 1)
+      level = level.grouped(2).map {
+        case Seq(a, b) => op(a, b)
+        case Seq(a) => a
+      }.toSeq
+    level.head
+  }
 }

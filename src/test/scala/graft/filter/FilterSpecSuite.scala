@@ -64,6 +64,18 @@ class FilterSpecSuite extends SparkSuite {
     assert(kept ++ sidelined === df.as[Option[String]].collect().toSet)
   }
 
+  test("a 3000-step chain compiles and evaluates (balanced tree, no stack overflow)") {
+    import spark.implicits._
+    // a left-deep Or/And tree at this width overflows the stack in
+    // Catalyst's column converter (same failure class the bounded-scan
+    // join path fixes); the chain's balanced reduction keeps depth log2(n)
+    val chain = (0 until 3000).foldLeft(FilterChain.empty)((c, i) =>
+      c.withStep(f"s$i%04d", KeyIn("key", Seq(s"t$i"))))
+    val df = Seq("t1", "t2999", "other").toDF("key")
+    assert(df.filter(chain.keep).as[String].collect() === Array("other"))
+    assert(df.filter(chain.dropColumn).count() === 2)
+  }
+
   test("empty chain keeps everything; DropAll drops everything") {
     import spark.implicits._
     val df = (1 to 5).toDF("x")
