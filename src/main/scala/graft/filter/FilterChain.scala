@@ -108,13 +108,6 @@ object FilterChain {
     * optimizer recurse per node, and a linear-depth tree overflows the
     * stack in exactly the way a 1000-term inline bounds predicate did
     * (LogSourceBoundsSuite). Depth is log2(n) instead. */
-  private def balanced(cols: Seq[Column], op: (Column, Column) => Column): Column = {
-    var level = cols
-    while (level.size > 1)
-      level = level.grouped(2).map {
-        case Seq(a, b) => op(a, b)
-        case Seq(a) => a
-      }.toSeq
-    level.head
-  }
+  private def balanced(cols: Seq[Column], op: (Column, Column) => Column): Column =
+    FilterSpec.balancedReduce(cols, op)
 }

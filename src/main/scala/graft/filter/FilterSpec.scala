@@ -161,14 +161,29 @@ object FilterSpec {
     def dropColumn: Column = !inner.dropColumn
   }
 
-  /** Drop if ANY inner spec drops. */
+  /** Drop if ANY inner spec drops. Balanced reduction — a wide disjunction
+    * must not become a linear-depth tree (see [[FilterChain]]). */
   final case class AnyOf(steps: Seq[FilterSpec]) extends FilterSpec {
-    def dropColumn: Column = steps.map(_.dropColumn).reduceLeft(_ || _)
+    def dropColumn: Column = balancedReduce(steps.map(_.dropColumn), _ || _)
   }
 
-  /** Drop if ALL inner specs drop. */
+  /** Drop if ALL inner specs drop. Balanced like [[AnyOf]]. */
   final case class AllOf(steps: Seq[FilterSpec]) extends FilterSpec {
-    def dropColumn: Column = steps.map(_.dropColumn).reduceLeft(_ && _)
+    def dropColumn: Column = balancedReduce(steps.map(_.dropColumn), _ && _)
+  }
+
+  /** Balanced pairwise reduction over columns: depth log2(n) instead of n
+    * (Catalyst's converter/optimizer recursion overflows on linear-depth
+    * trees at a few thousand nodes). */
+  private[filter] def balancedReduce(
+      cols: Seq[Column], op: (Column, Column) => Column): Column = {
+    var level = cols
+    while (level.size > 1)
+      level = level.grouped(2).map {
+        case Seq(a, b) => op(a, b)
+        case Seq(a) => a
+      }.toSeq
+    level.head
   }
 
   /** Always drop — reference dynamic/filter/StaticMessageFilter.java:36-82. */
