@@ -58,4 +58,52 @@ class CheckpointRecoverySuite extends SparkSuite {
     assert(all.size === 80)                    // no duplicates
     assert(got.count(_._2 == 1) === 30)
   }
+
+  test("streaming dedup state survives a checkpointed restart") {
+    // the ingest-dedup memory is state-store state: a duplicate arriving
+    // AFTER a restart must still be dropped if its original is within the
+    // horizon — state recovery is what makes the operator exactly-once
+    // per horizon across failures, not just within one query run
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.md5
+    val inDir = Files.createTempDirectory("graft-dedup-in").toString
+    val cpDir = Files.createTempDirectory("graft-dedup-cp").toString
+    val schema = "doc STRING, ts TIMESTAMP"
+
+    val emitted = mutable.ArrayBuffer.empty[String]
+    def launch() = {
+      val stream = spark.readStream.schema(schema).parquet(s"$inDir/d*")
+      StatefulOps.dedupExactStream(stream, md5(col("doc").cast("binary")),
+          "ts", horizon = "10 minutes")
+        .writeStream
+        // memory sink cannot recover from a checkpoint; foreachBatch can
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          emitted.synchronized {
+            emitted ++= df.select("doc").as[String].collect()
+          }
+          ()
+        }
+        .option("checkpointLocation", cpDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // run 1: A and B emit
+    Seq(("A", ts("2026-01-01 00:00:10")), ("B", ts("2026-01-01 00:00:11")))
+      .toDF("doc", "ts").write.parquet(s"$inDir/d0")
+    val q1 = launch()
+    q1.awaitTermination(60000)
+    assert(emitted.synchronized(emitted.sorted.toSeq) === Seq("A", "B"))
+
+    // run 2 (restart on the same checkpoint): a duplicate A inside the
+    // horizon and a new C — only C may emit
+    Seq(("A", ts("2026-01-01 00:00:20")), ("C", ts("2026-01-01 00:00:21")))
+      .toDF("doc", "ts").write.parquet(s"$inDir/d1")
+    val q2 = launch()
+    q2.awaitTermination(60000)
+    assert(emitted.synchronized(emitted.sorted.toSeq) === Seq("A", "B", "C"),
+      "dedup state was lost (duplicate re-emitted) or rows dropped across restart")
+  }
 }
