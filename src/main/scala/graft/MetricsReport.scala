@@ -30,11 +30,23 @@ object MetricsReport {
 
   private def recallAt10(exact: Map[Long, Set[Long]],
       approx: Map[Long, Set[Long]]): Double = {
+    // a silent NaN in the artifact would defeat its cross-round diffing
+    require(exact.nonEmpty && exact.values.forall(_.nonEmpty),
+      "exact top-k baseline is empty — wrong SF dir?")
     val per = exact.toSeq.map { case (q, ex) =>
       approx.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
     }
     per.sum / per.size
   }
+
+  /** Locale-invariant decimal formatting: the f-interpolator honors the
+    * default locale, and a comma-decimal locale would emit invalid JSON. */
+  private def d4(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+  private def d2(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+  private def d0(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.0f", Double.box(x))
 
   /** Brute-force threshold pairs — metrics-only, never a production shape. */
   private def exactThresholdPairs(spark: SparkSession, sfDir: String,
@@ -100,13 +112,13 @@ object MetricsReport {
       s"""    "$n": {"salted_pairs": $s, "hot_bands": $h}"""
     }.mkString(",\n")
     val json =
-      f"""{
+      s"""{
          |  "round": $round,
          |  "sf_dir": "$sfDir",
          |  "recall": {
-         |    "ann_ivf_topk_at10": $ivf%.4f,
-         |    "ann_ivf_kmeans_topk_at10": $kmeans%.4f,
-         |    "dedup_embedding_cosine_pair_recall": $pairRecall%.4f,
+         |    "ann_ivf_topk_at10": ${d4(ivf)},
+         |    "ann_ivf_kmeans_topk_at10": ${d4(kmeans)},
+         |    "dedup_embedding_cosine_pair_recall": ${d4(pairRecall)},
          |    "dedup_embedding_cosine_false_positives": $falsePos
          |  },
          |  "dedup_clusters": {"documents": $nDocs, "clusters": $nClusters},
@@ -114,12 +126,12 @@ object MetricsReport {
          |$sg
          |  },
          |  "stream": {
-         |    "rows_per_sec": ${stream.rowsPerSec}%.0f,
+         |    "rows_per_sec": ${d0(stream.rowsPerSec)},
          |    "rows": ${stream.rows},
          |    "emitted": ${stream.emitted},
          |    "filtered": ${stream.filtered},
          |    "batches": ${stream.batches},
-         |    "seconds": ${stream.seconds}%.2f
+         |    "seconds": ${d2(stream.seconds)}
          |  }
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

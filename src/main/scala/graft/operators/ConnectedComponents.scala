@@ -123,11 +123,23 @@ object ConnectedComponents {
       .repartition(col("src"))
       .cache()
 
-    var labels = vertices
-      .select(col(idCol).as("id"), col(idCol).as("label"))
+    // Seed the label table with vertices ∪ EVERY edge endpoint: the sum
+    // convergence test below is sound only over a FIXED row set. If edges
+    // referenced ids outside the seed, a later round could ADD a label row
+    // (+L) that exactly cancels a propagation decrease (−L), faking an
+    // unchanged sum at a non-fixpoint. With all endpoints seeded up front,
+    // every subsequent round has exactly this row set and labels are
+    // pointwise non-increasing. Non-vertex ids are cut from the OUTPUT
+    // with one final semi-join.
+    val vertexIds = vertices.select(col(idCol).as("id"))
+    var labels = vertexIds
+      .unionByName(sym.select(col("src").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    // Labels only decrease, so the (exact, decimal) label sum is strictly
-    // decreasing until fixpoint — equality means no label moved.
+    // Labels only decrease over a fixed row set, so the (exact, decimal)
+    // label sum is strictly decreasing until fixpoint — equality means no
+    // label moved.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
@@ -153,6 +165,7 @@ object ConnectedComponents {
         .warn(s"connected components did not converge in $maxIters rounds; " +
           "labels are a refinement (over-segmented), not final components")
     }
-    Result(labels, iters, converged)
+    // cut the non-vertex endpoints (seeded only for convergence soundness)
+    Result(labels.join(vertexIds, Seq("id"), "left_semi"), iters, converged)
   }
 }

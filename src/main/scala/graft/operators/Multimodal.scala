@@ -56,32 +56,43 @@ object Multimodal {
       else None
     }
 
+    /** Stub dimensional arithmetic — ONE definition, oracle-pinned
+      * (MultimodalSuite asserts it in every path that uses it). */
+    private[operators] def stubDims(n: Int): (Int, Int) =
+      (64 + n % 577, 64 + (n * 31) % 353)
+
     /** Stub path: deterministic arithmetic on the byte stream (pinned by
       * the DuckDB oracles over the text-payload fixtures). */
-    private def stubFeatures(docId: Long, n: Int, hex: String): MediaFeatures =
+    private def stubFeatures(docId: Long, n: Int, hex: String): MediaFeatures = {
+      val (w, h) = stubDims(n)
       MediaFeatures(
         doc_id = docId,
         n_bytes = n,
         payload_md5 = hex,
-        width = 64 + n % 577,
-        height = 64 + (n * 31) % 353,
+        width = w,
+        height = h,
         format = Vector("jpeg", "png", "webp")(n % 3))
+    }
+
+    /** Sniff + decode: Some(image) iff the payload is a real, READABLE
+      * image. Catches every non-fatal codec failure — corrupt bodies
+      * throw RuntimeExceptions from deep inside ImageIO (broken ICC
+      * profiles, truncated scans), and one bad row must degrade to the
+      * stub, never fail the partition. */
+    private[operators] def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      sniff(p).flatMap { _ =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
 
     def decode(batch: Seq[BinaryDoc]): Seq[MediaFeatures] = batch.map { d =>
       val n = d.payload.length
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(d.payload).map("%02x".format(_)).mkString
-      sniff(d.payload) match {
-        case Some(fmt) =>
-          // real decode; a lying/corrupt header degrades to the stub
-          // rather than failing the partition
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.payload))
-            catch { case _: java.io.IOException => null }
-          if (img != null)
-            MediaFeatures(d.doc_id, n, hex, img.getWidth, img.getHeight, fmt)
-          else stubFeatures(d.doc_id, n, hex)
-        case None => stubFeatures(d.doc_id, n, hex)
+      (sniff(d.payload), readImage(d.payload)) match {
+        case (Some(fmt), Some(img)) =>
+          MediaFeatures(d.doc_id, n, hex, img.getWidth, img.getHeight, fmt)
+        case _ => stubFeatures(d.doc_id, n, hex)
       }
     }
   }
@@ -140,21 +151,17 @@ object Multimodal {
     * executor-side, emitting columnar (dims + thumbnail bytes). */
   def resizeImages(spark: SparkSession, binaryDocs: DataFrame): Dataset[ResizedImage] = {
     import spark.implicits._
-    def one(d: BinaryDoc): ResizedImage = {
-      val n = d.payload.length
-      val real = MediaDecoder.sniff(d.payload).flatMap { _ =>
-        Option(
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.payload))
-          catch { case _: java.io.IOException => null })
-      }
-      real match {
+    def fit(w: Int, h: Int): (Int, Int) = {
+      val m = math.max(w, h)
+      if (m <= StubResizer.ThumbBox) (w, h)
+      else (math.max(1, w * StubResizer.ThumbBox / m),
+        math.max(1, h * StubResizer.ThumbBox / m))
+    }
+    def one(d: BinaryDoc): ResizedImage =
+      MediaDecoder.readImage(d.payload) match {
         case Some(img) =>
           val (w, h) = (img.getWidth, img.getHeight)
-          val m = math.max(w, h)
-          val (tw, th) =
-            if (m <= StubResizer.ThumbBox) (w, h)
-            else (math.max(1, w * StubResizer.ThumbBox / m),
-              math.max(1, h * StubResizer.ThumbBox / m))
+          val (tw, th) = fit(w, h)
           val thumb = new java.awt.image.BufferedImage(tw, th,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = thumb.createGraphics()
@@ -167,15 +174,10 @@ object Multimodal {
           javax.imageio.ImageIO.write(thumb, "png", bos)
           ResizedImage(d.doc_id, w, h, tw, th, bos.toByteArray)
         case None =>
-          val w = 64 + n % 577
-          val h = 64 + (n * 31) % 353
-          val m = math.max(w, h)
-          val (tw, th) =
-            if (m <= StubResizer.ThumbBox) (w, h)
-            else (w * StubResizer.ThumbBox / m, h * StubResizer.ThumbBox / m)
+          val (w, h) = MediaDecoder.stubDims(d.payload.length)
+          val (tw, th) = fit(w, h)
           ResizedImage(d.doc_id, w, h, tw, th, null)
       }
-    }
     binaryDocs
       .select(col("doc_id"), col("payload"),
         col("meta.lang").as("lang"), col("meta.source").as("source"))

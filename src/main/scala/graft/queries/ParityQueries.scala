@@ -48,10 +48,19 @@ object ParityQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_skiplist_keys_${ProcessHandle.current().pid()}"
   private val SkipListKeys: Seq[String] =
     (0 until 500).map(i => ((i.toLong * 7919 + 13) % 5000).toString).distinct
-  private val skipListReady = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // Double-checked lock, not a CAS gate: a concurrent second caller must
+  // BLOCK until the fixture exists (a lost CAS would race ahead and plan
+  // against a missing path), and a failed write must leave the flag
+  // unset so the next caller retries instead of running unfixtured.
+  @volatile private var skipListWritten = false
+  private val skipListLock = new Object
   private def ensureSkipList(s: SparkSession): Unit =
-    if (skipListReady.compareAndSet(false, true))
-      graft.ops.SkipList.write(s, SkipListPath, SkipListKeys)
+    if (!skipListWritten) skipListLock.synchronized {
+      if (!skipListWritten) {
+        graft.ops.SkipList.write(s, SkipListPath, SkipListKeys)
+        skipListWritten = true
+      }
+    }
 
   /** Table-backed KeyFilter (F4 at scale): the skip-list lives in a
     * parquet table and applies as a broadcast LEFT ANTI join through the

@@ -152,16 +152,24 @@ object StatefulOps {
         (band, rows, state: GroupState[BandState]) =>
           var entries = state.getOption.map(_.entries).getOrElse(Nil)
           val out = Seq.newBuilder[NearDupHit]
-          // deterministic order within a batch: by doc id
-          rows.toSeq.sortBy(_._1).foreach { case (docId, sig, ts, _) =>
-            val t = ts.getTime
-            entries = entries.filter(e => t - e._3 <= horizonMs)
-            entries.foreach { case (pid, psig, _) =>
-              val ham = java.lang.Long.bitCount(sig ^ psig)
-              if (ham <= maxHamming && pid != docId)
-                out += NearDupHit(docId, pid, ham, band)
-            }
-            entries = (docId, sig, t) :: entries
+          // EVENT-TIME order within the batch (doc id tie-break for
+          // determinism): eviction uses each row's own timestamp, and with
+          // non-decreasing timestamps no eviction can destroy state a
+          // later row is still entitled to match — processing in doc-id
+          // order would let one far-future row evict an entry out from
+          // under an in-horizon sibling in the same batch. Cross-batch
+          // disorder is inherent lateness (same trade as any
+          // watermark-bounded state).
+          rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
+            case (docId, sig, ts, _) =>
+              val t = ts.getTime
+              entries = entries.filter(e => t - e._3 <= horizonMs)
+              entries.foreach { case (pid, psig, _) =>
+                val ham = java.lang.Long.bitCount(sig ^ psig)
+                if (ham <= maxHamming && pid != docId)
+                  out += NearDupHit(docId, pid, ham, band)
+              }
+              entries = (docId, sig, t) :: entries
           }
           state.update(BandState(entries))
           out.result().iterator

@@ -137,6 +137,29 @@ class ConnectedComponentsSuite extends SparkSuite {
     sym.unpersist()
   }
 
+  test("edges through non-vertex ids: transitivity intact, output restricted to vertices") {
+    // edges may reference ids outside the vertex relation (e.g. claimed
+    // embedding ids). They must CONDUCT connectivity — and the sum
+    // convergence test must stay sound even though they add label rows
+    // (they are seeded up front; a lazily-appearing row could cancel a
+    // propagation decrease and fake convergence at a non-fixpoint).
+    val vertices = {
+      import spark.implicits._
+      Seq(7L, 57L, 93L, 150L, 300L).toDF("doc_id")
+    }
+    val edges = edgesDf(Seq(
+      (57L, 40L), (40L, 30L), (30L, 20L), (20L, 7L), // chain via non-vertices
+      (300L, 150L), (150L, 93L))) // a second component shrinking in parallel
+    val r = ConnectedComponents.run(vertices, "doc_id", edges, "a", "b")
+    assert(r.converged)
+    val labels = labelsMap(r.labels)
+    // output rows are EXACTLY the vertices — seeded endpoints are cut
+    assert(labels.keySet === Set(7L, 57L, 93L, 150L, 300L))
+    // transitivity flowed through 40-30-20 even though none is a vertex
+    assert(labels(57L) === 7L && labels(7L) === 7L)
+    assert(labels(300L) === 93L && labels(150L) === 93L && labels(93L) === 93L)
+  }
+
   test("giant boilerplate cluster (star) resolves in O(1) rounds") {
     // the real-world hot case: thousands of exact/near dups of one
     // template form a single giant component of diameter 2

@@ -147,4 +147,38 @@ class StatefulOpsSuite extends SparkSuite {
       assert(hits().size === before, s"horizon-expired entries matched: ${hits()}")
     } finally q.stop()
   }
+
+  test("streaming near-dup: a far-future sibling in the same batch cannot destroy in-horizon hits") {
+    // rows are processed in EVENT-TIME order within a batch: if a
+    // far-future row ran first (the old doc-id order), its eviction pass
+    // would remove state an in-horizon sibling is still entitled to match
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StatefulOps.{DocEvent, NearDupHit}
+    val input = MemoryStream[DocEvent]
+    val out = StatefulOps.dedupSimhashStream(spark, input.toDS(),
+      horizonMs = 60_000L, maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("stream_neardup_ooo")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      val boiler = "the same boilerplate text repeated in every copy of this doc"
+      input.addData(DocEvent(1L, boiler, ts("2026-01-01 00:00:10")))
+      q.processAllAvailable()
+      // one batch carrying: doc 10 two minutes ahead (outside doc 1's
+      // horizon) and doc 11 only 40s after doc 1 (inside it). doc 11 must
+      // still be flagged against doc 1.
+      input.addData(
+        DocEvent(10L, boiler, ts("2026-01-01 00:02:10")),
+        DocEvent(11L, boiler, ts("2026-01-01 00:00:50")))
+      q.processAllAvailable()
+      val pairs = spark.table("stream_neardup_ooo").as[NearDupHit]
+        .collect().map(h => (h.dup_of, h.doc_id)).distinct.toSet
+      assert(pairs.contains((1L, 11L)),
+        s"in-horizon pair lost to a same-batch future row: $pairs")
+      // and the future row itself matched nothing (everything it saw was
+      // beyond ITS horizon)
+      assert(!pairs.exists(_._2 == 10L), s"got $pairs")
+    } finally q.stop()
+  }
 }
