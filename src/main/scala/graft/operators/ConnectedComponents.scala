@@ -44,10 +44,10 @@ import org.apache.spark.sql.functions._
  *  - `localCheckpoint` between iterations cuts lineage so iteration k
  *    never replans k-1 nested joins (the k-means lineage lesson,
  *    Similarity.scala:325-332);
- *  - convergence is `sum(label)` cast to decimal(38,0) (no overflow at
- *    any id scale): labels only ever decrease, so an unchanged sum IS the
- *    fixpoint — one metadata-sized driver action per iteration (which
- *    also materializes the lazy checkpoint), no join against the
+ *  - convergence is the (row count, exact decimal label sum) pair:
+ *    rows are only added and labels only decrease, so an unchanged pair
+ *    IS the fixpoint — one metadata-sized driver action per iteration
+ *    (which also materializes the lazy checkpoint), no join against the
  *    previous labels.
  *
  * Cost profile: at test SF the loop is bound by FIXED per-round job
@@ -59,10 +59,12 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
-  /** Component labels plus the loop verdict: `labels` has columns
-    * (`id`, `label`) where `label` = min vertex id reachable from `id`;
-    * `converged` is false iff `maxIters` rounds still changed a label
-    * (callers decide whether partial transitivity is acceptable). */
+  /** Component labels plus the loop verdict: `labels` has one row per
+    * VERTEX, (`id`, `label`) where `label` = min id reachable from `id`
+    * (edges may pass through non-vertex ids, which conduct connectivity
+    * and can be the min; they never appear as output rows); `converged`
+    * is false iff `maxIters` rounds still changed a label (callers decide
+    * whether partial transitivity is acceptable). */
   final case class Result(labels: DataFrame, iterations: Int, converged: Boolean)
 
   /** One min-label propagation round. Exposed for the suite's
@@ -123,41 +125,39 @@ object ConnectedComponents {
       .repartition(col("src"))
       .cache()
 
-    // Seed the label table with vertices ∪ EVERY edge endpoint: the sum
-    // convergence test below is sound only over a FIXED row set. If edges
-    // referenced ids outside the seed, a later round could ADD a label row
-    // (+L) that exactly cancels a propagation decrease (−L), faking an
-    // unchanged sum at a non-fixpoint. With all endpoints seeded up front,
-    // every subsequent round has exactly this row set and labels are
-    // pointwise non-increasing. Non-vertex ids are cut from the OUTPUT
-    // with one final semi-join.
     val vertexIds = vertices.select(col(idCol).as("id"))
     var labels = vertexIds
-      .unionByName(sym.select(col("src").as("id")))
-      .distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    // Labels only decrease over a fixed row set, so the (exact, decimal)
-    // label sum is strictly decreasing until fixpoint — equality means no
-    // label moved.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // Convergence = the (row count, exact decimal label sum) PAIR is
+    // unchanged. Rows are only ever ADDED (the propagate union keeps every
+    // existing row; edges through ids outside the vertex seed surface as
+    // new rows) and existing labels only ever DECREASE, so an unchanged
+    // pair means no row appeared and no label moved — exactly a fixpoint.
+    // Sum alone is NOT sound here: a new row's label (+L) can cancel a
+    // propagation decrease (−L) and fake convergence
+    // (ConnectedComponentsSuite's non-vertex-edges test guards the class).
+    // One metadata-sized driver action per round computes both.
+    def labelStats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("label").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
 
-    var prevSum = labelSum(labels)
+    var prev = labelStats(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      // LAZY checkpoint: the convergence sum below is the round's one
+      // LAZY checkpoint: the convergence stats below are the round's one
       // action — it materializes the checkpointed blocks as it computes,
       // so each round costs a single job instead of an eager-checkpoint
-      // job plus a sum job
+      // job plus a stats job
       val propagated = step(labels, sym)
       labels = (if (iters >= shortcutAfter) shortcut(propagated) else propagated)
         .localCheckpoint(false)
       iters += 1
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      val s = labelStats(labels)
+      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
+      prev = s
     }
     sym.unpersist(blocking = false)
     if (!converged) {
