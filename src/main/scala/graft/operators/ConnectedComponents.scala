@@ -143,6 +143,13 @@ object ConnectedComponents {
       (r.getLong(0), r.getDecimal(1))
     }
 
+    // Null-safe: an EMPTY relation has (0, null) stats — sum over zero rows
+    // is NULL — and an empty label table is a fixpoint (step() of empty is
+    // empty), so (0, null) == (0, null) must read as converged, not NPE.
+    def sameStats(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)): Boolean =
+      a._1 == b._1 && java.util.Objects.compare(
+        a._2, b._2, java.util.Comparator.nullsFirst(java.util.Comparator.naturalOrder[java.math.BigDecimal]())) == 0
+
     var prev = labelStats(labels)
     var iters = 0
     var converged = false
@@ -156,7 +163,7 @@ object ConnectedComponents {
         .localCheckpoint(false)
       iters += 1
       val s = labelStats(labels)
-      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
+      converged = sameStats(s, prev)
       prev = s
     }
     sym.unpersist(blocking = false)

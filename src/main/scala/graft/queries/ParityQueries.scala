@@ -54,9 +54,34 @@ object ParityQueries {
   // unset so the next caller retries instead of running unfixtured.
   @volatile private var skipListWritten = false
   private val skipListLock = new Object
+
+  /** Reclaim fixtures left by FINISHED runs. A shutdown hook can't do this:
+    * the driver's DuckDB compare reads the fixture AFTER this JVM exits
+    * (oracle_sql.json carries the path), so our own fixture must outlive
+    * us — instead each new run deletes siblings whose writer pid is dead.
+    * Live concurrent runs (pid alive) are never touched. */
+  private def reapStaleSkipLists(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val mine = ProcessHandle.current().pid()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case s"graft_skiplist_keys_$pid"
+            if pid.nonEmpty && pid.length < 19 && pid.forall(_.isDigit) &&
+              pid.toLong != mine &&
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          rm(f)
+        case _ => ()
+      }
+    }
+  }
   private def ensureSkipList(s: SparkSession): Unit =
     if (!skipListWritten) skipListLock.synchronized {
       if (!skipListWritten) {
+        reapStaleSkipLists()
         graft.ops.SkipList.write(s, SkipListPath, SkipListKeys)
         skipListWritten = true
       }
@@ -99,7 +124,8 @@ object ParityQueries {
     },
     Some(s"""$logCte
       |SELECT log_partition, log_offset, event_id, key, event_type FROM log
-      |WHERE NOT regexp_matches(key, '^1[0-9]$$') ORDER BY event_id""".stripMargin))
+      |WHERE key IS NULL OR NOT regexp_matches(key, '^1[0-9]$$')
+      |ORDER BY event_id""".stripMargin))
 
   /** Multi-step chain (F2): drop if ANY of key-skip, low-value, error-type
     * matches. */

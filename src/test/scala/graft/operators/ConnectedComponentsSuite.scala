@@ -160,6 +160,20 @@ class ConnectedComponentsSuite extends SparkSuite {
     assert(labels(300L) === 93L && labels(150L) === 93L && labels(93L) === 93L)
   }
 
+  test("empty vertex relation converges to an empty result, no crash") {
+    // sum(label) over zero rows is NULL — the convergence compare must read
+    // (0, null) == (0, null) as the fixpoint it is (a fully-filtered-out
+    // documents table is a legitimate input), not throw
+    val r = ConnectedComponents.run(
+      verticesDf(0), "doc_id", edgesDf(Seq((1L, 2L))), "a", "b")
+    assert(r.converged)
+    assert(r.labels.count() === 0L)
+    // and with edges empty too (both relations empty)
+    val r2 = ConnectedComponents.run(
+      verticesDf(0), "doc_id", edgesDf(Seq.empty), "a", "b")
+    assert(r2.converged && r2.labels.count() === 0L)
+  }
+
   test("giant boilerplate cluster (star) resolves in O(1) rounds") {
     // the real-world hot case: thousands of exact/near dups of one
     // template form a single giant component of diameter 2
