@@ -112,16 +112,25 @@ object StatefulOps {
    * bands emits up to k times (callers dedupe downstream), and a
    * duplicate arriving after its original left the horizon is not
    * reported — the batch dedup passes are the exactness backstop.
-   * Eviction is driven by arriving event times (a quiet band keeps its
-   * last entries until its next arrival; a production deployment adds a
-   * state timeout, kept out of tests for determinism — see
-   * [[runningStats]]).
+   *
+   * State lifetime is bounded on BOTH axes: arriving rows evict
+   * entries older than the event-time horizon, and a processing-time
+   * TTL (`ttlMs`, default 2× the horizon) drops a band that goes QUIET —
+   * without it a band's last in-horizon entries would persist for the
+   * life of the query, O(distinct bands ever seen) on a months-long
+   * ingest. Dropping quiet state is loss-free by the horizon contract:
+   * by the time the TTL fires, everything in the entry list is already
+   * unmatchable for any on-time arrival. `ttlMs = 0` disables the TTL —
+   * the deterministic-test mode, since a processing-time timeout keeps
+   * the engine planning batches forever and `processAllAvailable()`
+   * never returns (poll the sink instead — see [[runningStats]]).
    */
   def dedupSimhashStream(
       spark: SparkSession,
       docs: Dataset[DocEvent],
       horizonMs: Long,
-      maxHamming: Int = 3): Dataset[NearDupHit] = {
+      maxHamming: Int = 3,
+      ttlMs: Long = -1L): Dataset[NearDupHit] = {
     import spark.implicits._
     val bits = 64
     val bandBits = 16
@@ -146,33 +155,45 @@ object StatefulOps {
             shiftright(col("__simhash"), bandBits * b).bitwiseAND(lit(65535L))
         }: _*)).as("__band"))
       .as[(Long, Long, java.sql.Timestamp, Long)]
+    val resolvedTtlMs = if (ttlMs < 0) 2 * horizonMs else ttlMs
+    val timeoutConf =
+      if (resolvedTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey(_._4)
       .flatMapGroupsWithState[BandState, NearDupHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (band, rows, state: GroupState[BandState]) =>
-          var entries = state.getOption.map(_.entries).getOrElse(Nil)
-          val out = Seq.newBuilder[NearDupHit]
-          // EVENT-TIME order within the batch (doc id tie-break for
-          // determinism): eviction uses each row's own timestamp, and with
-          // non-decreasing timestamps no eviction can destroy state a
-          // later row is still entitled to match — processing in doc-id
-          // order would let one far-future row evict an entry out from
-          // under an in-horizon sibling in the same batch. Cross-batch
-          // disorder is inherent lateness (same trade as any
-          // watermark-bounded state).
-          rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
-            case (docId, sig, ts, _) =>
-              val t = ts.getTime
-              entries = entries.filter(e => t - e._3 <= horizonMs)
-              entries.foreach { case (pid, psig, _) =>
-                val ham = java.lang.Long.bitCount(sig ^ psig)
-                if (ham <= maxHamming && pid != docId)
-                  out += NearDupHit(docId, pid, ham, band)
-              }
-              entries = (docId, sig, t) :: entries
+          if (state.hasTimedOut) {
+            // quiet band: everything held is past the horizon for any
+            // on-time arrival — drop wholesale, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = Seq.newBuilder[NearDupHit]
+            // EVENT-TIME order within the batch (doc id tie-break for
+            // determinism): eviction uses each row's own timestamp, and with
+            // non-decreasing timestamps no eviction can destroy state a
+            // later row is still entitled to match — processing in doc-id
+            // order would let one far-future row evict an entry out from
+            // under an in-horizon sibling in the same batch. Cross-batch
+            // disorder is inherent lateness (same trade as any
+            // watermark-bounded state).
+            rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
+              case (docId, sig, ts, _) =>
+                val t = ts.getTime
+                entries = entries.filter(e => t - e._3 <= horizonMs)
+                entries.foreach { case (pid, psig, _) =>
+                  val ham = java.lang.Long.bitCount(sig ^ psig)
+                  if (ham <= maxHamming && pid != docId)
+                    out += NearDupHit(docId, pid, ham, band)
+                }
+                entries = (docId, sig, t) :: entries
+            }
+            state.update(BandState(entries))
+            if (resolvedTtlMs > 0) state.setTimeoutDuration(resolvedTtlMs)
+            out.result().iterator
           }
-          state.update(BandState(entries))
-          out.result().iterator
       }
   }
 

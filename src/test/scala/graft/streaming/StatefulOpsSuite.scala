@@ -110,8 +110,11 @@ class StatefulOpsSuite extends SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import StatefulOps.{DocEvent, NearDupHit}
     val input = MemoryStream[DocEvent]
+    // ttlMs = 0: a processing-time TTL keeps the engine planning batches
+    // forever and processAllAvailable never returns — the TTL path has its
+    // own sink-polling test below
     val out = StatefulOps.dedupSimhashStream(spark, input.toDS(),
-      horizonMs = 60_000L, maxHamming = 3)
+      horizonMs = 60_000L, maxHamming = 3, ttlMs = 0)
     val q = out.writeStream.format("memory").queryName("stream_neardup")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
     try {
@@ -148,6 +151,57 @@ class StatefulOpsSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup TTL: a quiet band's state drops after the timeout; in-horizon hits still fire") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StatefulOps.{DocEvent, NearDupHit}
+    val input = MemoryStream[DocEvent]
+    // TTL on ⇒ processAllAvailable() hangs (the engine plans batches
+    // forever to fire pending timeouts) — poll the sink and the state
+    // metrics instead, per the operator scaladoc
+    val out = StatefulOps.dedupSimhashStream(spark, input.toDS(),
+      horizonMs = 60_000L, maxHamming = 3, ttlMs = 1_000L)
+    val q = out.writeStream.format("memory").queryName("stream_neardup_ttl")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    def hits(): Set[(Long, Long)] = spark.table("stream_neardup_ttl")
+      .as[NearDupHit].collect().map(h => (h.dup_of, h.doc_id)).toSet
+    def pollUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      val boiler = "the same boilerplate text repeated in every copy of this doc"
+      // in-horizon hits fire with the TTL configured
+      input.addData(
+        DocEvent(1L, boiler, ts("2026-01-01 00:00:00")),
+        DocEvent(2L, boiler, ts("2026-01-01 00:00:10")))
+      pollUntil("the in-horizon pair (1,2)")(hits().contains((1L, 2L)))
+
+      // go quiet past the TTL: every band's state row must be dropped —
+      // observable in the state-store metrics without sending data
+      pollUntil("state rows to reach 0 after the TTL") {
+        Option(q.lastProgress).exists(p =>
+          p.stateOperators.nonEmpty && p.stateOperators.head.numRowsTotal == 0L)
+      }
+
+      // docs 3+4: event times INSIDE doc 1/2's horizon. If the quiet
+      // band had survived, (1,3)/(2,3)/… would fire; with the state
+      // dropped, only the fresh (3,4) pair appears — a positive gate
+      // (the new hit proves the batch ran), not a sleep-and-hope negative.
+      input.addData(
+        DocEvent(3L, boiler, ts("2026-01-01 00:00:20")),
+        DocEvent(4L, boiler, ts("2026-01-01 00:00:30")))
+      pollUntil("the fresh pair (3,4)")(hits().contains((3L, 4L)))
+      val stale = hits().filter { case (a, b) => a <= 2L && b >= 3L }
+      assert(stale.isEmpty,
+        s"TTL-expired state matched new arrivals: $stale")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: a far-future sibling in the same batch cannot destroy in-horizon hits") {
     // rows are processed in EVENT-TIME order within a batch: if a
     // far-future row ran first (the old doc-id order), its eviction pass
@@ -158,7 +212,7 @@ class StatefulOpsSuite extends SparkSuite {
     import StatefulOps.{DocEvent, NearDupHit}
     val input = MemoryStream[DocEvent]
     val out = StatefulOps.dedupSimhashStream(spark, input.toDS(),
-      horizonMs = 60_000L, maxHamming = 3)
+      horizonMs = 60_000L, maxHamming = 3, ttlMs = 0)
     val q = out.writeStream.format("memory").queryName("stream_neardup_ooo")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
     try {
