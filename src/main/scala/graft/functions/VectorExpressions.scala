@@ -85,6 +85,70 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `dot_double(x: ARRAY<FLOAT>, w: ARRAY<DOUBLE>)` ≡
+ * `aggregate(zip_with(x, w, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (s, v) -> s + v)`
+ * — the SRP hyperplane projection, as one native expression.
+ *
+ * Same motivation and bit-equality contract as [[CosineSimilarity]]: the
+ * HOF form pays interpreted lambda dispatch per ELEMENT (16 planes ×
+ * 128 dims per row in the SRP signature), while this accumulates the
+ * identical left-to-right IEEE sum in a primitive loop — float-cast then
+ * multiply then add, in index order, so results (and the md5-pinned
+ * banding built on their signs) are bit-for-bit what the HOF and the
+ * DuckDB oracle compute.
+ */
+final case class ArrayDotDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<FLOAT>, ARRAY<DOUBLE>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_double"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val w = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(w.numElements() == n,
+      s"dot_double: length mismatch ($n vs ${w.numElements()})")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * w.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, w) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($w.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_double: length mismatch (" + $n + " vs " + $w.numElements() + ")");
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $x.getFloat($i)) * $w.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotDouble =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.Shim
@@ -92,4 +156,16 @@ object VectorFunctions {
   /** Column API for the native expression. */
   def cosineSimilarity(a: Column, b: Column): Column =
     Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+
+  /** Column API for the native SRP projection. */
+  def dotDouble(x: Column, w: Column): Column =
+    Shim.column(ArrayDotDouble(Shim.expression(x), Shim.expression(w)))
+
+  /** Column API for the native per-element md5. */
+  def arrayMd5(arr: Column, prefix: Column): Column =
+    Shim.column(ArrayMd5(Shim.expression(arr), Shim.expression(prefix)))
+
+  /** Column API for the native 64-bit SimHash. */
+  def simhash64(tokens: Column): Column =
+    Shim.column(SimHash64(Shim.expression(tokens)))
 }

@@ -90,6 +90,11 @@ object ConnectedComponents {
         coalesce(col("__lk_label"), col("label")).as("label"))
   }
 
+  /** Default for `localEdgeThreshold`: 2M deduped undirected edges ≈
+    * tens of MB on the driver — comfortably metadata-sized, far below
+    * anything that could pressure a real driver's heap. */
+  val DefaultLocalEdgeThreshold: Long = 2L * 1000 * 1000
+
   /**
    * @param vertices relation containing `idCol` (unique long per vertex);
    *                 extra columns are ignored
@@ -103,6 +108,18 @@ object ConnectedComponents {
    *                 the pointer-jump joins in — shallow components, the
    *                 overwhelmingly common case, converge without ever
    *                 paying the extra label-table join
+   * @param localEdgeThreshold deduped-edge count at or below which the
+   *                 component resolution runs as a DRIVER-SIDE union-find
+   *                 over the collected (metadata-sized) edge list instead
+   *                 of the iterative loop — the same decision AQE makes
+   *                 when it broadcasts a small join side. Verified
+   *                 near-dup graphs are SPARSE relative to the corpus
+   *                 (hundreds of edges per 5k docs at test SF), so below
+   *                 the threshold the distributed loop is all fixed
+   *                 per-round job latency for zero data-parallelism win;
+   *                 past it (billions of pairs at 100 TB) the iterative
+   *                 path engages unchanged. 0 disables the local path
+   *                 (how the suite pins the distributed plan).
    */
   def run(
       vertices: DataFrame,
@@ -111,7 +128,8 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 25,
-      shortcutAfter: Int = 5): Result = {
+      shortcutAfter: Int = 5,
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): Result = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // Symmetrize + dedup once; partition by src so every iteration's join
@@ -126,6 +144,15 @@ object ConnectedComponents {
       .cache()
 
     val vertexIds = vertices.select(col(idCol).as("id"))
+
+    // The sizing action doubles as the cache materialization round 1
+    // would otherwise pay — the distributed path does no extra work.
+    val edgeCount = sym.count()
+    if (localEdgeThreshold > 0 && edgeCount <= localEdgeThreshold) {
+      val result = runLocal(vertexIds, sym)
+      sym.unpersist(blocking = false)
+      return result
+    }
     var labels = vertexIds
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
@@ -174,5 +201,38 @@ object ConnectedComponents {
     }
     // cut the non-vertex endpoints (seeded only for convergence soundness)
     Result(labels.join(vertexIds, Seq("id"), "left_semi"), iters, converged)
+  }
+
+  /** Metadata-sized graphs: exact min-id union-find on the driver over
+    * the collected edge list, shipped back as one broadcast-joined label
+    * table. Semantics identical to the loop — labels are the min id
+    * reachable through any chain, non-vertex endpoints conduct
+    * connectivity but never surface as rows, isolated vertices label
+    * themselves. Always `converged` (union-find is exact), 0 iterations. */
+  private def runLocal(vertexIds: DataFrame, sym: DataFrame): Result = {
+    val spark = vertexIds.sparkSession
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sym.select("src", "dst").collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      // min root wins, so find() always returns the component's min id
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labelRows = parent.keys.toSeq.map(id => (id, find(id)))
+    val labels =
+      if (labelRows.isEmpty) vertexIds.select(col("id"), col("id").as("label"))
+      else {
+        val labelDf = spark.createDataFrame(labelRows).toDF("id", "label")
+        vertexIds.join(broadcast(labelDf), Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      }
+    Result(labels, 0, converged = true)
   }
 }

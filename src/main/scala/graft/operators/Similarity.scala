@@ -118,10 +118,13 @@ object Similarity {
     (0 until NumPlanes).map(p => (0 until Dim).map(d => planeSign(p, d).toDouble)))
 
   private def projCol(p: Int): Column =
-    aggregate(
-      zip_with(col("embedding"), element_at(planesLit, p + 1),
-        (x, s) => x.cast("double") * s),
-      lit(0.0), (acc, x) => acc + x)
+    // native dot product — the aggregate(zip_with(...)) HOF form pays
+    // interpreted lambda dispatch per element (16 planes × 128 dims per
+    // row); ArrayDotDouble accumulates the identical left-to-right IEEE
+    // sum (bit-equality suite-pinned), so signatures and the oracle's
+    // banding are unchanged
+    graft.functions.VectorFunctions.dotDouble(
+      col("embedding"), element_at(planesLit, p + 1))
 
   private def projSql(p: Int): String =
     (1 to Dim).map { i =>

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
+import graft.functions.{ArrayDotDouble, ArrayMd5, CosineSimilarity, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -20,26 +20,41 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[plans] val cosineSimilarityDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("cosine_similarity"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def binary(name: String, cls: Class[_],
+      build: (Expression, Expression) => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (args: Seq[Expression]) => {
-      require(args.length == 2,
-        s"cosine_similarity expects 2 arguments, got ${args.length}")
-      CosineSimilarity(args.head, args(1))
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      build(args.head, args(1))
     })
 
+  private def unary(name: String, cls: Class[_],
+      build: Expression => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      build(args.head)
+    })
+
+  private[plans] val descriptors: Seq[Descriptor] = Seq(
+    binary("cosine_similarity", classOf[CosineSimilarity], CosineSimilarity.apply),
+    binary("dot_double", classOf[ArrayDotDouble], ArrayDotDouble.apply),
+    binary("array_md5", classOf[ArrayMd5], ArrayMd5.apply),
+    unary("simhash64", classOf[SimHash64], SimHash64.apply))
+
   /** Register on an already-built session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimilarityDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder.andThen(identity))
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -39,11 +39,20 @@ class ConnectedComponentsSuite extends SparkSuite {
   private def labelsMap(df: DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Distributed-loop runner: threshold 0 disables the metadata-sized
+    * local union-find fallback, so every suite graph (all far below the
+    * production threshold) keeps pinning the ITERATIVE plan. The local
+    * path has its own agreement tests below. */
+  private def runD(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 25): ConnectedComponents.Result =
+    ConnectedComponents.run(vertices, "doc_id", edges, "a", "b",
+      maxIters = maxIters, localEdgeThreshold = 0)
+
   test("chain + cycle + singleton resolve to min-id components") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
       (6L, 7L), (7L, 8L), (8L, 6L), // cycle 6-7-8
       (9L, 9L)) // self-loop, ignored
-    val r = ConnectedComponents.run(verticesDf(10), "doc_id", edgesDf(edges), "a", "b")
+    val r = runD(verticesDf(10), edgesDf(edges))
     assert(r.converged)
     assert(labelsMap(r.labels) === Map(
       0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
@@ -57,14 +66,13 @@ class ConnectedComponentsSuite extends SparkSuite {
     val edges = Seq.fill(240)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter { case (a, b) => a != b }
     val dup = edges ++ edges.take(50) ++ edges.take(20).map(_.swap)
-    val r = ConnectedComponents.run(verticesDf(n), "doc_id", edgesDf(dup), "a", "b")
+    val r = runD(verticesDf(n), edgesDf(dup))
     assert(r.converged)
     assert(labelsMap(r.labels) === unionFind(n, edges))
   }
 
   test("no edges: every vertex is its own component, one round to converge") {
-    val r = ConnectedComponents.run(verticesDf(5), "doc_id",
-      edgesDf(Seq.empty), "a", "b")
+    val r = runD(verticesDf(5), edgesDf(Seq.empty))
     assert(r.converged && r.iterations === 1)
     assert(labelsMap(r.labels) === (0L until 5L).map(i => i -> i).toMap)
   }
@@ -72,16 +80,14 @@ class ConnectedComponentsSuite extends SparkSuite {
   test("maxIters bounds the loop and reports non-convergence loudly") {
     // a 7-hop path needs ~6 propagation rounds; 2 cannot finish
     val chain = (0L until 7L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val r = ConnectedComponents.run(verticesDf(7), "doc_id",
-      edgesDf(chain), "a", "b", maxIters = 2)
+    val r = runD(verticesDf(7), edgesDf(chain), maxIters = 2)
     assert(!r.converged && r.iterations === 2)
     // partial labels are a REFINEMENT: never cross components, and all
     // labels are valid component members (monotone toward the fixpoint)
     val partial = labelsMap(r.labels)
     partial.foreach { case (id, lbl) => assert(lbl <= id && lbl >= 0L) }
     // the same graph converges exactly when given enough rounds
-    val full = ConnectedComponents.run(verticesDf(7), "doc_id",
-      edgesDf(chain), "a", "b")
+    val full = runD(verticesDf(7), edgesDf(chain))
     assert(full.converged)
     assert(labelsMap(full.labels) === (0L until 7L).map(i => i -> 0L).toMap)
   }
@@ -150,7 +156,7 @@ class ConnectedComponentsSuite extends SparkSuite {
     val edges = edgesDf(Seq(
       (57L, 40L), (40L, 30L), (30L, 20L), (20L, 7L), // chain via non-vertices
       (300L, 150L), (150L, 93L))) // a second component shrinking in parallel
-    val r = ConnectedComponents.run(vertices, "doc_id", edges, "a", "b")
+    val r = runD(vertices, edges)
     assert(r.converged)
     val labels = labelsMap(r.labels)
     // output rows are EXACTLY the vertices — seeded endpoints are cut
@@ -164,13 +170,11 @@ class ConnectedComponentsSuite extends SparkSuite {
     // sum(label) over zero rows is NULL — the convergence compare must read
     // (0, null) == (0, null) as the fixpoint it is (a fully-filtered-out
     // documents table is a legitimate input), not throw
-    val r = ConnectedComponents.run(
-      verticesDf(0), "doc_id", edgesDf(Seq((1L, 2L))), "a", "b")
+    val r = runD(verticesDf(0), edgesDf(Seq((1L, 2L))))
     assert(r.converged)
     assert(r.labels.count() === 0L)
     // and with edges empty too (both relations empty)
-    val r2 = ConnectedComponents.run(
-      verticesDf(0), "doc_id", edgesDf(Seq.empty), "a", "b")
+    val r2 = runD(verticesDf(0), edgesDf(Seq.empty))
     assert(r2.converged && r2.labels.count() === 0L)
   }
 
@@ -179,10 +183,37 @@ class ConnectedComponentsSuite extends SparkSuite {
     // template form a single giant component of diameter 2
     val n = 5000
     val star = (1L until n.toLong).map(i => (0L, i))
-    val r = ConnectedComponents.run(verticesDf(n), "doc_id", edgesDf(star), "a", "b")
+    val r = runD(verticesDf(n), edgesDf(star))
     assert(r.converged && r.iterations <= 3, s"star took ${r.iterations} rounds")
     val labels = labelsMap(r.labels)
     assert(labels.values.forall(_ == 0L))
+  }
+
+  test("local path: below the threshold, labels agree with union-find and the distributed loop") {
+    val n = 200
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // default threshold ⇒ this metadata-sized graph takes the driver
+    // union-find path: exact, zero iterations, always converged
+    val local = ConnectedComponents.run(
+      verticesDf(n), "doc_id", edgesDf(edges), "a", "b")
+    assert(local.converged && local.iterations === 0)
+    assert(labelsMap(local.labels) === unionFind(n, edges))
+    assert(labelsMap(local.labels) ===
+      labelsMap(runD(verticesDf(n), edgesDf(edges)).labels))
+  }
+
+  test("local path: non-vertex endpoints conduct but never surface; empty inputs survive") {
+    val vertices = { import spark.implicits._; Seq(7L, 57L).toDF("doc_id") }
+    // 57 — 40 — 7: connected only through a non-vertex id
+    val local = ConnectedComponents.run(
+      vertices, "doc_id", edgesDf(Seq((57L, 40L), (40L, 7L))), "a", "b")
+    assert(local.converged)
+    assert(labelsMap(local.labels) === Map(7L -> 7L, 57L -> 7L))
+    val empty = ConnectedComponents.run(
+      verticesDf(0), "doc_id", edgesDf(Seq.empty), "a", "b")
+    assert(empty.converged && empty.labels.count() === 0L)
   }
 
   test("pointer jumping: a 60-hop chain converges within default maxIters") {
@@ -190,7 +221,7 @@ class ConnectedComponentsSuite extends SparkSuite {
     // adaptive shortcut engages, reach doubles per round
     val n = 60
     val chain = (0L until n.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
-    val r = ConnectedComponents.run(verticesDf(n), "doc_id", edgesDf(chain), "a", "b")
+    val r = runD(verticesDf(n), edgesDf(chain))
     assert(r.converged, s"chain did not converge in ${r.iterations} rounds")
     assert(r.iterations <= 12, s"expected ~shortcutAfter+log2(60) rounds, got ${r.iterations}")
     assert(labelsMap(r.labels).values.forall(_ == 0L))
