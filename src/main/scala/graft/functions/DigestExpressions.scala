@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -94,8 +94,108 @@ final case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * `srp_band_codes(embedding: ARRAY<FLOAT>, rowsPerBand, nBands) ->
+ * ARRAY<BIGINT>` — LSH band codes for the banded near-dup contract, as
+ * one per-row kernel.
+ *
+ * The sketch is FIXED-POINT SRP: components quantize to
+ * `floor(x · 2^20)` (exact in both engines — float→double is exact and
+ * 2^20 is a power of two), hyperplane signs derive from
+ * md5("srp:p:d") exactly like [[graft.operators.Similarity]]'s
+ * 16-plane signature, and each projection is an ORDER-FREE integer sum
+ * — so the DuckDB twin reproduces every band code bit-for-bit with a
+ * plain SUM/GROUP BY, with no float-accumulation-order coupling between
+ * engines (the constraint that capped the float-SRP dedup banding at 16
+ * spelled-out plane expressions, and with it pair recall at ~0.62).
+ * Band b's code is `b·2^r + bits(planes r·b .. r·b+r−1)` — band spaces
+ * disjoint by construction. Null embedding ⇒ null.
+ */
+final case class SrpBandCodes(child: Expression, rowsPerBand: Int, nBands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(rowsPerBand >= 1 && rowsPerBand <= 62 && nBands >= 1,
+    s"bad srp params: rowsPerBand=$rowsPerBand nBands=$nBands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "srp_band_codes"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    GraftDigests.srpBandCodes(arr.asInstanceOf[ArrayData], rowsPerBand, nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.GraftDigests.srpBandCodes($arr, $rowsPerBand, $nBands);")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBandCodes =
+    copy(child = newChild)
+}
+
 /** Static (codegen-callable) digest kernels. */
 object GraftDigests {
+
+  /** ±1 hyperplane signs, flat row-major (p·dim + d), cached per
+    * (planes, dim): sign = +1 iff the first hex digit of md5("srp:p:d")
+    * is < '8' — the identical derivation as Similarity.planeSign and the
+    * DuckDB twins' `substr(md5(...), 1, 1) BETWEEN '0' AND '7'`. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Byte]]()
+
+  private[functions] def planeSigns(nPlanes: Int, dim: Int): Array[Byte] =
+    planeCache.computeIfAbsent((nPlanes, dim), { case (np, dm) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Byte](np * dm)
+      var p = 0
+      while (p < np) {
+        var d = 0
+        while (d < dm) {
+          md.reset()
+          val dig = md.digest(s"srp:$p:$d".getBytes("UTF-8"))
+          out(p * dm + d) = if (((dig(0) >> 4) & 0xf) < 8) 1 else -1
+          d += 1
+        }
+        p += 1
+      }
+      out
+    })
+
+  /** Fixed-point SRP band codes; see [[SrpBandCodes]]. */
+  def srpBandCodes(arr: ArrayData, rowsPerBand: Int, nBands: Int): ArrayData = {
+    val dim = arr.numElements()
+    val nPlanes = rowsPerBand * nBands
+    val signs = planeSigns(nPlanes, dim)
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      q(d) = math.floor(arr.getFloat(d).toDouble * 1048576.0).toLong
+      d += 1
+    }
+    val codes = new Array[Long](nBands)
+    var b = 0
+    var p = 0
+    while (b < nBands) {
+      var code = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val off = p * dim
+        var s = 0L
+        var i = 0
+        while (i < dim) { s += signs(off + i) * q(i); i += 1 }
+        if (s >= 0) code |= 1L << j
+        p += 1; j += 1
+      }
+      codes(b) = b.toLong * (1L << rowsPerBand) + code
+      b += 1
+    }
+    new GenericArrayData(codes)
+  }
   private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
   private val Hex = "0123456789abcdef".getBytes

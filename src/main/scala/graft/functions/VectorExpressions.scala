@@ -168,4 +168,8 @@ object VectorFunctions {
   /** Column API for the native 64-bit SimHash. */
   def simhash64(tokens: Column): Column =
     Shim.column(SimHash64(Shim.expression(tokens)))
+
+  /** Column API for the native fixed-point SRP band codes. */
+  def srpBandCodes(embedding: Column, rowsPerBand: Int, nBands: Int): Column =
+    Shim.column(SrpBandCodes(Shim.expression(embedding), rowsPerBand, nBands))
 }

@@ -214,34 +214,59 @@ object Similarity {
     * threshold contract is measured independently (not just documented)
     * in RecallSuite at small SF, where brute force is feasible.
     *
-    * Banding: the 16 SRP planes split into 4 bands of 4; two vectors are
-    * candidates iff they agree on ALL 4 sign bits of ANY band. For
-    * cosine s the per-plane agreement probability is
-    * p = 1 − acos(s)/π, so recall = 1 − (1 − p⁴)⁴ ≈ 0.54 at s = 0.45
-    * (this threshold) and ≈ 0.96 at s = 0.9 (true near-dups). Misses are
-    * the documented LSH trade; every candidate is verified with EXACT
-    * cosine so there are no false positives.
+    * Banding (r7): 24 bands of 6 FIXED-POINT SRP planes
+    * ([[graft.functions.SrpBandCodes]]). For cosine s the per-plane
+    * agreement probability is p = 1 − acos(s)/π, so recall =
+    * 1 − (1 − p⁶)²⁴ ≈ 0.84 at s = 0.45 (this threshold; measured higher
+    * — most true pairs sit well above it) and ≈ 1 at s = 0.9. The r6
+    * 4×4 design (recall ≈ 0.54 analytic, 0.62 measured) was capped by
+    * its oracle coupling: FLOAT projections forced the twin to spell
+    * out every plane as a 128-term left-to-right sum (accumulation-order
+    * equality), so the plane budget stayed at 16 — too coarse to buy
+    * recall without near-all-pairs candidate mass. Integer projections
+    * are order-free, the twin computes them with a plain SUM/GROUP BY
+    * over md5-derived signs, and the plane budget becomes a knob.
+    * Candidate mass for UNRELATED pairs (s ≈ 0) rises from ~23% to ~31%
+    * of pairs — the price of 0.84-vs-0.54 recall at a threshold this
+    * low; every candidate still verifies at exact cosine, so false
+    * positives stay 0.
     *
-    * Scale shape: band ids are per-row arithmetic below the exchange; the
-    * candidate join shuffles (vec_id, band) only; embeddings are fetched
-    * per candidate side via shuffle hash joins on vec_id — nothing
-    * corpus-sized is ever broadcast and no all-pairs comparison exists. */
+    * Scale shape: band codes are one per-row kernel below the exchange;
+    * the candidate join shuffles (vec_id, band) only — 24 longs per
+    * vector; 64-code band spaces keep cells small; hot cells are
+    * SkewGuard-salted; embeddings are fetched per candidate side via
+    * shuffle hash joins on vec_id — nothing corpus-sized is ever
+    * broadcast and no all-pairs comparison exists. */
   private val NearDupThreshold = 0.45
-  private val DedupBands = 4
-  private val DedupRowsPerBand = NumPlanes / DedupBands
+  private val DedupBands = 24
+  private val DedupRowsPerBand = 6
 
-  /** Band id for band b: b*16 + the 4 sign bits of planes 4b..4b+3. */
-  private def bandCol(b: Int): Column =
-    (0 until DedupRowsPerBand).map { j =>
-      when(projCol(DedupRowsPerBand * b + j) >= 0, 1L << j).otherwise(0L)
-    }.reduce(_ + _) + lit(b * 16L)
-
-  private def bandSql(b: Int): String = {
-    val bits = (0 until DedupRowsPerBand).map { j =>
-      s"CASE WHEN (${projSql(DedupRowsPerBand * b + j)}) >= 0 THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
-    s"${b * 16} + $bits"
-  }
+  /** SQL twin of the band-code derivation (DuckDB): same md5 signs, same
+    * floor(x·2^20) quantization, order-free integer sums. */
+  private def bandCodesSqlCtes: String =
+    s"""qe AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT CAST(pp.range AS INT) AS p, CAST(dd.range AS INT) AS d,
+      |         CASE WHEN substr(md5('srp:' || CAST(pp.range AS VARCHAR) || ':' ||
+      |                               CAST(dd.range AS VARCHAR)), 1, 1)
+      |                   BETWEEN '0' AND '7'
+      |              THEN 1 ELSE -1 END AS s
+      |  FROM range(${DedupBands * DedupRowsPerBand}) pp, range($Dim) dd),
+      |proj AS (
+      |  SELECT q.vec_id, pl.p, SUM(q.q[pl.d + 1] * pl.s) AS pr
+      |  FROM qe q CROSS JOIN planes pl
+      |  GROUP BY q.vec_id, pl.p),
+      |bands AS (
+      |  SELECT vec_id,
+      |         CAST((p // $DedupRowsPerBand) * ${1L << DedupRowsPerBand} +
+      |              SUM(CASE WHEN pr >= 0
+      |                       THEN 1 << (p % $DedupRowsPerBand) ELSE 0 END)
+      |              AS BIGINT) AS band
+      |  FROM proj GROUP BY vec_id, p // $DedupRowsPerBand)""".stripMargin
 
   /** Verified embedding-cosine near-dup pairs (pre-ordering) — shared by
     * the pairs query and the cluster query ([[Dedup]]). */
@@ -252,9 +277,11 @@ object Similarity {
     val emb = Tables.embeddings(s, dir).repartition(64)
       .select(col("vec_id"), col("embedding"))
     // band ids materialized below one band-partitioned exchange shared
-    // by both candidate-join sides (ReusedExchange)
+    // by both candidate-join sides (ReusedExchange); one native kernel
+    // per row (24 bands × 6 fixed-point planes)
     val bands = emb.select(col("vec_id"),
-      explode(array((0 until DedupBands).map(bandCol): _*)).as("band"))
+      explode(graft.functions.VectorFunctions.srpBandCodes(
+        col("embedding"), DedupRowsPerBand, DedupBands)).as("band"))
       .repartition(col("band"))
     // hot bands (boilerplate-dense SRP cells) triangle-salted by
     // SkewGuard; cold bands keep the shuffle-hash self-join
@@ -281,9 +308,7 @@ object Similarity {
       |  SELECT vec_id, embedding,
       |         SQRT(${dotSql("embedding", "embedding")}) AS norm
       |  FROM embeddings),
-      |bands AS (
-      |  SELECT vec_id, unnest([${(0 until DedupBands).map(bandSql).mkString(",\n    ")}]) AS band
-      |  FROM embeddings),
+      |$bandCodesSqlCtes,
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_id_keeper, b.vec_id AS vec_id_dropped
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id)
