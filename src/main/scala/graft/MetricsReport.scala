@@ -100,10 +100,18 @@ object MetricsReport {
       else (banded & exactPairs).size.toDouble / exactPairs.size
     val falsePos = (banded -- exactPairs).size
 
-    // 3. dedup cluster structure at this SF
+    // 3. dedup cluster structure at this SF + the CC loop verdict
+    // (observed metric — a non-converged clustering is visible here,
+    // not just in driver logs)
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir)
-    val nDocs = clusters.count()
-    val nClusters = clusters.select("cluster_rep").distinct().count()
+    // ONE action on this exact DataFrame: observedMetrics live on its
+    // QueryExecution (count()/select() would re-plan and lose them)
+    val clusterRows = clusters.collect()
+    val nDocs = clusterRows.length.toLong
+    val nClusters = clusterRows.map(_.getAs[Long]("cluster_rep")).distinct.length
+    val ccVerdict = clusters.queryExecution.observedMetrics.get("dedup_clusters_cc")
+    val ccConverged = ccVerdict.forall(_.getAs[Long]("converged") == 1L)
+    val ccIterations = ccVerdict.map(_.getAs[Long]("iterations")).getOrElse(-1L)
 
     // 4. end-to-end streaming throughput
     val stream = StreamBench.run(spark, sfDir)
@@ -121,7 +129,7 @@ object MetricsReport {
          |    "dedup_embedding_cosine_pair_recall": ${d4(pairRecall)},
          |    "dedup_embedding_cosine_false_positives": $falsePos
          |  },
-         |  "dedup_clusters": {"documents": $nDocs, "clusters": $nClusters},
+         |  "dedup_clusters": {"documents": $nDocs, "clusters": $nClusters, "converged": $ccConverged, "cc_iterations": $ccIterations},
          |  "skew_guard": {
          |$sg
          |  },

@@ -104,11 +104,50 @@ final case class KafkaLogSource(
   def resolvedPartitions(): Seq[Int] =
     if (partitions.nonEmpty) partitions.sorted else KafkaMeta.partitionsOf(bootstrapServers, topic)
 
-  private def common(r: org.apache.spark.sql.DataFrameReader) = r
-    .format("kafka")
-    .option("kafka.bootstrap.servers", bootstrapServers)
-    .option("failOnDataLoss", "false")
-    .options(extraOptions)
+  /** Options shared by every read mode. `failOnDataLoss=false` is the
+    * OUT-OF-RANGE RECOVERY POSTURE (reference Consumer.java:548-590
+    * seeks earliest/latest instead of dying; S3 in SURVEY §2.1): a
+    * saved offset that aged out of retention resets instead of failing
+    * the query. `extraOptions` apply LAST, so a deployment that prefers
+    * fail-fast (the reference's other matrix arm) overrides it with one
+    * entry — precedence is pinned by KafkaLogSourceSuite. */
+  private def commonOptions: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "failOnDataLoss" -> "false") ++ extraOptions
+
+  /** Full option map of [[read]] — the decision table as a testable
+    * artifact (no broker in this environment, so the assembled options
+    * ARE the unit-test surface; the live matrix is environment-blocked,
+    * SURVEY §2.1). */
+  def readOptions: Map[String, String] = commonOptions ++ Map(
+    (if (partitions.nonEmpty) "assign" else "subscribe") ->
+      (if (partitions.nonEmpty) assignJson(partitions) else topic),
+    "startingOffsets" -> "earliest")
+
+  /** Full option map of [[readBounded]]. */
+  def boundedReadOptions(
+      starting: ConsumerState,
+      ending: Option[ConsumerState],
+      assigned: Seq[Int]): Map[String, String] = commonOptions ++ Map(
+    "assign" -> assignJson(assigned),
+    "startingOffsets" -> startingOffsetsJson(starting, assigned),
+    "endingOffsets" -> ending.fold("latest")(endingOffsetsJson(_, assigned)))
+
+  /** Full option map of [[readStream]]. */
+  def streamReadOptions(
+      from: ConsumerState,
+      assigned: Seq[Int],
+      maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] = {
+    val sub =
+      if (assigned.nonEmpty) Map(
+        "assign" -> assignJson(assigned),
+        "startingOffsets" -> startingOffsetsJson(from, assigned))
+      else Map(
+        "subscribe" -> topic,
+        "startingOffsets" -> "earliest")
+    commonOptions ++ sub ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+  }
 
   /** Normalize the Kafka frame to the LogSchema contract: payload stays
     * opaque in `value` exactly as the reference treats Values. */
@@ -121,22 +160,15 @@ final case class KafkaLogSource(
     col("timestamp").as("ts"))
 
   def read(spark: SparkSession): DataFrame =
-    normalize(common(spark.read)
-      .option(if (partitions.nonEmpty) "assign" else "subscribe",
-        if (partitions.nonEmpty) assignJson(partitions) else topic)
-      .option("startingOffsets", "earliest")
-      .load())
+    normalize(spark.read.format("kafka").options(readOptions.asJava).load())
 
   override def readBounded(
       spark: SparkSession,
       starting: ConsumerState,
       ending: Option[ConsumerState]): DataFrame = {
     val assigned = resolvedPartitions()
-    val r = common(spark.read)
-      .option("assign", assignJson(assigned))
-      .option("startingOffsets", startingOffsetsJson(starting, assigned))
-    normalize(ending.fold(r.option("endingOffsets", "latest"))(e =>
-      r.option("endingOffsets", endingOffsetsJson(e, assigned))).load())
+    normalize(spark.read.format("kafka")
+      .options(boundedReadOptions(starting, ending, assigned).asJava).load())
   }
 
   /** Partition set a resuming streaming read assigns: the LIVE partition
@@ -153,24 +185,12 @@ final case class KafkaLogSource(
     * admission/throttle knob (ThrottlePolicy.ratePerTrigger feeds it). */
   def readStream(spark: SparkSession, from: ConsumerState = ConsumerState.empty,
       maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
-    val sr = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("failOnDataLoss", "false")
-      .options(extraOptions)
     val assigned =
       if (partitions.nonEmpty) partitions.sorted
       else if (from.offsets.nonEmpty) streamingAssignment(from, resolvedPartitions())
       else Seq.empty
-    val sub =
-      if (assigned.nonEmpty)
-        sr.option("assign", assignJson(assigned))
-          .option("startingOffsets", startingOffsetsJson(from, assigned))
-      else
-        sr.option("subscribe", topic)
-          .option("startingOffsets", "earliest")
-    normalize(maxOffsetsPerTrigger
-      .fold(sub)(n => sub.option("maxOffsetsPerTrigger", n.toString))
+    normalize(spark.readStream.format("kafka")
+      .options(streamReadOptions(from, assigned, maxOffsetsPerTrigger).asJava)
       .load())
   }
 

@@ -82,4 +82,55 @@ class KafkaLogSourceSuite extends AnyFunSuite {
     val s = st(0 -> 5L, 1 -> 10L)
     assert(ConsumerState.fromJson(s.toJson) === s)
   }
+
+  // ---- reset-matrix decision table (reference ConsumerTest.java:1856-2430
+  // runs it against embedded brokers; no broker here, so the assembled
+  // option maps — what the connector actually receives — are the pinned
+  // surface; Consumer.java:548-590 is the seek-earliest/latest recovery
+  // this maps onto) ----
+
+  test("every read mode carries the out-of-range recovery posture (failOnDataLoss=false)") {
+    assert(src.readOptions("failOnDataLoss") === "false")
+    assert(src.boundedReadOptions(st(0 -> 1L), None, Seq(0, 1, 2))("failOnDataLoss") === "false")
+    assert(src.streamReadOptions(st(0 -> 1L), Seq(0, 1, 2))("failOnDataLoss") === "false")
+    // aged-out saved offsets reset instead of failing the query — the
+    // reference's FailInvalidOffsetPositions=false arm; the fail-fast arm
+    // is one extraOptions entry (tested below)
+  }
+
+  test("extraOptions override the recovery posture (the matrix's fail-fast arm) but never the mode options") {
+    val failFast = KafkaLogSource("broker:9092", "events", partitions = Seq(0),
+      extraOptions = Map("failOnDataLoss" -> "true", "startingOffsets" -> "latest"))
+    assert(failFast.readOptions("failOnDataLoss") === "true")
+    // mode-derived options are authoritative: a stray startingOffsets in
+    // extraOptions cannot silently defeat the resume-after-watermark JSON
+    assert(failFast.boundedReadOptions(st(0 -> 41L), None, Seq(0))("startingOffsets") ===
+      """{"events": {"0": 42}}""")
+    assert(failFast.readOptions("startingOffsets") === "earliest")
+  }
+
+  test("bounded read option map: assign + resume-after-watermark + exclusive endings") {
+    val opts = src.boundedReadOptions(
+      st(0 -> 41L, 2 -> 7L), Some(st(0 -> 99L)), Seq(0, 1, 2))
+    assert(opts("assign") === """{"events":[0,1,2]}""")
+    assert(opts("startingOffsets") === """{"events": {"0": 42, "1": -2, "2": 8}}""")
+    assert(opts("endingOffsets") === """{"events": {"0": 100, "1": 0, "2": 0}}""")
+    assert(!opts.contains("subscribe"))
+    // no ending bound => drain to the live head
+    assert(src.boundedReadOptions(st(0 -> 1L), None, Seq(0))("endingOffsets") === "latest")
+  }
+
+  test("stream read option map: assign mode with state, subscribe mode without") {
+    val withState = src.streamReadOptions(st(0 -> 41L), Seq(0, 1, 2),
+      maxOffsetsPerTrigger = Some(500L))
+    assert(withState("assign") === """{"events":[0,1,2]}""")
+    assert(withState("startingOffsets") === """{"events": {"0": 42, "1": -2, "2": -2}}""")
+    assert(withState("maxOffsetsPerTrigger") === "500")
+    assert(!withState.contains("subscribe"))
+
+    val fresh = src.streamReadOptions(ConsumerState.empty, Seq.empty)
+    assert(fresh("subscribe") === "events")
+    assert(fresh("startingOffsets") === "earliest")
+    assert(!fresh.contains("assign") && !fresh.contains("maxOffsetsPerTrigger"))
+  }
 }
