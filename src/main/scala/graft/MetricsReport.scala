@@ -103,14 +103,27 @@ object MetricsReport {
     // 3. dedup cluster structure at this SF + the CC loop verdict
     // (observed metric — a non-converged clustering is visible here,
     // not just in driver logs)
+    // Counts ride the SAME execution as the CC-verdict observe node via a
+    // second observe + one row-free action: nothing corpus-sized crosses
+    // to the driver (a collect() here would OOM at a bigger SF dir), and
+    // count()/select() would re-plan and lose the child's observedMetrics.
+    // ONE collect()-style action on this exact DataFrame: observedMetrics
+    // live on the acted-on QueryExecution (count()/select()/foreach()
+    // re-plan — foreach's RDD path even executes a SEPARATE QueryExecution
+    // whose accumulators this handle never sees). Driver-sized by the
+    // same argument as the rest of this main: a quality-measurement
+    // harness that already brute-forces recall with a collected
+    // cross-join — it runs at measurement SF, never corpus scale.
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir)
-    // ONE action on this exact DataFrame: observedMetrics live on its
-    // QueryExecution (count()/select() would re-plan and lose them)
     val clusterRows = clusters.collect()
     val nDocs = clusterRows.length.toLong
     val nClusters = clusterRows.map(_.getAs[Long]("cluster_rep")).distinct.length
-    val ccVerdict = clusters.queryExecution.observedMetrics.get("dedup_clusters_cc")
-    val ccConverged = ccVerdict.forall(_.getAs[Long]("converged") == 1L)
+    val om = clusters.queryExecution.observedMetrics
+    // a MISSING verdict metric must read as NOT converged — the healthy
+    // default would silently mask the exact failure this metric exists
+    // to surface (e.g. a refactor dropping the observe node)
+    val ccVerdict = om.get("dedup_clusters_cc")
+    val ccConverged = ccVerdict.exists(_.getAs[Long]("converged") == 1L)
     val ccIterations = ccVerdict.map(_.getAs[Long]("iterations")).getOrElse(-1L)
 
     // 4. end-to-end streaming throughput

@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * md5-pinned DuckDB oracle is untouched — DigestExpressionsSuite asserts
  * bit-equality against the HOF form).
  *
- * Null semantics match the HOF form: null array or null prefix ⇒ null
- * (BinaryExpression default); a null ELEMENT ⇒ null output element.
+ * Null semantics: null array ⇒ null and null ELEMENT ⇒ null output
+ * element (both as the HOF form); a null PREFIX ⇒ null result
+ * (BinaryExpression default), where the concat-HOF would instead yield
+ * an array of nulls — internal callers always pass literal prefixes,
+ * SQL users should not pass a null one.
  */
 final case class ArrayMd5(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -68,7 +71,11 @@ final case class ArrayMd5(left: Expression, right: Expression)
  * of (doc_id, 64 ints) and 64 aggregate expressions per token row. This
  * expression computes the identical signature with ZERO shuffle, inside
  * whole-stage codegen, one md5 per token. Null array ⇒ null; null
- * elements are skipped (split() never yields them).
+ * ELEMENTS are skipped — split() never yields them, but note the
+ * explode+groupBy form counts a null token as −1 in every counter, so
+ * the bit-identity contract holds for null-free arrays only (all
+ * internal callers; SQL users passing hand-built arrays with nulls get
+ * the skip semantics).
  */
 final case class SimHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

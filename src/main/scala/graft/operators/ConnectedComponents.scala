@@ -90,9 +90,11 @@ object ConnectedComponents {
         coalesce(col("__lk_label"), col("label")).as("label"))
   }
 
-  /** Default for `localEdgeThreshold`: 2M deduped undirected edges ≈
-    * tens of MB on the driver — comfortably metadata-sized, far below
-    * anything that could pressure a real driver's heap. */
+  /** Default for `localEdgeThreshold` (deduped UNDIRECTED edges): 2M.
+    * The local path collects the symmetrized list — 4M (long, long)
+    * rows, a few hundred MB of transient boxed Rows during the collect
+    * — sized for a production driver (multi-GB heaps); tune down for
+    * thin drivers, 0 to disable. */
   val DefaultLocalEdgeThreshold: Long = 2L * 1000 * 1000
 
   /**
@@ -147,8 +149,10 @@ object ConnectedComponents {
 
     // The sizing action doubles as the cache materialization round 1
     // would otherwise pay — the distributed path does no extra work.
-    val edgeCount = sym.count()
-    if (localEdgeThreshold > 0 && edgeCount <= localEdgeThreshold) {
+    // sym carries 2 rows per undirected edge, so the gate compares
+    // against 2× the (undirected) threshold.
+    val symCount = sym.count()
+    if (localEdgeThreshold > 0 && symCount <= 2 * localEdgeThreshold) {
       val result = runLocal(vertexIds, sym)
       sym.unpersist(blocking = false)
       return result

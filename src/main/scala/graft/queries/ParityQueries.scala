@@ -58,11 +58,15 @@ object ParityQueries {
   /** Reclaim fixtures left by FINISHED runs. A shutdown hook can't do this:
     * the driver's DuckDB compare reads the fixture AFTER this JVM exits
     * (oracle_sql.json carries the path), so our own fixture must outlive
-    * us — instead each new run deletes siblings whose writer pid is dead.
-    * Live concurrent runs (pid alive) are never touched. */
+    * us — instead each new run deletes siblings whose writer pid is dead
+    * AND whose fixture is old enough that no post-exit compare can still
+    * be pending (a run that just exited has a compare in flight for at
+    * most minutes; the age gate keeps the race window closed). Live
+    * concurrent runs (pid alive) are never touched. */
   private def reapStaleSkipLists(): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val mine = ProcessHandle.current().pid()
+    val minAgeMs = 60L * 60 * 1000
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
@@ -72,7 +76,8 @@ object ParityQueries {
         case s"graft_skiplist_keys_$pid"
             if pid.nonEmpty && pid.length < 19 && pid.forall(_.isDigit) &&
               pid.toLong != mine &&
-              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) &&
+              System.currentTimeMillis() - f.lastModified() > minAgeMs =>
           rm(f)
         case _ => ()
       }

@@ -118,12 +118,21 @@ object StatefulOps {
    * TTL (`ttlMs`, default 2× the horizon) drops a band that goes QUIET —
    * without it a band's last in-horizon entries would persist for the
    * life of the query, O(distinct bands ever seen) on a months-long
-   * ingest. Dropping quiet state is loss-free by the horizon contract:
-   * by the time the TTL fires, everything in the entry list is already
-   * unmatchable for any on-time arrival. `ttlMs = 0` disables the TTL —
-   * the deterministic-test mode, since a processing-time timeout keeps
-   * the engine planning batches forever and `processAllAvailable()`
-   * never returns (poll the sink instead — see [[runningStats]]).
+   * ingest. The TTL is PROCESSING-time (keyed-state timeouts offer no
+   * per-key event-time clock without a watermark), so dropping quiet
+   * state is loss-free exactly when processing time tracks event time
+   * within the TTL slack — the steady-ingest case. Under deeper lag
+   * (a source down longer than the TTL, then replaying a backlog),
+   * a quiet band's state can drop while backlogged rows inside its
+   * EVENT-time horizon are still en route; those hits are missed — the
+   * same bounded-state trade as horizon expiry, and the downstream
+   * batch dedup passes are, as ever, the exactness backstop. Size
+   * `ttlMs` to the worst outage you want to ride through. `ttlMs = 0`
+   * disables the TTL — the deterministic-test mode, since a
+   * processing-time timeout keeps the engine planning batches forever
+   * and `processAllAvailable()` never returns (poll the sink instead —
+   * see [[runningStats]]); note the TTL-on default therefore changes
+   * how the query must be driven.
    */
   def dedupSimhashStream(
       spark: SparkSession,
