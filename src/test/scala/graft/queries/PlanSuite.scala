@@ -143,6 +143,27 @@ class PlanSuite extends SparkSuite {
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("decontaminate_overlap broadcasts the benchmark shingle set — corpus never self-joins") {
+    // benchmarks are metadata-sized vs the corpus: the overlap join must
+    // be a broadcast-hash with the corpus side narrow, and nothing in the
+    // plan may pair corpus docs with each other
+    val p = plan("decontaminate_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("sample_stratified does partial-agg top-k per stratum — no window funnel") {
+    // row_number().over(partitionBy(lang)) would funnel each language's
+    // whole corpus into one reducer; the aggregator shuffles <= k rows
+    // per (map partition, stratum)
+    val df = SparkEntry.queries("sample_stratified")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(3000))
+    assert("Aggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q17 broadcasts the filtered part dim; lineitem agg is partial") {
     val df = SparkEntry.queries("q17_small_qty")(spark, sfDir)
     df.collect()
