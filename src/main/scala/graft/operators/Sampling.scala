@@ -64,6 +64,143 @@ object Sampling {
       |SELECT lang, CAST(rn AS INT) AS rank, doc_id
       |FROM ranked WHERE rn <= $K ORDER BY lang, rank""".stripMargin))
 
+  private val TokenBudget = 1000L
+
+  /**
+   * Token-budget mixture cutoff: for each source, the hash-priority
+   * cutoff that keeps (at most) `TokenBudget` tokens — the other half of
+   * data mixing, where the recipe is "N tokens per source", not "N
+   * documents per stratum".
+   *
+   * The naive formulation — `sum(tokens) OVER (PARTITION BY source
+   * ORDER BY hash)` then filter — funnels every row of a source into
+   * one reducer for the running sum: with a handful of sources over
+   * 100 TB, a handful of tasks sort the corpus. This operator is the
+   * scale-safe two-level design: docs bucket by their first two
+   * priority-hash hex digits (256 buckets), ONE map-side-combined
+   * groupBy builds the per-(source, bucket) token histogram, and the
+   * cumulative scan + cutoff runs over that histogram — at most
+   * 256 rows per source, metadata-sized whatever the corpus. The
+   * window below therefore orders buckets, never documents. Kept set =
+   * docs whose bucket is strictly below the cutoff (bucket granularity
+   * is the documented resolution; a third pass could refine inside the
+   * boundary bucket, same shape).
+   */
+  private val mixBudgetCutoff = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, dir).repartition(64)
+        .select(col("source"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)")
+            .as("bucket"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source", "bucket")
+        .agg(sum(col("n_tokens")).as("bucket_tokens"),
+          count(lit(1)).as("bucket_docs"))
+      // histogram-sized window: ≤256 rows per source
+      val w = Window.partitionBy("source").orderBy("bucket")
+      hist
+        .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+        .filter(col("cum_tokens") <= TokenBudget)
+        .groupBy("source")
+        .agg(max(col("bucket")).as("cutoff_bucket"),
+          max(col("cum_tokens")).as("kept_tokens"),
+          sum(col("bucket_docs")).as("kept_docs"))
+        .orderBy("source")
+    },
+    Some(s"""WITH h AS (
+      |  SELECT source,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS bucket,
+      |         SUM(len(string_split(text, ' '))) AS bucket_tokens,
+      |         COUNT(*) AS bucket_docs
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, bucket, bucket_docs,
+      |         SUM(bucket_tokens) OVER (PARTITION BY source ORDER BY bucket) AS cum_tokens
+      |  FROM h)
+      |SELECT source, MAX(bucket) AS cutoff_bucket,
+      |       CAST(MAX(cum_tokens) AS BIGINT) AS kept_tokens,
+      |       CAST(SUM(bucket_docs) AS BIGINT) AS kept_docs
+      |FROM c WHERE cum_tokens <= $TokenBudget
+      |GROUP BY source ORDER BY source""".stripMargin))
+
+  private val SeqLen = 256L
+
+  /**
+   * Sequence packing (concat-and-chunk): assign every document a
+   * training-sequence id by concatenating each source's docs in
+   * deterministic hash order and chunking the token stream at `SeqLen`.
+   * `seq_id = floor(tok_start / SeqLen)` where `tok_start` is the doc's
+   * offset in its source's concatenated stream — the standard GPT-style
+   * packing recipe, reproducible across runs.
+   *
+   * The offset is a PREFIX SUM, and the naive form — `sum(tokens) OVER
+   * (PARTITION BY source ORDER BY hash)` — funnels each source's whole
+   * corpus through one reducer. This is the distributed decomposition:
+   *   tok_start = bucket_offset(source, bucket) + intra_bucket_cumsum
+   * where bucket = first two hex digits of the priority hash (256-way).
+   * The intra-bucket window partitions by (source, bucket) — 256×
+   * the parallelism, corpus/256 rows per task — and the bucket offsets
+   * come from a map-side-combined histogram whose exclusive-prefix
+   * window scans ≤256 metadata rows per source. Broadcast-joining the
+   * offsets back costs O(sources × 256). Because the bucket is a prefix
+   * of the hash, (bucket, hash) order ≡ hash order, so the decomposed
+   * sum equals the single-window sum exactly — which is what the DuckDB
+   * twin computes with the naive one-window form.
+   */
+  private val packSequences = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir).repartition(64)
+        .select(col("source"), col("doc_id"),
+          expr("substring(md5(cast(doc_id as string)), 1, 13)").as("prio"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket",
+          expr("cast(conv(substring(prio, 1, 2), 16, 10) as int)"))
+      val intra = Window.partitionBy("source", "bucket")
+        .orderBy("prio", "doc_id")
+      val withCum = base.withColumn("cum_in_bucket",
+        sum(col("n_tokens")).over(intra))
+      val offsets = base.groupBy("source", "bucket")
+        .agg(sum(col("n_tokens")).as("bucket_tokens"))
+        .withColumn("bucket_offset", coalesce(
+          sum(col("bucket_tokens")).over(
+            Window.partitionBy("source").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("source").as("o_source"), col("bucket").as("o_bucket"),
+          col("bucket_offset"))
+      withCum
+        .join(broadcast(offsets),
+          col("source") === col("o_source") && col("bucket") === col("o_bucket"))
+        .withColumn("tok_start",
+          col("bucket_offset") + col("cum_in_bucket") - col("n_tokens"))
+        .select(
+          col("source"),
+          col("doc_id"),
+          floor(col("tok_start") / lit(SeqLen.toDouble)).cast("int").as("seq_id"),
+          col("tok_start"),
+          col("n_tokens").cast("int").as("n_tokens"))
+        .orderBy("source", "tok_start")
+    },
+    Some(s"""WITH d AS (
+      |  SELECT source, doc_id,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS prio,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         SUM(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY prio, doc_id) AS cum
+      |  FROM d)
+      |SELECT source, doc_id,
+      |       CAST(FLOOR((cum - n_tokens) / $SeqLen.0) AS INT) AS seq_id,
+      |       CAST(cum - n_tokens AS BIGINT) AS tok_start,
+      |       CAST(n_tokens AS INT) AS n_tokens
+      |FROM c ORDER BY source, tok_start""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
-    "sample_stratified" -> sampleStratified)
+    "sample_stratified" -> sampleStratified,
+    "mix_budget_cutoff" -> mixBudgetCutoff,
+    "pack_sequences" -> packSequences)
 }

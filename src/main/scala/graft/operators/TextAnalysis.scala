@@ -186,9 +186,66 @@ object TextAnalysis {
       |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
       |FROM n ORDER BY doc_id""".stripMargin))
 
+  /** Repetition scoring (the Gopher-rules repetition family): duplicate
+    * word ratio, duplicate-bigram ratio, and top-word fraction, plus the
+    * composite keep/drop flag a pipeline filters on. Like the rest of
+    * this file it is pure per-row HOF computation — zero shuffle, the
+    * mode is computed per row over the (small) distinct-token set, never
+    * via a corpus-level groupBy. */
+  private val textRepetition = QueryDef(
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(0, size(toks) - 2),
+          |       i -> concat(toks[i], ' ', toks[i + 1])) END""".stripMargin))
+      .withColumn("dup_word_ratio",
+        lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("dup_bigram_ratio",
+        when(size(col("bigrams")) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams"))))
+      .withColumn("top_word_ratio", expr(
+        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))")
+        .cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("dup_word_ratio"), 4).as("dup_word_ratio"),
+        round(col("dup_bigram_ratio"), 4).as("dup_bigram_ratio"),
+        round(col("top_word_ratio"), 4).as("top_word_ratio"),
+        (col("top_word_ratio") > 0.2 || col("dup_bigram_ratio") > 0.5).as("repetitive"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks, n_tokens,
+      |    CASE WHEN n_tokens < 2 THEN []
+      |         ELSE list_transform(range(1, n_tokens),
+      |                i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    1.0 - len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE) AS dup_word_ratio,
+      |    CASE WHEN len(bigrams) = 0 THEN 0.0
+      |         ELSE 1.0 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE)
+      |    END AS dup_bigram_ratio,
+      |    list_max(list_transform(list_distinct(toks),
+      |      d -> len(list_filter(toks, t -> t = d)))) / CAST(n_tokens AS DOUBLE) AS top_word_ratio
+      |  FROM b)
+      |SELECT doc_id, n_tokens,
+      |  ROUND(dup_word_ratio, 4) AS dup_word_ratio,
+      |  ROUND(dup_bigram_ratio, 4) AS dup_bigram_ratio,
+      |  ROUND(top_word_ratio, 4) AS top_word_ratio,
+      |  (top_word_ratio > 0.2 OR dup_bigram_ratio > 0.5) AS repetitive
+      |FROM r ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
+    "text_repetition" -> textRepetition,
     "doc_fingerprint" -> docFingerprint)
 }

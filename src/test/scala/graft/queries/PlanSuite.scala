@@ -164,6 +164,33 @@ class PlanSuite extends SparkSuite {
     assert("Aggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("mix_budget_cutoff windows over the bucket histogram, never the corpus") {
+    // the running token sum must scan ≤256 histogram rows per source; a
+    // Window whose input is the raw documents scan would funnel each
+    // source's whole corpus into one reducer
+    val df = SparkEntry.queries("mix_budget_cutoff")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val w = p.indexOf("Window")
+    assert(w >= 0, p.take(3000))
+    // below the window (plans print top-down) sits the histogram
+    // aggregate — the window's input is aggregated, not the scan
+    assert(p.substring(w).contains("HashAggregate"), p.take(3000))
+  }
+
+  test("pack_sequences decomposes the prefix sum — corpus window is bucket-partitioned") {
+    // the per-doc running sum must partition by (source, bucket) for
+    // 256-way parallelism; a window partitioned by source alone over the
+    // scan would funnel each source's corpus into one reducer. The
+    // metadata-sized bucket offsets ride back on a broadcast join.
+    val df = SparkEntry.queries("pack_sequences")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(source#\\d+, bucket#\\d+, prio".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q17 broadcasts the filtered part dim; lineitem agg is partial") {
     val df = SparkEntry.queries("q17_small_qty")(spark, sfDir)
     df.collect()
