@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.QueryDef
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Thresholds for the curation gates. Defaults are the standard
+  * web-corpus heuristics (Gopher-ish); a deployment tunes per corpus. */
+final case class CurationConfig(
+    minTokens: Int = 30,
+    minDiversity: Double = 0.4,
+    maxTopWordRatio: Double = 0.2,
+    samplePerStratum: Int = 20)
+
+/**
+ * The composed training-data curation pipeline — the user-facing face of
+ * the operator family: quality gate → repetition gate → exact-dedup
+ * keeper → decontamination → stratified sample, chained as ONE
+ * declarative DataFrame plan so Catalyst fuses the narrow stages and the
+ * whole flow runs in a single pass over the corpus (plus the two bounded
+ * exchanges dedup and sampling inherently need).
+ *
+ * Stage order is part of the contract (and of the oracle): the held-out
+ * benchmark docs leave the corpus FIRST (they must never be trainable,
+ * and must not win a dedup-keeper race against a trainable duplicate),
+ * then per-row gates, then dedup, then shingle decontamination, then the
+ * deterministic sample.
+ *
+ * 100 TB shape, stage by stage:
+ *  - gates: per-row HOFs, zero shuffle, fused into the scan;
+ *  - dedup keeper: ONE shuffle on the content fingerprint; the window
+ *    partitions by fingerprint, so partition sizes are duplicate-set
+ *    sizes (tiny, unskewed) — this is the safe kind of window, unlike a
+ *    per-source/per-lang window whose partition count is small;
+ *  - decontamination: benchmark shingles BROADCAST (eval suites are
+ *    metadata-sized); the contaminated-id set is resolved with a
+ *    broadcast semi join and removed with an anti join that AQE sizes
+ *    (typically broadcast — contamination is rare);
+ *  - sample: the bounded top-k aggregator, ≤k rows per (map partition,
+ *    stratum) cross the shuffle — never a per-stratum window funnel.
+ */
+object TrainingPipeline {
+
+  /** Per-row quality + repetition gates. Narrow: fuses into the scan. */
+  def qualityGate(docs: DataFrame, cfg: CurationConfig): DataFrame = {
+    val g = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("diversity",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("top_word_ratio", expr(
+        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))")
+        .cast("double") / col("n_tokens"))
+    g.filter(col("n_tokens") >= cfg.minTokens &&
+        col("diversity") >= cfg.minDiversity &&
+        col("top_word_ratio") <= cfg.maxTopWordRatio)
+      .drop("toks", "n_tokens", "diversity", "top_word_ratio")
+  }
+
+  /** Exact-dedup keepers: lowest doc_id per content fingerprint. One
+    * fingerprint shuffle; duplicate sets are tiny so the window is
+    * skew-free by construction. */
+  def dedupKeepers(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    docs.withColumn("fingerprint", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("fingerprint", "keeper")
+  }
+
+  /** Remove docs sharing any 3-token shingle with the benchmark set.
+    * Benchmark shingles broadcast; the corpus never self-joins. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val shingle = expr(
+      """CASE WHEN size(toks) < 3 THEN array()
+        |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
+        |       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) END""".stripMargin)
+    val benchShingles = benchmark
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(shingle).as("shingle")).distinct()
+    val contaminated = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingle).as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Deterministic hash-priority sample, k per stratum, via the bounded
+    * top-k aggregator (same shape as `sample_stratified`). */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val topk = new TopKAggregator(k).toColumn.name("topk")
+    docs.select(col("lang"), col("doc_id"),
+        (lit(0.0) - expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)"))
+          .as("prio"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, p) => Scored(id, p) }
+      .agg(topk)
+      .flatMap { case (lang, items) =>
+        items.zipWithIndex.map { case (r, i) => (lang, i + 1, r.id) }
+      }
+      .toDF("lang", "rank", "doc_id")
+  }
+
+  /** The full pipeline. `benchmark` rows are excluded from the corpus
+    * before any other stage (held-out means held out of dedup races
+    * too), then gate → dedup → decontaminate → sample. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val trainable = docs.join(
+      benchmark.select("doc_id"), Seq("doc_id"), "left_anti")
+    val gated = qualityGate(trainable, cfg)
+    val keepers = dedupKeepers(gated)
+    val clean = decontaminate(keepers, benchmark)
+    stratifiedSample(clean, cfg.samplePerStratum)
+  }
+
+  /** Oracle-gated query: the whole pipeline on the documents table with
+    * the deterministic `doc_id % 97 = 0` benchmark stand-in (same as
+    * `decontaminate_overlap`). */
+  private val pipelineCurate = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      curate(corpus, bench).orderBy("lang", "rank")
+    },
+    Some("""WITH t AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |gated AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, lang, text, toks, n_tokens,
+      |      len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE) AS diversity,
+      |      list_max(list_transform(list_distinct(toks),
+      |        d -> len(list_filter(toks, x -> x = d)))) / CAST(n_tokens AS DOUBLE) AS twr
+      |    FROM t WHERE doc_id % 97 <> 0)
+      |  WHERE n_tokens >= 30 AND diversity >= 0.4 AND twr <= 0.2),
+      |keepers AS (
+      |  SELECT doc_id, lang, toks FROM (
+      |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |    FROM gated)
+      |  WHERE doc_id = keeper),
+      |shingled AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(toks) < 3 THEN []
+      |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+      |  FROM keepers),
+      |bench AS (
+      |  SELECT DISTINCT unnest(
+      |    CASE WHEN len(toks) < 3 THEN []
+      |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS shingle
+      |  FROM t WHERE doc_id % 97 = 0),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingled) c
+      |  JOIN bench USING (shingle)),
+      |clean AS (
+      |  SELECT doc_id, lang FROM shingled
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |ranked AS (
+      |  SELECT lang, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
+      |  FROM clean)
+      |SELECT lang, CAST(rn AS INT) AS rank, doc_id
+      |FROM ranked WHERE rn <= 20 ORDER BY lang, rank""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "pipeline_curate" -> pipelineCurate)
+}

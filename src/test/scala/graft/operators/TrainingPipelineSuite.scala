@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants of the composed curation pipeline that the numeric oracle
+  * (pipeline_curate) can't express: per-stage set containment, held-out
+  * exclusion, dedup uniqueness, and decontamination completeness. */
+class TrainingPipelineSuite extends SparkSuite {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val bench = docs.filter(col("doc_id") % 97 === 0)
+  private lazy val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+
+  test("quality gate only removes rows and keeps the input schema") {
+    val gated = TrainingPipeline.qualityGate(corpus, CurationConfig())
+    assert(gated.columns.sameElements(corpus.columns))
+    assert(gated.count() <= corpus.count())
+    // gated rows are a subset of the input
+    assert(gated.join(corpus, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("dedup keepers are unique per content and lowest-id") {
+    val keepers = TrainingPipeline.dedupKeepers(corpus)
+    val perText = keepers.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(perText === 0, "one keeper per distinct text")
+    // every keeper is the min doc_id of its duplicate set in the input
+    val expected = corpus.groupBy(md5(col("text")).as("f"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    assert(keepers.select("doc_id").exceptAll(expected.select("doc_id")).count() === 0)
+    assert(expected.count() === keepers.count())
+  }
+
+  test("decontaminated output shares zero shingles with the benchmark") {
+    val clean = TrainingPipeline.decontaminate(corpus, bench)
+    val shingle = expr(
+      """CASE WHEN size(toks) < 3 THEN array()
+        |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
+        |       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) END""".stripMargin)
+    def sh(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(shingle).as("shingle")).distinct()
+    assert(sh(clean).join(sh(bench), "shingle").count() === 0)
+    // and it only removed rows, never invented them
+    assert(clean.join(corpus, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("curate excludes every held-out benchmark doc and bounds ranks") {
+    val out = TrainingPipeline.curate(docs, bench)
+    assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
+    val maxRank = out.agg(max("rank")).head.getInt(0)
+    assert(maxRank <= CurationConfig().samplePerStratum)
+    // ranks are dense from 1 within each stratum
+    val holes = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .filter(col("n") =!= col("mx")).count()
+    assert(holes === 0)
+  }
+}

@@ -191,6 +191,20 @@ class PlanSuite extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("pipeline_curate composes in one plan: fingerprint-window dedup, broadcast decontamination, no blowup") {
+    // the dedup window must partition by the content fingerprint (tiny,
+    // unskewed duplicate sets) — never by lang/source; the benchmark
+    // shingle join must broadcast; nothing may pair corpus docs together
+    val df = SparkEntry.queries("pipeline_curate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(fingerprint#\\d+,".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!"windowspecdefinition\\((lang|source)#\\d+".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q17 broadcasts the filtered part dim; lineitem agg is partial") {
     val df = SparkEntry.queries("q17_small_qty")(spark, sfDir)
     df.collect()
