@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The bucketed-catalog invariant: the historical fingerprint index is
+  * the join's big side and must be read in place — no Exchange, no Sort
+  * above its scan — while only the new batch shuffles. */
+class IncrementalDedupSuite extends SparkSuite {
+
+  // AQE wraps finished stages in QueryStageExec (a leaf); recurse through
+  // them or the traversal can't see the join's children (r5 lesson).
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: through.flatMap(walk)
+  }
+
+  test("catalog side of the anti join is bucket-scanned with no exchange") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+    df.collect()
+    val nodes = walk(df.queryExecution.executedPlan)
+    val smj = nodes.collectFirst {
+      case j: SortMergeJoinExec => j
+    }.getOrElse(fail("expected a SortMergeJoin, got:\n" +
+      df.queryExecution.executedPlan.toString.take(3000)))
+    val right = walk(smj.right)
+    val scan = right.collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan under the catalog side"))
+    assert(scan.bucketedScan, "catalog scan must use its buckets")
+    assert(!right.exists(_.isInstanceOf[Exchange]),
+      "catalog side must not re-shuffle:\n" + smj.right.toString.take(2000))
+    // NOTE a partition-local SortExec remains on the catalog side: since
+    // Spark 3.0 bucketed scans don't report the bucket files' sort order
+    // (spark.sql.legacy.bucketedTableScan.outputOrdering defaults off),
+    // so the SMJ re-sorts within each bucket. That sort is network-free
+    // and spillable — the property that matters at catalog scale is the
+    // elided Exchange asserted above. Flipping the legacy conf would
+    // elide the sort too (single file per bucket), at the cost of
+    // one-partition-per-bucket reads.
+    // the batch side DOES shuffle — to the catalog's bucket count
+    assert(walk(smj.left).exists(_.isInstanceOf[Exchange]),
+      "new batch shuffles to the catalog layout")
+  }
+
+  test("evens are eliminated by the catalog; survivors keep their schema") {
+    val out = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+    val evens = out.filter(col("doc_id") % 2 === 0).count()
+    assert(evens === 0, "every even doc's fingerprint is in the catalog")
+    val docs = Tables.documents(spark, sfDir)
+    val odds = docs.filter(col("doc_id") % 2 === 1).count()
+    // odd docs survive unless they duplicate an even's text
+    assert(out.count() <= odds)
+    assert(out.columns.toSeq === Seq("doc_id", "fingerprint", "lang"))
+  }
+
+  test("appending a deduped batch keeps the catalog usable for the next run") {
+    val docs = Tables.documents(spark, sfDir)
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_suite_$pid"
+    val table = "graft_fpcat_suite"
+    try {
+      IncrementalDedup.writeCatalog(
+        docs.filter(col("doc_id") < 100), path, table)
+      val survivors = IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id") >= 100), table)
+      // round 2: survivors' fingerprints appended with the same spec
+      survivors.select("fingerprint").distinct().repartition(1)
+        .write.mode("append")
+        .bucketBy(IncrementalDedup.CatalogBuckets, "fingerprint")
+        .sortBy("fingerprint")
+        .option("path", path).saveAsTable(table)
+      // now the SAME batch fully deduplicates against the grown catalog
+      val round2 = IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id") >= 100), table)
+      assert(round2.count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+}
