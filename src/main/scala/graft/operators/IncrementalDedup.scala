@@ -64,6 +64,18 @@ object IncrementalDedup {
       .join(s.table(catalogTable).hint("merge"), Seq("fingerprint"), "left_anti")
   }
 
+  /** Streaming face of the same contract: an ingest stream anti-joins
+    * the catalog per micro-batch (stream-static joins are stateless —
+    * each batch probes the static side, no streaming state at all). The
+    * ingest path and the batch path consult the SAME index, so a doc
+    * already kept by either face never re-enters. Complements
+    * [[graft.streaming.StatefulOps.dedupExactStream]]: that op dedupes
+    * WITHIN the stream's horizon, this one dedupes against all of
+    * history. */
+  def dedupStreamAgainstCatalog(stream: DataFrame, catalogTable: String): DataFrame =
+    stream.withColumn("fingerprint", md5(col("text")))
+      .join(stream.sparkSession.table(catalogTable), Seq("fingerprint"), "left_anti")
+
   // ---- oracle-gated query plumbing ------------------------------------
 
   // One catalog fixture per (JVM, sfDir): table names are session-scoped

@@ -62,6 +62,41 @@ class IncrementalDedupSuite extends SparkSuite {
     assert(out.columns.toSeq === Seq("doc_id", "fingerprint", "lang"))
   }
 
+  test("streaming ingest anti-joins the same catalog per micro-batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_stream_$pid"
+    val table = "graft_fpcat_stream"
+    try {
+      IncrementalDedup.writeCatalog(
+        Seq("seen one", "seen two").toDF("text"), path, table)
+      val input = MemoryStream[(Long, String)]
+      val out = IncrementalDedup.dedupStreamAgainstCatalog(
+        input.toDS().toDF("doc_id", "text"), table)
+      val q = out.writeStream.format("memory").queryName("stream_catalog_dedup")
+        .start()
+      try {
+        input.addData((1L, "seen one"), (2L, "fresh a"), (3L, "seen two"))
+        q.processAllAvailable()
+        input.addData((4L, "fresh b"), (5L, "seen one"))
+        q.processAllAvailable()
+        val got = spark.table("stream_catalog_dedup")
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(got === Seq(2L, 4L),
+          "catalog texts are dropped in every micro-batch; fresh ones pass")
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("appending a deduped batch keeps the catalog usable for the next run") {
     val docs = Tables.documents(spark, sfDir)
     val pid = ProcessHandle.current().pid()
