@@ -79,11 +79,14 @@ object IncrementalDedup {
   // ---- oracle-gated query plumbing ------------------------------------
 
   // One catalog fixture per (JVM, sfDir): table names are session-scoped
-  // and the path carries the pid so concurrent harness runs never
-  // collide. The DuckDB oracle recomputes the catalog from `documents`
-  // directly (it never reads these files), so the fixture can die with
-  // the JVM — a shutdown hook reclaims it.
-  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+  // and the path carries the pid so concurrent JVMs never collide;
+  // concurrent THREADS serialize on the map's monitor below (TrieMap's
+  // getOrElseUpdate alone may run a side-effecting builder twice on a
+  // racing miss, and a double saveAsTable would corrupt the catalog).
+  // The DuckDB oracle recomputes the catalog from `documents` directly
+  // (it never reads these files), so the fixture can die with the JVM —
+  // a shutdown hook reclaims it.
+  private val built = scala.collection.mutable.Map.empty[String, String]
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -91,7 +94,7 @@ object IncrementalDedup {
   }
 
   private def ensureCatalog(s: SparkSession, dir: String): String =
-    built.getOrElseUpdate(dir, {
+    built.synchronized { built.getOrElseUpdate(dir, {
       val pid = ProcessHandle.current().pid()
       val slug = java.lang.Integer.toHexString(dir.hashCode)
       val path =
@@ -102,7 +105,7 @@ object IncrementalDedup {
       writeCatalog(
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
         path, s"graft_fpcat_$slug")
-    })
+    }) }
 
   /** Historical catalog = even doc_ids; the arriving batch is the whole
     * table, so the evens eliminate themselves against the catalog and

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.QueryDef
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,27 +36,34 @@ object Sampling {
    * sorting the corpus. Strata stay the GROUP key, not the partition
    * count, so low-cardinality strata cost nothing extra.
    */
+  /** The ONE implementation of deterministic hash-priority top-k per
+    * stratum — shared by `sample_stratified` and the curation pipeline
+    * so the hash width, the DESC-negation, and the tie-break can never
+    * desync between them. Returns (stratum, rank, doc_id), unordered. */
+  def hashPrioritySample(docs: DataFrame, stratum: String, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val topk = new TopKAggregator(k).toColumn.name("topk")
+    docs.select(col(stratum), col("doc_id"),
+        // negate: the aggregator keeps score DESC, we want LOWEST hash
+        (lit(0.0) - expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)"))
+          .as("prio"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, p) => Scored(id, p) }
+      .agg(topk)
+      .flatMap { case (st, items) =>
+        items.zipWithIndex.map { case (r, i) => (st, i + 1, r.id) }
+      }
+      .toDF(stratum, "rank", "doc_id")
+  }
+
   private val sampleStratified = QueryDef(
-    (s, dir) => {
-      import s.implicits._
-      import graft.functions.{Scored, TopKAggregator}
-      val topk = new TopKAggregator(K).toColumn.name("topk")
-      Tables.documents(s, dir).repartition(64)
-        .select(col("lang"), col("doc_id"),
-          // negate: the aggregator keeps score DESC, we want LOWEST hash
-          (lit(0.0) - expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)"))
-            .as("prio"))
-        .as[(String, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues { case (_, id, p) => Scored(id, p) }
-        .agg(topk)
-        .flatMap { case (lang, items) =>
-          items.zipWithIndex.map { case (r, i) => (lang, i + 1, r.id) }
-        }
-        .toDF("lang", "rank", "doc_id")
-        .orderBy("lang", "rank")
-    },
+    (s, dir) =>
+      hashPrioritySample(Tables.documents(s, dir).repartition(64), "lang", K)
+        .orderBy("lang", "rank"),
     Some(s"""WITH ranked AS (
       |  SELECT lang, doc_id,
       |         ROW_NUMBER() OVER (PARTITION BY lang
@@ -82,9 +90,10 @@ object Sampling {
    * cumulative scan + cutoff runs over that histogram — at most
    * 256 rows per source, metadata-sized whatever the corpus. The
    * window below therefore orders buckets, never documents. Kept set =
-   * docs whose bucket is strictly below the cutoff (bucket granularity
-   * is the documented resolution; a third pass could refine inside the
-   * boundary bucket, same shape).
+   * docs whose bucket is AT OR BELOW `cutoff_bucket` (every bucket whose
+   * cumulative total fits the budget, boundary bucket included — bucket
+   * granularity is the documented resolution; a third pass could refine
+   * inside the first bucket past the cutoff, same shape).
    */
   private val mixBudgetCutoff = QueryDef(
     (s, dir) => {

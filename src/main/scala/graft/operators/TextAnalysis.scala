@@ -22,6 +22,19 @@ object TextAnalysis {
   /** Tokens of the single-space-separated `text` column. */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Lexical diversity: distinct / total tokens. Expects `toks` and
+    * `n_tokens` columns in scope — the ONE definition shared by
+    * `text_quality` and the curation pipeline's gate. */
+  def diversityExpr: Column =
+    size(array_distinct(col("toks"))).cast("double") / col("n_tokens")
+
+  /** Fraction of the most frequent token (per-row mode over the small
+    * distinct-token set — never a corpus groupBy). Expects `toks` and
+    * `n_tokens`; shared by `text_repetition` and the pipeline gate. */
+  def topWordRatioExpr: Column =
+    expr("array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))")
+      .cast("double") / col("n_tokens")
+
   /** Token count + distinct-token count + char stats — the basic
     * token-accounting operator. */
   private val textTokens = QueryDef(
@@ -60,8 +73,7 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_ratio",
         expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tokens"))
-      .withColumn("diversity",
-        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("diversity", diversityExpr)
       .withColumn("avg_token_len",
         (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .select(
@@ -205,9 +217,7 @@ object TextAnalysis {
       .withColumn("dup_bigram_ratio",
         when(size(col("bigrams")) === 0, lit(0.0)).otherwise(
           lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams"))))
-      .withColumn("top_word_ratio", expr(
-        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))")
-        .cast("double") / col("n_tokens"))
+      .withColumn("top_word_ratio", topWordRatioExpr)
       .select(
         col("doc_id"),
         col("n_tokens"),

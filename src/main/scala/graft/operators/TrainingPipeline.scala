@@ -43,16 +43,16 @@ final case class CurationConfig(
  */
 object TrainingPipeline {
 
-  /** Per-row quality + repetition gates. Narrow: fuses into the scan. */
+  /** Per-row quality + repetition gates. Narrow: fuses into the scan.
+    * Metric definitions are [[TextAnalysis.diversityExpr]] /
+    * [[TextAnalysis.topWordRatioExpr]] — shared with the standalone
+    * `text_quality` / `text_repetition` queries that document them. */
   def qualityGate(docs: DataFrame, cfg: CurationConfig): DataFrame = {
     val g = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("diversity",
-        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
-      .withColumn("top_word_ratio", expr(
-        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))")
-        .cast("double") / col("n_tokens"))
+      .withColumn("diversity", TextAnalysis.diversityExpr)
+      .withColumn("top_word_ratio", TextAnalysis.topWordRatioExpr)
     g.filter(col("n_tokens") >= cfg.minTokens &&
         col("diversity") >= cfg.minDiversity &&
         col("top_word_ratio") <= cfg.maxTopWordRatio)
@@ -71,12 +71,11 @@ object TrainingPipeline {
   }
 
   /** Remove docs sharing any 3-token shingle with the benchmark set.
-    * Benchmark shingles broadcast; the corpus never self-joins. */
+    * Benchmark shingles broadcast; the corpus never self-joins. Shingle
+    * definition is [[Dedup.shinglesExpr]] — shared with the near-dup
+    * family so decontamination and dedup always agree. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
-    val shingle = expr(
-      """CASE WHEN size(toks) < 3 THEN array()
-        |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
-        |       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) END""".stripMargin)
+    val shingle = Dedup.shinglesExpr
     val benchShingles = benchmark
       .withColumn("toks", split(col("text"), " "))
       .select(explode(shingle).as("shingle")).distinct()
@@ -89,25 +88,10 @@ object TrainingPipeline {
   }
 
   /** Deterministic hash-priority sample, k per stratum, via the bounded
-    * top-k aggregator (same shape as `sample_stratified`). */
-  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    import graft.functions.{Scored, TopKAggregator}
-    val topk = new TopKAggregator(k).toColumn.name("topk")
-    docs.select(col("lang"), col("doc_id"),
-        (lit(0.0) - expr(
-          "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)"))
-          .as("prio"))
-      .as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, p) => Scored(id, p) }
-      .agg(topk)
-      .flatMap { case (lang, items) =>
-        items.zipWithIndex.map { case (r, i) => (lang, i + 1, r.id) }
-      }
-      .toDF("lang", "rank", "doc_id")
-  }
+    * top-k aggregator — delegates to [[Sampling.hashPrioritySample]],
+    * the one implementation `sample_stratified` also uses. */
+  def stratifiedSample(docs: DataFrame, k: Int, stratum: String = "lang"): DataFrame =
+    Sampling.hashPrioritySample(docs, stratum, k)
 
   /** The full pipeline. `benchmark` rows are excluded from the corpus
     * before any other stage (held-out means held out of dedup races
@@ -122,17 +106,22 @@ object TrainingPipeline {
     stratifiedSample(clean, cfg.samplePerStratum)
   }
 
+  // The oracle interpolates THESE defaults — a tuned CurationConfig and
+  // its SQL twin can't silently diverge.
+  private val Defaults = CurationConfig()
+
   /** Oracle-gated query: the whole pipeline on the documents table with
     * the deterministic `doc_id % 97 = 0` benchmark stand-in (same as
-    * `decontaminate_overlap`). */
+    * `decontaminate_overlap`). The full table goes to `curate` — its own
+    * anti-join performs the held-out exclusion the oracle's `% 97 <> 0`
+    * expresses. */
   private val pipelineCurate = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
       val bench = docs.filter(col("doc_id") % 97 === 0)
-      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-      curate(corpus, bench).orderBy("lang", "rank")
+      curate(docs, bench).orderBy("lang", "rank")
     },
-    Some("""WITH t AS (
+    Some(s"""WITH t AS (
       |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
       |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
       |  FROM documents),
@@ -143,7 +132,9 @@ object TrainingPipeline {
       |      list_max(list_transform(list_distinct(toks),
       |        d -> len(list_filter(toks, x -> x = d)))) / CAST(n_tokens AS DOUBLE) AS twr
       |    FROM t WHERE doc_id % 97 <> 0)
-      |  WHERE n_tokens >= 30 AND diversity >= 0.4 AND twr <= 0.2),
+      |  WHERE n_tokens >= ${Defaults.minTokens}
+      |    AND diversity >= ${Defaults.minDiversity}
+      |    AND twr <= ${Defaults.maxTopWordRatio}),
       |keepers AS (
       |  SELECT doc_id, lang, toks FROM (
       |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
@@ -174,7 +165,8 @@ object TrainingPipeline {
       |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
       |  FROM clean)
       |SELECT lang, CAST(rn AS INT) AS rank, doc_id
-      |FROM ranked WHERE rn <= 20 ORDER BY lang, rank""".stripMargin))
+      |FROM ranked WHERE rn <= ${Defaults.samplePerStratum}
+      |ORDER BY lang, rank""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(
     "pipeline_curate" -> pipelineCurate)

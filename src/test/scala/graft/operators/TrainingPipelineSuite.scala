@@ -34,10 +34,7 @@ class TrainingPipelineSuite extends SparkSuite {
 
   test("decontaminated output shares zero shingles with the benchmark") {
     val clean = TrainingPipeline.decontaminate(corpus, bench)
-    val shingle = expr(
-      """CASE WHEN size(toks) < 3 THEN array()
-        |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
-        |       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) END""".stripMargin)
+    val shingle = Dedup.shinglesExpr
     def sh(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("toks", split(col("text"), " "))
       .select(explode(shingle).as("shingle")).distinct()
