@@ -71,19 +71,17 @@ object TrainingPipeline {
   }
 
   /** Remove docs sharing any 3-token shingle with the benchmark set.
-    * Benchmark shingles broadcast; the corpus never self-joins. Shingle
-    * definition is [[Dedup.shinglesExpr]] — shared with the near-dup
-    * family so decontamination and dedup always agree. */
+    * Benchmark shingles broadcast; the corpus never self-joins. Shingles
+    * come from [[Dedup.explodeShingles]] — the positional explode the
+    * near-dup family's definition prescribes, which never materializes
+    * a per-doc shingle array (see its scaladoc for the 4× trap). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
-    val shingle = Dedup.shinglesExpr
-    val benchShingles = benchmark
-      .withColumn("toks", split(col("text"), " "))
-      .select(explode(shingle).as("shingle")).distinct()
-    val contaminated = docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(shingle).as("shingle"))
-      .join(broadcast(benchShingles), "shingle")
-      .select("doc_id").distinct()
+    val benchShingles =
+      Dedup.explodeShingles(benchmark, Seq.empty).distinct()
+    val contaminated =
+      Dedup.explodeShingles(docs, Seq("doc_id"))
+        .join(broadcast(benchShingles), "shingle")
+        .select("doc_id").distinct()
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
