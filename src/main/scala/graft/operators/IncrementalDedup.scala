@@ -79,14 +79,20 @@ object IncrementalDedup {
   // ---- oracle-gated query plumbing ------------------------------------
 
   // One catalog fixture per (JVM, sfDir): table names are session-scoped
-  // and the path carries the pid so concurrent JVMs never collide;
-  // concurrent THREADS serialize on the map's monitor below (TrieMap's
-  // getOrElseUpdate alone may run a side-effecting builder twice on a
-  // racing miss, and a double saveAsTable would corrupt the catalog).
-  // The DuckDB oracle recomputes the catalog from `documents` directly
-  // (it never reads these files), so the fixture can die with the JVM —
-  // a shutdown hook reclaims it.
-  private val built = scala.collection.mutable.Map.empty[String, String]
+  // and the path carries the pid so concurrent JVMs never collide.
+  // Concurrent THREADS memoize per key through a lazy holder: racing
+  // misses may create two holders (side-effect free), putIfAbsent picks
+  // one winner, and only the winner's `value` ever runs the build — so
+  // the catalog write runs exactly once per dir WITHOUT a global lock
+  // that would convoy unrelated dirs behind one dir's Spark write. A
+  // failed build leaves the lazy uninitialized and is retried on the
+  // next call. The DuckDB oracle recomputes the catalog from
+  // `documents` directly (it never reads these files), so the fixture
+  // can die with the JVM — a shutdown hook reclaims it.
+  private final class LazyCatalog(build: () => String) {
+    lazy val value: String = build()
+  }
+  private val built = scala.collection.concurrent.TrieMap.empty[String, LazyCatalog]
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -94,7 +100,7 @@ object IncrementalDedup {
   }
 
   private def ensureCatalog(s: SparkSession, dir: String): String =
-    built.synchronized { built.getOrElseUpdate(dir, {
+    built.getOrElseUpdate(dir, new LazyCatalog(() => {
       val pid = ProcessHandle.current().pid()
       val slug = java.lang.Integer.toHexString(dir.hashCode)
       val path =
@@ -105,7 +111,7 @@ object IncrementalDedup {
       writeCatalog(
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
         path, s"graft_fpcat_$slug")
-    }) }
+    })).value
 
   /** Historical catalog = even doc_ids; the arriving batch is the whole
     * table, so the evens eliminate themselves against the catalog and

@@ -39,13 +39,18 @@ object Sampling {
   /** The ONE implementation of deterministic hash-priority top-k per
     * stratum — shared by `sample_stratified` and the curation pipeline
     * so the hash width, the DESC-negation, and the tie-break can never
-    * desync between them. Returns (stratum, rank, doc_id), unordered. */
+    * desync between them. Returns (stratum, rank, doc_id), unordered.
+    * The stratum column is grouped BY ITS STRING FORM (any type casts
+    * deterministically); its name must not collide with the two output
+    * columns this helper mints. */
   def hashPrioritySample(docs: DataFrame, stratum: String, k: Int): DataFrame = {
+    require(stratum != "rank" && stratum != "doc_id",
+      s"stratum '$stratum' collides with an output column of the sample")
     val s = docs.sparkSession
     import s.implicits._
     import graft.functions.{Scored, TopKAggregator}
     val topk = new TopKAggregator(k).toColumn.name("topk")
-    docs.select(col(stratum), col("doc_id"),
+    docs.select(col(stratum).cast("string").as("__stratum"), col("doc_id"),
         // negate: the aggregator keeps score DESC, we want LOWEST hash
         (lit(0.0) - expr(
           "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)"))
@@ -57,7 +62,8 @@ object Sampling {
       .flatMap { case (st, items) =>
         items.zipWithIndex.map { case (r, i) => (st, i + 1, r.id) }
       }
-      .toDF(stratum, "rank", "doc_id")
+      .toDF("__stratum", "rank", "doc_id")
+      .withColumnRenamed("__stratum", stratum)
   }
 
   private val sampleStratified = QueryDef(

@@ -96,8 +96,12 @@ object TrainingPipeline {
     * too), then gate → dedup → decontaminate → sample. */
   def curate(docs: DataFrame, benchmark: DataFrame,
       cfg: CurationConfig = CurationConfig()): DataFrame = {
-    val trainable = docs.join(
-      benchmark.select("doc_id"), Seq("doc_id"), "left_anti")
+    // doc_id is the identity every stage keys on; a NULL id would slip
+    // through the anti-join below (null keys never match), so it is
+    // excluded explicitly rather than by accident of the join semantics
+    val trainable = docs
+      .filter(col("doc_id").isNotNull)
+      .join(benchmark.select("doc_id"), Seq("doc_id"), "left_anti")
     val gated = qualityGate(trainable, cfg)
     val keepers = dedupKeepers(gated)
     val clean = decontaminate(keepers, benchmark)
