@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.QueryDef
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus profiling — the per-source statistics report a pipeline runs
+ * before and after every curation change: doc counts, token-length
+ * spread (min/avg/max and exact p50/p90), language breadth.
+ *
+ * The percentile shape is the deliberate part. Spark's exact
+ * `percentile` buffers every value of a group in memory (O(group) per
+ * aggregation state — a per-source OOM at corpus scale), and
+ * `approx_percentile` is not oracle-exact. Token counts live in a small
+ * discrete domain, so the exact type-1 (inverse-CDF) quantile comes
+ * from a HISTOGRAM instead: one map-side-combined groupBy(source,
+ * n_tokens) — at most |domain| rows per source, metadata-sized — a
+ * cumulative window over that histogram, and "smallest value whose
+ * cumulative count reaches ceil(p·n)". Identical arithmetic runs in the
+ * DuckDB twin, so parity is definitional rather than hoping two
+ * engines' percentile interpolations agree bit-for-bit.
+ */
+object Profiling {
+
+  private val P1 = 0.5
+  private val P2 = 0.9
+
+  private val profileDocuments = QueryDef(
+    (s, dir) => {
+      val base = Tables.documents(s, dir).repartition(64)
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      val totals = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"))
+      val hist = base.groupBy("source", "n_tokens")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(
+          Window.partitionBy("source").orderBy("n_tokens")))
+        .join(broadcast(totals.select(col("source"), col("n_docs"))), "source")
+      def quantile(p: Double, as: String) =
+        cum.filter(col("cum") >= ceil(lit(p) * col("n_docs")))
+          .groupBy("source").agg(min("n_tokens").as(as))
+      totals
+        .join(quantile(P1, "p50_tokens"), "source")
+        .join(quantile(P2, "p90_tokens"), "source")
+        .orderBy("source")
+    },
+    Some(s"""WITH base AS (
+      |  SELECT source, lang,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |totals AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         COUNT(DISTINCT lang) AS n_langs,
+      |         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+      |         ROUND(AVG(n_tokens), 4) AS avg_tokens
+      |  FROM base GROUP BY source),
+      |hist AS (
+      |  SELECT source, n_tokens, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT h.source, h.n_tokens,
+      |         SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.n_tokens) AS cum,
+      |         t.n_docs
+      |  FROM hist h JOIN totals t USING (source)),
+      |q1 AS (SELECT source, MIN(n_tokens) AS p50_tokens FROM cum
+      |       WHERE cum >= CEIL($P1 * n_docs) GROUP BY source),
+      |q2 AS (SELECT source, MIN(n_tokens) AS p90_tokens FROM cum
+      |       WHERE cum >= CEIL($P2 * n_docs) GROUP BY source)
+      |SELECT t.source, t.n_docs, t.n_langs, t.min_tokens, t.max_tokens,
+      |       t.avg_tokens, q1.p50_tokens, q2.p90_tokens
+      |FROM totals t JOIN q1 USING (source) JOIN q2 USING (source)
+      |ORDER BY source""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "profile_documents" -> profileDocuments)
+}

@@ -205,6 +205,20 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("profile_documents takes quantiles from the histogram, not buffered groups") {
+    // exact percentile via per-group value buffering is O(group) memory;
+    // the profile's window must scan the (source, n_tokens) histogram —
+    // an aggregate — and the totals ride back on broadcast joins
+    val df = SparkEntry.queries("profile_documents")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile"), p.take(3000))
+    val w = p.indexOf("Window")
+    assert(w >= 0, p.take(3000))
+    assert(p.substring(w).contains("HashAggregate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q17 broadcasts the filtered part dim; lineitem agg is partial") {
     val df = SparkEntry.queries("q17_small_qty")(spark, sfDir)
     df.collect()
