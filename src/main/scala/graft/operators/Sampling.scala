@@ -214,8 +214,57 @@ object Sampling {
       |       CAST(n_tokens AS INT) AS n_tokens
       |FROM c ORDER BY source, tok_start""".stripMargin))
 
+  /**
+   * Mixture reweighting (the upsampling face of data mixing): for each
+   * source, the EPOCH FACTOR that equalizes its contribution — how many
+   * times to repeat the source so every source contributes the same
+   * token share to the mix. epochs = (total/n_sources) / source_tokens:
+   * under-represented sources repeat >1×, over-represented <1×
+   * (subsample, e.g. via [[mixBudgetCutoff]]'s hash cutoff).
+   *
+   * Scale shape: ONE map-side-combined groupBy(source) reduces the
+   * corpus to a per-source token total; everything after (the global
+   * total, the share, the factor) is an unpartitioned window over that
+   * METADATA-SIZED aggregate (#sources rows) — the corpus is scanned
+   * once and never re-shuffled.
+   */
+  private val mixEpochs = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy() // #sources rows — metadata, not corpus
+      Tables.documents(s, dir).repartition(64)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(sum(col("n_tokens")).as("source_tokens"))
+        .withColumn("total", sum(col("source_tokens")).over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .select(
+          col("source"),
+          col("source_tokens"),
+          round(col("source_tokens").cast("double") / col("total"), 4)
+            .as("actual_share"),
+          round((col("total").cast("double") / col("n_sources")) /
+            col("source_tokens"), 4).as("epochs"))
+        .orderBy("source")
+    },
+    Some("""WITH per AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+      |  FROM documents GROUP BY source),
+      |g AS (
+      |  SELECT source, source_tokens,
+      |         SUM(source_tokens) OVER () AS total,
+      |         COUNT(*) OVER () AS n_sources
+      |  FROM per)
+      |SELECT source, source_tokens,
+      |  ROUND(CAST(source_tokens AS DOUBLE) / total, 4) AS actual_share,
+      |  ROUND((CAST(total AS DOUBLE) / n_sources) / source_tokens, 4) AS epochs
+      |FROM g ORDER BY source""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "sample_stratified" -> sampleStratified,
     "mix_budget_cutoff" -> mixBudgetCutoff,
-    "pack_sequences" -> packSequences)
+    "pack_sequences" -> packSequences,
+    "mix_epochs" -> mixEpochs)
 }
