@@ -37,7 +37,9 @@ object Profiling {
         countDistinct("lang").as("n_langs"),
         min("n_tokens").as("min_tokens"),
         max("n_tokens").as("max_tokens"),
-        round(avg("n_tokens"), 4).as("avg_tokens"))
+        // floor-based half-up rounding: engine-identical on .5
+        // boundaries where round()/ROUND diverge (TextAnalysis pattern)
+        (floor(avg("n_tokens") * 1e4 + 0.5) / 1e4).as("avg_tokens"))
       val hist = base.groupBy("source", "n_tokens")
         .agg(count(lit(1)).as("cnt"))
       val cum = hist.withColumn("cum",
@@ -60,7 +62,7 @@ object Profiling {
       |  SELECT source, COUNT(*) AS n_docs,
       |         COUNT(DISTINCT lang) AS n_langs,
       |         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
-      |         ROUND(AVG(n_tokens), 4) AS avg_tokens
+      |         FLOOR(AVG(n_tokens) * 1e4 + 0.5) / 1e4 AS avg_tokens
       |  FROM base GROUP BY source),
       |hist AS (
       |  SELECT source, n_tokens, COUNT(*) AS cnt FROM base GROUP BY 1, 2),

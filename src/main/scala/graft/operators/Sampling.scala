@@ -242,10 +242,13 @@ object Sampling {
         .select(
           col("source"),
           col("source_tokens"),
-          round(col("source_tokens").cast("double") / col("total"), 4)
+          // floor-based half-up rounding: Spark round() and DuckDB ROUND
+          // disagree on .5 boundaries (see TextAnalysis.quality_score);
+          // floor(x*1e4+0.5) is engine-identical on identical doubles
+          (floor(col("source_tokens").cast("double") / col("total") * 1e4 + 0.5) / 1e4)
             .as("actual_share"),
-          round((col("total").cast("double") / col("n_sources")) /
-            col("source_tokens"), 4).as("epochs"))
+          (floor((col("total").cast("double") / col("n_sources")) /
+            col("source_tokens") * 1e4 + 0.5) / 1e4).as("epochs"))
         .orderBy("source")
     },
     Some("""WITH per AS (
@@ -258,8 +261,8 @@ object Sampling {
       |         COUNT(*) OVER () AS n_sources
       |  FROM per)
       |SELECT source, source_tokens,
-      |  ROUND(CAST(source_tokens AS DOUBLE) / total, 4) AS actual_share,
-      |  ROUND((CAST(total AS DOUBLE) / n_sources) / source_tokens, 4) AS epochs
+      |  FLOOR(CAST(source_tokens AS DOUBLE) / total * 1e4 + 0.5) / 1e4 AS actual_share,
+      |  FLOOR((CAST(total AS DOUBLE) / n_sources) / source_tokens * 1e4 + 0.5) / 1e4 AS epochs
       |FROM g ORDER BY source""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(

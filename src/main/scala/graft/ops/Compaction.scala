@@ -24,19 +24,25 @@ object Compaction {
     * `targetPartitions` = ceil(bytes / targetBytes), min 1. */
   final case class Plan(files: Int, bytes: Long, targetPartitions: Int)
 
-  /** Metadata-only: list the dataset's data files (recursively, skipping
-    * hidden/_SUCCESS entries) and size the rewrite. */
+  /** Metadata-only: list the dataset's data files (recursively) and size
+    * the rewrite. A file is hidden if ANY path component below the base
+    * starts with `_` or `.` — matching Spark's own InMemoryFileIndex
+    * rule, so the plan counts exactly what `spark.read.parquet` will
+    * read (a name-only check would count `_spark_metadata/9.compact`
+    * and `_temporary/.../part-*.parquet` as data). */
   def plan(spark: SparkSession, path: String, targetBytes: Long): Plan = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(p, true)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val base = fs.makeQualified(new Path(path))
+    val it = fs.listFiles(base, true)
     var files = 0
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
+      val rel = base.toUri.relativize(f.getPath.toUri).getPath
+      val hidden = rel.split("/")
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) {
         files += 1
         bytes += f.getLen
       }
@@ -48,9 +54,13 @@ object Compaction {
   /** The dataset re-laid-out to the plan, NOT yet written: `coalesce`
     * (shuffle-free) when shrinking to fewer partitions, `repartition`
     * only when growing. Exposed separately so callers (and the suite)
-    * can inspect the execution plan before paying for the rewrite. */
+    * can inspect the execution plan before paying for the rewrite.
+    * Refuses an EMPTY dataset (no data files ⇒ no schema to infer;
+    * callers sweeping many paths should check `plan().files` first —
+    * `compact` does). */
   def compacted(spark: SparkSession, path: String, targetBytes: Long): (DataFrame, Plan) = {
     val pl = plan(spark, path, targetBytes)
+    require(pl.files > 0, s"$path has no data files — nothing to compact")
     val df = spark.read.parquet(path)
     val laid =
       if (pl.targetPartitions <= df.rdd.getNumPartitions) df.coalesce(pl.targetPartitions)
@@ -61,11 +71,26 @@ object Compaction {
   /** Rewrite `path` into `dest` at ~`targetBytes` per file and return
     * the plan that sized it. `dest` must differ from `path`: compaction
     * is write-aside + swap (an in-place overwrite that fails mid-write
-    * destroys the dataset; the caller owns the atomic rename). */
+    * destroys the dataset; the caller owns the atomic rename). The
+    * guard compares FULLY RESOLVED paths — qualified by each path's own
+    * filesystem and URI-normalized — so `..` segments, relative
+    * spellings, and `file:/p` vs `/p` cannot sneak an in-place
+    * overwrite past it. An empty source is a counted no-op, not a
+    * schema-inference crash (maintenance sweeps hit empty dirs). */
   def compact(spark: SparkSession, path: String, dest: String, targetBytes: Long): Plan = {
-    require(new Path(dest) != new Path(path), "compact writes aside, never in place")
-    val (df, pl) = compacted(spark, path, targetBytes)
-    df.write.mode("overwrite").parquet(dest)
-    pl
+    val conf = spark.sessionState.newHadoopConf()
+    def resolved(s: String): java.net.URI = {
+      val p = new Path(s)
+      p.getFileSystem(conf).makeQualified(p).toUri.normalize()
+    }
+    require(resolved(dest) != resolved(path),
+      "compact writes aside, never in place")
+    val pl = plan(spark, path, targetBytes)
+    if (pl.files == 0) pl
+    else {
+      val (df, _) = compacted(spark, path, targetBytes)
+      df.write.mode("overwrite").parquet(dest)
+      pl
+    }
   }
 }

@@ -22,4 +22,20 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   def sfDir: String = "/root/testdata/sf0.001"
+
+  /** Flatten an executed plan INCLUDING the subtrees AQE hides:
+    * AdaptiveSparkPlanExec and QueryStageExec are leaves to a naive
+    * `children` traversal (the r5 SkipListSuite lesson), so any
+    * plan-shape assertion that walks children alone can't see inside
+    * finished stages. The ONE traversal every suite should use. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: through.flatMap(flattenPlan)
+  }
 }

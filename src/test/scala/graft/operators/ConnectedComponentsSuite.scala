@@ -109,15 +109,9 @@ class ConnectedComponentsSuite extends SparkSuite {
     val labels0 = verticesDf(n)
       .select(col("doc_id").as("id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = {
-      val here = p match { case s: ShuffleExchangeExec => Seq(s); case _ => Seq.empty }
-      val below = p match {
-        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-        case q: QueryStageExec => shuffles(q.plan)
-        case other => other.children.flatMap(shuffles)
-      }
-      here ++ below
-    }
+    // shared AQE-aware walk (SparkSuite.flattenPlan)
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      flattenPlan(p).collect { case s: ShuffleExchangeExec => s }
     // round 1 output = what run() feeds every later round
     val l1 = ConnectedComponents.shortcut(
       ConnectedComponents.step(labels0, sym)).localCheckpoint(true)

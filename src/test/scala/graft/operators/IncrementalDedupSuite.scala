@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSuite, Tables}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.execution.FileSourceScanExec
@@ -13,16 +11,7 @@ import org.apache.spark.sql.functions._
   * above its scan — while only the new batch shuffles. */
 class IncrementalDedupSuite extends SparkSuite {
 
-  // AQE wraps finished stages in QueryStageExec (a leaf); recurse through
-  // them or the traversal can't see the join's children (r5 lesson).
-  private def walk(p: SparkPlan): Seq[SparkPlan] = {
-    val through = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    p +: through.flatMap(walk)
-  }
+  private def walk = flattenPlan _ // shared AQE-aware walk (SparkSuite)
 
   test("catalog side of the anti join is bucket-scanned with no exchange") {
     val df = SparkEntry.queries("dedup_incremental")(spark, sfDir)

@@ -1,9 +1,7 @@
 package graft.ops
 
 import graft.SparkSuite
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.Exchange
-import org.apache.spark.sql.execution.SparkPlan
 
 class CompactionSuite extends SparkSuite {
 
@@ -21,15 +19,7 @@ class CompactionSuite extends SparkSuite {
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet")).toSeq
 
-  // recurse through AQE wrappers (leaves to a naive traversal — r5 lesson)
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val through = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    p +: through.flatMap(flatten)
-  }
+  private def flatten = flattenPlan _ // shared AQE-aware walk (SparkSuite)
 
   test("compaction merges small files without a shuffle and preserves rows") {
     val src = tmpDir("src"); val dst = tmpDir("dst")
@@ -55,6 +45,22 @@ class CompactionSuite extends SparkSuite {
       val out = spark.read.parquet(dst)
       assert(out.exceptAll(df).count() === 0)
       assert(df.exceptAll(out).count() === 0)
+    } finally { rm(src); rm(dst) }
+  }
+
+  test("empty dataset is a counted no-op; sneaky same-path spellings are refused") {
+    val src = tmpDir("empty"); val dst = tmpDir("emptydst")
+    try {
+      new java.io.File(src).mkdirs()
+      new java.io.File(src, "_SUCCESS").createNewFile()
+      val pl = Compaction.compact(spark, src, dst, 1L << 20)
+      assert(pl === Compaction.Plan(0, 0L, 1), "no data files -> no-op, no crash")
+      assert(!new java.io.File(dst).exists(), "nothing was written")
+      // a `..` spelling of the SAME directory must not pass the guard
+      val sneaky = s"$src/sub/../../${new java.io.File(src).getName}"
+      intercept[IllegalArgumentException] {
+        Compaction.compact(spark, src, sneaky, 1L << 20)
+      }
     } finally { rm(src); rm(dst) }
   }
 

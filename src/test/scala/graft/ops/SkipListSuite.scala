@@ -133,20 +133,9 @@ class SkipListSuite extends SparkSuite {
     // never descends into materialized stages; recurse through them by hand.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    def find(p: SparkPlan): Seq[BroadcastHashJoinExec] = {
-      val here = p match {
-        case b: BroadcastHashJoinExec => Seq(b)
-        case _ => Seq.empty
-      }
-      val below = p match {
-        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
-        case q: QueryStageExec => find(q.plan)
-        case other => other.children.flatMap(find)
-      }
-      here ++ below
-    }
+    // shared AQE-aware walk (SparkSuite.flattenPlan)
     val plan = df.queryExecution.executedPlan
-    val bhjs = find(plan)
+    val bhjs = flattenPlan(plan).collect { case b: BroadcastHashJoinExec => b }
     assert(bhjs.nonEmpty, plan.toString.take(3000))
     val anti = bhjs.filter(_.joinType.toString == "LeftAnti")
     assert(anti.nonEmpty, s"expected LeftAnti, got ${bhjs.map(_.joinType)}")
