@@ -120,8 +120,10 @@ final case class SimHash64(child: Expression)
  */
 final case class SrpBandCodes(child: Expression, rowsPerBand: Int, nBands: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  require(rowsPerBand >= 1 && rowsPerBand <= 62 && nBands >= 1,
-    s"bad srp params: rowsPerBand=$rowsPerBand nBands=$nBands")
+  require(rowsPerBand >= 1 && rowsPerBand <= 62 && nBands >= 1 &&
+    nBands.toLong <= (Long.MaxValue >> rowsPerBand),
+    s"bad srp params: rowsPerBand=$rowsPerBand nBands=$nBands " +
+      "(band codes b*2^rowsPerBand + code must not overflow Long)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

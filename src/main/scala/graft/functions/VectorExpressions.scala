@@ -17,8 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * eval matches bit-for-bit (same left-to-right accumulation order as the
  * HOF/explicit-SQL forms, so DuckDB oracles still hash-match).
  *
- * Null semantics: null if either side is null (BinaryExpression default);
- * mismatched lengths raise, zero-norm vectors yield NaN (caller filters).
+ * Null semantics: null if either side is null (BinaryExpression default)
+ * and null if either side CONTAINS a null element — exactly the HOF
+ * form's truth table (`zip_with` yields a null product, the `aggregate`
+ * fold then absorbs it). The per-element checks are emitted only when
+ * the static array type says `containsNull`, so hot internal callers on
+ * null-free schemas pay nothing. Mismatched lengths raise, zero-norm
+ * vectors yield NaN (caller filters).
  */
 final case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,15 +43,28 @@ final case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
+  private def leftElemNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+  private def rightElemNullable: Boolean = right.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+
+  override def nullable: Boolean =
+    super.nullable || leftElemNullable || rightElemNullable
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     require(y.numElements() == n,
       s"cosine_similarity: length mismatch ($n vs ${y.numElements()})")
+    val xN = leftElemNullable
+    val yN = rightElemNullable
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if ((xN && x.isNullAt(i)) || (yN && y.isNullAt(i))) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -64,6 +82,17 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullChecks = Seq(
+        if (leftElemNullable) Some(s"$x.isNullAt($i)") else None,
+        if (rightElemNullable) Some(s"$y.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      val assign =
+        if (nullChecks.isEmpty)
+          s"${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));"
+        else
+          s"if (!${ev.isNull}) { ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny)); }"
       s"""
          |final int $n = $x.numElements();
          |if ($y.numElements() != $n) {
@@ -72,11 +101,12 @@ final case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  final double $xi = (double) $x.getFloat($i);
          |  final double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |$assign
        """.stripMargin
     })
 
@@ -97,6 +127,12 @@ final case class CosineSimilarity(left: Expression, right: Expression)
  * multiply then add, in index order, so results (and the md5-pinned
  * banding built on their signs) are bit-for-bit what the HOF and the
  * DuckDB oracle compute.
+ *
+ * Null semantics match the HOF form exactly: null array ⇒ null, and a
+ * null ELEMENT on either side ⇒ null result (the zip_with product is
+ * null and the fold absorbs it). Element checks are emitted only when
+ * the static array type says `containsNull`, so the hot SRP path on
+ * null-free schemas keeps its branch-free loop.
  */
 final case class ArrayDotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -113,15 +149,31 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_double"
 
+  private def leftElemNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+  private def rightElemNullable: Boolean = right.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+
+  override def nullable: Boolean =
+    super.nullable || leftElemNullable || rightElemNullable
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val w = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     require(w.numElements() == n,
       s"dot_double: length mismatch ($n vs ${w.numElements()})")
+    val xN = leftElemNullable
+    val wN = rightElemNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * w.getDouble(i); i += 1 }
+    while (i < n) {
+      if ((xN && x.isNullAt(i)) || (wN && w.isNullAt(i))) return null
+      s += x.getFloat(i).toDouble * w.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -130,6 +182,15 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullChecks = Seq(
+        if (leftElemNullable) Some(s"$x.isNullAt($i)") else None,
+        if (rightElemNullable) Some(s"$w.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      val assign =
+        if (nullChecks.isEmpty) s"${ev.value} = $s;"
+        else s"if (!${ev.isNull}) { ${ev.value} = $s; }"
       s"""
          |final int $n = $x.numElements();
          |if ($w.numElements() != $n) {
@@ -138,9 +199,10 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $s += ((double) $x.getFloat($i)) * $w.getDouble($i);
          |}
-         |${ev.value} = $s;
+         |$assign
        """.stripMargin
     })
 

@@ -78,12 +78,18 @@ object IncrementalDedup {
 
   // ---- oracle-gated query plumbing ------------------------------------
 
-  // One catalog fixture per (JVM, sfDir): table names are session-scoped
-  // and the path carries the pid so concurrent JVMs never collide.
+  // One catalog fixture per (session, sfDir): table names are
+  // session-scoped, so the memo must be too — a second SparkSession
+  // reusing a first session's memoized name would get table-not-found.
+  // The slug is md5 hex of the dir (collision-free, unlike hashCode: two
+  // dirs colliding on hashCode would reuse one table name and the second
+  // saveAsTable would fail ErrorIfExists) plus a per-build counter, and
+  // the path carries the pid, so neither concurrent JVMs nor two
+  // sessions over the same dir ever share files or names.
   // Concurrent THREADS memoize per key through a lazy holder: racing
   // misses may create two holders (side-effect free), putIfAbsent picks
   // one winner, and only the winner's `value` ever runs the build — so
-  // the catalog write runs exactly once per dir WITHOUT a global lock
+  // the catalog write runs exactly once per key WITHOUT a global lock
   // that would convoy unrelated dirs behind one dir's Spark write. A
   // failed build leaves the lazy uninitialized and is retried on the
   // next call. The DuckDB oracle recomputes the catalog from
@@ -92,7 +98,9 @@ object IncrementalDedup {
   private final class LazyCatalog(build: () => String) {
     lazy val value: String = build()
   }
-  private val built = scala.collection.concurrent.TrieMap.empty[String, LazyCatalog]
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyCatalog]
+  private val buildSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -100,9 +108,11 @@ object IncrementalDedup {
   }
 
   private def ensureCatalog(s: SparkSession, dir: String): String =
-    built.getOrElseUpdate(dir, new LazyCatalog(() => {
+    built.getOrElseUpdate((s, dir), new LazyCatalog(() => {
       val pid = ProcessHandle.current().pid()
-      val slug = java.lang.Integer.toHexString(dir.hashCode)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val slug = md.digest(dir.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12) + "_" + buildSeq.incrementAndGet()
       val path =
         s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_${pid}_$slug"
       val f = new java.io.File(path)

@@ -62,28 +62,6 @@ class VectorExpressionsSuite extends SparkSuite {
     intercept[Exception](bad.selectExpr("cosine_similarity(a, b)").collect())
   }
 
-  test("simhash64 matches the explode+groupBy signature exactly (the oracle's form)") {
-    val docs = Tables.documents(spark, sfDir)
-    val native = docs.select(col("doc_id"),
-      VectorFunctions.simhash64(split(col("text"), " ")).as("s_native"))
-    // the original 64-column aggregate shape (still what the DuckDB twin
-    // spells out): explode every token occurrence, ±1 per md5 hex bit
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      val bit = expr(s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) % 2")
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    val sig = (0 until 64).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    val hof = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("s_hof"))
-    val mismatches = native.join(hof, "doc_id")
-      .filter(col("s_native") =!= col("s_hof")).count()
-    assert(mismatches === 0L)
-    assert(native.count() === hof.count())
-  }
-
   test("dot_double matches the aggregate(zip_with) fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sfDir).limit(300)
     // a deterministic ±1 weight vector, like an SRP hyperplane
@@ -97,28 +75,35 @@ class VectorExpressionsSuite extends SparkSuite {
     assert(diff === 0.0)
   }
 
-  test("array_md5 matches transform+md5 byte-for-byte, prefix and nulls included") {
+  test("null ELEMENTS propagate to a null result, matching the HOF truth table") {
     val sparkS = spark
     import sparkS.implicits._
-    val docs = Tables.documents(spark, sfDir).limit(300)
-      .withColumn("sh", split(col("text"), " "))
-    def same(prefix: String): Long = docs.select(
-      (graft.functions.VectorFunctions.arrayMd5(col("sh"), lit(prefix)) =!=
-        expr(s"transform(sh, x -> md5(concat('$prefix', x)))")).as("ne"))
-      .filter(col("ne")).count()
-    assert(same("") === 0L)
-    assert(same("3:") === 0L)
-    // null array ⇒ null; null ELEMENT ⇒ null element (the HOF truth table)
-    val edge = Seq(
-      (1L, Array[String]("a", null, "b")),
-      (2L, null.asInstanceOf[Array[String]]),
-      (3L, Array.empty[String])).toDF("id", "sh")
-    val got = edge.select(col("id"),
-      graft.functions.VectorFunctions.arrayMd5(col("sh"), lit("")).as("m"))
-      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1)))
-      .toMap
-    assert(got(2L) === null)
-    assert(got(3L) === Seq.empty)
-    assert(got(1L)(1) === null && got(1L)(0) != null && got(1L)(2) != null)
+    // parquet-shaped schema: ARRAY<FLOAT> with containsNull = true
+    val rows = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Double](1.0, 1.0)),
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Double](1.0, 1.0)),
+      (3L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Double](null, 1.0)))
+      .toDF("id", "x", "w")
+    val hof = aggregate(
+      zip_with(col("x"), col("w"), (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, v) => acc + v)
+    val got = rows.select(col("id"),
+      VectorFunctions.dotDouble(col("x"), col("w")).as("native"), hof.as("hof"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    got.foreach { case (id, nativeNull, hofNull, v) =>
+      assert(nativeNull === hofNull, s"id=$id")
+      if (id == 1L) assert(!nativeNull && v === 3.0)
+    }
+    // cosine: same contract
+    val emb = Seq(
+      (1L, Array[java.lang.Float](1.0f, 0f), Array[java.lang.Float](1.0f, 0f)),
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 0f)))
+      .toDF("id", "a", "b")
+    val cos = emb.select(col("id"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(cos(1L) === false)
+    assert(cos(2L) === true)
   }
 }
