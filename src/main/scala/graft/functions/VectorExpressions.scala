@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /**
  * Native Catalyst expression for cosine similarity over float vectors —
@@ -211,6 +211,93 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `dot_long(x: ARRAY<BIGINT>, y: ARRAY<BIGINT>) -> BIGINT` — integer dot
+ * product, the scoring kernel of the int8-quantized ANN path
+ * ([[graft.operators.Similarity]] `ann_int8_topk`). Integer addition is
+ * associative, so unlike the floating kernels there is no accumulation-
+ * order contract to pin — any engine summing the same products gets the
+ * same Long (the reason the quantized path is oracle-exact with a plain
+ * SQL sum). Null semantics match [[ArrayDotDouble]]: null array ⇒ null,
+ * null element ⇒ null, checks emitted only for containsNull inputs.
+ */
+final case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "dot_long"
+
+  private def leftElemNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+  private def rightElemNullable: Boolean = right.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+
+  override def nullable: Boolean =
+    super.nullable || leftElemNullable || rightElemNullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"dot_long: length mismatch ($n vs ${y.numElements()})")
+    val xN = leftElemNullable
+    val yN = rightElemNullable
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if ((xN && x.isNullAt(i)) || (yN && y.isNullAt(i))) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val nullChecks = Seq(
+        if (leftElemNullable) Some(s"$x.isNullAt($i)") else None,
+        if (rightElemNullable) Some(s"$y.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      val assign =
+        if (nullChecks.isEmpty) s"${ev.value} = $s;"
+        else s"if (!${ev.isNull}) { ${ev.value} = $s; }"
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_long: length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  $s += $x.getLong($i) * $y.getLong($i);
+         |}
+         |$assign
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.Shim
@@ -222,6 +309,10 @@ object VectorFunctions {
   /** Column API for the native SRP projection. */
   def dotDouble(x: Column, w: Column): Column =
     Shim.column(ArrayDotDouble(Shim.expression(x), Shim.expression(w)))
+
+  /** Column API for the native integer dot product. */
+  def dotLong(x: Column, y: Column): Column =
+    Shim.column(ArrayDotLong(Shim.expression(x), Shim.expression(y)))
 
   /** Column API for the native per-element md5. */
   def arrayMd5(arr: Column, prefix: Column): Column =

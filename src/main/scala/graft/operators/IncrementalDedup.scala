@@ -76,6 +76,73 @@ object IncrementalDedup {
     stream.withColumn("fingerprint", md5(col("text")))
       .join(stream.sparkSession.table(catalogTable), Seq("fingerprint"), "left_anti")
 
+  // ---- Bloom-prefiltered variant --------------------------------------
+
+  /** Optimal Bloom bit count for `n` items at false-positive rate `fpp`
+    * (the standard m = −n·ln(p)/ln²2). */
+  def optimalNumBits(n: Long, fpp: Double): Long = {
+    require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+  }
+
+  /** Build a Bloom filter over the catalog's fingerprints (hashed with
+    * xxhash64, the same probe the batch side uses) and return its
+    * serialized bytes — a driver-held, METADATA-sized artifact (~1.2 B
+    * per item at 1% fpp), built with Spark's own
+    * `BloomFilterAggregate` in one distributed pass.
+    *
+    * NOTE: `BloomFilterAggregate` clamps to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 64M bits) — a deployment with a
+    * billion-fingerprint catalog raises those confs, or accepts the
+    * clamped filter's higher fpp (correctness is unaffected either way:
+    * the exact anti-join still removes every false positive). */
+  def catalogBloom(s: SparkSession, catalogTable: String, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Shim
+    val n = s.table(catalogTable).count().max(1L)
+    val agg = new BloomFilterAggregate(
+      Shim.expression(xxhash64(col("fingerprint"))),
+      Literal(n), Literal(optimalNumBits(n, fpp)))
+    s.table(catalogTable)
+      .select(Shim.column(agg.toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[dedupAgainstCatalog]] with a Bloom prefilter: rows whose
+    * fingerprint the filter has DEFINITELY never seen bypass the
+    * anti-join entirely (a Bloom "no" is exact); only possible
+    * duplicates — true dups plus an fpp-sized sliver of false positives
+    * — shuffle into the bucketed anti-join, which removes the false
+    * positives exactly. Output ≡ [[dedupAgainstCatalog]] by
+    * construction.
+    *
+    * Why at 100 TB: the plain path shuffles the WHOLE batch to the
+    * catalog's bucket count; in the steady state most arriving docs are
+    * new, so that shuffle is mostly wasted motion. The bloom — built
+    * once per catalog epoch and reused across every batch (and face:
+    * the streaming stream-static join can prefilter with the same
+    * bytes) — cuts the anti-join's probe side to roughly the duplicate
+    * mass. The filter rides into executors as a literal in the
+    * comparison expression (`might_contain`), the same mechanism
+    * Spark's own runtime row-level filtering injects. */
+  def dedupAgainstCatalogBloom(
+      newBatch: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Shim
+    import org.apache.spark.sql.types.BinaryType
+    val s = newBatch.sparkSession
+    val mightContain = Shim.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      Shim.expression(xxhash64(col("fingerprint")))))
+    val batch = newBatch.withColumn("fingerprint", md5(col("text")))
+    val definitelyNew = batch.filter(!mightContain)
+    val verified = batch.filter(mightContain)
+      .join(s.table(catalogTable).hint("merge"), Seq("fingerprint"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   // ---- oracle-gated query plumbing ------------------------------------
 
   // One catalog fixture per (session, sfDir): table names are
@@ -140,6 +207,34 @@ object IncrementalDedup {
       |  (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
       |ORDER BY doc_id""".stripMargin))
 
+  // The bloom is a per-catalog-epoch artifact: memoized like the catalog
+  // itself so every batch (and the bench's repeated runs) reuses one
+  // build, which is the production shape the scaladoc promises.
+  private val blooms =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyBloom]
+  private final class LazyBloom(build: () => Array[Byte]) {
+    lazy val value: Array[Byte] = build()
+  }
+  private def ensureBloom(s: SparkSession, cat: String): Array[Byte] =
+    blooms.getOrElseUpdate((s, cat), new LazyBloom(() => catalogBloom(s, cat))).value
+
+  /** Same contract and oracle as `dedup_incremental`, through the Bloom
+    * prefilter path — proves output-equivalence against the identical
+    * DuckDB twin while exercising the definitely-new bypass. */
+  private val dedupIncrementalBloom = QueryDef(
+    (s, dir) => {
+      val cat = ensureCatalog(s, dir)
+      dedupAgainstCatalogBloom(Tables.documents(s, dir), cat, ensureBloom(s, cat))
+        .select(col("doc_id"), col("fingerprint"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(text) AS fingerprint, lang
+      |FROM documents
+      |WHERE md5(text) NOT IN
+      |  (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
-    "dedup_incremental" -> dedupIncremental)
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom)
 }

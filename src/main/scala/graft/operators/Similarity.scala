@@ -594,8 +594,89 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
 FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     })
 
+  // ---- int8-quantized brute-force top-k --------------------------------
+
+  /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127/max|x|),
+    * spelled floor(x·s + 0.5) so both engines round identically (SQL
+    * ROUND halves differ by dialect; floor(+0.5) doesn't). The scale is
+    * derived from an ORDER-FREE max, the quantized dot/norms are exact
+    * integer sums (no accumulation-order coupling — the property that
+    * makes this path oracle-exact with plain SQL sums), and only the
+    * final sim = dotq/(‖q1‖·‖q2‖) touches floating point, identically
+    * in both engines.
+    *
+    * Why at 100 TB: int8 cuts candidate-scoring bytes 4× (1 B/dim vs 4)
+    * — the corpus side of every ANN probe is memory-bandwidth-bound, so
+    * the quantized pass scans a quarter of the data with integer
+    * multiplies (SIMD-friendly), and the float vectors are only ever
+    * touched for an optional exact re-rank of the (k-sized) winners.
+    * Recall vs the float path is a measured artifact (MetricsReport). */
+  private def quantized(df: DataFrame): DataFrame =
+    df.withColumn("m",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("qscale",
+        when(col("m") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("m")))
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * qscale + 0.5) as bigint))"))
+      .withColumn("qn",
+        sqrt(graft.functions.VectorFunctions.dotLong(col("q"), col("q"))
+          .cast("double")))
+      .drop("m", "qscale")
+
+  private def quantSql(src: String): String = {
+    val qExpr = "list_transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * qscale + 0.5) AS BIGINT))"
+    s"""qscaled AS (
+      |  SELECT vec_id, embedding,
+      |         CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS qscale
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      |        FROM $src)),
+      |quant AS (
+      |  SELECT vec_id, $qExpr AS q FROM qscaled),
+      |qnormed AS (
+      |  SELECT vec_id, q, SQRT(CAST(${dotSqlLong("q", "q")} AS DOUBLE)) AS qn
+      |  FROM quant)""".stripMargin
+  }
+
+  private def dotSqlLong(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
+  private val annInt8Topk = QueryDef(
+    (s, dir) => {
+      val emb = quantized(Tables.embeddings(s, dir).repartition(64))
+        .select(col("vec_id"), col("q"), col("qn"))
+      val corpus = emb.select(col("vec_id").as("neighbor_id"),
+        col("q").as("qv"), col("qn").as("vn"))
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qn1"))
+      val scored = broadcast(queries)
+        .join(corpus, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          graft.functions.VectorFunctions.dotLong(col("qq"), col("qv"))
+            .cast("double") / (col("qn1") * col("vn")))
+      topKPerQuery(s, scored)
+    },
+    Some(s"""WITH ${quantSql("embeddings")},
+      |queries AS (
+      |  SELECT vec_id AS query_id, q AS qq, qn AS qn1 FROM qnormed
+      |  WHERE vec_id < $NumQueries),
+      |scored AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |         CAST(${dotSqlLong("qq", "q")} AS DOUBLE) / (qn1 * qn) AS sim
+      |  FROM queries, qnormed WHERE vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "ann_cosine_topk" -> annCosineTopk,
+    "ann_int8_topk" -> annInt8Topk,
     "ann_lsh_srp" -> annLshSrp,
     "ann_lsh_pairs" -> annLshPairs,
     "ann_ivf_topk" -> annIvfTopk,

@@ -75,6 +75,30 @@ class VectorExpressionsSuite extends SparkSuite {
     assert(diff === 0.0)
   }
 
+  test("dot_long matches the aggregate(zip_with) integer fold exactly") {
+    val emb = Tables.embeddings(spark, sfDir).limit(300)
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 64 + 0.5) as bigint))"))
+    val hof = aggregate(
+      zip_with(col("q"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val native = VectorFunctions.dotLong(col("q"), col("q"))
+    val mismatches = emb.select((hof =!= native).as("ne")).filter(col("ne")).count()
+    assert(mismatches === 0L)
+    // null element ⇒ null result, as the HOF
+    val sparkS = spark
+    import sparkS.implicits._
+    val edge = Seq(
+      (1L, Array[java.lang.Long](2L, 3L), Array[java.lang.Long](4L, 5L)),
+      (2L, Array[java.lang.Long](2L, null), Array[java.lang.Long](4L, 5L)))
+      .toDF("id", "x", "y")
+    val got = edge.select(col("id"),
+      VectorFunctions.dotLong(col("x"), col("y")).as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(23L))
+    assert(got(2L) === None)
+  }
+
   test("null ELEMENTS propagate to a null result, matching the HOF truth table") {
     val sparkS = spark
     import sparkS.implicits._

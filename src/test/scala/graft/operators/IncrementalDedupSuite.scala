@@ -86,6 +86,52 @@ class IncrementalDedupSuite extends SparkSuite {
     }
   }
 
+  test("bloom prefilter: identical output, shrunken anti-join probe side") {
+    val out = SparkEntry.queries("dedup_incremental_bloom")(spark, sfDir)
+    val plain = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+    // output-equivalence: a Bloom "no" is exact and the anti-join removes
+    // every false positive, so the two paths agree row-for-row
+    assert(out.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(out).count() === 0)
+    // the prefilter is IN the plan (a might_contain predicate)...
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), planStr.take(2000))
+    // ...and it genuinely bypasses: far fewer rows reach the anti-join
+    // than the batch holds. Probe a scratch catalog's bloom directly.
+    val docs = Tables.documents(spark, sfDir)
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_bloomchk_$pid"
+    val table = "graft_fpcat_bloomchk"
+    try {
+      IncrementalDedup.writeCatalog(
+        docs.filter(col("doc_id") % 2 === 0), path, table)
+      val bloom = IncrementalDedup.catalogBloom(spark, table)
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graft.Shim
+      import org.apache.spark.sql.types.BinaryType
+      val mc = Shim.column(new BloomFilterMightContain(
+        Literal(bloom, BinaryType),
+        Shim.expression(xxhash64(md5(col("text"))))))
+      val total = docs.count()
+      val candidates = docs.filter(mc).count()
+      val evens = docs.filter(col("doc_id") % 2 === 0).count()
+      // every true duplicate must pass the filter (no false negatives)
+      assert(candidates >= evens)
+      // and the definitely-new bypass is real: candidate mass ≈ dup mass,
+      // nowhere near the whole batch (1% fpp ⇒ a sliver above evens)
+      assert(candidates < total,
+        s"prefilter excluded nothing: $candidates of $total")
+      assert(candidates - evens <= math.max(10L, (total - evens) / 10),
+        s"false-positive sliver too fat: $candidates candidates, $evens true dups")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("appending a deduped batch keeps the catalog usable for the next run") {
     val docs = Tables.documents(spark, sfDir)
     val pid = ProcessHandle.current().pid()
