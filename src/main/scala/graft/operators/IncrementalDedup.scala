@@ -76,6 +76,29 @@ object IncrementalDedup {
     stream.withColumn("fingerprint", md5(col("text")))
       .join(stream.sparkSession.table(catalogTable), Seq("fingerprint"), "left_anti")
 
+  /** [[dedupStreamAgainstCatalog]] with the SAME Bloom bytes the batch
+    * face uses ([[catalogBloom]]): each micro-batch probes the filter
+    * first, and only possible duplicates reach the stream-static
+    * anti-join — in the steady state (mostly-new ingest) the per-batch
+    * join probe shrinks to the duplicate mass. Output ≡ the plain
+    * streaming face; the bloom is resolved ONCE at plan time, which is
+    * the point (one build per catalog epoch serves every batch of every
+    * face — rebuild the stream's plan when the catalog epoch rolls). */
+  def dedupStreamAgainstCatalogBloom(
+      stream: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Shim
+    import org.apache.spark.sql.types.BinaryType
+    val mightContain = Shim.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      Shim.expression(xxhash64(col("fingerprint")))))
+    val fp = stream.withColumn("fingerprint", md5(col("text")))
+    val definitelyNew = fp.filter(!mightContain)
+    val verified = fp.filter(mightContain)
+      .join(stream.sparkSession.table(catalogTable), Seq("fingerprint"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   // ---- Bloom-prefiltered variant --------------------------------------
 
   /** Optimal Bloom bit count for `n` items at false-positive rate `fpp`

@@ -265,9 +265,65 @@ object Sampling {
       |  FLOOR((CAST(total AS DOUBLE) / n_sources) / source_tokens * 1e4 + 0.5) / 1e4 AS epochs
       |FROM g ORDER BY source""".stripMargin))
 
+  // ---- fixed-window document chunking ---------------------------------
+
+  private val ChunkWin = 32
+  private val ChunkStride = 24
+
+  /** Split every document into fixed-size OVERLAPPING token windows
+    * (window [[ChunkWin]], stride [[ChunkStride]] — the context-window
+    * chunking step in front of embedding/training jobs, where long docs
+    * must become model-sized pieces without losing cross-boundary
+    * context). A doc with n tokens yields `1 + ceil((n−W)/S)` chunks
+    * (one if n ≤ W); the last chunk is short rather than padded, and
+    * chunk provenance (doc_id, chunk_id) survives for joining features
+    * back later.
+    *
+    * Shape at 100 TB: pure per-row narrow work — split, an explode of
+    * the (tiny) chunk-index sequence, and a 1-indexed slice per chunk.
+    * Zero shuffle, zero state; output volume is input tokens ×
+    * (W/S overlap factor), the irreducible minimum. Spark `slice` and
+    * DuckDB `list_slice` index differently (length vs end-inclusive) —
+    * the twin spells both to the same window. */
+  private val chunkDocuments = QueryDef(
+    (s, dir) => {
+      val W = ChunkWin
+      val S = ChunkStride
+      Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nc", when(col("n") <= W, lit(1))
+          .otherwise(lit(1) + expr(s"(n - $W + ${S - 1}) div $S").cast("int")))
+        .withColumn("chunk_id", explode(sequence(lit(0), col("nc") - 1)))
+        .select(
+          col("doc_id"),
+          col("chunk_id"),
+          concat_ws(" ",
+            slice(col("toks"), col("chunk_id") * S + 1, lit(W))).as("chunk_text"),
+          least(lit(W), col("n") - col("chunk_id") * S).as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |         unnest(range(0, CASE WHEN n <= $ChunkWin THEN 1
+      |           ELSE 1 + (n - $ChunkWin + ${ChunkStride - 1}) // $ChunkStride
+      |           END)) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  array_to_string(list_slice(toks, chunk_id * $ChunkStride + 1,
+      |    chunk_id * $ChunkStride + $ChunkWin), ' ') AS chunk_text,
+      |  CAST(LEAST($ChunkWin, n - chunk_id * $ChunkStride) AS INT)
+      |    AS n_chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "sample_stratified" -> sampleStratified,
     "mix_budget_cutoff" -> mixBudgetCutoff,
     "pack_sequences" -> packSequences,
-    "mix_epochs" -> mixEpochs)
+    "mix_epochs" -> mixEpochs,
+    "chunk_documents" -> chunkDocuments)
 }

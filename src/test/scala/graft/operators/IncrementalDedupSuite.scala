@@ -86,6 +86,42 @@ class IncrementalDedupSuite extends SparkSuite {
     }
   }
 
+  test("streaming ingest with the bloom prefilter agrees with the plain face") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_sbloom_$pid"
+    val table = "graft_fpcat_sbloom"
+    try {
+      IncrementalDedup.writeCatalog(
+        Seq("seen one", "seen two").toDF("text"), path, table)
+      val bloom = IncrementalDedup.catalogBloom(spark, table)
+      val input = MemoryStream[(Long, String)]
+      val out = IncrementalDedup.dedupStreamAgainstCatalogBloom(
+        input.toDS().toDF("doc_id", "text"), table, bloom)
+      val q = out.writeStream.format("memory").queryName("stream_catalog_bloom")
+        .start()
+      try {
+        input.addData((1L, "seen one"), (2L, "fresh a"), (3L, "seen two"))
+        q.processAllAvailable()
+        input.addData((4L, "fresh b"), (5L, "seen one"))
+        q.processAllAvailable()
+        val got = spark.table("stream_catalog_bloom")
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(got === Seq(2L, 4L),
+          "bloom face: catalog texts dropped every micro-batch, fresh pass")
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("bloom prefilter: identical output, shrunken anti-join probe side") {
     val out = SparkEntry.queries("dedup_incremental_bloom")(spark, sfDir)
     val plain = SparkEntry.queries("dedup_incremental")(spark, sfDir)
