@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistent IVF index: build ONCE, probe MANY — the missing lifecycle
+ * around the `ann_ivf_*` queries, which (by oracle necessity) retrain
+ * and reassign inside every query plan. A production ANN corpus is
+ * indexed once per epoch and probed millions of times, so the index —
+ * trained centroids plus the cell-assigned corpus — must live on
+ * storage, not in a query's lineage.
+ *
+ * Layout under `path`:
+ *   `centroids/` — nlist rows (cent_id, cvec, cnrm): metadata-sized,
+ *                  collected to the driver at probe time.
+ *   `assigned/`  — the corpus with its cell id, parquet PARTITIONED BY
+ *                  cell: a probe reads ONLY its nprobe cells' files via
+ *                  partition pruning (suite-asserted `PartitionFilters`)
+ *                  — the on-disk analogue of the "touch 1/nlist of the
+ *                  data" IVF contract, and the property that matters at
+ *                  100 TB: probe cost scales with nprobe/nlist × corpus,
+ *                  not corpus.
+ *
+ * Training mirrors the `ann_ivf_kmeans_topk` query exactly (bounded
+ * deterministic sample, Lloyd with 6-decimal rounding, driver-held
+ * centroids), so index quality is the measured recall in METRICS; this
+ * class adds persistence + pruning, not new math.
+ */
+object IvfIndex {
+
+  /** Index spec. `trainPerCentroid` bounds the k-means sample (the FAISS
+    * convention) so training cost is O(nlist), not O(corpus). */
+  final case class Spec(nlist: Int = 8, iters: Int = 3, trainPerCentroid: Int = 256) {
+    require(nlist >= 1 && iters >= 0 && trainPerCentroid >= 1, s"bad spec: $this")
+    def trainCap: Long = nlist.toLong * trainPerCentroid
+  }
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(Similarity.dotCol("embedding", "embedding")))
+
+  /** Train the quantizer and persist centroids + the assigned corpus.
+    * One pass over the corpus for assignment (zero shuffle — the
+    * centroid array is a literal in the fold), then a partitioned write.
+    * Returns the trained centroid count actually written. */
+  def build(emb: DataFrame, path: String, spec: Spec = Spec()): Int = {
+    val s = emb.sparkSession
+    val e = withNorm(emb)
+    val train = e.filter(col("vec_id") < spec.trainCap)
+      .repartition(8).persist()
+    try {
+      val seeds = Similarity.collectCentroids(
+        train.filter(col("vec_id") < spec.nlist)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+            col("nrm").as("cnrm")))
+      require(seeds.nonEmpty, "no seed vectors: corpus has no vec_id < nlist")
+      def lloyd(cents: Seq[Similarity.Centroid]): Seq[Similarity.Centroid] =
+        Similarity.collectCentroids(Similarity.assignCells(train, cents)
+          .groupBy(col("cell").as("cent_id"))
+          .agg(array((1 to seeds.head.cvec.length).map(i =>
+            round(avg(element_at(col("embedding"), i).cast("double")), 6)): _*)
+            .as("cvec"))
+          .withColumn("cnrm", sqrt(Similarity.dotCol("cvec", "cvec"))))
+      val trained = (1 to spec.iters).foldLeft(seeds)((c, _) => lloyd(c))
+      import s.implicits._
+      trained.toDF().write.mode("overwrite").parquet(s"$path/centroids")
+      Similarity.assignCells(e, trained)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+      trained.length
+    } finally { train.unpersist(); () }
+  }
+
+  private[operators] def loadCentroids(
+      s: SparkSession, path: String): Seq[Similarity.Centroid] =
+    Similarity.collectCentroids(
+      s.read.parquet(s"$path/centroids").select("cent_id", "cvec", "cnrm"))
+
+  /** Probe the persisted index: for each (query_id, vector), visit its
+    * `nprobe` nearest cells (driver-computed — queries and centroids are
+    * metadata) and exact-score only those cells' rows. The assigned scan
+    * carries a `cell IN (...)` partition filter, so only the probed
+    * cells' FILES are read. Output: (query_id, rank, neighbor_id, sim). */
+  def probe(
+      s: SparkSession, path: String,
+      queries: Seq[(Long, Seq[Float])],
+      nprobe: Int = 2, topk: Int = 10): DataFrame = {
+    require(nprobe >= 1 && topk >= 1, s"bad probe params: nprobe=$nprobe topk=$topk")
+    val cents = loadCentroids(s, path)
+    val probeRows = queries.flatMap { case (qid, q) =>
+      var qnrm = 0.0
+      q.foreach(x => qnrm += x.toDouble * x.toDouble)
+      qnrm = math.sqrt(qnrm)
+      // rank ALL cells (there are only nlist) by the same (sim DESC,
+      // cent_id) order the fold uses, take the nprobe nearest
+      val cells = cents.map { c =>
+        var dot = 0.0
+        var i = 0
+        while (i < q.length) { dot += q(i).toDouble * c.cvec(i); i += 1 }
+        (c.cent_id, dot / (qnrm * c.cnrm))
+      }.sortBy { case (id, sim) => (-sim, id) }.take(nprobe).map(_._1)
+      cells.map(cell => (qid, q, qnrm, cell))
+    }
+    import s.implicits._
+    val probes = probeRows.toDF("query_id", "q", "qnrm", "cell")
+    // the partition column comes back typed by partition-inference; cast
+    // to the centroid id type so the join key lines up
+    val assigned = s.read.parquet(s"$path/assigned")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probeRows.map(_._4).distinct: _*))
+    val scored = broadcast(probes)
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        Similarity.dotCol("q", "embedding") / (col("qnrm") * col("nrm")))
+    Similarity.topKPerQuery(s, scored, topk)
+  }
+}

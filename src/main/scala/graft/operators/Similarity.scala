@@ -34,7 +34,7 @@ object Similarity {
     * sum (0.0 + x1 == x1 exactly), while keeping the expression tree ~10
     * nodes — the unrolled form made janino codegen compilation, not the
     * data, the dominant bench cost. */
-  private def dotCol(a: String, b: String): Column =
+  private[operators] def dotCol(a: String, b: String): Column =
     aggregate(
       zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -49,10 +49,11 @@ object Similarity {
     * which funneled the whole corpus into one reducer task per query.
     * Ordering (score DESC, id ASC) matches the oracle's window exactly,
     * so the row_number() SQL formulation stays the oracle. */
-  private def topKPerQuery(s: SparkSession, scored: DataFrame): DataFrame = {
+  private[operators] def topKPerQuery(
+      s: SparkSession, scored: DataFrame, k: Int = TopK): DataFrame = {
     import s.implicits._
     import graft.functions.{Scored, TopKAggregator}
-    val topk = new TopKAggregator(TopK).toColumn.name("topk")
+    val topk = new TopKAggregator(k).toColumn.name("topk")
     scored.select(col("query_id"), col("neighbor_id"), col("sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
@@ -354,7 +355,7 @@ object Similarity {
     * getField, so `typedLit(Seq[Centroid])` drops straight into the
     * fold as a literal array (a single references-array entry in
     * codegen — no join, no broadcast exchange, no sub-plan). */
-  private case class Centroid(cent_id: Long, cvec: Seq[Double], cnrm: Double)
+  private[operators] case class Centroid(cent_id: Long, cvec: Seq[Double], cnrm: Double)
 
   /** Collect a (cent_id, cvec, cnrm) relation to the driver, sorted by
     * cent_id so the fold's tie-break stays deterministic regardless of
@@ -366,7 +367,7 @@ object Similarity {
     * + a 64-column agg) inside its own plan, and Catalyst planning — not
     * data — dominated: the query cost ~4.5 s at sf0.01 AND sf0.1
     * (scale-invariant = planning-bound). */
-  private def collectCentroids(cents: DataFrame): Seq[Centroid] =
+  private[operators] def collectCentroids(cents: DataFrame): Seq[Centroid] =
     cents.collect().toSeq.map { r =>
       val cv: Seq[Double] = r.getSeq[Any](1).map {
         case f: Float => f.toDouble
@@ -377,7 +378,7 @@ object Similarity {
 
   /** Assign every embedding row to its nearest cell — zero shuffle, zero
     * row blowup, zero sub-plan (the centroid array is a literal). */
-  private def assignCells(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
+  private[operators] def assignCells(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
     emb.withColumn("best",
         nearestCentroid(typedLit(cents), col("embedding"), col("nrm")))
       .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
@@ -388,7 +389,7 @@ object Similarity {
     * `>` improvement over the cent_id-sorted list, same `exclude` probe
     * semantics — so probe cells computed on the driver match what the
     * fold (and the DuckDB oracle) would pick, bit for bit. */
-  private def nearestCentroidLocal(q: Seq[Float], qnrm: Double,
+  private[operators] def nearestCentroidLocal(q: Seq[Float], qnrm: Double,
       cents: Seq[Centroid], exclude: Long = -1L): Long =
     cents.foldLeft((-1L, -2.0)) { case (acc, c) =>
       var dot = 0.0

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDotDouble, ArrayMd5, CosineSimilarity, SimHash64}
+import graft.functions.{ArrayDotDouble, ArrayDotLong, ArrayMd5, CosineSimilarity, SimHash64, SrpBandCodes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -46,11 +46,26 @@ object GraftExtensions {
       build(args.head)
     })
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an INT literal, got $other")
+  }
+
   private[plans] val descriptors: Seq[Descriptor] = Seq(
     binary("cosine_similarity", classOf[CosineSimilarity], CosineSimilarity.apply),
     binary("dot_double", classOf[ArrayDotDouble], ArrayDotDouble.apply),
+    binary("dot_long", classOf[ArrayDotLong], ArrayDotLong.apply),
     binary("array_md5", classOf[ArrayMd5], ArrayMd5.apply),
-    unary("simhash64", classOf[SimHash64], SimHash64.apply))
+    unary("simhash64", classOf[SimHash64], SimHash64.apply),
+    (FunctionIdentifier("srp_band_codes"),
+      new ExpressionInfo(classOf[SrpBandCodes].getName, "srp_band_codes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"srp_band_codes expects (embedding, rowsPerBand, nBands), got ${args.length} args")
+        SrpBandCodes(args.head,
+          intLit(args(1), "rowsPerBand"), intLit(args(2), "nBands"))
+      }))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

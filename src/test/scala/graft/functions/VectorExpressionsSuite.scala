@@ -37,6 +37,27 @@ class VectorExpressionsSuite extends SparkSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("the full native-function surface is SQL-callable") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT
+        |  dot_long(array(2L, 3L), array(4L, 5L)) AS dl,
+        |  simhash64(array('a', 'b')) AS sh,
+        |  array_md5(array('x'), 'p:') AS am,
+        |  size(srp_band_codes(embedding, 6, 24)) AS nb
+        |FROM emb_sql LIMIT 1""".stripMargin).head()
+    assert(r.getLong(0) === 23L)
+    assert(r.getSeq[String](2).head ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("p:x".getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+    assert(r.getInt(3) === 24)
+    // non-literal band params are rejected with a clear message
+    val err = intercept[Exception](spark.sql(
+      "SELECT srp_band_codes(embedding, CAST(vec_id AS INT), 4) FROM emb_sql").collect())
+    assert(err.getMessage.contains("rowsPerBand"))
+  }
+
   test("codegen path: expression evaluates inside WholeStageCodegen") {
     val emb = Tables.embeddings(spark, sfDir).limit(50)
     val df = emb.select(

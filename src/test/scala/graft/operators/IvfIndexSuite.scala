@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF index: build-once/probe-many lifecycle, probe
+  * correctness against a driver-side exact replica over the PERSISTED
+  * assignment, and the partition-pruning contract (a probe's scan reads
+  * only its nprobe cells' files). */
+class IvfIndexSuite extends SparkSuite {
+
+  private def withIndex[A](f: String => A): A = {
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$pid"
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    try {
+      val n = IvfIndex.build(Tables.embeddings(spark, sfDir), path)
+      assert(n === 8)
+      f(path)
+    } finally rm(new java.io.File(path))
+  }
+
+  test("probe results match a driver-side exact replica over the persisted index") {
+    withIndex { path =>
+      val queries = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 3).select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+      val got = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+      // replica: read the persisted assignment wholesale (500 rows at
+      // this SF) and recompute each probe exactly in plain Scala
+      val cents = IvfIndex.loadCentroids(spark, path)
+      val assigned = spark.read.parquet(s"$path/assigned")
+        .select(col("vec_id"), col("cell").cast("long"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+      def nrm(v: Seq[Float]): Double = {
+        var s = 0.0; v.foreach(x => s += x.toDouble * x.toDouble); math.sqrt(s)
+      }
+      def dot(a: Seq[Float], b: Seq[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val expect = queries.flatMap { case (qid, q) =>
+        val qn = nrm(q)
+        val cells = cents.map { c =>
+          var d = 0.0; var i = 0
+          while (i < q.length) { d += q(i).toDouble * c.cvec(i); i += 1 }
+          (c.cent_id, d / (qn * c.cnrm))
+        }.sortBy { case (id, s) => (-s, id) }.take(2).map(_._1).toSet
+        assigned.filter(a => cells(a._2) && a._1 != qid)
+          .map { case (nid, _, v) => (nid, dot(q, v) / (qn * nrm(v))) }
+          .sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+          .map { case ((nid, _), i) => (qid, i + 1, nid) }
+      }
+      assert(got.toSeq === expect.toSeq)
+    }
+  }
+
+  test("a probe's scan is partition-pruned to its nprobe cells") {
+    withIndex { path =>
+      val queries = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") === 0).select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      val df = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 5)
+      df.collect()
+      val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("assigned")) => f
+      }
+      assert(scans.nonEmpty, "no scan over the assigned index found")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.nonEmpty,
+          "assigned scan must carry a cell partition filter:\n" + scan.toString)
+        // files actually read: only the probed cells' directories
+        val parts = scan.relation.location.listFiles(
+          scan.partitionFilters, scan.dataFilters)
+        assert(parts.length <= 2,
+          s"probe read ${parts.length} cells, expected <= nprobe=2")
+      }
+    }
+  }
+
+  test("the index is probed many times without retraining") {
+    withIndex { path =>
+      val emb = Tables.embeddings(spark, sfDir)
+      val q1 = emb.filter(col("vec_id") === 1).select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      val q2 = emb.filter(col("vec_id") === 2).select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      val a = IvfIndex.probe(spark, path, q1, nprobe = 1, topk = 3).count()
+      val b = IvfIndex.probe(spark, path, q2, nprobe = 1, topk = 3).count()
+      assert(a === 3 && b === 3)
+    }
+  }
+}
