@@ -71,6 +71,20 @@ object IvfIndex {
     } finally { train.unpersist(); () }
   }
 
+  /** Assign a NEW batch with the already-trained quantizer and append it
+    * into the partitioned layout — the steady-state ingest path: no
+    * retraining, no touch of existing files (parquet append adds files
+    * under each cell directory), probes see the grown index on their
+    * next read. Centroid drift across many appends is real; the epoch
+    * policy (when to re-[[build]]) is the caller's — the recall METRICS
+    * are the signal to watch. */
+  def append(newBatch: DataFrame, path: String): Unit = {
+    val s = newBatch.sparkSession
+    val cents = loadCentroids(s, path)
+    Similarity.assignCells(withNorm(newBatch), cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   private[operators] def loadCentroids(
       s: SparkSession, path: String): Seq[Similarity.Centroid] =
     Similarity.collectCentroids(

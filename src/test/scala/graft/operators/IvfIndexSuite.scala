@@ -88,6 +88,24 @@ class IvfIndexSuite extends SparkSuite {
     }
   }
 
+  test("append assigns a new batch with the existing quantizer; probes see it") {
+    withIndex { path =>
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      // append the query vector itself under a fresh id: an exact copy
+      // MUST come back as the appended id's nearest neighbor at sim 1
+      val clone = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      IvfIndex.append(clone, path)
+      val got = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.head._2 === 1000000L, got.toSeq.toString)
+      assert(math.abs(got.head._3 - 1.0) < 1e-4)
+    }
+  }
+
   test("the index is probed many times without retraining") {
     withIndex { path =>
       val emb = Tables.embeddings(spark, sfDir)
