@@ -320,10 +320,77 @@ object Sampling {
       |    AS n_chunk_tokens
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
 
+  // ---- quality-quintile mixing ----------------------------------------
+
+  /** Partition the corpus into five GLOBAL quality quintiles (the
+    * CCNet-style "bucket by model score, then mix buckets" step) and
+    * report each bucket's document/token mass and score range.
+    *
+    * The global rank that defines quintile membership is computed with
+    * the DISTRIBUTED PREFIX SUM pattern (as `pack_sequences`): the
+    * fixed-point score (an exact BIGINT shared with `text_quality` —
+    * one definition, [[TextAnalysis.qualityScoreFp]]) range-buckets into
+    * ≤251 ordered slots, ranks are per-slot window work (parallel), and
+    * slot offsets come from a metadata-sized histogram — no corpus ever
+    * funnels through one reducer for the global ORDER BY the naive
+    * `ntile(5)` would need. quintile = rank·5 div N, exactly the
+    * oracle's row_number arithmetic. */
+  private val mixQualityBuckets = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.qualityRaw(
+          Tables.documents(s, dir).repartition(64))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          TextAnalysis.qualityScoreFp.as("score_fp"))
+        .withColumn("qb", expr("cast(score_fp div 40 as int)"))
+      val intra = Window.partitionBy("qb").orderBy("score_fp", "doc_id")
+      val ranked = scored.withColumn("intra",
+        row_number().over(intra).cast("long"))
+      // ≤251 rows: the metadata-sized histogram that replaces the
+      // global sort (windows below run over it, not the corpus)
+      val offs = scored.groupBy("qb").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(
+          Window.orderBy("qb").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("qb").as("o_qb"), col("off"), col("total"))
+      ranked.join(broadcast(offs), col("qb") === col("o_qb"))
+        .withColumn("r", col("off") + col("intra") - 1)
+        .withColumn("quintile", expr("cast((r * 5) div total as int)"))
+        .groupBy("quintile")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+          min("score_fp").as("min_fp"), max("score_fp").as("max_fp"))
+        .orderBy("quintile")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(FLOOR(LEAST(n_tokens / 100.0, 1.0) *
+      |      (1.0 - len(list_filter(toks, x -> x IN (${TextAnalysis.stopList})))
+      |        / CAST(n_tokens AS DOUBLE)) *
+      |      (len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5)
+      |      AS BIGINT) AS score_fp
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, n_tokens, score_fp,
+      |         row_number() OVER (ORDER BY score_fp, doc_id) - 1 AS r,
+      |         COUNT(*) OVER () AS total
+      |  FROM q)
+      |SELECT CAST((r * 5) // total AS INT) AS quintile,
+      |  COUNT(*) AS n_docs, SUM(n_tokens) AS tokens,
+      |  MIN(score_fp) AS min_fp, MAX(score_fp) AS max_fp
+      |FROM r GROUP BY 1 ORDER BY quintile""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "sample_stratified" -> sampleStratified,
     "mix_budget_cutoff" -> mixBudgetCutoff,
     "pack_sequences" -> packSequences,
     "mix_epochs" -> mixEpochs,
-    "chunk_documents" -> chunkDocuments)
+    "chunk_documents" -> chunkDocuments,
+    "mix_quality_buckets" -> mixQualityBuckets)
 }

@@ -63,32 +63,45 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
-  private def stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] def stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The raw quality signals (`toks`, `n_tokens`, `stop_ratio`,
+    * `diversity`, `avg_token_len`) over a `documents`-shaped frame — the
+    * ONE scoring chain shared by `text_quality` and
+    * `mix_quality_buckets`, so the two can never disagree on what
+    * quality means. */
+  private[operators] def qualityRaw(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", tokens(col("text")))
+    .withColumn("n_tokens", size(col("toks")))
+    .withColumn("stop_ratio",
+      expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tokens"))
+    .withColumn("diversity", diversityExpr)
+    .withColumn("avg_token_len",
+      (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+
+  /** Composite quality score ×1e4 as an EXACT integer. floor-based
+    * half-up rounding: Spark's round() goes through the decimal string
+    * repr while DuckDB rounds the exact binary value — they disagree on
+    * .5 boundaries (e.g. 0.25375). floor(x*1e4+0.5) computes identically
+    * on identical doubles in both engines, and as a BIGINT it also
+    * ranks/aggregates exactly (the property `mix_quality_buckets`'
+    * global ranking rides on). Expects [[qualityRaw]]'s columns. */
+  private[operators] def qualityScoreFp: Column =
+    floor((least(col("n_tokens") / lit(100.0), lit(1.0)) *
+      (lit(1.0) - col("stop_ratio")) * col("diversity")) * 1e4 + 0.5).cast("long")
 
   /** Quality scoring: stopword ratio, lexical diversity, mean token
     * length, composite score — the heuristics used to filter web corpora. */
   private val textQuality = QueryDef(
-    (s, dir) => Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tokens"))
-      .withColumn("diversity", diversityExpr)
-      .withColumn("avg_token_len",
-        (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+    (s, dir) => qualityRaw(Tables.documents(s, dir))
       .select(
         col("doc_id"),
         col("n_tokens"),
         round(col("stop_ratio"), 4).as("stop_ratio"),
         round(col("diversity"), 4).as("diversity"),
         round(col("avg_token_len"), 4).as("avg_token_len"),
-        // floor-based half-up rounding: Spark's round() goes through the
-        // decimal string repr while DuckDB rounds the exact binary value —
-        // they disagree on .5 boundaries (e.g. 0.25375). floor(x*1e4+0.5)
-        // computes identically on identical doubles in both engines.
-        (floor((least(col("n_tokens") / lit(100.0), lit(1.0)) *
-          (lit(1.0) - col("stop_ratio")) * col("diversity")) * 1e4 + 0.5) / 1e4)
-          .as("quality_score"))
+        // fp/1e4 is exact (fp ≤ 1e4 fits a double), ≡ the old inline form
+        (qualityScoreFp.cast("double") / 1e4).as("quality_score"))
       .orderBy("doc_id"),
     Some(s"""WITH t AS (
       |  SELECT doc_id, text, string_split(text, ' ') AS toks,
