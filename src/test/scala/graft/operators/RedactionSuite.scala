@@ -65,6 +65,30 @@ class RedactionSuite extends SparkSuite {
     assert(out === "_ <PET> s_t")
   }
 
+  test("the chain runs unchanged on a stream (pure narrow work per micro-batch)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val out = Redaction.redactWithCounts(
+      input.toDS().toDF("id", "txt"), "txt", "out")
+    val q = out.writeStream.format("memory").queryName("redact_stream").start()
+    try {
+      input.addData((1L, "mail a@b.cc now"), (2L, "clean"))
+      q.processAllAvailable()
+      input.addData((3L, "ip 1.2.3.4"))
+      q.processAllAvailable()
+      val got = spark.table("redact_stream")
+        .select("id", "out", "n_email", "n_ip").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+        .toMap
+      assert(got(1L) === (("mail [EMAIL] now", 1, 0)))
+      assert(got(2L) === (("clean", 0, 0)))
+      assert(got(3L) === (("ip [IP]", 0, 1)))
+    } finally q.stop()
+  }
+
   test("word boundaries guard alphanumeric adjacency; dotted-run prefix is the documented trade") {
     // \b blocks a match that would start inside an alphanumeric run...
     val (alnum, nA) = redactOne("v1.2.3.4 x")

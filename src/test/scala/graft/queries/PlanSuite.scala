@@ -143,6 +143,15 @@ class PlanSuite extends SparkSuite {
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("dedup_spans reads ONE window exchange for both the agg and the occurrence join") {
+    val df = SparkEntry.queries("dedup_spans")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("decontaminate_overlap broadcasts the benchmark shingle set — corpus never self-joins") {
     // benchmarks are metadata-sized vs the corpus: the overlap join must
     // be a broadcast-hash with the corpus side narrow, and nothing in the
