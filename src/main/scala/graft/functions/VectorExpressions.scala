@@ -7,6 +7,46 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /**
+ * Shared null-ELEMENT propagation for the binary array kernels: a null
+ * element on either side ⇒ null result — exactly the HOF forms' truth
+ * table (`zip_with` yields a null product, the `aggregate` fold absorbs
+ * it). Checks are evaluated/emitted ONLY when the static array type says
+ * `containsNull`, so null-free hot paths keep branch-free loops. One
+ * definition for all three kernels — a truth-table fix lands everywhere.
+ */
+private[functions] trait ArrayElementNullPropagation { self: BinaryExpression =>
+
+  protected lazy val leftElemNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+  protected lazy val rightElemNullable: Boolean = right.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || leftElemNullable || rightElemNullable
+
+  /** Interpreted-path check for element i; call only in index range. */
+  protected final def elemIsNull(x: ArrayData, y: ArrayData, i: Int): Boolean =
+    (leftElemNullable && x.isNullAt(i)) || (rightElemNullable && y.isNullAt(i))
+
+  /** In-loop codegen guard ("" when the types can't carry nulls). */
+  protected final def elemNullGuard(
+      x: String, y: String, i: String, ev: ExprCode): String = {
+    val checks = Seq(
+      if (leftElemNullable) Some(s"$x.isNullAt($i)") else None,
+      if (rightElemNullable) Some(s"$y.isNullAt($i)") else None).flatten
+    if (checks.isEmpty) ""
+    else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+  }
+
+  /** Post-loop result assignment, skipped when the guard fired. */
+  protected final def guardedAssign(ev: ExprCode, value: String): String =
+    if (!leftElemNullable && !rightElemNullable) s"${ev.value} = $value;"
+    else s"if (!${ev.isNull}) { ${ev.value} = $value; }"
+}
+
+/**
  * Native Catalyst expression for cosine similarity over float vectors —
  * the one place (SURVEY.md §7.3) where the built-in surface genuinely
  * under-serves the workload: the HOF form
@@ -26,7 +66,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
  * vectors yield NaN (caller filters).
  */
 final case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayElementNullPropagation {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -43,28 +83,16 @@ final case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
-  private def leftElemNullable: Boolean = left.dataType match {
-    case ArrayType(_, n) => n; case _ => false
-  }
-  private def rightElemNullable: Boolean = right.dataType match {
-    case ArrayType(_, n) => n; case _ => false
-  }
-
-  override def nullable: Boolean =
-    super.nullable || leftElemNullable || rightElemNullable
-
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     require(y.numElements() == n,
       s"cosine_similarity: length mismatch ($n vs ${y.numElements()})")
-    val xN = leftElemNullable
-    val yN = rightElemNullable
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      if ((xN && x.isNullAt(i)) || (yN && y.isNullAt(i))) return null
+      if (elemIsNull(x, y, i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -82,17 +110,6 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      val nullChecks = Seq(
-        if (leftElemNullable) Some(s"$x.isNullAt($i)") else None,
-        if (rightElemNullable) Some(s"$y.isNullAt($i)") else None).flatten
-      val nullGuard =
-        if (nullChecks.isEmpty) ""
-        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
-      val assign =
-        if (nullChecks.isEmpty)
-          s"${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));"
-        else
-          s"if (!${ev.isNull}) { ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny)); }"
       s"""
          |final int $n = $x.numElements();
          |if ($y.numElements() != $n) {
@@ -101,12 +118,13 @@ final case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
+         |  ${elemNullGuard(x, y, i, ev)}
          |  final double $xi = (double) $x.getFloat($i);
          |  final double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |$assign
+         |${guardedAssign(ev,
+             s"$dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))")}
        """.stripMargin
     })
 
@@ -135,7 +153,7 @@ final case class CosineSimilarity(left: Expression, right: Expression)
  * null-free schemas keeps its branch-free loop.
  */
 final case class ArrayDotDouble(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayElementNullPropagation {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
@@ -149,28 +167,16 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_double"
 
-  private def leftElemNullable: Boolean = left.dataType match {
-    case ArrayType(_, n) => n; case _ => false
-  }
-  private def rightElemNullable: Boolean = right.dataType match {
-    case ArrayType(_, n) => n; case _ => false
-  }
-
-  override def nullable: Boolean =
-    super.nullable || leftElemNullable || rightElemNullable
-
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val w = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     require(w.numElements() == n,
       s"dot_double: length mismatch ($n vs ${w.numElements()})")
-    val xN = leftElemNullable
-    val wN = rightElemNullable
     var s = 0.0
     var i = 0
     while (i < n) {
-      if ((xN && x.isNullAt(i)) || (wN && w.isNullAt(i))) return null
+      if (elemIsNull(x, w, i)) return null
       s += x.getFloat(i).toDouble * w.getDouble(i)
       i += 1
     }
@@ -182,15 +188,6 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      val nullChecks = Seq(
-        if (leftElemNullable) Some(s"$x.isNullAt($i)") else None,
-        if (rightElemNullable) Some(s"$w.isNullAt($i)") else None).flatten
-      val nullGuard =
-        if (nullChecks.isEmpty) ""
-        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
-      val assign =
-        if (nullChecks.isEmpty) s"${ev.value} = $s;"
-        else s"if (!${ev.isNull}) { ${ev.value} = $s; }"
       s"""
          |final int $n = $x.numElements();
          |if ($w.numElements() != $n) {
@@ -199,10 +196,10 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
+         |  ${elemNullGuard(x, w, i, ev)}
          |  $s += ((double) $x.getFloat($i)) * $w.getDouble($i);
          |}
-         |$assign
+         |${guardedAssign(ev, s)}
        """.stripMargin
     })
 
@@ -222,7 +219,7 @@ final case class ArrayDotDouble(left: Expression, right: Expression)
  * null element ⇒ null, checks emitted only for containsNull inputs.
  */
 final case class ArrayDotLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayElementNullPropagation {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
@@ -236,28 +233,16 @@ final case class ArrayDotLong(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_long"
 
-  private def leftElemNullable: Boolean = left.dataType match {
-    case ArrayType(_, n) => n; case _ => false
-  }
-  private def rightElemNullable: Boolean = right.dataType match {
-    case ArrayType(_, n) => n; case _ => false
-  }
-
-  override def nullable: Boolean =
-    super.nullable || leftElemNullable || rightElemNullable
-
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     require(y.numElements() == n,
       s"dot_long: length mismatch ($n vs ${y.numElements()})")
-    val xN = leftElemNullable
-    val yN = rightElemNullable
     var s = 0L
     var i = 0
     while (i < n) {
-      if ((xN && x.isNullAt(i)) || (yN && y.isNullAt(i))) return null
+      if (elemIsNull(x, y, i)) return null
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -269,15 +254,6 @@ final case class ArrayDotLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      val nullChecks = Seq(
-        if (leftElemNullable) Some(s"$x.isNullAt($i)") else None,
-        if (rightElemNullable) Some(s"$y.isNullAt($i)") else None).flatten
-      val nullGuard =
-        if (nullChecks.isEmpty) ""
-        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
-      val assign =
-        if (nullChecks.isEmpty) s"${ev.value} = $s;"
-        else s"if (!${ev.isNull}) { ${ev.value} = $s; }"
       s"""
          |final int $n = $x.numElements();
          |if ($y.numElements() != $n) {
@@ -286,10 +262,10 @@ final case class ArrayDotLong(left: Expression, right: Expression)
          |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
+         |  ${elemNullGuard(x, y, i, ev)}
          |  $s += $x.getLong($i) * $y.getLong($i);
          |}
-         |$assign
+         |${guardedAssign(ev, s)}
        """.stripMargin
     })
 

@@ -85,19 +85,10 @@ object IncrementalDedup {
     * the point (one build per catalog epoch serves every batch of every
     * face — rebuild the stream's plan when the catalog epoch rolls). */
   def dedupStreamAgainstCatalogBloom(
-      stream: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.Shim
-    import org.apache.spark.sql.types.BinaryType
-    val mightContain = Shim.column(new BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      Shim.expression(xxhash64(col("fingerprint")))))
-    val fp = stream.withColumn("fingerprint", md5(col("text")))
-    val definitelyNew = fp.filter(!mightContain)
-    val verified = fp.filter(mightContain)
-      .join(stream.sparkSession.table(catalogTable), Seq("fingerprint"), "left_anti")
-    definitelyNew.unionByName(verified)
-  }
+      stream: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame =
+    bloomSplit(
+      stream.withColumn("fingerprint", md5(col("text"))),
+      stream.sparkSession.table(catalogTable), bloom)
 
   // ---- Bloom-prefiltered variant --------------------------------------
 
@@ -111,8 +102,18 @@ object IncrementalDedup {
   /** Build a Bloom filter over the catalog's fingerprints (hashed with
     * xxhash64, the same probe the batch side uses) and return its
     * serialized bytes — a driver-held, METADATA-sized artifact (~1.2 B
-    * per item at 1% fpp), built with Spark's own
-    * `BloomFilterAggregate` in one distributed pass.
+    * per item at 1% fpp), built with Spark's own `BloomFilterAggregate`
+    * in one aggregation pass. Pass `expectedItems` when the catalog's
+    * cardinality is already known (it is, to anything that maintains the
+    * catalog — appenders know what they wrote, and table stats carry it)
+    * to avoid the sizing `count()` scan; left at -1, sizing costs one
+    * extra scan of the catalog.
+    *
+    * An EMPTY catalog yields a bloom that answers "no" for every probe
+    * (built explicitly — `BloomFilterAggregate` returns null over zero
+    * rows, and a null bloom literal would make `might_contain` return
+    * null, which both `filter(mc)` AND `filter(!mc)` drop: the whole
+    * batch would silently vanish).
     *
     * NOTE: `BloomFilterAggregate` clamps to
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
@@ -120,17 +121,43 @@ object IncrementalDedup {
     * billion-fingerprint catalog raises those confs, or accepts the
     * clamped filter's higher fpp (correctness is unaffected either way:
     * the exact anti-join still removes every false positive). */
-  def catalogBloom(s: SparkSession, catalogTable: String, fpp: Double = 0.01): Array[Byte] = {
+  def catalogBloom(
+      s: SparkSession, catalogTable: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Shim
-    val n = s.table(catalogTable).count().max(1L)
-    val agg = new BloomFilterAggregate(
-      Shim.expression(xxhash64(col("fingerprint"))),
-      Literal(n), Literal(optimalNumBits(n, fpp)))
-    s.table(catalogTable)
-      .select(Shim.column(agg.toAggregateExpression()).as("bloom"))
-      .head().getAs[Array[Byte]](0)
+    val n = if (expectedItems >= 0) expectedItems else s.table(catalogTable).count()
+    if (n == 0) {
+      // the always-no filter: zero items inserted, any size
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    } else {
+      val agg = new BloomFilterAggregate(
+        Shim.expression(xxhash64(col("fingerprint"))),
+        Literal(n), Literal(optimalNumBits(n, fpp)))
+      s.table(catalogTable)
+        .select(Shim.column(agg.toAggregateExpression()).as("bloom"))
+        .head().getAs[Array[Byte]](0)
+    }
+  }
+
+  /** The bloom split both faces share: rows the filter has definitely
+    * never seen bypass the anti-join (a Bloom "no" is exact); possible
+    * duplicates anti-join `catalog` to remove false positives exactly. */
+  private def bloomSplit(
+      withFp: DataFrame, catalog: DataFrame, bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Shim
+    import org.apache.spark.sql.types.BinaryType
+    val mightContain = Shim.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      Shim.expression(xxhash64(col("fingerprint")))))
+    withFp.filter(!mightContain).unionByName(
+      withFp.filter(mightContain)
+        .join(catalog, Seq("fingerprint"), "left_anti"))
   }
 
   /** [[dedupAgainstCatalog]] with a Bloom prefilter: rows whose
@@ -151,20 +178,10 @@ object IncrementalDedup {
     * comparison expression (`might_contain`), the same mechanism
     * Spark's own runtime row-level filtering injects. */
   def dedupAgainstCatalogBloom(
-      newBatch: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.Shim
-    import org.apache.spark.sql.types.BinaryType
-    val s = newBatch.sparkSession
-    val mightContain = Shim.column(new BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      Shim.expression(xxhash64(col("fingerprint")))))
-    val batch = newBatch.withColumn("fingerprint", md5(col("text")))
-    val definitelyNew = batch.filter(!mightContain)
-    val verified = batch.filter(mightContain)
-      .join(s.table(catalogTable).hint("merge"), Seq("fingerprint"), "left_anti")
-    definitelyNew.unionByName(verified)
-  }
+      newBatch: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame =
+    bloomSplit(
+      newBatch.withColumn("fingerprint", md5(col("text"))),
+      newBatch.sparkSession.table(catalogTable).hint("merge"), bloom)
 
   // ---- oracle-gated query plumbing ------------------------------------
 
@@ -192,12 +209,22 @@ object IncrementalDedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyCatalog]
   private val buildSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // Session-keyed memos would otherwise pin every stopped session (and
+  // its bloom bytes) for the JVM's life; sweep dead-context entries on
+  // each lookup. Sessions sharing a still-live SparkContext are kept —
+  // cheap (name string / KB-class bytes) and bounded by live usage.
+  private def sweepStopped(): Unit = {
+    built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
+    blooms.keys.filter(_._1.sparkContext.isStopped).foreach(blooms.remove)
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(): Unit
   }
 
-  private def ensureCatalog(s: SparkSession, dir: String): String =
+  private def ensureCatalog(s: SparkSession, dir: String): String = {
+    sweepStopped()
     built.getOrElseUpdate((s, dir), new LazyCatalog(() => {
       val pid = ProcessHandle.current().pid()
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -212,6 +239,7 @@ object IncrementalDedup {
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
         path, s"graft_fpcat_$slug")
     })).value
+  }
 
   /** Historical catalog = even doc_ids; the arriving batch is the whole
     * table, so the evens eliminate themselves against the catalog and
@@ -238,8 +266,10 @@ object IncrementalDedup {
   private final class LazyBloom(build: () => Array[Byte]) {
     lazy val value: Array[Byte] = build()
   }
-  private def ensureBloom(s: SparkSession, cat: String): Array[Byte] =
+  private def ensureBloom(s: SparkSession, cat: String): Array[Byte] = {
+    sweepStopped()
     blooms.getOrElseUpdate((s, cat), new LazyBloom(() => catalogBloom(s, cat))).value
+  }
 
   /** Same contract and oracle as `dedup_incremental`, through the Bloom
     * prefilter path — proves output-equivalence against the identical

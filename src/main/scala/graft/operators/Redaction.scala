@@ -37,18 +37,18 @@ object Redaction {
   /** One redaction rule: matches of `pattern` become `replacement`. */
   final case class RedactionRule(name: String, pattern: String, replacement: String)
 
-  /** Default chain, most-specific first. `\b` guards keep the IPv4/SSN
-    * rules from starting or ending inside an alphanumeric run (`x1.2.3.4`
-    * is not an IP); they can NOT stop a prefix match inside a longer
-    * DOTTED run (`1.2.3.4.5` → `[IP].5` — a word boundary exists between
-    * digit and dot, and the lookbehind that would fix it is not in RE2,
-    * so it would break oracle portability — documented trade). The phone
-    * shape is the TPC-H `nn-nnn-nnn-nnnn` layout; the bare-number rule
-    * LAST. */
+  /** Default chain, most-specific first. `\b` guards keep the
+    * IPv4/phone/SSN rules from starting or ending inside an alphanumeric
+    * run (`x1.2.3.4` is not an IP, `3125-989-741-29887` contains no
+    * phone); they can NOT stop a prefix match inside a longer DOTTED run
+    * (`1.2.3.4.5` → `[IP].5` — a word boundary exists between digit and
+    * dot, and the lookbehind that would fix it is not in RE2, so it
+    * would break oracle portability — documented trade). The phone shape
+    * is the TPC-H `nn-nnn-nnn-nnnn` layout; the bare-number rule LAST. */
   val DefaultRules: Seq[RedactionRule] = Seq(
     RedactionRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     RedactionRule("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
-    RedactionRule("phone", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    RedactionRule("phone", "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "[PHONE]"),
     RedactionRule("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
     RedactionRule("number", "[0-9]+", "[NUM]"))
 

@@ -122,6 +122,31 @@ class IncrementalDedupSuite extends SparkSuite {
     }
   }
 
+  test("an EMPTY catalog's bloom keeps the whole batch — nothing silently drops") {
+    // BloomFilterAggregate returns null over zero rows; a null bloom
+    // literal would null out might_contain and BOTH filter branches
+    // would drop every row. catalogBloom builds the always-no filter
+    // explicitly instead.
+    val sparkS = spark
+    import sparkS.implicits._
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_empty_$pid"
+    val table = "graft_fpcat_empty"
+    try {
+      IncrementalDedup.writeCatalog(Seq.empty[String].toDF("text"), path, table)
+      val bloom = IncrementalDedup.catalogBloom(spark, table)
+      val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      val kept = IncrementalDedup.dedupAgainstCatalogBloom(batch, table, bloom)
+      assert(kept.count() === 2L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("bloom prefilter: identical output, shrunken anti-join probe side") {
     val out = SparkEntry.queries("dedup_incremental_bloom")(spark, sfDir)
     val plain = SparkEntry.queries("dedup_incremental")(spark, sfDir)

@@ -93,6 +93,10 @@ class RedactionSuite extends SparkSuite {
     // \b blocks a match that would start inside an alphanumeric run...
     val (alnum, nA) = redactOne("v1.2.3.4 x")
     assert(nA("ip") === 0, alnum)
+    // ...same for the phone rule: an interior substring of a longer
+    // digit-dash run is NOT a phone
+    val (ph, nP) = redactOne("id 3125-989-741-29887 x")
+    assert(nP("phone") === 0, ph)
     // ...but cannot stop a prefix match inside a LONGER dotted run
     // (lookbehind isn't RE2-portable — see DefaultRules scaladoc)
     val (out, n) = redactOne("v 1.2.3.4.5 real 9.9.9.9 done")
