@@ -675,9 +675,94 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |       ROUND(sim, 4) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
+  /** Shortlist depth of the re-rank stage: 3× the final k. */
+  private val ShortK = 30
+
+  /** The two-stage quantized pipeline: int8 scoring produces a ShortK
+    * shortlist (4× cheaper scan of the corpus), then ONLY the shortlist
+    * rows are re-scored with exact float cosine and re-ranked to TopK —
+    * the float vectors are read for k-sized sets, never the corpus.
+    * This is the production shape of quantized ANN (the `ann_int8_topk`
+    * recall trade, bought back for a shortlist-sized float pass);
+    * measured recall joins METRICS next to the single-stage number.
+    * The final window runs over ShortK-row partitions — shortlist-sized,
+    * not corpus-sized, so no reducer funnels. */
+  private val annInt8RerankTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val embQ = quantized(Tables.embeddings(s, dir).repartition(64))
+        .select(col("vec_id"), col("q"), col("qn"))
+      val corpusQ = embQ.select(col("vec_id").as("neighbor_id"),
+        col("q").as("qv"), col("qn").as("vn"))
+      val queriesQ = embQ.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qn1"))
+      val scoredQ = broadcast(queriesQ)
+        .join(corpusQ, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          graft.functions.VectorFunctions.dotLong(col("qq"), col("qv"))
+            .cast("double") / (col("qn1") * col("vn")))
+      val shortlist = topKPerQuery(s, scoredQ, ShortK)
+        .select("query_id", "neighbor_id")
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+      val qe = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+      val exact = emb
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(qe), "query_id")
+        .withColumn("sim", dotCol("qv", "embedding") / (col("qnrm") * col("nrm")))
+      exact
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${quantSql("embeddings")},
+      |queriesq AS (
+      |  SELECT vec_id AS query_id, q AS qq, qn AS qn1 FROM qnormed
+      |  WHERE vec_id < $NumQueries),
+      |scoredq AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |         CAST(${dotSqlLong("qq", "q")} AS DOUBLE) / (qn1 * qn) AS simq
+      |  FROM queriesq, qnormed WHERE vec_id <> query_id),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY simq DESC, neighbor_id) AS srn
+      |    FROM scoredq)
+      |  WHERE srn <= $ShortK),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |qe AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM e
+      |  WHERE vec_id < $NumQueries),
+      |exact AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |         (${dotSql("qe.qv", "ne.embedding")}) / (qe.qnrm * ne.nrm) AS sim
+      |  FROM short sh
+      |  JOIN e ne ON sh.neighbor_id = ne.vec_id
+      |  JOIN qe ON sh.query_id = qe.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM exact)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_int8_topk" -> annInt8Topk,
+    "ann_int8_rerank_topk" -> annInt8RerankTopk,
     "ann_lsh_srp" -> annLshSrp,
     "ann_lsh_pairs" -> annLshPairs,
     "ann_ivf_topk" -> annIvfTopk,
