@@ -80,6 +80,42 @@ object Profiling {
       |FROM totals t JOIN q1 USING (source) JOIN q2 USING (source)
       |ORDER BY source""".stripMargin))
 
+  /** Cross-source span-overlap matrix: for every source pair, how many
+    * DISTINCT anchored 16-token fingerprints they share — the
+    * provenance-level contamination/boilerplate report (which feeds
+    * lean-out decisions: two sources sharing heavy span mass are
+    * mirrors, scrapes of each other, or common boilerplate).
+    *
+    * Shape at 100 TB: anchored windows (≈1/8 of token positions,
+    * [[Dedup.anchoredWindows]]) reduce to DISTINCT (source,
+    * fingerprint) with a map-side-combined aggregate; the self-join
+    * runs on that deduplicated relation — hash-partitioned by
+    * fingerprint ONCE, both sides reading the same exchange — and the
+    * output is source-pair-sized (metadata). Nothing corpus-sized
+    * crosses the cluster twice. */
+  private val profileSpanOverlap = QueryDef(
+    (s, dir) => {
+      val f = Dedup.anchoredWindows(
+          Tables.documents(s, dir), Seq("source"))
+        .select("source", "fingerprint").distinct()
+        .repartition(col("fingerprint"))
+      val a = f.select(col("source").as("source_a"), col("fingerprint"))
+      val b = f.select(col("source").as("source_b"), col("fingerprint"))
+      a.join(b, "fingerprint")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("shared_spans"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH ${Dedup.anchoredWindowsSql("source")},
+      |ds AS (SELECT DISTINCT source, fingerprint FROM f)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       COUNT(*) AS shared_spans
+      |FROM ds a JOIN ds b
+      |  ON a.fingerprint = b.fingerprint AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
-    "profile_documents" -> profileDocuments)
+    "profile_documents" -> profileDocuments,
+    "profile_span_overlap" -> profileSpanOverlap)
 }
