@@ -643,34 +643,43 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private def dotSqlLong(a: String, b: String): String =
     (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
-  private val annInt8Topk = QueryDef(
-    (s, dir) => {
-      val emb = quantized(Tables.embeddings(s, dir).repartition(64))
-        .select(col("vec_id"), col("q"), col("qn"))
-      val corpus = emb.select(col("vec_id").as("neighbor_id"),
-        col("q").as("qv"), col("qn").as("vn"))
-      val queries = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qn1"))
-      val scored = broadcast(queries)
-        .join(corpus, col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim",
-          graft.functions.VectorFunctions.dotLong(col("qq"), col("qv"))
-            .cast("double") / (col("qn1") * col("vn")))
-      topKPerQuery(s, scored)
-    },
-    Some(s"""WITH ${quantSql("embeddings")},
-      |queries AS (
+  /** The int8 scoring stage — (query_id, neighbor_id, sim) over the
+    * quantized vectors — shared by the single-stage query and the
+    * re-rank pipeline so the quantization contract can't diverge. */
+  private def int8Scored(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(Tables.embeddings(s, dir).repartition(64))
+      .select(col("vec_id"), col("q"), col("qn"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("q").as("qv"), col("qn").as("vn"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qn1"))
+    broadcast(queries)
+      .join(corpus, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.dotLong(col("qq"), col("qv"))
+          .cast("double") / (col("qn1") * col("vn")))
+  }
+
+  /** DuckDB twin of [[int8Scored]]: CTEs ending in
+    * `scoredq(query_id, neighbor_id, sim)`. */
+  private def int8ScoredSql: String =
+    s"""${quantSql("embeddings")},
+      |queriesq AS (
       |  SELECT vec_id AS query_id, q AS qq, qn AS qn1 FROM qnormed
       |  WHERE vec_id < $NumQueries),
-      |scored AS (
+      |scoredq AS (
       |  SELECT query_id, vec_id AS neighbor_id,
       |         CAST(${dotSqlLong("qq", "q")} AS DOUBLE) / (qn1 * qn) AS sim
-      |  FROM queries, qnormed WHERE vec_id <> query_id),
+      |  FROM queriesq, qnormed WHERE vec_id <> query_id)""".stripMargin
+
+  private val annInt8Topk = QueryDef(
+    (s, dir) => topKPerQuery(s, int8Scored(s, dir)),
+    Some(s"""WITH $int8ScoredSql,
       |ranked AS (
       |  SELECT query_id, neighbor_id, sim,
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM scored)
+      |  FROM scoredq)
       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
       |       ROUND(sim, 4) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
@@ -690,28 +699,20 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private val annInt8RerankTopk = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val embQ = quantized(Tables.embeddings(s, dir).repartition(64))
-        .select(col("vec_id"), col("q"), col("qn"))
-      val corpusQ = embQ.select(col("vec_id").as("neighbor_id"),
-        col("q").as("qv"), col("qn").as("vn"))
-      val queriesQ = embQ.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qn1"))
-      val scoredQ = broadcast(queriesQ)
-        .join(corpusQ, col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim",
-          graft.functions.VectorFunctions.dotLong(col("qq"), col("qv"))
-            .cast("double") / (col("qn1") * col("vn")))
-      val shortlist = topKPerQuery(s, scoredQ, ShortK)
+      val shortlist = topKPerQuery(s, int8Scored(s, dir), ShortK)
         .select("query_id", "neighbor_id")
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+      // shortlist join FIRST, norms after: the O(Dim) float folds run
+      // for the ~NumQueries·ShortK surviving rows only — joining below
+      // a corpus-wide norm projection would norm every row (Catalyst
+      // can't push a join under a projection it depends on)
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val qe = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("nrm").as("qnrm"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qnrm", sqrt(dotCol("qv", "qv")))
       val exact = emb
         .withColumnRenamed("vec_id", "neighbor_id")
         .join(broadcast(shortlist), "neighbor_id")
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
         .join(broadcast(qe), "query_id")
         .withColumn("sim", dotCol("qv", "embedding") / (col("qnrm") * col("nrm")))
       exact
@@ -722,19 +723,12 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
           round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH ${quantSql("embeddings")},
-      |queriesq AS (
-      |  SELECT vec_id AS query_id, q AS qq, qn AS qn1 FROM qnormed
-      |  WHERE vec_id < $NumQueries),
-      |scoredq AS (
-      |  SELECT query_id, vec_id AS neighbor_id,
-      |         CAST(${dotSqlLong("qq", "q")} AS DOUBLE) / (qn1 * qn) AS simq
-      |  FROM queriesq, qnormed WHERE vec_id <> query_id),
+    Some(s"""WITH $int8ScoredSql,
       |short AS (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT query_id, neighbor_id,
       |           row_number() OVER (PARTITION BY query_id
-      |                              ORDER BY simq DESC, neighbor_id) AS srn
+      |                              ORDER BY sim DESC, neighbor_id) AS srn
       |    FROM scoredq)
       |  WHERE srn <= $ShortK),
       |e AS (

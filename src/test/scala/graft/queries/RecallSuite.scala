@@ -78,6 +78,17 @@ class RecallSuite extends SparkSuite {
     assert(r >= 0.9, f"recall@10 $r%.3f below floor")
   }
 
+  test("int8 rerank buys the quantization recall back: rerank >= plain int8, near exact") {
+    val int8 = recallAt10(topkSets("ann_int8_topk"))
+    val rerank = recallAt10(topkSets("ann_int8_rerank_topk"))
+    info(f"int8 $int8%.3f vs int8+exact-rerank $rerank%.3f")
+    assert(rerank >= int8,
+      f"re-ranking with exact float scores must not lose recall: $rerank%.3f < $int8%.3f")
+    // a 3k shortlist re-scored exactly recovers (nearly) all of the
+    // quantization loss — measured 1.000 at sf0.1, 3x-shortlist theory
+    assert(rerank >= 0.95, f"rerank recall@10 $rerank%.3f below floor")
+  }
+
   test("training + nprobe=2 beats the untrained nprobe=1 index") {
     val trained = recallAt10(topkSets("ann_ivf_kmeans_topk"))
     val seeded = recallAt10(topkSets("ann_ivf_topk"))
