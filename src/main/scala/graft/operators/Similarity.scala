@@ -377,12 +377,19 @@ object Similarity {
     }.sortBy(_.cent_id)
 
   /** Assign every embedding row to its nearest cell — zero shuffle, zero
-    * row blowup, zero sub-plan (the centroid array is a literal). */
-  private[operators] def assignCells(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
+    * row blowup, zero sub-plan (the centroid array is a literal). The
+    * `WithSim` form also surfaces the winning centroid-similarity (the
+    * fold computes it anyway); [[assignCells]] keeps the original narrow
+    * schema for consumers that persist or aggregate the assignment
+    * ([[IvfIndex]], the Lloyd step). */
+  private[operators] def assignCellsWithSim(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
     emb.withColumn("best",
         nearestCentroid(typedLit(cents), col("embedding"), col("nrm")))
       .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
-        col("embedding"), col("nrm"))
+        col("best").getField("csim").as("csim"), col("embedding"), col("nrm"))
+
+  private[operators] def assignCells(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
+    assignCellsWithSim(emb, cents).drop("csim")
 
   /** Exact driver-side replica of the [[nearestCentroid]] fold for one
     * query vector: same left-associated double accumulation, same strict
@@ -753,6 +760,90 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |       ROUND(sim, 4) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
+  // ---- semantic dedup (cluster-then-prune) -----------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the deterministic seeded coarse quantizer
+    * (the same [[nearestCentroid]] fold as the IVF family), then within
+    * each cell drop every vector that has a MORE CENTRAL semantic
+    * duplicate — a same-cell neighbor at cosine ≥ the threshold whose
+    * centroid-similarity is higher (tie: the lower vec_id survives). The
+    * paper picks a random member per duplicate group; keeping the most
+    * central one is its deterministic variant (the member most typical of
+    * its cluster), which both engines can reproduce exactly. Output: the
+    * surviving rows with their cell assignment.
+    *
+    * Contract note: pairs are compared WITHIN a cell only — that is the
+    * SemDeDup semantics (and what bounds the cost), not an approximation
+    * of an all-pairs sweep. Cross-cell duplicates are the banded
+    * [[dedupEmbeddingCosine]] family's job.
+    *
+    * Scale shape: nlist grows with the corpus (the paper runs 50k
+    * clusters; here the seeded 8 stand in, same knob as the IVF queries),
+    * so cell population — and with it the within-cell candidate mass —
+    * stays bounded independent of N. The assignment is the zero-shuffle
+    * literal-centroid fold; only (vec_id, cell, csim) rides the cell
+    * exchange (embeddings re-fetched per candidate side via shuffle-hash
+    * joins, the [[embeddingCosinePairs]] shape); a boilerplate-hot cell
+    * is triangle-salted by [[SkewGuard]] instead of landing one quadratic
+    * task. The kept-set anti-join shuffles ids only. */
+  private val dedupSemantic = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).repartition(64)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+      val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm")))
+      val assigned = assignCellsWithSim(emb, cents)
+      val cells = assigned
+        .select(col("vec_id"), col("csim"), col("cell").as("band"))
+        .repartition(col("band"))
+      // vec_id_1 < vec_id_2 by SkewGuard's contract, csim riding along
+      val verified = SkewGuard.pairs(cells, "vec_id")
+        .join(emb.select(col("vec_id").as("vec_id_1"),
+          col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_1")
+        .join(emb.select(col("vec_id").as("vec_id_2"),
+          col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_2")
+        .filter(graft.functions.VectorFunctions.cosineSimilarity(
+          col("e1"), col("e2")) >= NearDupThreshold)
+      // per duplicate pair the LESS central member is dropped; ids are
+      // ordered, so a csim tie drops the higher id
+      val dropped = verified.select(
+        when(col("csim_1") >= col("csim_2"), col("vec_id_2"))
+          .otherwise(col("vec_id_1")).as("vec_id")).distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
+      |  WHERE vec_id < $NumCentroids),
+      |assigned AS (
+      |  SELECT vec_id, cell, csim, embedding, nrm FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell,
+      |           (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS csim,
+      |           e.embedding, e.nrm,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
+      |             c.cent_id) AS arn
+      |    FROM e, cents c)
+      |  WHERE arn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT CASE WHEN a.csim >= b.csim THEN b.vec_id
+      |                       ELSE a.vec_id END AS vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
+      |        >= $NearDupThreshold)
+      |SELECT a.vec_id, a.cell FROM assigned a
+      |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+      |ORDER BY vec_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_int8_topk" -> annInt8Topk,
@@ -761,5 +852,6 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     "ann_lsh_pairs" -> annLshPairs,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopk,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_semantic" -> dedupSemantic)
 }
