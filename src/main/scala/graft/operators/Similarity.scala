@@ -787,15 +787,45 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * joins, the [[embeddingCosinePairs]] shape); a boilerplate-hot cell
     * is triangle-salted by [[SkewGuard]] instead of landing one quadratic
     * task. The kept-set anti-join shuffles ids only. */
+  /** Seeded coarse-quantizer assignment of the whole corpus —
+    * (vec_id, cell, csim, embedding, nrm) — shared by the semantic-dedup
+    * and centroid-tails queries so the quantizer contract can't diverge. */
+  private def seededAssigned(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).repartition(64)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+    val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm")))
+    assignCellsWithSim(emb, cents)
+  }
+
+  /** DuckDB twin of [[seededAssigned]]: CTEs ending in
+    * `assigned(vec_id, cell, csim, embedding, nrm)`. */
+  private def seededAssignSql: String =
+    s"""e AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
+      |  WHERE vec_id < $NumCentroids),
+      |assigned AS (
+      |  SELECT vec_id, cell, csim, embedding, nrm FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell,
+      |           (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS csim,
+      |           e.embedding, e.nrm,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
+      |             c.cent_id) AS arn
+      |    FROM e, cents c)
+      |  WHERE arn = 1)""".stripMargin
+
   private val dedupSemantic = QueryDef(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir).repartition(64)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
-      val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
-          col("nrm").as("cnrm")))
-      val assigned = assignCellsWithSim(emb, cents)
+      val assigned = seededAssigned(s, dir)
       val cells = assigned
         .select(col("vec_id"), col("csim"), col("cell").as("band"))
         .repartition(col("band"))
@@ -816,23 +846,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
         .select(col("vec_id"), col("cell"))
         .orderBy("vec_id")
     },
-    Some(s"""WITH e AS (
-      |  SELECT vec_id, embedding,
-      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
-      |  FROM embeddings),
-      |cents AS (
-      |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
-      |  WHERE vec_id < $NumCentroids),
-      |assigned AS (
-      |  SELECT vec_id, cell, csim, embedding, nrm FROM (
-      |    SELECT e.vec_id, c.cent_id AS cell,
-      |           (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS csim,
-      |           e.embedding, e.nrm,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
-      |             c.cent_id) AS arn
-      |    FROM e, cents c)
-      |  WHERE arn = 1),
+    Some(s"""WITH $seededAssignSql,
       |dropped AS (
       |  SELECT DISTINCT CASE WHEN a.csim >= b.csim THEN b.vec_id
       |                       ELSE a.vec_id END AS vec_id
@@ -844,6 +858,68 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
       |ORDER BY vec_id""".stripMargin))
 
+  // ---- centroid-similarity tails (pruning candidates) ------------------
+
+  /** Per-cell centroid-similarity TAILS — the two data-pruning recipes
+    * that complement [[dedupSemantic]] (the D4 combination, Tirumala et
+    * al. 2023, arXiv:2308.12284): the `outlier` tail (rows farthest from
+    * their cell centroid — noise/junk candidates for cleaning) and the
+    * `prototype` tail (rows closest to it — the over-represented "too
+    * easy" mass SSL-prototype pruning drops, Sorscher et al. 2022). Each
+    * tail is the set of fixed-point similarity SLOTS that fit entirely
+    * within the lowest/highest decile of the row's cell.
+    *
+    * Scale shape: the corpus NEVER shuffles. Assignment is the
+    * zero-shuffle literal-centroid fold; the slot is per-row arithmetic
+    * (floor(csim·500), order-free); the per-(cell, slot) histogram is ONE
+    * map-side-combined groupBy bounded by nlist × 1001 slots regardless
+    * of corpus size; the decile-cutoff windows run over that metadata;
+    * and the tail table joins back as a broadcast. This is the
+    * [[graft.operators.Sampling]] histogram-cutoff pattern applied to the
+    * embedding domain. */
+  private val embeddingOutliers = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val slotted = seededAssigned(s, dir)
+        .select(col("vec_id"), col("cell"), col("csim"),
+          (floor(col("csim") * 500).cast("long") + 500L).as("slot"))
+      val hist = slotted.groupBy("cell", "slot").agg(count(lit(1)).as("n"))
+      val cum = hist
+        .withColumn("cum_lo",
+          sum("n").over(Window.partitionBy("cell").orderBy(col("slot"))))
+        .withColumn("cum_hi",
+          sum("n").over(Window.partitionBy("cell").orderBy(col("slot").desc)))
+        .withColumn("cn", sum("n").over(Window.partitionBy("cell")))
+      val tails = cum.filter(col("cum_lo") <= expr("cn div 10"))
+          .select(col("cell"), col("slot"), lit("outlier").as("tail"))
+        .unionAll(cum.filter(col("cum_hi") <= expr("cn div 10"))
+          .select(col("cell"), col("slot"), lit("prototype").as("tail")))
+      slotted.join(broadcast(tails), Seq("cell", "slot"))
+        .select(col("vec_id"), col("cell"), col("tail"),
+          round(col("csim"), 4).as("csim"))
+        .orderBy("vec_id", "tail")
+    },
+    Some(s"""WITH $seededAssignSql,
+      |slotted AS (
+      |  SELECT vec_id, cell, csim,
+      |         CAST(floor(csim * 500) AS BIGINT) + 500 AS slot
+      |  FROM assigned),
+      |hist AS (
+      |  SELECT cell, slot, count(*) AS n FROM slotted GROUP BY cell, slot),
+      |cum AS (
+      |  SELECT cell, slot, n,
+      |         SUM(n) OVER (PARTITION BY cell ORDER BY slot) AS cum_lo,
+      |         SUM(n) OVER (PARTITION BY cell ORDER BY slot DESC) AS cum_hi,
+      |         SUM(n) OVER (PARTITION BY cell) AS cn
+      |  FROM hist),
+      |tails AS (
+      |  SELECT cell, slot, 'outlier' AS tail FROM cum WHERE cum_lo <= cn // 10
+      |  UNION ALL
+      |  SELECT cell, slot, 'prototype' AS tail FROM cum WHERE cum_hi <= cn // 10)
+      |SELECT s.vec_id, s.cell, t.tail, ROUND(s.csim, 4) AS csim
+      |FROM slotted s JOIN tails t ON s.cell = t.cell AND s.slot = t.slot
+      |ORDER BY vec_id, tail""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_int8_topk" -> annInt8Topk,
@@ -853,5 +929,6 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopk,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
-    "dedup_semantic" -> dedupSemantic)
+    "dedup_semantic" -> dedupSemantic,
+    "embedding_outliers" -> embeddingOutliers)
 }
