@@ -59,7 +59,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES=a,b,c restricts the run to a subset — for
+    // timing one query's change without paying the full 80-query sweep.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

@@ -215,31 +215,34 @@ object Similarity {
     * threshold contract is measured independently (not just documented)
     * in RecallSuite at small SF, where brute force is feasible.
     *
-    * Banding (r7): 24 bands of 6 FIXED-POINT SRP planes
+    * Banding (r7, widened r8): 40 bands of 6 FIXED-POINT SRP planes
     * ([[graft.functions.SrpBandCodes]]). For cosine s the per-plane
     * agreement probability is p = 1 − acos(s)/π, so recall =
-    * 1 − (1 − p⁶)²⁴ ≈ 0.84 at s = 0.45 (this threshold; measured higher
-    * — most true pairs sit well above it) and ≈ 1 at s = 0.9. The r6
-    * 4×4 design (recall ≈ 0.54 analytic, 0.62 measured) was capped by
-    * its oracle coupling: FLOAT projections forced the twin to spell
-    * out every plane as a 128-term left-to-right sum (accumulation-order
-    * equality), so the plane budget stayed at 16 — too coarse to buy
-    * recall without near-all-pairs candidate mass. Integer projections
-    * are order-free, the twin computes them with a plain SUM/GROUP BY
-    * over md5-derived signs, and the plane budget becomes a knob.
-    * Candidate mass for UNRELATED pairs (s ≈ 0) rises from ~23% to ~31%
-    * of pairs — the price of 0.84-vs-0.54 recall at a threshold this
-    * low; every candidate still verifies at exact cosine, so false
-    * positives stay 0.
+    * 1 − (1 − p⁶)⁴⁰ ≈ 0.955 at s = 0.45 (this threshold; higher still
+    * for more-similar pairs — most true pairs sit well above it) and
+    * ≈ 1 at s = 0.9. The r6 4×4 design (recall ≈ 0.54 analytic, 0.62
+    * measured) was capped by its oracle coupling: FLOAT projections
+    * forced the twin to spell out every plane as a 128-term
+    * left-to-right sum (accumulation-order equality), so the plane
+    * budget stayed at 16 — too coarse to buy recall without
+    * near-all-pairs candidate mass. Integer projections are order-free,
+    * the twin computes them with a plain SUM/GROUP BY over md5-derived
+    * signs, and the plane budget becomes a knob — r7 spent it to reach
+    * 24×6 (analytic 0.84, measured 0.847 at sf0.1), r8 spends the
+    * remaining headroom the verdict flagged: 40×6 lifts threshold-level
+    * recall to ~0.955 for ~1.5× the candidate mass (unrelated-pair
+    * collision 1 − (1 − 1/64)⁴⁰ ≈ 47% vs 31%; still band-local, never
+    * all-pairs). Every candidate verifies at exact cosine, so false
+    * positives stay 0 at any band count.
     *
     * Scale shape: band codes are one per-row kernel below the exchange;
-    * the candidate join shuffles (vec_id, band) only — 24 longs per
+    * the candidate join shuffles (vec_id, band) only — 40 longs per
     * vector; 64-code band spaces keep cells small; hot cells are
     * SkewGuard-salted; embeddings are fetched per candidate side via
     * shuffle hash joins on vec_id — nothing corpus-sized is ever
     * broadcast and no all-pairs comparison exists. */
   private val NearDupThreshold = 0.45
-  private val DedupBands = 24
+  private val DedupBands = 40
   private val DedupRowsPerBand = 6
 
   /** SQL twin of the band-code derivation (DuckDB): same md5 signs, same
@@ -279,7 +282,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     // band ids materialized below one band-partitioned exchange shared
     // by both candidate-join sides (ReusedExchange); one native kernel
-    // per row (24 bands × 6 fixed-point planes)
+    // per row (40 bands × 6 fixed-point planes)
     val bands = emb.select(col("vec_id"),
       explode(graft.functions.VectorFunctions.srpBandCodes(
         col("embedding"), DedupRowsPerBand, DedupBands)).as("band"))

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
  *  - index recall of the SRP bucket structure (`ann_lsh_pairs`): how
  *    many true top-10 neighbors share the query's 16-plane bucket;
  *  - pair recall and false-positive count of `dedup_embedding_cosine`
- *    vs ALL pairs with exact cosine >= 0.45 (24 bands x 6 fixed-point
- *    planes: collision probability 1-(1-p^6)^24, p = 1-acos(s)/pi,
- *    predicts ~0.84 at the threshold itself, higher for more-similar
+ *    vs ALL pairs with exact cosine >= 0.45 (40 bands x 6 fixed-point
+ *    planes: collision probability 1-(1-p^6)^40, p = 1-acos(s)/pi,
+ *    predicts ~0.955 at the threshold itself, higher for more-similar
  *    pairs).
  *
  * Bounds are set just under measured values on the driver datasets so a
@@ -109,15 +109,15 @@ class RecallSuite extends SparkSuite {
     // a single FULL-signature bucket is a precision structure: per-plane
     // agreement p = 1-acos(s)/pi gives p^16 ~ 6e-4 at this corpus's
     // cosine range, so near-zero recall here is the PREDICTED behavior
-    // (measured 0.000), and it is exactly why the banded (24x6) variant
+    // (measured 0.000), and it is exactly why the banded (40x6) variant
     // below exists — banding must strictly beat the full bucket.
     assert(r <= 0.2, f"full-bucket recall $r%.3f implausibly high — signature broken?")
     val banded = recallAt10Banded()
-    info(f"banded (24x6) index recall@10 = $banded%.3f")
+    info(f"banded (40x6) index recall@10 = $banded%.3f")
     assert(banded > r, "banding failed to recover recall over the full bucket")
   }
 
-  /** Retrieval ceiling of the 24x6 banded index used by
+  /** Retrieval ceiling of the 40x6 banded index used by
     * dedup_embedding_cosine, measured on the same top-10 task. */
   private def recallAt10Banded(): Double = {
     val pairs = run("dedup_embedding_cosine")
@@ -144,11 +144,11 @@ class RecallSuite extends SparkSuite {
     val exact = exactThresholdPairs(0.45)
     val falsePos = banded -- exact
     assert(falsePos.isEmpty, s"banded pairs not over threshold: $falsePos")
-    // 24×6 fixed-point banding (r7): analytic 1-(1-p^6)^24 ≈ 0.84 at the
-    // threshold itself; measured 0.857 here and 0.847 at sf0.1
-    // (METRICS_r07) — the r6 4×4 design measured 0.62
+    // 40×6 fixed-point banding (r8): analytic 1-(1-p^6)^40 ≈ 0.955 at
+    // the threshold itself — the r7 24×6 design measured 0.857 here and
+    // 0.847 at sf0.1 (METRICS_r07), the r6 4×4 design 0.62
     val recall = if (exact.isEmpty) 1.0 else (banded & exact).size.toDouble / exact.size
     info(f"dedup_embedding_cosine pair recall = $recall%.3f (${banded.size}/${exact.size})")
-    assert(recall >= 0.8)
+    assert(recall >= 0.9)
   }
 }
