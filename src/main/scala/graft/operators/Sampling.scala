@@ -386,11 +386,102 @@ object Sampling {
       |  MIN(score_fp) AS min_fp, MAX(score_fp) AS max_fp
       |FROM r GROUP BY 1 ORDER BY quintile""".stripMargin))
 
+  // ---- deterministic corpus shuffle -----------------------------------
+
+  /** Seeded global corpus permutation: every document gets a unique
+    * 1-based training position `pos` in the order of a salted hash of its
+    * id — the reproducible "shuffle before packing" step of a training
+    * run (data order is part of the training recipe; a reshuffle is a
+    * salt change, never a new code path).
+    *
+    * The naive form — `row_number() OVER (ORDER BY hash)` — is a GLOBAL
+    * window: one task sorts and numbers the whole corpus. This is the
+    * [[packSequences]] two-level decomposition applied to counting
+    * instead of token sums: pos = bucket_offset(bucket) + intra-bucket
+    * row_number, where bucket = first two hex digits of the hash. The
+    * bucket is a PREFIX of the sort key, so (bucket, hash) order ≡ hash
+    * order and the decomposition is exact — which is what the oracle's
+    * one-window form checks. The intra window runs 256-way parallel; the
+    * offsets are an exclusive prefix over a ≤256-row map-side-combined
+    * histogram, broadcast back. On a 1000-executor cluster the bucket
+    * width is a knob (4 hex digits → 65536-way) — the shape stays one
+    * narrow corpus pass + metadata. */
+  private val ShuffleSalt = "shuffle:"
+
+  private val shuffleCorpus = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"))
+        .withColumn("bucket",
+          expr("cast(conv(substring(skey, 1, 2), 16, 10) as int)"))
+      val intra = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+      val ranked = base.withColumn("rn", row_number().over(intra).cast("long"))
+      // ≤256 rows — the metadata histogram that replaces the global sort
+      val offs = base.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bucket").as("o_bucket"), col("off"))
+      ranked.join(broadcast(offs), col("bucket") === col("o_bucket"))
+        .select(col("doc_id"), col("source"),
+          (col("off") + col("rn")).as("pos"))
+        .orderBy("pos")
+    },
+    Some(s"""SELECT doc_id, source,
+      |  row_number() OVER (ORDER BY md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)),
+      |                     doc_id) AS pos
+      |FROM documents ORDER BY pos""".stripMargin))
+
+  // ---- leakage-safe holdout split -------------------------------------
+
+  /** Content-keyed train/valid/test split: the split is a function of the
+    * document's CONTENT fingerprint, never its id or position — byte-wise
+    * duplicate documents land on the same side by construction, so exact
+    * dups can never leak a train doc into the eval set (the id-hash split
+    * everyone writes first fails exactly this way). Near-dup leakage is
+    * the composition's job: run the dedup family first (as
+    * `pipeline_curate` does) and the split sees one member per cluster.
+    *
+    * 16-bit split hash, salted separately from every other hash in the
+    * repo ("split:"), thresholds floor(0.9·2¹⁶)/floor(0.95·2¹⁶) for a
+    * 90/5/5 expected split. Pure narrow, zero shuffle — at any corpus
+    * size this is one pass over (doc_id, text). */
+  private val SplitTrainMax = 58982 // floor(0.90 * 65536)
+  private val SplitValidMax = 62259 // floor(0.95 * 65536)
+
+  private val splitHoldout = QueryDef(
+    (s, dir) => {
+      Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat('split:', fingerprint)), 1, 4), 16, 10) as int)"))
+        .select(col("doc_id"), col("fingerprint"),
+          when(col("h") < SplitTrainMax, "train")
+            .when(col("h") < SplitValidMax, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (
+      |  SELECT doc_id, md5(text) AS fingerprint FROM documents),
+      |h AS (
+      |  SELECT doc_id, fingerprint,
+      |         CAST(('0x' || substr(md5('split:' || fingerprint), 1, 4)) AS INT) AS h
+      |  FROM f)
+      |SELECT doc_id, fingerprint,
+      |       CASE WHEN h < $SplitTrainMax THEN 'train'
+      |            WHEN h < $SplitValidMax THEN 'valid'
+      |            ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "sample_stratified" -> sampleStratified,
     "mix_budget_cutoff" -> mixBudgetCutoff,
     "pack_sequences" -> packSequences,
     "mix_epochs" -> mixEpochs,
     "chunk_documents" -> chunkDocuments,
-    "mix_quality_buckets" -> mixQualityBuckets)
+    "mix_quality_buckets" -> mixQualityBuckets,
+    "shuffle_corpus" -> shuffleCorpus,
+    "split_holdout" -> splitHoldout)
 }
