@@ -386,6 +386,69 @@ object Sampling {
       |  MIN(score_fp) AS min_fp, MAX(score_fp) AS max_fp
       |FROM r GROUP BY 1 ORDER BY quintile""".stripMargin))
 
+  /** Temperature-flattened mixture shares (the multilingual α-sampling
+    * recipe: sampling rate ∝ share^α, α < 1 boosts low-resource sources
+    * and shrinks dominant ones). α is FIXED at 0.5: `sqrt` is the one
+    * exponent IEEE requires to be correctly rounded, so Spark and DuckDB
+    * compute bit-identical adjusted weights — `pow(x, 0.3)` carries no
+    * such guarantee and would make the oracle a ULP lottery. The weight
+    * sum crosses engines through a fixed-point BIGINT (floor(√p·1e9)):
+    * integer sums are order-free where a double sum is not.
+    *
+    * Scale shape: identical to [[mixEpochs]] — ONE map-side-combined
+    * groupBy(source) reduces the corpus; every window below runs over
+    * the #sources-row aggregate, never the corpus. */
+  private val mixTemperature = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy() // #sources rows — metadata, not corpus
+      Tables.documents(s, dir).repartition(64)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(sum(col("n_tokens")).as("source_tokens"))
+        .withColumn("total", sum(col("source_tokens")).over(w))
+        .withColumn("sfp",
+          floor(sqrt(col("source_tokens").cast("double") / col("total")) * 1e9)
+            .cast("long"))
+        .withColumn("sfp_total", sum(col("sfp")).over(w))
+        .select(
+          col("source"),
+          col("source_tokens"),
+          (floor(col("source_tokens").cast("double") / col("total") * 1e4 + 0.5) / 1e4)
+            .as("actual_share"),
+          (floor(col("sfp").cast("double") / col("sfp_total") * 1e4 + 0.5) / 1e4)
+            .as("temp_share"),
+          // boost from the EXACT intermediates, not the rounded shares
+          (floor((col("sfp").cast("double") / col("sfp_total")) /
+            (col("source_tokens").cast("double") / col("total")) * 1e4 + 0.5) / 1e4)
+            .as("boost"))
+        .orderBy("source")
+    },
+    Some("""WITH per AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+      |  FROM documents GROUP BY source),
+      |g AS (
+      |  SELECT source, source_tokens,
+      |         SUM(source_tokens) OVER () AS total
+      |  FROM per),
+      |fp AS (
+      |  SELECT source, source_tokens, total,
+      |         CAST(FLOOR(SQRT(CAST(source_tokens AS DOUBLE) / total) * 1e9)
+      |              AS BIGINT) AS sfp
+      |  FROM g),
+      |t AS (
+      |  SELECT source, source_tokens, total, sfp,
+      |         SUM(sfp) OVER () AS sfp_total
+      |  FROM fp)
+      |SELECT source, source_tokens,
+      |  FLOOR(CAST(source_tokens AS DOUBLE) / total * 1e4 + 0.5) / 1e4 AS actual_share,
+      |  FLOOR(CAST(sfp AS DOUBLE) / sfp_total * 1e4 + 0.5) / 1e4 AS temp_share,
+      |  FLOOR((CAST(sfp AS DOUBLE) / sfp_total) /
+      |        (CAST(source_tokens AS DOUBLE) / total) * 1e4 + 0.5) / 1e4 AS boost
+      |FROM t ORDER BY source""".stripMargin))
+
   // ---- deterministic corpus shuffle -----------------------------------
 
   /** Seeded global corpus permutation: every document gets a unique
@@ -483,5 +546,6 @@ object Sampling {
     "chunk_documents" -> chunkDocuments,
     "mix_quality_buckets" -> mixQualityBuckets,
     "shuffle_corpus" -> shuffleCorpus,
-    "split_holdout" -> splitHoldout)
+    "split_holdout" -> splitHoldout,
+    "mix_temperature" -> mixTemperature)
 }
