@@ -60,9 +60,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run to a subset — for
-    // timing one query's change without paying the full 80-query sweep.
+    // timing one query's change without paying the full sweep.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: unknown queries ignored: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

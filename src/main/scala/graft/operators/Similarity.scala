@@ -328,7 +328,7 @@ object Similarity {
       .orderBy("vec_id_keeper", "vec_id_dropped"),
     Some(s"$embeddingCosinePairsSql\nORDER BY vec_id_keeper, vec_id_dropped"))
 
-  private val NumCentroids = 8
+  private[operators] val NumCentroids = 8
 
   /** Nearest-centroid as ONE per-row HOF fold over the (tiny, literal)
     * centroid array (r2 verdict #1): replaces the broadcast-cross-join +

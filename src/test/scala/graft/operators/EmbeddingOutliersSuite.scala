@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
  */
 class EmbeddingOutliersSuite extends SparkSuite {
 
-  private val NumCentroids = 8
+  // the production knob, not a copy — a quantizer resize cannot desync
+  private val NumCentroids = Similarity.NumCentroids
 
   private def collectJoins(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {

@@ -16,13 +16,18 @@ class MixTemperatureSuite extends SparkSuite {
         r.getDouble(4)))
     assert(rows.length > 1, "fixture needs multiple sources")
 
-    val mean = 1.0 / rows.length
+    // sqrt-flattening boosts exactly the shares below 1/S² where
+    // S = Σ√pᵢ (√p/S > p ⟺ p < 1/S²) — NOT the mean 1/n: with skewed
+    // shares the crossover sits strictly above 1/n, so a source slightly
+    // over the mean is legitimately boosted
+    val crossover = {
+      val s = rows.map(r => math.sqrt(r._3)).sum
+      1.0 / (s * s)
+    }
     rows.foreach { case (src, _, actual, temp, boost) =>
-      // α<1 contracts every share toward the uniform point: a source
-      // below 1/n moves up, above 1/n moves down (rounding slack 1e-3)
-      if (actual < mean - 1e-3)
+      if (actual < crossover - 1e-3)
         assert(temp > actual && boost > 1.0, s"$src not boosted: $actual -> $temp")
-      if (actual > mean + 1e-3)
+      if (actual > crossover + 1e-3)
         assert(temp < actual && boost < 1.0, s"$src not shrunk: $actual -> $temp")
     }
     // flattening never reorders: sqrt is monotone

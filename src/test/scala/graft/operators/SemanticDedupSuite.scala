@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 class SemanticDedupSuite extends SparkSuite {
 
   private val Threshold = 0.45
-  private val NumCentroids = 8
+  // the production knob, not a copy — a quantizer resize cannot desync
+  private val NumCentroids = Similarity.NumCentroids
 
   test("dedup_semantic drops exactly the less-central member of each within-cell duplicate pair") {
     val kept = SparkEntry.queries("dedup_semantic")(spark, sfDir)

@@ -70,20 +70,27 @@ class ShuffleSplitSuite extends SparkSuite {
     // the driver fixture has no byte-identical texts at this SF, so the
     // leakage case is driven against a copy with every document
     // duplicated under a fresh id (the query reads <dir>/documents.parquet)
-    val dir = java.nio.file.Files
-      .createTempDirectory("split-leakage").toString
-    val docs = Tables.documents(spark, sfDir)
-    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dirPath = java.nio.file.Files.createTempDirectory("split-leakage")
+    try {
+      val dir = dirPath.toString
+      val docs = Tables.documents(spark, sfDir)
+      docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val split = SparkEntry.queries("split_holdout")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    // fingerprint is md5(text): group by it and demand one split per group
-    val dupGroups = split.groupBy(_._2).filter(_._2.length > 1)
-    assert(dupGroups.nonEmpty, "duplicated fixture lost its duplicates")
-    dupGroups.foreach { case (fp, members) =>
-      assert(members.map(_._3).distinct.length == 1,
-        s"fingerprint $fp split across sides: $members")
+      val split = SparkEntry.queries("split_holdout")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // fingerprint is md5(text): group by it, demand one split per group
+      val dupGroups = split.groupBy(_._2).filter(_._2.length > 1)
+      assert(dupGroups.nonEmpty, "duplicated fixture lost its duplicates")
+      dupGroups.foreach { case (fp, members) =>
+        assert(members.map(_._3).distinct.length == 1,
+          s"fingerprint $fp split across sides: $members")
+      }
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
     }
   }
 
