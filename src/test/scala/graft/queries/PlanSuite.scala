@@ -88,6 +88,10 @@ class PlanSuite extends SparkSuite {
     // hash-partitioned (aggregation/join) shuffles may appear
     val s = exec.toString
     assert(!s.contains("hashpartitioning"), s.take(2000))
+    // split_holdout (content-keyed split) is the same pure-narrow class
+    val splitPlan = SparkEntry.queries("split_holdout")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("hashpartitioning"), splitPlan.take(2000))
   }
 
   /** The skew guard's occupancy annotate is the ONE legitimate broadcast
