@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.QueryDef
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -471,31 +471,74 @@ object Sampling {
     * narrow corpus pass + metadata. */
   private val ShuffleSalt = "shuffle:"
 
+  /** (doc_id, source, pos, total) in the seeded shuffle order — the
+    * shared core of [[shuffleCorpus]] and the sharded-export family.
+    * `total` rides along from the same metadata histogram (max off+cnt),
+    * so consumers that need the corpus size (shard arithmetic) get it
+    * without a second scan or a corpus-wide `count() OVER ()`. */
+  private[operators] def shuffledPositions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir).repartition(64)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("bucket",
+        expr("cast(conv(substring(skey, 1, 2), 16, 10) as int)"))
+    val intra = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    val ranked = base.withColumn("rn", row_number().over(intra).cast("long"))
+    // ≤256 rows — the metadata histogram that replaces the global sort
+    val hist = base.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val offs = hist
+      .withColumn("total", max(col("off") + col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket").as("o_bucket"), col("off"), col("total"))
+    ranked.join(broadcast(offs), col("bucket") === col("o_bucket"))
+      .select(col("doc_id"), col("source"),
+        (col("off") + col("rn")).as("pos"), col("total"))
+  }
+
   private val shuffleCorpus = QueryDef(
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables.documents(s, dir).repartition(64)
-        .select(col("doc_id"), col("source"),
-          md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"))
-        .withColumn("bucket",
-          expr("cast(conv(substring(skey, 1, 2), 16, 10) as int)"))
-      val intra = Window.partitionBy("bucket").orderBy("skey", "doc_id")
-      val ranked = base.withColumn("rn", row_number().over(intra).cast("long"))
-      // ≤256 rows — the metadata histogram that replaces the global sort
-      val offs = base.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(
-          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("bucket").as("o_bucket"), col("off"))
-      ranked.join(broadcast(offs), col("bucket") === col("o_bucket"))
-        .select(col("doc_id"), col("source"),
-          (col("off") + col("rn")).as("pos"))
-        .orderBy("pos")
-    },
+    (s, dir) => shuffledPositions(s, dir)
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy("pos"),
     Some(s"""SELECT doc_id, source,
       |  row_number() OVER (ORDER BY md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)),
       |                     doc_id) AS pos
       |FROM documents ORDER BY pos""".stripMargin))
+
+  // ---- balanced sharded export ----------------------------------------
+
+  /** Shard layout report for the materialization step: shard =
+    * ⌊(pos−1)·S / N⌋ over the shuffle positions — the balanced
+    * contiguous-range assignment (every shard gets ⌈N/S⌉ or ⌊N/S⌋ docs,
+    * ranges never interleave). The corpus never sees a global window:
+    * positions come from [[shuffledPositions]]' decomposition, `total`
+    * from its metadata histogram, the shard is per-row arithmetic, and
+    * the report is ONE map-side-combined groupBy of S rows.
+    * [[ShardedExport]] writes the actual files with this assignment. */
+  private[operators] val NumShards = 16
+
+  private val exportShards = QueryDef(
+    (s, dir) => {
+      shuffledPositions(s, dir)
+        .withColumn("shard",
+          expr(s"cast(((pos - 1) * $NumShards) div total as int)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("pos").as("min_pos"), max("pos").as("max_pos"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH p AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)),
+      |                       doc_id) AS pos,
+      |    COUNT(*) OVER () AS total
+      |  FROM documents)
+      |SELECT CAST(((pos - 1) * $NumShards) // total AS INT) AS shard,
+      |       COUNT(*) AS n_docs, MIN(pos) AS min_pos, MAX(pos) AS max_pos
+      |FROM p GROUP BY 1 ORDER BY shard""".stripMargin))
 
   // ---- leakage-safe holdout split -------------------------------------
 
@@ -547,5 +590,6 @@ object Sampling {
     "mix_quality_buckets" -> mixQualityBuckets,
     "shuffle_corpus" -> shuffleCorpus,
     "split_holdout" -> splitHoldout,
-    "mix_temperature" -> mixTemperature)
+    "mix_temperature" -> mixTemperature,
+    "export_shards" -> exportShards)
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/**
+ * File-layout contract of [[ShardedExport]] plus the `export_shards`
+ * report's balance arithmetic: balanced contiguous shards, in-shard
+ * training order preserved on disk, and report ≡ files.
+ */
+class ShardedExportSuite extends SparkSuite {
+
+  private val NumShards = Sampling.NumShards
+
+  test("written shards are balanced, contiguous, and ordered by pos on disk") {
+    val out = java.nio.file.Files.createTempDirectory("shard-export")
+    try {
+      ShardedExport.write(spark, sfDir, out.toString)
+
+      // one directory per shard id
+      val dirs = new java.io.File(out.toString).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(dirs.length == NumShards, dirs.mkString(","))
+
+      val back = spark.read.parquet(out.toString)
+      val n = back.count()
+
+      // balance: every shard within 1 of n/S
+      val sizes = back.groupBy("shard").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == (0 until NumShards).toSet)
+      sizes.values.foreach(c =>
+        assert(c >= n / NumShards && c <= n / NumShards + 1, sizes.toString))
+
+      // contiguity: shard ranges partition 1..n without interleaving
+      val ranges = back.groupBy("shard")
+        .agg(min("pos").as("lo"), max("pos").as("hi"))
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(ranges.head._1 == 1L && ranges.last._2 == n)
+      ranges.sliding(2).foreach {
+        case Array((_, hi0), (lo1, _)) => assert(lo1 == hi0 + 1, ranges.toSeq)
+        case _ =>
+      }
+
+      // on-disk order: each shard's file(s) store ascending pos (no
+      // re-sort — read order is file order for parquet)
+      (0 until NumShards).foreach { k =>
+        val pos = spark.read.parquet(s"$out/shard=$k")
+          .select("pos").collect().map(_.getLong(0))
+        assert(pos.sameElements(pos.sorted),
+          s"shard $k not stored in training order")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("export_shards report matches the written files") {
+    val report = SparkEntry.queries("export_shards")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fromOp = ShardedExport.withShards(spark, sfDir, NumShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(report.toSeq == fromOp.toSeq)
+  }
+}
