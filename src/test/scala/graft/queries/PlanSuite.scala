@@ -156,6 +156,18 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("dedup_spans_cut reuses the window exchange; the corpus consumes cuts without exploding") {
+    val df = SparkEntry.queries("dedup_spans_cut")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the span-report side shares ONE fingerprint exchange (agg + join),
+    // and the corpus side joins the per-doc cut arrays — never a
+    // token-granularity explode or an unkeyed join
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("decontaminate_overlap broadcasts the benchmark shingle set — corpus never self-joins") {
     // benchmarks are metadata-sized vs the corpus: the overlap join must
     // be a broadcast-hash with the corpus side narrow, and nothing in the
