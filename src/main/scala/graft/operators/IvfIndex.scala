@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Tables
+import graft.queries.QueryDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,8 +32,13 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Index spec. `trainPerCentroid` bounds the k-means sample (the FAISS
-    * convention) so training cost is O(nlist), not O(corpus). */
-  final case class Spec(nlist: Int = 8, iters: Int = 3, trainPerCentroid: Int = 256) {
+    * convention) so training cost is O(nlist), not O(corpus). Defaults
+    * ARE the `ann_ivf_kmeans_topk` constants — that coupling is what
+    * lets `ann_ivf_persisted_topk` reuse the kmeans oracle verbatim. */
+  final case class Spec(
+      nlist: Int = Similarity.NumCentroids,
+      iters: Int = Similarity.KmeansIters,
+      trainPerCentroid: Int = Similarity.TrainPerCentroid) {
     require(nlist >= 1 && iters >= 0 && trainPerCentroid >= 1, s"bad spec: $this")
     def trainCap: Long = nlist.toLong * trainPerCentroid
   }
@@ -129,4 +136,59 @@ object IvfIndex {
         Similarity.dotCol("q", "embedding") / (col("qnrm") * col("nrm")))
     Similarity.topKPerQuery(s, scored, topk)
   }
+
+  // ---- oracle-gated query over the PERSISTED lifecycle ----------------
+
+  // One index build per testdata dir per JVM (the IncrementalDedup
+  // catalog-fixture pattern): the files are session-independent, so the
+  // memo keys on the dir alone; racing threads may create two holders
+  // but putIfAbsent picks one winner and only its lazy `value` builds. A
+  // failed build leaves the lazy uninitialized (retried next call); a
+  // shutdown hook reclaims the files.
+  private final class LazyIndex(build0: () => String) {
+    lazy val value: String = build0()
+  }
+  private val indexes =
+    scala.collection.concurrent.TrieMap.empty[String, LazyIndex]
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  private def ensureIndex(s: SparkSession, dir: String): String =
+    indexes.getOrElseUpdate(dir, new LazyIndex(() => {
+      val pid = ProcessHandle.current().pid()
+      val slug = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${pid}_$slug"
+      val f = new java.io.File(path)
+      if (f.exists()) rmTree(f) // stale from a failed earlier attempt
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(f)))
+      build(Tables.embeddings(s, dir), path)
+      path
+    })).value
+
+  /** `ann_ivf_kmeans_topk` through the PERSISTED lifecycle: build the
+    * index to storage ONCE (memoized fixture), reload centroids, probe
+    * with partition pruning. `Spec`'s defaults are the kmeans query's
+    * constants and `probe`'s cell ranking/scoring replicate its math
+    * exactly, so the kmeans DuckDB twin is reused VERBATIM — the oracle
+    * now gates the parquet round-trip, the cell-partitioned layout, and
+    * the pruned probe path, not just the inline plan. */
+  private val annIvfPersistedTopk = QueryDef(
+    (s, dir) => {
+      val path = ensureIndex(s, dir)
+      val queries = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < Similarity.NumQueries)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+      probe(s, path, queries,
+        nprobe = Similarity.NProbe, topk = Similarity.TopK)
+    },
+    Similarity.all("ann_ivf_kmeans_topk").oracle)
+
+  val all: Map[String, QueryDef] = Map(
+    "ann_ivf_persisted_topk" -> annIvfPersistedTopk)
 }

@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val Dim = 64
-  private val NumQueries = 5
-  private val TopK = 10
+  private[operators] val NumQueries = 5
+  private[operators] val TopK = 10
 
   /** Left-assoc Σ a[i]*b[i] over doubles. HOF form, NOT an unrolled
     * 64-term expression: aggregate(zip_with(...)) folds sequentially from
@@ -490,9 +490,9 @@ object Similarity {
     * centroids, unpersist). Probe cells for the NumQueries query
     * vectors are computed on the driver by the exact fold replica —
     * queries, like centroids, are metadata-sized. */
-  private val NProbe = 2
+  private[operators] val NProbe = 2
   private[operators] val KmeansIters = 3
-  private val TrainPerCentroid = 256
+  private[operators] val TrainPerCentroid = 256
   private val TrainCap = TrainPerCentroid * NumCentroids // 2048
   // ≤2048 rows × ~300 B — single-digit partitions by construction
   private val TrainParts = 8

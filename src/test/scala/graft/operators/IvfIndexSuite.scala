@@ -106,6 +106,17 @@ class IvfIndexSuite extends SparkSuite {
     }
   }
 
+  test("ann_ivf_persisted_topk equals the inline kmeans query row-for-row") {
+    // the persisted lifecycle (build → parquet → reload → pruned probe)
+    // must be invisible in the results: same quantizer math, same probe
+    // rule, same scores as the plan that retrains inline
+    val persisted = graft.SparkEntry.queries("ann_ivf_persisted_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inline = graft.SparkEntry.queries("ann_ivf_kmeans_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(persisted.toSeq === inline.toSeq)
+  }
+
   test("the index is probed many times without retraining") {
     withIndex { path =>
       val emb = Tables.embeddings(spark, sfDir)
