@@ -56,6 +56,13 @@ object Redaction {
   def redactColumn(text: Column, rules: Seq[RedactionRule] = DefaultRules): Column =
     rules.foldLeft(text)((c, r) => regexp_replace(c, lit(r.pattern), lit(r.replacement)))
 
+  /** DuckDB twin of [[redactColumn]]: the same chain folded over a SQL
+    * expression — shared with the curation pipeline's oracle. */
+  private[operators] def redactSql(
+      e: String, rules: Seq[RedactionRule] = DefaultRules): String =
+    rules.foldLeft(e)((c, r) =>
+      s"regexp_replace($c, '${r.pattern}', '${r.replacement}', 'g')")
+
   /** `df` plus `<out>` (redacted text) and one `n_<rule>` count column
     * per rule — counts taken on the text state the rule actually saw. */
   def redactWithCounts(

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.QueryDef
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -335,30 +335,44 @@ object Sampling {
     * funnels through one reducer for the global ORDER BY the naive
     * `ntile(5)` would need. quintile = rank·5 div N, exactly the
     * oracle's row_number arithmetic. */
+  /** Annotate a (…, doc_id, score_fp) frame with its GLOBAL quality
+    * quintile via the distributed prefix-sum rank — the ONE quintile
+    * definition, shared by `mix_quality_buckets` and the curation
+    * pipeline. The fixed-point score range-buckets into ≤251 ordered
+    * slots (`score_fp div 40`); ranks are per-slot window work
+    * (parallel) and slot offsets come from a metadata-sized histogram —
+    * no corpus ever funnels through one reducer for the global ORDER BY
+    * a naive `ntile(5)` would need. quintile = rank·5 div N, exactly the
+    * oracle's row_number arithmetic. Input columns pass through. */
+  private[operators] def withGlobalQuintile(scored0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scored0.withColumn("qb", expr("cast(score_fp div 40 as int)"))
+    val intra = Window.partitionBy("qb").orderBy("score_fp", "doc_id")
+    val ranked = scored.withColumn("intra",
+      row_number().over(intra).cast("long"))
+    // ≤251 rows: the metadata-sized histogram that replaces the
+    // global sort (windows below run over it, not the corpus)
+    val offs = scored.groupBy("qb").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.orderBy("qb").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("qb").as("o_qb"), col("off"), col("total"))
+    ranked.join(broadcast(offs), col("qb") === col("o_qb"))
+      .withColumn("r", col("off") + col("intra") - 1)
+      .withColumn("quintile", expr("cast((r * 5) div total as int)"))
+      .drop("qb", "intra", "o_qb", "off", "total", "r")
+  }
+
   private val mixQualityBuckets = QueryDef(
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val scored = TextAnalysis.qualityRaw(
           Tables.documents(s, dir).repartition(64))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           TextAnalysis.qualityScoreFp.as("score_fp"))
-        .withColumn("qb", expr("cast(score_fp div 40 as int)"))
-      val intra = Window.partitionBy("qb").orderBy("score_fp", "doc_id")
-      val ranked = scored.withColumn("intra",
-        row_number().over(intra).cast("long"))
-      // ≤251 rows: the metadata-sized histogram that replaces the
-      // global sort (windows below run over it, not the corpus)
-      val offs = scored.groupBy("qb").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(
-          Window.orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .withColumn("total", sum(col("cnt")).over(
-          Window.orderBy("qb").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("qb").as("o_qb"), col("off"), col("total"))
-      ranked.join(broadcast(offs), col("qb") === col("o_qb"))
-        .withColumn("r", col("off") + col("intra") - 1)
-        .withColumn("quintile", expr("cast((r * 5) div total as int)"))
+      withGlobalQuintile(scored)
         .groupBy("quintile")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
           min("score_fp").as("min_fp"), max("score_fp").as("max_fp"))
@@ -554,19 +568,31 @@ object Sampling {
     * repo ("split:"), thresholds floor(0.9·2¹⁶)/floor(0.95·2¹⁶) for a
     * 90/5/5 expected split. Pure narrow, zero shuffle — at any corpus
     * size this is one pass over (doc_id, text). */
-  private val SplitTrainMax = 58982 // floor(0.90 * 65536)
-  private val SplitValidMax = 62259 // floor(0.95 * 65536)
+  private[operators] val SplitTrainMax = 58982 // floor(0.90 * 65536)
+  private[operators] val SplitValidMax = 62259 // floor(0.95 * 65536)
+
+  /** The split assignment from a content FINGERPRINT column — the one
+    * definition `split_holdout` and the curation pipeline share. */
+  private[operators] def splitColumn(fp: Column): Column = {
+    val h = conv(substring(md5(concat(lit("split:"), fp)), 1, 4),
+      16, 10).cast("int")
+    when(h < SplitTrainMax, "train")
+      .when(h < SplitValidMax, "valid")
+      .otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitColumn]] over a fingerprint expression. */
+  private[operators] def splitSql(fp: String): String =
+    s"""CASE WHEN CAST(('0x' || substr(md5('split:' || $fp), 1, 4)) AS INT) < $SplitTrainMax THEN 'train'
+      |     WHEN CAST(('0x' || substr(md5('split:' || $fp), 1, 4)) AS INT) < $SplitValidMax THEN 'valid'
+      |     ELSE 'test' END""".stripMargin
 
   private val splitHoldout = QueryDef(
     (s, dir) => {
       Tables.documents(s, dir).repartition(64)
         .select(col("doc_id"), md5(col("text")).as("fingerprint"))
-        .withColumn("h", expr(
-          "cast(conv(substring(md5(concat('split:', fingerprint)), 1, 4), 16, 10) as int)"))
         .select(col("doc_id"), col("fingerprint"),
-          when(col("h") < SplitTrainMax, "train")
-            .when(col("h") < SplitValidMax, "valid")
-            .otherwise("test").as("split"))
+          splitColumn(col("fingerprint")).as("split"))
         .orderBy("doc_id")
     },
     Some(s"""WITH f AS (

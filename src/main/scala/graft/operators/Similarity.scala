@@ -793,15 +793,17 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   /** Seeded coarse-quantizer assignment of the whole corpus —
     * (vec_id, cell, csim, embedding, nrm) — shared by the semantic-dedup
     * and centroid-tails queries so the quantizer contract can't diverge. */
-  private def seededAssigned(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).repartition(64)
-      .select(col("vec_id"), col("embedding"))
+  private[operators] def seededAssignedOf(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
     val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))
     assignCellsWithSim(emb, cents)
   }
+
+  private def seededAssigned(s: SparkSession, dir: String): DataFrame =
+    seededAssignedOf(Tables.embeddings(s, dir).repartition(64))
 
   /** DuckDB twin of [[seededAssigned]]: CTEs ending in
     * `assigned(vec_id, cell, csim, embedding, nrm)`. */
@@ -824,39 +826,56 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |    FROM e, cents c)
       |  WHERE arn = 1)""".stripMargin
 
-  private val dedupSemantic = QueryDef(
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir).repartition(64)
-        .select(col("vec_id"), col("embedding"))
-      val assigned = seededAssigned(s, dir)
-      val cells = assigned
-        .select(col("vec_id"), col("csim"), col("cell").as("band"))
-        .repartition(col("band"))
-      // vec_id_1 < vec_id_2 by SkewGuard's contract, csim riding along
-      val verified = SkewGuard.pairs(cells, "vec_id")
-        .join(emb.select(col("vec_id").as("vec_id_1"),
-          col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_1")
-        .join(emb.select(col("vec_id").as("vec_id_2"),
-          col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_2")
-        .filter(graft.functions.VectorFunctions.cosineSimilarity(
-          col("e1"), col("e2")) >= NearDupThreshold)
-      // per duplicate pair the LESS central member is dropped; ids are
-      // ordered, so a csim tie drops the higher id
-      val dropped = verified.select(
-        when(col("csim_1") >= col("csim_2"), col("vec_id_2"))
-          .otherwise(col("vec_id_1")).as("vec_id")).distinct()
-      assigned.join(dropped, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("cell"))
-        .orderBy("vec_id")
-    },
-    Some(s"""WITH $seededAssignSql,
+  /** The ids SemDeDup prunes from `emb` — the LESS CENTRAL member of
+    * every verified within-cell near-dup pair (csim tie drops the higher
+    * id, since SkewGuard's pairs are id-ordered). One column `vec_id`,
+    * distinct. Shared by `dedup_semantic` and the curation pipeline's
+    * semantic stage so the prune rule can't desync. */
+  private[operators] def semanticDropped(emb0: DataFrame): DataFrame =
+    semanticDropped(emb0, seededAssignedOf(emb0))
+
+  /** As above with a precomputed [[seededAssignedOf]] frame, so a caller
+    * that also consumes the assignment pays the centroid collect once. */
+  private[operators] def semanticDropped(emb0: DataFrame, assigned: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val cells = assigned
+      .select(col("vec_id"), col("csim"), col("cell").as("band"))
+      .repartition(col("band"))
+    // vec_id_1 < vec_id_2 by SkewGuard's contract, csim riding along
+    val verified = SkewGuard.pairs(cells, "vec_id")
+      .join(emb.select(col("vec_id").as("vec_id_1"),
+        col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_1")
+      .join(emb.select(col("vec_id").as("vec_id_2"),
+        col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_2")
+      .filter(graft.functions.VectorFunctions.cosineSimilarity(
+        col("e1"), col("e2")) >= NearDupThreshold)
+    verified.select(
+      when(col("csim_1") >= col("csim_2"), col("vec_id_2"))
+        .otherwise(col("vec_id_1")).as("vec_id")).distinct()
+  }
+
+  /** DuckDB twin of [[semanticDropped]]: CTEs (incl. [[seededAssignSql]]'s
+    * `e`/`cents`/`assigned`) ending in `dropped(vec_id)`. */
+  private[operators] def semanticDroppedSqlCtes: String =
+    s"""$seededAssignSql,
       |dropped AS (
       |  SELECT DISTINCT CASE WHEN a.csim >= b.csim THEN b.vec_id
       |                       ELSE a.vec_id END AS vec_id
       |  FROM assigned a JOIN assigned b
       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  WHERE (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
-      |        >= $NearDupThreshold)
+      |        >= $NearDupThreshold)""".stripMargin
+
+  private val dedupSemantic = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).repartition(64)
+      val assigned = seededAssignedOf(emb)
+      assigned
+        .join(semanticDropped(emb, assigned), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $semanticDroppedSqlCtes
       |SELECT a.vec_id, a.cell FROM assigned a
       |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
       |ORDER BY vec_id""".stripMargin))

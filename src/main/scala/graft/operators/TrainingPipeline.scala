@@ -108,6 +108,65 @@ object TrainingPipeline {
     stratifiedSample(clean, cfg.samplePerStratum)
   }
 
+  /** The FULL curation pipeline — every corpus-shaping operator the
+    * library ships, composed in the order a production run wants them,
+    * returning the curated corpus ANNOTATED for training (not a sample):
+    *
+    *  1. benchmark exclusion (held-out docs leave before any race);
+    *  2. span-level exact dedup ([[Dedup.spanCut]]): duplicated
+    *     cross-doc runs are cut, first occurrence kept — BEFORE the
+    *     gates, so boilerplate mass doesn't distort quality metrics;
+    *  3. PII redaction ([[Redaction.redactColumn]]) — the text that
+    *     trains is the text that's judged, so gates come after;
+    *  4. quality + repetition gates ([[qualityGate]]);
+    *  5. exact-dedup keepers on the final text ([[dedupKeepers]]);
+    *  6. semantic dedup ([[Similarity.semanticDropped]]) over the
+    *     CORPUS-WIDE embedding table: a doc whose embedding SemDeDup
+    *     prunes leaves — including docs that semantically duplicate a
+    *     BENCHMARK doc (their embeddings participate as centrality
+    *     evidence), which is near-benchmark contamination leaving by
+    *     the same motive as stage 7;
+    *  7. shingle decontamination vs the benchmark originals
+    *     ([[decontaminate]]);
+    *  8. annotations: global quality quintile
+    *     ([[Sampling.withGlobalQuintile]] — distributed prefix-sum, no
+    *     global sort) and the leakage-safe content-fingerprint split
+    *     ([[Sampling.splitColumn]]).
+    *
+    * Output: (doc_id, lang, source, n_tokens, score_fp, fingerprint,
+    * split, quintile) — the audit record a materialization step
+    * ([[ShardedExport]]) or a mixer ([[Sampling]]) consumes.
+    *
+    * 100 TB shape: stages 2-5 and 7-8 are the documented shapes of their
+    * operators (one fingerprint exchange + broadcast cut-join; narrow
+    * regex; narrow gates; one dedup-keeper exchange; broadcast bench
+    * shingles; metadata-sized quintile histogram; narrow split); stage 6
+    * shuffles only (vec_id, cell, csim) within cells. Nothing in the
+    * chain materializes the corpus more than its operator already does. */
+  def curateFull(docs: DataFrame, embeddings: DataFrame, benchmark: DataFrame,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val trainable = docs
+      .filter(col("doc_id").isNotNull)
+      .join(benchmark.select("doc_id"), Seq("doc_id"), "left_anti")
+    val cut = Dedup.spanCut(trainable)
+      .drop("n_tokens", "n_cut_tokens")
+      .withColumnRenamed("text_clean", "text")
+    val redacted = cut.withColumn("text", Redaction.redactColumn(col("text")))
+    val gated = qualityGate(redacted, cfg)
+    val keepers = dedupKeepers(gated)
+    val semDropped = Similarity.semanticDropped(embeddings)
+      .withColumnRenamed("vec_id", "doc_id")
+    val sem = keepers.join(semDropped, Seq("doc_id"), "left_anti")
+    val clean = decontaminate(sem, benchmark)
+    val scored = TextAnalysis.qualityRaw(clean)
+      .withColumn("score_fp", TextAnalysis.qualityScoreFp)
+    Sampling.withGlobalQuintile(scored)
+      .withColumn("fingerprint", md5(col("text")))
+      .withColumn("split", Sampling.splitColumn(col("fingerprint")))
+      .select("doc_id", "lang", "source", "n_tokens", "score_fp",
+        "fingerprint", "split", "quintile")
+  }
+
   // The oracle interpolates THESE defaults — a tuned CurationConfig and
   // its SQL twin can't silently diverge.
   private val Defaults = CurationConfig()
@@ -170,6 +229,84 @@ object TrainingPipeline {
       |FROM ranked WHERE rn <= ${Defaults.samplePerStratum}
       |ORDER BY lang, rank""".stripMargin))
 
+  /** Oracle-gated query over [[curateFull]]: the whole extended pipeline
+    * with the `doc_id % 97 = 0` benchmark stand-in. The SQL twin is
+    * COMPOSED from the per-operator fragments each stage already
+    * verifies in isolation ([[Dedup.spanCutSqlCtes]],
+    * [[Redaction.redactSql]], [[Similarity.semanticDroppedSqlCtes]],
+    * [[Dedup.shinglesSql]], [[Sampling.splitSql]]) — one definition per
+    * stage on each engine, so a stage change re-verifies the
+    * composition automatically. */
+  private val pipelineCurateFull = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      curateFull(docs, Tables.embeddings(s, dir).repartition(64), bench)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  WHERE doc_id % 97 <> 0),
+      |${Dedup.spanCutSqlCtes("corpus", Seq("lang", "source"))},
+      |red AS (
+      |  SELECT doc_id, lang, source,
+      |         ${Redaction.redactSql("text_clean")} AS text
+      |  FROM spclean),
+      |rt AS (
+      |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM red),
+      |gated AS (
+      |  SELECT doc_id, lang, source, text, toks, n_tokens FROM (
+      |    SELECT doc_id, lang, source, text, toks, n_tokens,
+      |      len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE) AS diversity,
+      |      list_max(list_transform(list_distinct(toks),
+      |        d -> len(list_filter(toks, x -> x = d)))) / CAST(n_tokens AS DOUBLE) AS twr
+      |    FROM rt)
+      |  WHERE n_tokens >= ${Defaults.minTokens}
+      |    AND diversity >= ${Defaults.minDiversity}
+      |    AND twr <= ${Defaults.maxTopWordRatio}),
+      |keepers AS (
+      |  SELECT doc_id, lang, source, text, toks, n_tokens FROM (
+      |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |    FROM gated)
+      |  WHERE doc_id = keeper),
+      |${Similarity.semanticDroppedSqlCtes},
+      |sem AS (
+      |  SELECT * FROM keepers
+      |  WHERE doc_id NOT IN (SELECT vec_id FROM dropped)),
+      |bt AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE doc_id % 97 = 0),
+      |bench AS (
+      |  SELECT DISTINCT unnest(${Dedup.shinglesSql}) AS shingle FROM bt),
+      |contaminated AS (
+      |  SELECT DISTINCT c.doc_id FROM (
+      |    SELECT doc_id, unnest(${Dedup.shinglesSql}) AS shingle FROM sem) c
+      |  JOIN bench USING (shingle)),
+      |clean AS (
+      |  SELECT * FROM sem
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |q AS (
+      |  SELECT doc_id, lang, source, text, n_tokens,
+      |    CAST(FLOOR(LEAST(n_tokens / 100.0, 1.0) *
+      |      (1.0 - len(list_filter(toks, x -> x IN (${TextAnalysis.stopList})))
+      |        / CAST(n_tokens AS DOUBLE)) *
+      |      (len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5)
+      |      AS BIGINT) AS score_fp
+      |  FROM clean),
+      |rk AS (
+      |  SELECT doc_id, lang, source, n_tokens, score_fp,
+      |         md5(text) AS fingerprint,
+      |         row_number() OVER (ORDER BY score_fp, doc_id) - 1 AS rr,
+      |         COUNT(*) OVER () AS total
+      |  FROM q)
+      |SELECT doc_id, lang, source, n_tokens, score_fp, fingerprint,
+      |  ${Sampling.splitSql("fingerprint")} AS split,
+      |  CAST((rr * 5) // total AS INT) AS quintile
+      |FROM rk ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
-    "pipeline_curate" -> pipelineCurate)
+    "pipeline_curate" -> pipelineCurate,
+    "pipeline_curate_full" -> pipelineCurateFull)
 }

@@ -43,6 +43,37 @@ class TrainingPipelineSuite extends SparkSuite {
     assert(clean.join(corpus, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("curateFull: exclusions, annotations, and stage containment hold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = TrainingPipeline.curateFull(docs, emb, bench)
+    val rows = out.collect()
+    // benchmark docs never surface
+    assert(rows.forall(_.getLong(0) % 97 != 0))
+    // output ⊆ corpus by id; one row per doc
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // split/quintile annotation domains
+    assert(rows.forall(r => Set("train", "valid", "test")(r.getString(6))))
+    assert(rows.forall(r => (0 to 4).contains(r.getInt(7))))
+    // exact dedup held: fingerprints are unique in the output
+    assert(rows.map(_.getString(5)).distinct.length === rows.length)
+    // semantic dedup held: no output id is in the corpus-wide dropped set
+    val dropped = Similarity.semanticDropped(emb.select("vec_id", "embedding"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !dropped(r.getLong(0))))
+    // quintiles are balanced to ±1 doc (the prefix-sum rank contract)
+    val byQ = rows.groupBy(_.getInt(7)).view.mapValues(_.length)
+    if (rows.length >= 5) {
+      assert(byQ.values.max - byQ.values.min <= 1, byQ.toMap.toString)
+    }
+    // PII redaction held: no digits survive in any fingerprinted text —
+    // verify via a recomputed pipeline prefix (cut → redact) fingerprint
+    val trainable = docs.filter(col("doc_id").isNotNull)
+      .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+    val redacted = Dedup.spanCut(trainable)
+      .withColumn("text", Redaction.redactColumn(col("text_clean")))
+    assert(redacted.filter(col("text").rlike("[0-9]")).count() === 0)
+  }
+
   test("curate excludes every held-out benchmark doc and bounds ranks") {
     val out = TrainingPipeline.curate(docs, bench)
     assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
