@@ -128,8 +128,32 @@ object MetricsReport {
     val ccConverged = ccVerdict.exists(_.getAs[Long]("converged") == 1L)
     val ccIterations = ccVerdict.map(_.getAs[Long]("iterations")).getOrElse(-1L)
 
+    // 3b. the DISTRIBUTED CC loop on the real pair graph: at measurement
+    // SF the union-find gate absorbs dedup_clusters (cc_iterations 0
+    // above), so the iterative path — the one that runs at 100 TB —
+    // would otherwise only ever see suite synthetics. Force it
+    // (localEdgeThreshold=0) on the same three-family edge union and
+    // check it agrees with the gate's exact union-find label-for-label.
+    val ccEdges = graft.operators.Dedup.clusterEdges(spark, sfDir)
+      .persist()
+    ccEdges.count()
+    val docsV = Tables.documents(spark, sfDir)
+    val ccDist = graft.operators.ConnectedComponents.run(
+      docsV, "doc_id", ccEdges, "a", "b", localEdgeThreshold = 0)
+    val ccLocal = graft.operators.ConnectedComponents.run(
+      docsV, "doc_id", ccEdges, "a", "b")
+    val ccDisagree = ccDist.labels
+      .withColumnRenamed("label", "dl")
+      .join(ccLocal.labels.withColumnRenamed("label", "ll"), "id")
+      .filter(col("dl") =!= col("ll")).count()
+    ccEdges.unpersist(blocking = false)
+
     // 4. end-to-end streaming throughput
     val stream = StreamBench.run(spark, sfDir)
+
+    // 4b. streaming catalog-dedup ingest: plain vs Bloom-prefiltered
+    // face over the same staged stream + the measured bypass fraction
+    val ingest = StreamBench.runDedupIngest(spark, sfDir)
 
     val sg = skew.map { case (n, (s, h)) =>
       s"""    "$n": {"salted_pairs": $s, "hot_bands": $h}"""
@@ -147,6 +171,7 @@ object MetricsReport {
          |    "dedup_embedding_cosine_false_positives": $falsePos
          |  },
          |  "dedup_clusters": {"documents": $nDocs, "clusters": $nClusters, "converged": $ccConverged, "cc_iterations": $ccIterations},
+         |  "cc_distributed": {"iterations": ${ccDist.iterations}, "converged": ${ccDist.converged}, "disagreements_vs_unionfind": $ccDisagree},
          |  "skew_guard": {
          |$sg
          |  },
@@ -157,6 +182,13 @@ object MetricsReport {
          |    "filtered": ${stream.filtered},
          |    "batches": ${stream.batches},
          |    "seconds": ${d2(stream.seconds)}
+         |  },
+         |  "stream_dedup": {
+         |    "plain_rows_per_sec": ${d0(ingest.plainRowsPerSec)},
+         |    "bloom_rows_per_sec": ${d0(ingest.bloomRowsPerSec)},
+         |    "rows": ${ingest.rows},
+         |    "kept": ${ingest.kept},
+         |    "bloom_bypass_fraction": ${d4(ingest.bypassFraction)}
          |  }
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -6,6 +6,7 @@ import graft.model.ConsumerState
 import graft.sideline.{SidelinePayload, SidelineType}
 import graft.sources.LogSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.streaming.Trigger
 
 import java.util.concurrent.atomic.LongAdder
@@ -64,6 +65,62 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val total = emitted.sum + filtered.sum
     Result(total / sec, total, emitted.sum, filtered.sum, batches.sum, sec)
+  }
+
+  final case class DedupIngestResult(
+      plainRowsPerSec: Double, bloomRowsPerSec: Double,
+      rows: Long, kept: Long, bypassFraction: Double)
+
+  /** Measure the streaming catalog-dedup ingest path: the SAME staged
+    * document stream driven through the plain stream-static anti-join
+    * face and the Bloom-prefiltered face, plus the measured
+    * definitely-new bypass fraction (rows whose fingerprint the filter
+    * has provably never seen — the mass that skips the anti-join
+    * entirely). Both faces must keep identical row counts (the split is
+    * output-equivalent by construction; this drive asserts it). */
+  def runDedupIngest(spark: SparkSession, sfDir: String): DedupIngestResult = {
+    import graft.operators.IncrementalDedup
+    val stage = java.nio.file.Files.createTempDirectory("graft-dedupingest").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    // ×10 the corpus as the arriving stream (steady-state ingest volume);
+    // catalog = the even-id half, so roughly half the stream is new
+    (1 to 10).map(_ => docs).reduce(_ unionAll _)
+      .repartition(24).write.parquet(s"$stage/in")
+    val catalogTable = "graft_streambench_cat_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    IncrementalDedup.writeCatalog(
+      docs.filter(col("doc_id") % 2 === 0), s"$stage/cat", catalogTable)
+    val bloom = IncrementalDedup.catalogBloom(spark, catalogTable)
+    val schema = spark.read.parquet(s"$stage/in").schema
+
+    def drive(face: DataFrame => DataFrame): (Double, Long) = {
+      val kept = new LongAdder
+      val t0 = System.nanoTime()
+      val q = face(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "6").parquet(s"$stage/in"))
+        .writeStream
+        .foreachBatch((df: DataFrame, _: Long) => kept.add(df.count()))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          s"$stage/ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+        .start()
+      q.awaitTermination()
+      ((System.nanoTime() - t0) / 1e9, kept.sum)
+    }
+
+    val (plainSec, keptPlain) =
+      drive(IncrementalDedup.dedupStreamAgainstCatalog(_, catalogTable))
+    val (bloomSec, keptBloom) =
+      drive(IncrementalDedup.dedupStreamAgainstCatalogBloom(_, catalogTable, bloom))
+    require(keptPlain == keptBloom,
+      s"bloom face diverged: plain=$keptPlain bloom=$keptBloom")
+    val staged = spark.read.parquet(s"$stage/in")
+    val rows = staged.count()
+    val bypass = staged
+      .withColumn("fingerprint", md5(col("text")))
+      .filter(!IncrementalDedup.mightContainColumn(bloom))
+      .count().toDouble / rows
+    DedupIngestResult(rows / plainSec, rows / bloomSec, rows, keptPlain, bypass)
   }
 
   def main(args: Array[String]): Unit = {

@@ -144,17 +144,25 @@ object IncrementalDedup {
     }
   }
 
+  /** The Bloom probe predicate over a `fingerprint` column — true iff
+    * the filter MIGHT contain the row (a false is exact). Exposed so a
+    * measurement harness can count the definitely-new bypass mass the
+    * split below routes around the anti-join. */
+  def mightContainColumn(bloom: Array[Byte]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Shim
+    import org.apache.spark.sql.types.BinaryType
+    Shim.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      Shim.expression(xxhash64(col("fingerprint")))))
+  }
+
   /** The bloom split both faces share: rows the filter has definitely
     * never seen bypass the anti-join (a Bloom "no" is exact); possible
     * duplicates anti-join `catalog` to remove false positives exactly. */
   private def bloomSplit(
       withFp: DataFrame, catalog: DataFrame, bloom: Array[Byte]): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.Shim
-    import org.apache.spark.sql.types.BinaryType
-    val mightContain = Shim.column(new BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      Shim.expression(xxhash64(col("fingerprint")))))
+    val mightContain = mightContainColumn(bloom)
     withFp.filter(!mightContain).unionByName(
       withFp.filter(mightContain)
         .join(catalog, Seq("fingerprint"), "left_anti"))
