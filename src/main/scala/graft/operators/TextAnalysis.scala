@@ -265,10 +265,112 @@ object TextAnalysis {
       |  (top_word_ratio > 0.2 OR dup_bigram_ratio > 0.5) AS repetitive
       |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** The Gopher rule set (Rae et al. 2021, arXiv:2112.11446 Table A1) —
+    * the PUBLISHED heuristic gate battery web corpora are filtered with,
+    * as named per-rule verdicts rather than `text_quality`'s composite
+    * score: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratios (# and ellipsis), bullet-/ellipsis-line fractions,
+    * alphabetic-word fraction, and a minimum stopword count (Gopher's
+    * own 8-word list — deliberately distinct from [[stopwords]], which
+    * backs the composite score).
+    *
+    * The two line-granular rules are computed generally but are
+    * near-vacuous on this corpus (the synthetic docs are single-line);
+    * on real crawl text they are the rules that fire most.
+    *
+    * Determinism: every ratio is ONE int/int IEEE division (comparisons
+    * then agree by construction); display rounding is the floor-half-up
+    * form, never engine round(). 100 TB shape: pure per-row narrow —
+    * no shuffle, no join, scan-bound like the rest of the text family. */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The rule battery over any (doc_id, text) frame — the operator body
+    * behind `text_gopher_rules`, callable on fixture frames in tests. */
+  private[operators] def gopherRules(docs: DataFrame): DataFrame = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("mean_word_len",
+        (length(col("text")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("hash_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double")
+          / col("n_words"))
+      .withColumn("ellip_ratio",
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+          + (length(col("text")) - length(regexp_replace(col("text"), "…", "")))).cast("double")
+          / col("n_words"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("bullet_frac",
+        expr("size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))")
+          .cast("double") / size(col("lines")))
+      .withColumn("ellip_line_frac",
+        expr("size(filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))")
+          .cast("double") / size(col("lines")))
+      .withColumn("alpha_word_ratio",
+        expr("size(filter(toks, t -> t RLIKE '[A-Za-z]'))").cast("double") / col("n_words"))
+      .withColumn("n_stop_hits",
+        expr(s"size(filter(toks, t -> t IN (${gopherStops.map(w => s"'$w'").mkString(", ")})))"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (floor(col("mean_word_len") * 1e4 + 0.5) / 1e4).as("mean_word_len"),
+        (floor(col("alpha_word_ratio") * 1e4 + 0.5) / 1e4).as("alpha_word_ratio"),
+        col("n_stop_hits"),
+        col("n_words").between(50, 100000).as("ok_word_count"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_mean_word_len"),
+        (col("hash_ratio") <= 0.1 && col("ellip_ratio") <= 0.1).as("ok_symbol_ratio"),
+        (col("bullet_frac") <= 0.9).as("ok_bullet_lines"),
+        (col("ellip_line_frac") <= 0.3).as("ok_ellipsis_lines"),
+        (col("alpha_word_ratio") >= 0.8).as("ok_alpha_words"),
+        (col("n_stop_hits") >= 2).as("ok_stopwords"))
+      .withColumn("passes_gopher",
+        col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
+          col("ok_bullet_lines") && col("ok_ellipsis_lines") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
+      .orderBy("doc_id")
+
+  private val textGopherRules = QueryDef(
+    (s, dir) => gopherRules(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |         string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_words,
+      |    (length(text) - (n_words - 1)) / CAST(n_words AS DOUBLE) AS mean_word_len,
+      |    (length(text) - length(replace(text, '#', ''))) / CAST(n_words AS DOUBLE) AS hash_ratio,
+      |    ((length(text) - length(replace(text, '...', ''))) // 3
+      |      + (length(text) - length(replace(text, '…', '')))) / CAST(n_words AS DOUBLE) AS ellip_ratio,
+      |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+      |      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+      |    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+      |      / CAST(len(lines) AS DOUBLE) AS ellip_line_frac,
+      |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+      |      / CAST(n_words AS DOUBLE) AS alpha_word_ratio,
+      |    CAST(len(list_filter(toks, t -> t IN (${gopherStops.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words,
+      |  FLOOR(mean_word_len * 1e4 + 0.5) / 1e4 AS mean_word_len,
+      |  FLOOR(alpha_word_ratio * 1e4 + 0.5) / 1e4 AS alpha_word_ratio,
+      |  n_stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+      |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_word_len,
+      |  hash_ratio <= 0.1 AND ellip_ratio <= 0.1 AS ok_symbol_ratio,
+      |  bullet_frac <= 0.9 AS ok_bullet_lines,
+      |  ellip_line_frac <= 0.3 AS ok_ellipsis_lines,
+      |  alpha_word_ratio >= 0.8 AS ok_alpha_words,
+      |  n_stop_hits >= 2 AS ok_stopwords,
+      |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |    AND (hash_ratio <= 0.1 AND ellip_ratio <= 0.1) AND bullet_frac <= 0.9
+      |    AND ellip_line_frac <= 0.3 AND alpha_word_ratio >= 0.8
+      |    AND n_stop_hits >= 2 AS passes_gopher
+      |FROM r ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
     "text_repetition" -> textRepetition,
+    "text_gopher_rules" -> textGopherRules,
     "doc_fingerprint" -> docFingerprint)
 }

@@ -92,6 +92,22 @@ class PlanSuite extends SparkSuite {
     val splitPlan = SparkEntry.queries("split_holdout")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!splitPlan.contains("hashpartitioning"), splitPlan.take(2000))
+    // the Gopher rule battery is per-row flag math — same class
+    val gopherPlan = SparkEntry.queries("text_gopher_rules")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!gopherPlan.contains("hashpartitioning"), gopherPlan.take(2000))
+  }
+
+  test("dsir_weights: bucket tables broadcast back to the token stream") {
+    // the corpus-sized side must never shuffle for the lr/c_fx joins —
+    // the only hash exchanges allowed are the two Buckets-sized (≤1024
+    // row) aggregations and the final per-doc rollup
+    val df = SparkEntry.queries("dsir_weights")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
   /** The skew guard's occupancy annotate is the ONE legitimate broadcast
