@@ -284,9 +284,12 @@ object TextAnalysis {
     * no shuffle, no join, scan-bound like the rest of the text family. */
   private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** The rule battery over any (doc_id, text) frame — the operator body
-    * behind `text_gopher_rules`, callable on fixture frames in tests. */
-  private[operators] def gopherRules(docs: DataFrame): DataFrame = docs
+  /** The per-rule signal columns over any (…, text) frame — the ONE
+    * definition both the `text_gopher_rules` report and the pipeline's
+    * gate build on. Adds (toks, n_words, mean_word_len, hash_ratio,
+    * ellip_ratio, lines, bullet_frac, ellip_line_frac, alpha_word_ratio,
+    * n_stop_hits); [[gopherSignalCols]] lists them for dropping. */
+  private[operators] def gopherSignals(docs: DataFrame): DataFrame = docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_words", size(col("toks")))
       .withColumn("mean_word_len",
@@ -309,61 +312,75 @@ object TextAnalysis {
         expr("size(filter(toks, t -> t RLIKE '[A-Za-z]'))").cast("double") / col("n_words"))
       .withColumn("n_stop_hits",
         expr(s"size(filter(toks, t -> t IN (${gopherStops.map(w => s"'$w'").mkString(", ")})))"))
-      .select(
+
+  private[operators] val gopherSignalCols = Seq("toks", "n_words",
+    "mean_word_len", "hash_ratio", "ellip_ratio", "lines", "bullet_frac",
+    "ellip_line_frac", "alpha_word_ratio", "n_stop_hits")
+
+  /** (flag name, predicate over [[gopherSignals]]' columns) per rule.
+    * The predicate strings are plain comparisons — valid in BOTH SQL
+    * dialects — so report flags, the gate, and the DuckDB twin all parse
+    * THIS one definition; a threshold can't half-change. */
+  private[operators] val gopherRuleSql: Seq[(String, String)] = Seq(
+    "ok_word_count" -> "n_words BETWEEN 50 AND 100000",
+    "ok_mean_word_len" -> "mean_word_len >= 3.0 AND mean_word_len <= 10.0",
+    "ok_symbol_ratio" -> "hash_ratio <= 0.1 AND ellip_ratio <= 0.1",
+    "ok_bullet_lines" -> "bullet_frac <= 0.9",
+    "ok_ellipsis_lines" -> "ellip_line_frac <= 0.3",
+    "ok_alpha_words" -> "alpha_word_ratio >= 0.8",
+    "ok_stopwords" -> "n_stop_hits >= 2")
+
+  private[operators] def gopherPassPredSql: String =
+    gopherRuleSql.map { case (_, p) => s"($p)" }.mkString(" AND ")
+
+  /** The all-rules-pass predicate over [[gopherSignals]]' columns. */
+  private[operators] def gopherPassCol: Column = expr(gopherPassPredSql)
+
+  /** The rule battery over any (doc_id, text) frame — the operator body
+    * behind `text_gopher_rules`, callable on fixture frames in tests. */
+  private[operators] def gopherRules(docs: DataFrame): DataFrame =
+    gopherSignals(docs)
+      .select(Seq(
         col("doc_id"),
         col("n_words"),
         (floor(col("mean_word_len") * 1e4 + 0.5) / 1e4).as("mean_word_len"),
         (floor(col("alpha_word_ratio") * 1e4 + 0.5) / 1e4).as("alpha_word_ratio"),
-        col("n_stop_hits"),
-        col("n_words").between(50, 100000).as("ok_word_count"),
-        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_mean_word_len"),
-        (col("hash_ratio") <= 0.1 && col("ellip_ratio") <= 0.1).as("ok_symbol_ratio"),
-        (col("bullet_frac") <= 0.9).as("ok_bullet_lines"),
-        (col("ellip_line_frac") <= 0.3).as("ok_ellipsis_lines"),
-        (col("alpha_word_ratio") >= 0.8).as("ok_alpha_words"),
-        (col("n_stop_hits") >= 2).as("ok_stopwords"))
-      .withColumn("passes_gopher",
-        col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
-          col("ok_bullet_lines") && col("ok_ellipsis_lines") &&
-          col("ok_alpha_words") && col("ok_stopwords"))
+        col("n_stop_hits")) ++
+        gopherRuleSql.map { case (name, p) => expr(p).as(name) } :+
+        gopherPassCol.as("passes_gopher"): _*)
       .orderBy("doc_id")
 
-  private val textGopherRules = QueryDef(
-    (s, dir) => gopherRules(Tables.documents(s, dir)),
-    Some(s"""WITH t AS (
-      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-      |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-      |         string_split(text, chr(10)) AS lines
-      |  FROM documents),
-      |r AS (
-      |  SELECT doc_id, n_words,
+  /** DuckDB twin of [[gopherSignals]]: a SELECT producing `keepCols` +
+    * the signal columns over `src`. Internal names (gtoks/glines) avoid
+    * colliding with pipeline CTEs that already carry toks columns. */
+  private[operators] def gopherSignalsSql(src: String, keepCols: String): String =
+    s"""SELECT $keepCols, n_words,
       |    (length(text) - (n_words - 1)) / CAST(n_words AS DOUBLE) AS mean_word_len,
       |    (length(text) - length(replace(text, '#', ''))) / CAST(n_words AS DOUBLE) AS hash_ratio,
       |    ((length(text) - length(replace(text, '...', ''))) // 3
       |      + (length(text) - length(replace(text, '…', '')))) / CAST(n_words AS DOUBLE) AS ellip_ratio,
-      |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
-      |      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
-      |    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
-      |      / CAST(len(lines) AS DOUBLE) AS ellip_line_frac,
-      |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+      |    len(list_filter(glines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+      |      / CAST(len(glines) AS DOUBLE) AS bullet_frac,
+      |    len(list_filter(glines, l -> l LIKE '%...' OR l LIKE '%…'))
+      |      / CAST(len(glines) AS DOUBLE) AS ellip_line_frac,
+      |    len(list_filter(gtoks, t -> regexp_matches(t, '[A-Za-z]')))
       |      / CAST(n_words AS DOUBLE) AS alpha_word_ratio,
-      |    CAST(len(list_filter(toks, t -> t IN (${gopherStops.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop_hits
-      |  FROM t)
+      |    CAST(len(list_filter(gtoks, t -> t IN (${gopherStops.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop_hits
+      |  FROM (SELECT *, string_split(text, ' ') AS gtoks,
+      |          CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |          string_split(text, chr(10)) AS glines
+      |        FROM $src)""".stripMargin
+
+  private val textGopherRules = QueryDef(
+    (s, dir) => gopherRules(Tables.documents(s, dir)),
+    Some(s"""WITH r AS (
+      |  ${gopherSignalsSql("documents", "doc_id")})
       |SELECT doc_id, n_words,
       |  FLOOR(mean_word_len * 1e4 + 0.5) / 1e4 AS mean_word_len,
       |  FLOOR(alpha_word_ratio * 1e4 + 0.5) / 1e4 AS alpha_word_ratio,
       |  n_stop_hits,
-      |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
-      |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_word_len,
-      |  hash_ratio <= 0.1 AND ellip_ratio <= 0.1 AS ok_symbol_ratio,
-      |  bullet_frac <= 0.9 AS ok_bullet_lines,
-      |  ellip_line_frac <= 0.3 AS ok_ellipsis_lines,
-      |  alpha_word_ratio >= 0.8 AS ok_alpha_words,
-      |  n_stop_hits >= 2 AS ok_stopwords,
-      |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-      |    AND (hash_ratio <= 0.1 AND ellip_ratio <= 0.1) AND bullet_frac <= 0.9
-      |    AND ellip_line_frac <= 0.3 AND alpha_word_ratio >= 0.8
-      |    AND n_stop_hits >= 2 AS passes_gopher
+      |${gopherRuleSql.map { case (n, p) => s"  ($p) AS $n" }.mkString(",\n")},
+      |  ($gopherPassPredSql) AS passes_gopher
       |FROM r ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(

@@ -118,7 +118,11 @@ object TrainingPipeline {
     *     gates, so boilerplate mass doesn't distort quality metrics;
     *  3. PII redaction ([[Redaction.redactColumn]]) — the text that
     *     trains is the text that's judged, so gates come after;
-    *  4. quality + repetition gates ([[qualityGate]]);
+    *  4. quality + repetition gates ([[qualityGate]]), then the Gopher
+    *     rule battery ([[TextAnalysis.gopherRuleSql]]) — ENGLISH-
+    *     calibrated published thresholds, so non-English rows bypass it
+    *     (they are judged by the language-agnostic gates only, the way
+    *     multilingual pipelines deploy these rules);
     *  5. exact-dedup keepers on the final text ([[dedupKeepers]]);
     *  6. semantic dedup ([[Similarity.semanticDropped]]) over the
     *     CORPUS-WIDE embedding table: a doc whose embedding SemDeDup
@@ -153,7 +157,10 @@ object TrainingPipeline {
       .withColumnRenamed("text_clean", "text")
     val redacted = cut.withColumn("text", Redaction.redactColumn(col("text")))
     val gated = qualityGate(redacted, cfg)
-    val keepers = dedupKeepers(gated)
+    val battered = TextAnalysis.gopherSignals(gated)
+      .filter(col("lang") =!= "en" || TextAnalysis.gopherPassCol)
+      .drop(TextAnalysis.gopherSignalCols: _*)
+    val keepers = dedupKeepers(battered)
     val semDropped = Similarity.semanticDropped(embeddings)
       .withColumnRenamed("vec_id", "doc_id")
     val sem = keepers.join(semDropped, Seq("doc_id"), "left_anti")
@@ -233,7 +240,9 @@ object TrainingPipeline {
     * with the `doc_id % 97 = 0` benchmark stand-in. The SQL twin is
     * COMPOSED from the per-operator fragments each stage already
     * verifies in isolation ([[Dedup.spanCutSqlCtes]],
-    * [[Redaction.redactSql]], [[Similarity.semanticDroppedSqlCtes]],
+    * [[Redaction.redactSql]], [[TextAnalysis.gopherSignalsSql]] +
+    * [[TextAnalysis.gopherPassPredSql]],
+    * [[Similarity.semanticDroppedSqlCtes]],
     * [[Dedup.shinglesSql]], [[Sampling.splitSql]]) — one definition per
     * stage on each engine, so a stage change re-verifies the
     * composition automatically. */
@@ -266,10 +275,14 @@ object TrainingPipeline {
       |  WHERE n_tokens >= ${Defaults.minTokens}
       |    AND diversity >= ${Defaults.minDiversity}
       |    AND twr <= ${Defaults.maxTopWordRatio}),
+      |gop AS (
+      |  SELECT doc_id, lang, source, text, toks, n_tokens FROM (
+      |  ${TextAnalysis.gopherSignalsSql("gated", "doc_id, lang, source, text, toks, n_tokens")})
+      |  WHERE lang <> 'en' OR (${TextAnalysis.gopherPassPredSql})),
       |keepers AS (
       |  SELECT doc_id, lang, source, text, toks, n_tokens FROM (
       |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-      |    FROM gated)
+      |    FROM gop)
       |  WHERE doc_id = keeper),
       |${Similarity.semanticDroppedSqlCtes},
       |sem AS (

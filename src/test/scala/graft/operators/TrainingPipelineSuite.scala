@@ -72,6 +72,13 @@ class TrainingPipelineSuite extends SparkSuite {
     val redacted = Dedup.spanCut(trainable)
       .withColumn("text", Redaction.redactColumn(col("text_clean")))
     assert(redacted.filter(col("text").rlike("[0-9]")).count() === 0)
+    // Gopher gate held: every surviving ENGLISH doc passes the battery
+    // on its post-cut post-redaction text (non-English rows bypass)
+    val enSurvivors = out.filter(col("lang") === "en").select("doc_id")
+    val failing = TextAnalysis.gopherSignals(
+        redacted.join(enSurvivors, "doc_id"))
+      .filter(!TextAnalysis.gopherPassCol).count()
+    assert(failing === 0L, "an English survivor fails the Gopher battery")
   }
 
   test("curate excludes every held-out benchmark doc and bounds ranks") {
