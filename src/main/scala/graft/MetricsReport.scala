@@ -93,6 +93,8 @@ object MetricsReport {
     val kmeans = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivf_kmeans_topk"))
     val int8 = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_int8_topk"))
     val int8rr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_int8_rerank_topk"))
+    val pq = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_pq_topk"))
+    val pqrr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_pq_rerank_topk"))
     val banded = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
       .select("vec_id_keeper", "vec_id_dropped").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -167,6 +169,8 @@ object MetricsReport {
          |    "ann_ivf_kmeans_topk_at10": ${d4(kmeans)},
          |    "ann_int8_topk_at10": ${d4(int8)},
          |    "ann_int8_rerank_topk_at10": ${d4(int8rr)},
+         |    "ann_pq_topk_at10": ${d4(pq)},
+         |    "ann_pq_rerank_topk_at10": ${d4(pqrr)},
          |    "dedup_embedding_cosine_pair_recall": ${d4(pairRecall)},
          |    "dedup_embedding_cosine_false_positives": $falsePos
          |  },

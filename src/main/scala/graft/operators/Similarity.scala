@@ -763,6 +763,268 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |       ROUND(sim, 4) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
+  // ---- product-quantized ANN (codes + ADC) -----------------------------
+
+  /** PQ geometry: [[Dim]] = [[PqM]] subspaces × [[PqSubDim]] dims, [[PqK]]
+    * codewords per subspace. 16 codewords is the sf-scaled stand-in for
+    * the production 256 (the same seeds-for-trained substitution as the
+    * IVF family); at 256 a code byte-packs and a vector stores in
+    * [[PqM]] bytes — 32× under the float embedding. */
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM // 8
+  private val PqK = 32
+  private val PqIters = 2
+  private val PqTrainCap = TrainCap // 2048
+
+  /** PQ re-rank shortlist: 10× the final k (vs int8's 3×) — a [[PqM]]×
+    * log2([[PqK]])-bit code carries far more quantization noise than
+    * int8's 8 bits/dim, so the exact re-scan needs the deeper (still
+    * k-scaled, corpus-independent) candidate set. The production
+    * IVF-PQ recipe re-ranks 10-100× k for the same reason. */
+  private val PqShortK = 100
+
+  /** One subspace codeword. Field names are what the encode fold reads. */
+  private[operators] case class SubCentroid(code: Int, cvec: Seq[Double])
+
+  /** argmin_code ‖sub − cvec‖² as a literal fold (the [[nearestCentroid]]
+    * pattern under an L2 objective): strict `<` improvement over the
+    * code-ascending list ⇒ ties keep the LOWEST code, exactly the
+    * oracle's `ORDER BY dist, code` row_number. Sub-distance is the
+    * left-assoc 8-term fold from 0.0 ≡ the twin's explicit sum. */
+  private def nearestCodeIn(cbs: Column, sub: Column): Column =
+    aggregate(
+      cbs,
+      struct(lit(-1).as("code"), lit(Double.MaxValue).as("dist")),
+      (acc, c) => {
+        val d = aggregate(
+          zip_with(sub, c.getField("cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+        when(d < acc.getField("dist"),
+          struct(c.getField("code").as("code"), d.as("dist"))).otherwise(acc)
+      }).getField("code")
+
+  private def nearestCode(cbs: Seq[SubCentroid], sub: Column): Column =
+    nearestCodeIn(typedLit(cbs), sub)
+
+  /** Product-quantized corpus + ADC scoring (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): vectors are L2-normalized
+    * (so inner product IS cosine), each [[PqSubDim]]-dim subspace is
+    * vector-quantized against its own [[PqK]]-codeword book, and a vector
+    * stores as [[PqM]] small codes. A query scores a candidate by the
+    * inner product with the candidate's RECONSTRUCTION (codewords
+    * concatenated in subspace order) — asymmetric distance computation,
+    * exact given the codes, which is what makes it oracle-expressible.
+    *
+    * Why at 100 TB: the stored corpus shrinks from Dim floats to PqM
+    * code bytes (32× at K=256) — the scan that dominates every ANN probe
+    * reads codes, and the decode happens in the scan's projection
+    * (transient, codegen'd), never materialized back to storage. The
+    * production refinement (per-query K×M lookup tables instead of
+    * decode-then-dot) changes constant factors, not bytes read or the
+    * result; recall is bought back the same way as int8 — an exact
+    * re-rank over the k-sized shortlist ([[annPqRerankTopk]]).
+    *
+    * Determinism: normalization and sub-distances are IEEE doubles with
+    * identical association in both engines; tie-breaks are strict-< over
+    * code-ascending; the final dot is ONE flat 64-term left-assoc fold
+    * over the reconstruction ≡ the twin's explicit 64-term sum (never a
+    * per-subspace partial sum — a different association from the twin's
+    * flat one). Codebooks seed from the normalized first [[PqK]] vectors
+    * then take [[PqIters]] per-subspace Lloyd iterations (ROUND(AVG,6)
+    * means — the kmeans-query determinism precedent); driver-held
+    * metadata throughout ([[collectCentroids]] precedent). */
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).repartition(64)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+      .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
+    // seed codebooks: PqM × PqK × PqSubDim doubles — metadata
+    val seeds = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("nx")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    require(seeds.map(_._1).sameElements(0L until PqK),
+      s"PQ seeds must be vec_id 0..${PqK - 1} (positional decode)")
+    val seedBooks: Seq[Seq[SubCentroid]] = (0 until PqM).map { m =>
+      seeds.toSeq.map { case (id, nx) =>
+        SubCentroid(id.toInt, nx.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      }
+    }
+    // per-subspace Lloyd training, all subspaces in one pass per
+    // iteration: explode the train head to (vec, m, sub) rows (8× a
+    // ≤PqTrainCap head — bounded), assign with the literal fold, update
+    // = ROUND(AVG, 6) means (the kmeans-query precedent: rounding makes
+    // the order-dependent float mean engine-identical), collect the
+    // PqM×PqK-row result between iterations (the MLlib shape). Codes
+    // renumber contiguously after each update — relative order is
+    // preserved, so tie-breaks pick the same VECTOR as the twin's
+    // original-id ordering, and the positional decode stays valid.
+    val trainSubs = emb.filter(col("vec_id") < PqTrainCap)
+      .select(col("vec_id"), col("nx"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .withColumn("sub", expr(s"slice(nx, m * $PqSubDim + 1, $PqSubDim)"))
+      .select("vec_id", "m", "sub")
+      .persist()
+    val books: Seq[Seq[SubCentroid]] =
+      try {
+        def lloydPq(bs: Seq[Seq[SubCentroid]]): Seq[Seq[SubCentroid]] = {
+          val booksLit = typedLit(bs.map(_.toIndexedSeq).toIndexedSeq)
+          val rows = trainSubs
+            .withColumn("code",
+              nearestCodeIn(element_at(booksLit, col("m") + 1), col("sub")))
+            .groupBy("m", "code")
+            .agg(array((1 to PqSubDim).map(j =>
+              round(avg(element_at(col("sub"), j)), 6)): _*).as("cvec"))
+            .collect()
+          (0 until PqM).map { m =>
+            rows.filter(_.getInt(0) == m)
+              .map(r => (r.getInt(1), r.getSeq[Double](2)))
+              .sortBy(_._1)
+              .zipWithIndex
+              .map { case ((_, cv), i) => SubCentroid(i, cv) }.toSeq
+          }
+        }
+        (1 to PqIters).foldLeft(seedBooks)((b, _) => lloydPq(b))
+      } finally { trainSubs.unpersist(blocking = false); () }
+    val booksVecs: Seq[Seq[Seq[Double]]] = books.map(_.map(_.cvec))
+    // encode: PqM narrow argmin folds per row, zero shuffle
+    val encoded = (0 until PqM).foldLeft(emb) { (df, m) =>
+      df.withColumn(s"code$m",
+        nearestCode(books(m), slice(col("nx"), m * PqSubDim + 1, PqSubDim)))
+    }
+    // decode in the projection: codeword lookup per subspace, flat concat
+    val recon = concat((0 until PqM).map(m =>
+      element_at(typedLit(booksVecs(m)), col(s"code$m") + 1)): _*)
+    val corpus = encoded
+      .select(col("vec_id").as("neighbor_id"), recon.as("recon"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("nx").as("qx"))
+    broadcast(queries)
+      .join(corpus, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dotCol("qx", "recon"))
+  }
+
+  /** DuckDB twin of [[pqScored]]: CTEs ending in
+    * `scoredp(query_id, neighbor_id, sim)`. The reconstruction is
+    * rebuilt by joining each vector's PqM codes back to the codebook
+    * relation and concatenating in subspace order (order-pinned list
+    * agg), then scored with the same flat 64-term dot. */
+  private def pqScoredSql: String = {
+    val subDist = (1 to PqSubDim)
+      .map(j => s"(p.sub[$j] - c.cvec[$j]) * (p.sub[$j] - c.cvec[$j])")
+      .mkString(" + ")
+    val meanList = (1 to PqSubDim)
+      .map(j => s"ROUND(AVG(sub[$j]), 6)").mkString("[", ", ", "]")
+    def assignSql(src: String, cents: String): String =
+      s"""SELECT vec_id, m, sub, code FROM (
+        |    SELECT p.vec_id, p.m, p.sub, c.code,
+        |           row_number() OVER (PARTITION BY p.vec_id, p.m ORDER BY
+        |             ($subDist), c.code) AS prn
+        |    FROM $src p JOIN $cents c ON p.m = c.m)
+        |  WHERE prn = 1""".stripMargin
+    val iterCtes = (1 to PqIters).map { i =>
+      val cents = if (i == 1) "pcb0" else s"pcb${i - 1}"
+      s"pa${i - 1} AS (\n  ${assignSql("ptr", cents)}),\n" +
+        s"pcb$i AS (\n  SELECT m, code, $meanList AS cvec\n" +
+        s"  FROM pa${i - 1} GROUP BY m, code)"
+    }.mkString(",\n")
+    s"""ne AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |           SQRT(${dotSql("embedding", "embedding")})) AS nx
+      |  FROM embeddings),
+      |pexp AS (
+      |  SELECT vec_id, m,
+      |         list_slice(nx, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sub
+      |  FROM ne, range(0, $PqM) AS t(m)),
+      |ptr AS (SELECT * FROM pexp WHERE vec_id < $PqTrainCap),
+      |pcb0 AS (
+      |  SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
+      |  FROM pexp WHERE vec_id < $PqK),
+      |$iterCtes,
+      |pcodes AS (
+      |  ${assignSql("pexp", s"pcb$PqIters")}),
+      |precon AS (
+      |  SELECT p.vec_id, flatten(list(c.cvec ORDER BY p.m)) AS recon
+      |  FROM pcodes p JOIN pcb$PqIters c ON p.m = c.m AND p.code = c.code
+      |  GROUP BY p.vec_id),
+      |pq AS (
+      |  SELECT vec_id AS query_id, nx AS qx FROM ne
+      |  WHERE vec_id < $NumQueries),
+      |scoredp AS (
+      |  SELECT query_id, r.vec_id AS neighbor_id,
+      |         (${dotSql("qx", "recon")}) AS sim
+      |  FROM pq, precon r WHERE r.vec_id <> query_id)""".stripMargin
+  }
+
+  private val annPqTopk = QueryDef(
+    (s, dir) => topKPerQuery(s, pqScored(s, dir)),
+    Some(s"""WITH ${pqScoredSql},
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scoredp)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  /** PQ shortlist + exact float re-rank — the [[annInt8RerankTopk]]
+    * production shape over the 32×-compressed codes: the corpus is
+    * scanned as codes, only the [[PqShortK]] winners per query are
+    * re-scored with exact float cosine. */
+  private val annPqRerankTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shortlist = topKPerQuery(s, pqScored(s, dir), PqShortK)
+        .select("query_id", "neighbor_id")
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qe = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qnrm", sqrt(dotCol("qv", "qv")))
+      val exact = emb
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(shortlist), "neighbor_id")
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+        .join(broadcast(qe), "query_id")
+        .withColumn("sim", dotCol("qv", "embedding") / (col("qnrm") * col("nrm")))
+      exact
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${pqScoredSql},
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY sim DESC, neighbor_id) AS srn
+      |    FROM scoredp)
+      |  WHERE srn <= $PqShortK),
+      |fe AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |fqe AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM fe
+      |  WHERE vec_id < $NumQueries),
+      |exact AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |         (${dotSql("fqe.qv", "ne2.embedding")}) / (fqe.qnrm * ne2.nrm) AS sim
+      |  FROM short sh
+      |  JOIN fe ne2 ON sh.neighbor_id = ne2.vec_id
+      |  JOIN fqe ON sh.query_id = fqe.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM exact)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
   // ---- semantic dedup (cluster-then-prune) -----------------------------
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -946,6 +1208,8 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     "ann_cosine_topk" -> annCosineTopk,
     "ann_int8_topk" -> annInt8Topk,
     "ann_int8_rerank_topk" -> annInt8RerankTopk,
+    "ann_pq_topk" -> annPqTopk,
+    "ann_pq_rerank_topk" -> annPqRerankTopk,
     "ann_lsh_srp" -> annLshSrp,
     "ann_lsh_pairs" -> annLshPairs,
     "ann_ivf_topk" -> annIvfTopk,

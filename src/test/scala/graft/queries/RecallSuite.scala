@@ -89,6 +89,20 @@ class RecallSuite extends SparkSuite {
     assert(rerank >= 0.95, f"rerank recall@10 $rerank%.3f below floor")
   }
 
+  test("PQ rerank buys the product-quantization recall back, like int8") {
+    val pq = recallAt10(topkSets("ann_pq_topk"))
+    val rerank = recallAt10(topkSets("ann_pq_rerank_topk"))
+    info(f"pq $pq%.3f vs pq+exact-rerank $rerank%.3f")
+    assert(rerank >= pq,
+      f"re-ranking with exact float scores must not lose recall: $rerank%.3f < $pq%.3f")
+    // a 40-bit PQ code is ~13× fewer bits than int8's 512 — single-stage
+    // ordering is accordingly noisy (floor is a far-above-random sanity
+    // bound: random recall@10 here is ~0.02); the production claim is
+    // the 10×k-shortlist rerank number
+    assert(pq >= 0.2, f"plain PQ recall@10 $pq%.3f below floor")
+    assert(rerank >= 0.9, f"rerank recall@10 $rerank%.3f below floor")
+  }
+
   test("training + nprobe=2 beats the untrained nprobe=1 index") {
     val trained = recallAt10(topkSets("ann_ivf_kmeans_topk"))
     val seeded = recallAt10(topkSets("ann_ivf_topk"))
