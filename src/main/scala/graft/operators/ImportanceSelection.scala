@@ -56,7 +56,10 @@ object ImportanceSelection {
   /** The "high-quality target domain" of the demo fixture: three of the
     * twenty synthetic sources. A deployment points this predicate (or a
     * separate table) at wiki/books/reference text. */
-  private val TargetSources = Seq("src0", "src1", "src2")
+  private[operators] val TargetSources = Seq("src0", "src1", "src2")
+
+  private[operators] def targetSourceCol: Column =
+    col("source").isin(TargetSources: _*)
 
   /** mlog2 fixed-point SQL over a NONNEGATIVE bigint expression `x`
     * (callers pass count+1 so the argument is ≥ 1), Spark dialect. */
@@ -82,11 +85,15 @@ object ImportanceSelection {
     s"((${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % $Buckets)"
   }
 
-  /** Per-raw-doc DSIR importance weights over any (doc_id, text) frame.
-    * `isTarget` marks the target-domain rows (scored against, never
-    * scored). Output: (doc_id, n_tokens, weight) — weight in Mitchell
-    * bits; higher = more target-like. */
-  private[operators] def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+  /** Per-doc DSIR importance weights over any (doc_id, text) frame.
+    * `isTarget` marks the target-domain rows the bucket tables contrast
+    * against; `scoreTargets = false` (the paper's estimator, the
+    * standalone query) scores raw rows only, `true` (the pipeline's
+    * annotation use) scores every row against the same tables.
+    * Output: (doc_id, n_tokens, weight) — weight in Mitchell bits;
+    * higher = more target-like. */
+  private[operators] def dsirWeights(docs: DataFrame, isTarget: Column,
+      scoreTargets: Boolean = false): DataFrame = {
     val tok = docs
       .select(col("doc_id"), isTarget.as("is_t"),
         explode(split(col("text"), " ")).as("w"))
@@ -103,7 +110,7 @@ object ImportanceSelection {
     val cfx = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
       .select(expr(s"${mlog2Spark(s"tr + $Buckets")} - ${mlog2Spark(s"tt + $Buckets")}")
         .as("c_fx"))
-    tok.filter(!col("is_t"))
+    (if (scoreTargets) tok else tok.filter(!col("is_t")))
       .join(broadcast(lr), "b")
       .crossJoin(broadcast(cfx))
       .groupBy("doc_id")
@@ -115,36 +122,42 @@ object ImportanceSelection {
       .orderBy("doc_id")
   }
 
+  /** DuckDB twin of [[dsirWeights]]: CTE chain ending in
+    * `dsirw(doc_id, n_tokens, weight)` over `src` (needs doc_id, source,
+    * text). Names are d-prefixed so the chain composes into the curation
+    * pipeline's oracle without collisions. */
+  private[operators] def dsirSqlCtes(src: String, scoreTargets: Boolean): String = {
+    val targets = TargetSources.map(t => s"'$t'").mkString(", ")
+    val where = if (scoreTargets) "" else "\n  WHERE NOT is_t"
+    s"""dtok AS (
+      |  SELECT doc_id, source IN ($targets) AS is_t,
+      |         ${bucketSql("md5(w)")} AS b
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |        FROM $src)),
+      |dcnt AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM dtok GROUP BY b),
+      |dlr AS (
+      |  SELECT b, ${mlog2Duck("ct + 1")} - ${mlog2Duck("cr + 1")} AS lr_fx
+      |  FROM dcnt),
+      |dc AS (
+      |  SELECT ${mlog2Duck(s"tr + $Buckets")} - ${mlog2Duck(s"tt + $Buckets")} AS c_fx
+      |  FROM (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+      |               CAST(SUM(cr) AS BIGINT) AS tr FROM dcnt)),
+      |dsirw AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(lr_fx + c_fx) AS DOUBLE) / $Scale AS weight
+      |  FROM dtok JOIN dlr USING (b) CROSS JOIN dc$where
+      |  GROUP BY doc_id)""".stripMargin
+  }
+
   private val dsirWeightsQuery = QueryDef(
     (s, dir) => dsirWeights(
-      Tables.documents(s, dir).repartition(64),
-      col("source").isin(TargetSources: _*)),
-    Some {
-      val targets = TargetSources.map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (
-        |  SELECT doc_id, source IN ($targets) AS is_t,
-        |         ${bucketSql("md5(w)")} AS b
-        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)),
-        |cnt AS (
-        |  SELECT b,
-        |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-        |    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
-        |  FROM tok GROUP BY b),
-        |lr AS (
-        |  SELECT b, ${mlog2Duck("ct + 1")} - ${mlog2Duck("cr + 1")} AS lr_fx
-        |  FROM cnt),
-        |c AS (
-        |  SELECT ${mlog2Duck(s"tr + $Buckets")} - ${mlog2Duck(s"tt + $Buckets")} AS c_fx
-        |  FROM (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
-        |               CAST(SUM(cr) AS BIGINT) AS tr FROM cnt))
-        |SELECT doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(lr_fx + c_fx) AS DOUBLE) / $Scale AS weight
-        |FROM tok JOIN lr USING (b) CROSS JOIN c
-        |WHERE NOT is_t
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
-    })
+      Tables.documents(s, dir).repartition(64), targetSourceCol),
+    Some(s"""WITH ${dsirSqlCtes("documents", scoreTargets = false)}
+      |SELECT doc_id, n_tokens, weight FROM dsirw ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(
     "dsir_weights" -> dsirWeightsQuery)

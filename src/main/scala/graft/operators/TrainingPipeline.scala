@@ -134,12 +134,16 @@ object TrainingPipeline {
     *     ([[decontaminate]]);
     *  8. annotations: global quality quintile
     *     ([[Sampling.withGlobalQuintile]] — distributed prefix-sum, no
-    *     global sort) and the leakage-safe content-fingerprint split
-    *     ([[Sampling.splitColumn]]).
+    *     global sort), the leakage-safe content-fingerprint split
+    *     ([[Sampling.splitColumn]]), and the DSIR importance weight
+    *     ([[ImportanceSelection.dsirWeights]] — the STATISTICAL
+    *     target-likeness signal next to the heuristic quintile; bucket
+    *     tables build on the post-redaction corpus, every survivor is
+    *     scored against them).
     *
     * Output: (doc_id, lang, source, n_tokens, score_fp, fingerprint,
-    * split, quintile) — the audit record a materialization step
-    * ([[ShardedExport]]) or a mixer ([[Sampling]]) consumes.
+    * split, quintile, dsir_weight) — the audit record a materialization
+    * step ([[ShardedExport]]) or a mixer ([[Sampling]]) consumes.
     *
     * 100 TB shape: stages 2-5 and 7-8 are the documented shapes of their
     * operators (one fingerprint exchange + broadcast cut-join; narrow
@@ -167,11 +171,16 @@ object TrainingPipeline {
     val clean = decontaminate(sem, benchmark)
     val scored = TextAnalysis.qualityRaw(clean)
       .withColumn("score_fp", TextAnalysis.qualityScoreFp)
+    val weights = ImportanceSelection
+      .dsirWeights(redacted, ImportanceSelection.targetSourceCol,
+        scoreTargets = true)
+      .select(col("doc_id"), col("weight").as("dsir_weight"))
     Sampling.withGlobalQuintile(scored)
       .withColumn("fingerprint", md5(col("text")))
       .withColumn("split", Sampling.splitColumn(col("fingerprint")))
+      .join(weights, Seq("doc_id"), "left")
       .select("doc_id", "lang", "source", "n_tokens", "score_fp",
-        "fingerprint", "split", "quintile")
+        "fingerprint", "split", "quintile", "dsir_weight")
   }
 
   // The oracle interpolates THESE defaults — a tuned CurationConfig and
@@ -261,6 +270,7 @@ object TrainingPipeline {
       |  SELECT doc_id, lang, source,
       |         ${Redaction.redactSql("text_clean")} AS text
       |  FROM spclean),
+      |${ImportanceSelection.dsirSqlCtes("red", scoreTargets = true)},
       |rt AS (
       |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks,
       |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
@@ -314,10 +324,11 @@ object TrainingPipeline {
       |         row_number() OVER (ORDER BY score_fp, doc_id) - 1 AS rr,
       |         COUNT(*) OVER () AS total
       |  FROM q)
-      |SELECT doc_id, lang, source, n_tokens, score_fp, fingerprint,
+      |SELECT doc_id, lang, source, rk.n_tokens AS n_tokens, score_fp, fingerprint,
       |  ${Sampling.splitSql("fingerprint")} AS split,
-      |  CAST((rr * 5) // total AS INT) AS quintile
-      |FROM rk ORDER BY doc_id""".stripMargin))
+      |  CAST((rr * 5) // total AS INT) AS quintile,
+      |  w.weight AS dsir_weight
+      |FROM rk LEFT JOIN dsirw w USING (doc_id) ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(
     "pipeline_curate" -> pipelineCurate,
