@@ -833,11 +833,15 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * then take [[PqIters]] per-subspace Lloyd iterations (ROUND(AVG,6)
     * means — the kmeans-query determinism precedent); driver-held
     * metadata throughout ([[collectCentroids]] precedent). */
-  private def pqScored(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).repartition(64)
+  /** (vec_id, embedding, nrm, nx) — the normalized frame every PQ face
+    * starts from. */
+  private def pqNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).repartition(64)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
       .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
+
+  private def pqTrainBooks(emb: DataFrame): Seq[Seq[SubCentroid]] = {
     // seed codebooks: PqM × PqK × PqSubDim doubles — metadata
     val seeds = emb.filter(col("vec_id") < PqK)
       .select(col("vec_id"), col("nx")).collect()
@@ -864,38 +868,46 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       .withColumn("sub", expr(s"slice(nx, m * $PqSubDim + 1, $PqSubDim)"))
       .select("vec_id", "m", "sub")
       .persist()
-    val books: Seq[Seq[SubCentroid]] =
-      try {
-        def lloydPq(bs: Seq[Seq[SubCentroid]]): Seq[Seq[SubCentroid]] = {
-          val booksLit = typedLit(bs.map(_.toIndexedSeq).toIndexedSeq)
-          val rows = trainSubs
-            .withColumn("code",
-              nearestCodeIn(element_at(booksLit, col("m") + 1), col("sub")))
-            .groupBy("m", "code")
-            .agg(array((1 to PqSubDim).map(j =>
-              round(avg(element_at(col("sub"), j)), 6)): _*).as("cvec"))
-            .collect()
-          (0 until PqM).map { m =>
-            rows.filter(_.getInt(0) == m)
-              .map(r => (r.getInt(1), r.getSeq[Double](2)))
-              .sortBy(_._1)
-              .zipWithIndex
-              .map { case ((_, cv), i) => SubCentroid(i, cv) }.toSeq
-          }
+    try {
+      def lloydPq(bs: Seq[Seq[SubCentroid]]): Seq[Seq[SubCentroid]] = {
+        val booksLit = typedLit(bs.map(_.toIndexedSeq).toIndexedSeq)
+        val rows = trainSubs
+          .withColumn("code",
+            nearestCodeIn(element_at(booksLit, col("m") + 1), col("sub")))
+          .groupBy("m", "code")
+          .agg(array((1 to PqSubDim).map(j =>
+            round(avg(element_at(col("sub"), j)), 6)): _*).as("cvec"))
+          .collect()
+        (0 until PqM).map { m =>
+          rows.filter(_.getInt(0) == m)
+            .map(r => (r.getInt(1), r.getSeq[Double](2)))
+            .sortBy(_._1)
+            .zipWithIndex
+            .map { case ((_, cv), i) => SubCentroid(i, cv) }.toSeq
         }
-        (1 to PqIters).foldLeft(seedBooks)((b, _) => lloydPq(b))
-      } finally { trainSubs.unpersist(blocking = false); () }
+      }
+      (1 to PqIters).foldLeft(seedBooks)((b, _) => lloydPq(b))
+    } finally { trainSubs.unpersist(blocking = false); () }
+  }
+
+  /** Adds a `recon` column — the PQ reconstruction of `nx` — via the
+    * PqM narrow argmin folds (zero shuffle) and a codeword lookup in
+    * the projection (flat concat in subspace order). */
+  private def pqWithRecon(df: DataFrame, books: Seq[Seq[SubCentroid]]): DataFrame = {
     val booksVecs: Seq[Seq[Seq[Double]]] = books.map(_.map(_.cvec))
-    // encode: PqM narrow argmin folds per row, zero shuffle
-    val encoded = (0 until PqM).foldLeft(emb) { (df, m) =>
-      df.withColumn(s"code$m",
+    val encoded = (0 until PqM).foldLeft(df) { (d, m) =>
+      d.withColumn(s"code$m",
         nearestCode(books(m), slice(col("nx"), m * PqSubDim + 1, PqSubDim)))
     }
-    // decode in the projection: codeword lookup per subspace, flat concat
-    val recon = concat((0 until PqM).map(m =>
-      element_at(typedLit(booksVecs(m)), col(s"code$m") + 1)): _*)
-    val corpus = encoded
-      .select(col("vec_id").as("neighbor_id"), recon.as("recon"))
+    encoded.withColumn("recon", concat((0 until PqM).map(m =>
+      element_at(typedLit(booksVecs(m)), col(s"code$m") + 1)): _*))
+  }
+
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+    val emb = pqNormalized(s, dir)
+    val books = pqTrainBooks(emb)
+    val corpus = pqWithRecon(emb, books)
+      .select(col("vec_id").as("neighbor_id"), col("recon"))
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("nx").as("qx"))
     broadcast(queries)
@@ -903,12 +915,12 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       .withColumn("sim", dotCol("qx", "recon"))
   }
 
-  /** DuckDB twin of [[pqScored]]: CTEs ending in
-    * `scoredp(query_id, neighbor_id, sim)`. The reconstruction is
-    * rebuilt by joining each vector's PqM codes back to the codebook
-    * relation and concatenating in subspace order (order-pinned list
-    * agg), then scored with the same flat 64-term dot. */
-  private def pqScoredSql: String = {
+  /** DuckDB twin of normalize→train→encode→decode: CTEs ending in
+    * `precon(vec_id, recon)` (plus `ne(vec_id, nx)` for query vectors).
+    * The reconstruction is rebuilt by joining each vector's PqM codes
+    * back to the codebook relation and concatenating in subspace order
+    * (order-pinned list agg). */
+  private def pqReconSqlCtes: String = {
     val subDist = (1 to PqSubDim)
       .map(j => s"(p.sub[$j] - c.cvec[$j]) * (p.sub[$j] - c.cvec[$j])")
       .mkString(" + ")
@@ -946,7 +958,13 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |precon AS (
       |  SELECT p.vec_id, flatten(list(c.cvec ORDER BY p.m)) AS recon
       |  FROM pcodes p JOIN pcb$PqIters c ON p.m = c.m AND p.code = c.code
-      |  GROUP BY p.vec_id),
+      |  GROUP BY p.vec_id)""".stripMargin
+  }
+
+  /** CTEs ending in `scoredp(query_id, neighbor_id, sim)` — the
+    * brute-force ADC scoring face over [[pqReconSqlCtes]]. */
+  private def pqScoredSql: String =
+    s"""$pqReconSqlCtes,
       |pq AS (
       |  SELECT vec_id AS query_id, nx AS qx FROM ne
       |  WHERE vec_id < $NumQueries),
@@ -954,7 +972,6 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |  SELECT query_id, r.vec_id AS neighbor_id,
       |         (${dotSql("qx", "recon")}) AS sim
       |  FROM pq, precon r WHERE r.vec_id <> query_id)""".stripMargin
-  }
 
   private val annPqTopk = QueryDef(
     (s, dir) => topKPerQuery(s, pqScored(s, dir)),
@@ -1024,6 +1041,128 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
       |       ROUND(sim, 4) AS sim
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  /** IVF-PQ — the production 100 TB ANN composition (the FAISS
+    * IndexIVFPQ shape), assembled from the two verified pieces: the
+    * seeded coarse quantizer prunes the corpus to nprobe=2 of
+    * [[NumCentroids]] cells, the surviving cells scan as PQ CODES with
+    * ADC scoring, and the [[PqShortK]] shortlist re-ranks with exact
+    * float cosine. Bytes touched per probe: (2/nlist of the corpus) ×
+    * (codes, not floats) + k-sized float reads — each stage contributes
+    * its own verified reduction. Simplification vs FAISS: codes quantize
+    * the vectors themselves, not per-cell residuals — residual encoding
+    * tightens recall at equal bits but needs per-cell books; the plan
+    * shape (and the oracle) is identical. Probes are computed on the
+    * driver by the exact fold replica ([[nearestCentroidLocal]], the
+    * kmeans-query pattern ≡ the twin's `ORDER BY csim DESC, cent_id`
+    * window). */
+  private val annIvfPqTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = pqNormalized(s, dir)
+      val books = pqTrainBooks(emb)
+      val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm")))
+      // corpus: cell assignment (zero-shuffle literal fold) + PQ codes
+      val corpus = pqWithRecon(
+          assignCells(emb.select("vec_id", "embedding", "nrm"), cents)
+            .join(emb.select(col("vec_id"), col("nx")), "vec_id"),
+          books)
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("recon"))
+      // driver-side probes: 2 nearest cells per query, exact fold replica
+      val qhead = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("nx"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2),
+          r.getSeq[Double](3)))
+        .sortBy(_._1)
+      val probeRows = qhead.flatMap { case (qid, q, qnrm, qx) =>
+        val p1 = nearestCentroidLocal(q, qnrm, cents)
+        val p2 = nearestCentroidLocal(q, qnrm, cents, exclude = p1)
+        Seq((qid, qx, p1), (qid, qx, p2))
+      }
+      import s.implicits._
+      val probes = probeRows.toDF("query_id", "qx", "cell")
+      val shortlist = topKPerQuery(s,
+        broadcast(probes)
+          .join(corpus, Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", dotCol("qx", "recon")),
+        PqShortK)
+        .select("query_id", "neighbor_id")
+      // exact float re-rank of the shortlist (the int8/PQ rerank tail)
+      val fe = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qe = fe.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qnrm", sqrt(dotCol("qv", "qv")))
+      fe.withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(shortlist), "neighbor_id")
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+        .join(broadcast(qe), "query_id")
+        .withColumn("sim", dotCol("qv", "embedding") / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $pqReconSqlCtes,
+      |fe AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |icents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM fe
+      |  WHERE vec_id < $NumCentroids),
+      |iassigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
+      |             c.cent_id) AS arn
+      |    FROM fe e, icents c)
+      |  WHERE arn = 1),
+      |iprobes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT e.vec_id AS query_id, c.cent_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
+      |             c.cent_id) AS prn
+      |    FROM fe e, icents c WHERE e.vec_id < $NumQueries)
+      |  WHERE prn <= 2),
+      |iscored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         (${dotSql("q.nx", "r.recon")}) AS sim
+      |  FROM iprobes p
+      |  JOIN iassigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN precon r ON r.vec_id = a.vec_id
+      |  JOIN ne q ON q.vec_id = p.query_id),
+      |ishort AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY sim DESC, neighbor_id) AS srn
+      |    FROM iscored)
+      |  WHERE srn <= $PqShortK),
+      |iqe AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM fe
+      |  WHERE vec_id < $NumQueries),
+      |iexact AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |         (${dotSql("iqe.qv", "ne2.embedding")}) / (iqe.qnrm * ne2.nrm) AS sim
+      |  FROM ishort sh
+      |  JOIN fe ne2 ON sh.neighbor_id = ne2.vec_id
+      |  JOIN iqe ON sh.query_id = iqe.query_id),
+      |iranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM iexact)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM iranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
   // ---- semantic dedup (cluster-then-prune) -----------------------------
 
@@ -1210,6 +1349,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     "ann_int8_rerank_topk" -> annInt8RerankTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_pq_rerank_topk" -> annPqRerankTopk,
+    "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_lsh_srp" -> annLshSrp,
     "ann_lsh_pairs" -> annLshPairs,
     "ann_ivf_topk" -> annIvfTopk,

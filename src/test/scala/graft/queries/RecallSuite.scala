@@ -103,6 +103,14 @@ class RecallSuite extends SparkSuite {
     assert(rerank >= 0.9, f"rerank recall@10 $rerank%.3f below floor")
   }
 
+  test("IVF-PQ composition: cell pruning + codes + rerank holds recall") {
+    val r = recallAt10(topkSets("ann_ivfpq_topk"))
+    info(f"ann_ivfpq_topk recall@10 = $r%.3f")
+    // bounded by nprobe=2-of-8 cell pruning (the ann_ivf_kmeans ceiling),
+    // not by the code scan — the rerank recovers the PQ noise
+    assert(r >= 0.8, f"recall@10 $r%.3f below floor")
+  }
+
   test("training + nprobe=2 beats the untrained nprobe=1 index") {
     val trained = recallAt10(topkSets("ann_ivf_kmeans_topk"))
     val seeded = recallAt10(topkSets("ann_ivf_topk"))
