@@ -115,7 +115,72 @@ object Profiling {
       |  ON a.fingerprint = b.fingerprint AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin))
 
+  /** Per-source vocabulary profile — the corpus-QA numbers a curation
+    * change is judged against (a dedup or gate pass that collapses
+    * vocabulary breadth or hapax mass shows up here first): total token
+    * occurrences, distinct vocabulary size, hapax (frequency-1) count
+    * and ratio, and the occurrence mass concentrated in the 100 most
+    * frequent tokens (Zipf head — tie-broken count DESC, token ASC so
+    * both engines pick the same head).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(source, token) reduces
+    * the corpus to its VOCABULARY (sub-linear in corpus size, the same
+    * reduction the LM-scoring tables ride); every aggregate and the
+    * top-100 window then run over that counts relation, never the
+    * corpus. The per-source window is vocabulary-partitioned — large at
+    * web scale but Zipf-bounded, and a bounded top-k aggregation is the
+    * drop-in if a vocabulary ever outgrows a partition. Ratios are ONE
+    * division, display is floor-half-up. */
+  private val profileVocab = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir).repartition(64)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      val headMass = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("cnt").desc, col("w"))))
+        .filter(col("rn") <= 100)
+        .groupBy("source").agg(sum("cnt").as("head_cnt"))
+      counts.groupBy("source").agg(
+          sum("cnt").as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_count"))
+        .join(headMass, "source")
+        .select(col("source"), col("n_tokens"), col("vocab_size"),
+          col("hapax_count"),
+          (floor(col("hapax_count").cast("double") / col("vocab_size") * 1e4 + 0.5) / 1e4)
+            .as("hapax_ratio"),
+          (floor(col("head_cnt").cast("double") / col("n_tokens") * 1e4 + 0.5) / 1e4)
+            .as("top100_mass"))
+        .orderBy("source")
+    },
+    Some("""WITH counts AS (
+      |  SELECT source, w, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |head AS (
+      |  SELECT source, SUM(cnt) AS head_cnt FROM (
+      |    SELECT source, cnt,
+      |           row_number() OVER (PARTITION BY source
+      |                              ORDER BY cnt DESC, w) AS rn
+      |    FROM counts)
+      |  WHERE rn <= 100 GROUP BY source),
+      |agg AS (
+      |  SELECT source,
+      |         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |         COUNT(*) AS vocab_size,
+      |         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+      |  FROM counts GROUP BY source)
+      |SELECT a.source, n_tokens, vocab_size, hapax_count,
+      |  FLOOR(CAST(hapax_count AS DOUBLE) / vocab_size * 1e4 + 0.5) / 1e4 AS hapax_ratio,
+      |  FLOOR(CAST(head_cnt AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 AS top100_mass
+      |FROM agg a JOIN head USING (source)
+      |ORDER BY source""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "profile_documents" -> profileDocuments,
-    "profile_span_overlap" -> profileSpanOverlap)
+    "profile_span_overlap" -> profileSpanOverlap,
+    "profile_vocab" -> profileVocab)
 }

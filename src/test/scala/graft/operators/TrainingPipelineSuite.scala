@@ -79,6 +79,14 @@ class TrainingPipelineSuite extends SparkSuite {
         redacted.join(enSurvivors, "doc_id"))
       .filter(!TextAnalysis.gopherPassCol).count()
     assert(failing === 0L, "an English survivor fails the Gopher battery")
+    // DSIR annotation held: present on every row and equal to the
+    // standalone operator over the same post-redaction corpus
+    assert(rows.forall(!_.isNullAt(8)), "dsir_weight must annotate every row")
+    val standalone = ImportanceSelection.dsirWeights(
+        redacted, ImportanceSelection.targetSourceCol, scoreTargets = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.forall(r => standalone(r.getLong(0)) == r.getDouble(8)),
+      "pipeline dsir_weight diverges from the standalone operator")
   }
 
   test("curate excludes every held-out benchmark doc and bounds ranks") {

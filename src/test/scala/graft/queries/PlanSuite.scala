@@ -98,6 +98,14 @@ class PlanSuite extends SparkSuite {
     assert(!gopherPlan.contains("hashpartitioning"), gopherPlan.take(2000))
   }
 
+  test("ann_ivfpq_topk: probe/shortlist joins broadcast — corpus never sort-merges") {
+    val df = SparkEntry.queries("ann_ivfpq_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("dsir_weights: bucket tables broadcast back to the token stream") {
     // the corpus-sized side must never shuffle for the lr/c_fx joins —
     // the only hash exchanges allowed are the two Buckets-sized (≤1024
