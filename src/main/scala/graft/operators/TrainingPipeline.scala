@@ -159,7 +159,18 @@ object TrainingPipeline {
     val cut = Dedup.spanCut(trainable)
       .drop("n_tokens", "n_cut_tokens")
       .withColumnRenamed("text_clean", "text")
+    // The two multi-consumer boundaries persist (MEMORY_AND_DISK):
+    // `redacted` feeds the gate chain AND the DSIR tables, `clean` is
+    // scanned by the quintile stage's rank+histogram pair — without the
+    // boundaries the span-cut exchange chain re-executes once per
+    // consumer (4-6 full corpus passes measured as 93 parquet scans in
+    // one plan). No explicit unpersist: the returned frame is lazy, so
+    // there is no in-function point after the consumer's action; the
+    // ContextCleaner drops the blocks when the frame is unreferenced. A
+    // production run materializes this boundary to storage outright
+    // (the redacted corpus IS a deliverable) — same cut, durable form.
     val redacted = cut.withColumn("text", Redaction.redactColumn(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = qualityGate(redacted, cfg)
     val battered = TextAnalysis.gopherSignals(gated)
       .filter(col("lang") =!= "en" || TextAnalysis.gopherPassCol)
@@ -169,6 +180,7 @@ object TrainingPipeline {
       .withColumnRenamed("vec_id", "doc_id")
     val sem = keepers.join(semDropped, Seq("doc_id"), "left_anti")
     val clean = decontaminate(sem, benchmark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = TextAnalysis.qualityRaw(clean)
       .withColumn("score_fp", TextAnalysis.qualityScoreFp)
     val weights = ImportanceSelection
