@@ -96,6 +96,7 @@ object MetricsReport {
     val pq = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_pq_topk"))
     val pqrr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_pq_rerank_topk"))
     val ivfpq = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivfpq_topk"))
+    val ivfpqr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivfpq_residual_topk"))
     val banded = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
       .select("vec_id_keeper", "vec_id_dropped").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -173,6 +174,7 @@ object MetricsReport {
          |    "ann_pq_topk_at10": ${d4(pq)},
          |    "ann_pq_rerank_topk_at10": ${d4(pqrr)},
          |    "ann_ivfpq_topk_at10": ${d4(ivfpq)},
+         |    "ann_ivfpq_residual_topk_at10": ${d4(ivfpqr)},
          |    "dedup_embedding_cosine_pair_recall": ${d4(pairRecall)},
          |    "dedup_embedding_cosine_false_positives": $falsePos
          |  },

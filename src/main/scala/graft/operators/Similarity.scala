@@ -938,46 +938,55 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * The reconstruction is rebuilt by joining each vector's PqM codes
     * back to the codebook relation and concatenating in subspace order
     * (order-pinned list agg). */
-  private def pqReconSqlCtes: String = {
+  /** Generic explode→seed→Lloyd→encode→decode CTE chain for ONE codebook
+    * family: `src` must provide (vec_id, `$vecCol` LIST of [[Dim]]
+    * doubles); emits the exp/tr/cb0..cbN/codes CTE family under the given
+    * prefix, ending in `${pfx}recon(vec_id, recon)`. The raw-vector family uses pfx "p"
+    * (names unchanged from the original inline form); the residual
+    * family reuses the identical training arithmetic under pfx "r". */
+  private def pqCodebookSqlCtes(pfx: String, src: String, vecCol: String): String = {
     val subDist = (1 to PqSubDim)
       .map(j => s"(p.sub[$j] - c.cvec[$j]) * (p.sub[$j] - c.cvec[$j])")
       .mkString(" + ")
     val meanList = (1 to PqSubDim)
       .map(j => s"ROUND(AVG(sub[$j]), 6)").mkString("[", ", ", "]")
-    def assignSql(src: String, cents: String): String =
+    def assignSql(from: String, cents: String): String =
       s"""SELECT vec_id, m, sub, code FROM (
         |    SELECT p.vec_id, p.m, p.sub, c.code,
         |           row_number() OVER (PARTITION BY p.vec_id, p.m ORDER BY
         |             ($subDist), c.code) AS prn
-        |    FROM $src p JOIN $cents c ON p.m = c.m)
+        |    FROM $from p JOIN $cents c ON p.m = c.m)
         |  WHERE prn = 1""".stripMargin
     val iterCtes = (1 to PqIters).map { i =>
-      val cents = if (i == 1) "pcb0" else s"pcb${i - 1}"
-      s"pa${i - 1} AS (\n  ${assignSql("ptr", cents)}),\n" +
-        s"pcb$i AS (\n  SELECT m, code, $meanList AS cvec\n" +
-        s"  FROM pa${i - 1} GROUP BY m, code)"
+      val cents = if (i == 1) s"${pfx}cb0" else s"${pfx}cb${i - 1}"
+      s"${pfx}a${i - 1} AS (\n  ${assignSql(s"${pfx}tr", cents)}),\n" +
+        s"${pfx}cb$i AS (\n  SELECT m, code, $meanList AS cvec\n" +
+        s"  FROM ${pfx}a${i - 1} GROUP BY m, code)"
     }.mkString(",\n")
+    s"""${pfx}exp AS (
+      |  SELECT vec_id, m,
+      |         list_slice($vecCol, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sub
+      |  FROM $src, range(0, $PqM) AS t(m)),
+      |${pfx}tr AS (SELECT * FROM ${pfx}exp WHERE vec_id < $PqTrainCap),
+      |${pfx}cb0 AS (
+      |  SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
+      |  FROM ${pfx}exp WHERE vec_id < $PqK),
+      |$iterCtes,
+      |${pfx}codes AS (
+      |  ${assignSql(s"${pfx}exp", s"${pfx}cb$PqIters")}),
+      |${pfx}recon AS (
+      |  SELECT p.vec_id, flatten(list(c.cvec ORDER BY p.m)) AS recon
+      |  FROM ${pfx}codes p JOIN ${pfx}cb$PqIters c ON p.m = c.m AND p.code = c.code
+      |  GROUP BY p.vec_id)""".stripMargin
+  }
+
+  private def pqReconSqlCtes: String =
     s"""ne AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
       |           SQRT(${dotSql("embedding", "embedding")})) AS nx
       |  FROM embeddings),
-      |pexp AS (
-      |  SELECT vec_id, m,
-      |         list_slice(nx, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sub
-      |  FROM ne, range(0, $PqM) AS t(m)),
-      |ptr AS (SELECT * FROM pexp WHERE vec_id < $PqTrainCap),
-      |pcb0 AS (
-      |  SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
-      |  FROM pexp WHERE vec_id < $PqK),
-      |$iterCtes,
-      |pcodes AS (
-      |  ${assignSql("pexp", s"pcb$PqIters")}),
-      |precon AS (
-      |  SELECT p.vec_id, flatten(list(c.cvec ORDER BY p.m)) AS recon
-      |  FROM pcodes p JOIN pcb$PqIters c ON p.m = c.m AND p.code = c.code
-      |  GROUP BY p.vec_id)""".stripMargin
-  }
+      |${pqCodebookSqlCtes("p", "ne", "nx")}""".stripMargin
 
   /** CTEs ending in `scoredp(query_id, neighbor_id, sim)` — the
     * brute-force ADC scoring face over [[pqReconSqlCtes]]. */
@@ -1160,6 +1169,185 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |  FROM iprobes p
       |  JOIN iassigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
       |  JOIN precon r ON r.vec_id = a.vec_id
+      |  JOIN ne q ON q.vec_id = p.query_id),
+      |ishort AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY sim DESC, neighbor_id) AS srn
+      |    FROM iscored)
+      |  WHERE srn <= $PqShortK),
+      |iqe AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM fe
+      |  WHERE vec_id < $NumQueries),
+      |iexact AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |         (${dotSql("iqe.qv", "ne2.embedding")}) / (iqe.qnrm * ne2.nrm) AS sim
+      |  FROM ishort sh
+      |  JOIN fe ne2 ON sh.neighbor_id = ne2.vec_id
+      |  JOIN iqe ON sh.query_id = iqe.query_id),
+      |iranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM iexact)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM iranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  // ---- residual-coded IVF-PQ -------------------------------------------
+
+  /** Unit-norm centroid vectors (cvec/cnrm) positionally indexed by
+    * cent_id — the seeded cells are vec_id 0..[[NumCentroids]]-1, so
+    * `element_at(lit, cell+1)` is the cell's normalized centroid. */
+  private def normalizedCentroids(cents: Seq[Centroid]): Seq[Seq[Double]] = {
+    require(cents.map(_.cent_id) == (0L until NumCentroids),
+      "seeded centroids must be cent_id 0..nlist-1 (positional lookup)")
+    cents.map(c => c.cvec.map(_ / c.cnrm))
+  }
+
+  /** The corpus assigned to its seeded cell, carrying the cell's
+    * unit-norm centroid `ncv` and the residual `rx = nx − ncv` — all
+    * narrow (literal-centroid fold + projection arithmetic, zero
+    * shuffle). Every residual-PQ face starts here. */
+  private def pqResidualFrame(s: SparkSession, dir: String): (DataFrame, Seq[Centroid]) = {
+    val emb = pqNormalized(s, dir)
+    val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm")))
+    val ncentsLit = typedLit(
+      normalizedCentroids(cents).map(_.toIndexedSeq).toIndexedSeq)
+    val frame = assignCells(emb.select("vec_id", "embedding", "nrm"), cents)
+      .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
+      .withColumn("ncv", element_at(ncentsLit, col("cell").cast("int") + 1))
+      .withColumn("rx", zip_with(col("nx"), col("ncv"), (x, y) => x - y))
+    (frame, cents)
+  }
+
+  /** Residual codebooks — [[pqTrainBooks]] run over `rx` instead of `nx`
+    * (identical Lloyd arithmetic on a different vector family), memoized
+    * per (session, dir) like [[pqBooksFor]]. */
+  private val pqResBooksMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), LazyBooks]
+  private def pqResBooksFor(s: SparkSession, dir: String): Seq[Seq[SubCentroid]] = {
+    pqResBooksMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pqResBooksMemo.remove)
+    pqResBooksMemo.getOrElseUpdate((s, dir),
+      new LazyBooks(() => pqTrainBooks(
+        pqResidualFrame(s, dir)._1.select(col("vec_id"), col("rx").as("nx"))))).value
+  }
+
+  /** Exact float-cosine re-rank of a (query_id, neighbor_id) shortlist —
+    * the shared tail of the quantized ANN faces: k-sized float reads,
+    * shortlist-sized windows. */
+  private def exactRerank(s: SparkSession, dir: String, shortlist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fe = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qe = fe.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qnrm", sqrt(dotCol("qv", "qv")))
+    fe.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(shortlist), "neighbor_id")
+      .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+      .join(broadcast(qe), "query_id")
+      .withColumn("sim", dotCol("qv", "embedding") / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ over RESIDUALS — the full FAISS IndexIVFPQ recipe (Jégou et
+    * al. 2011 §IV): codes quantize `nx − ĉ_cell` (the vector minus its
+    * unit-norm coarse centroid) with ONE shared residual book, closing
+    * the documented simplification in [[annIvfPqTopk]] (which codes the
+    * vectors themselves). Residuals concentrate near the origin with far
+    * less of the corpus's global structure, so the same bit budget spends
+    * itself on the part of the vector the coarse quantizer did NOT
+    * explain — tighter ADC scores at identical plan shape and bytes.
+    * ADC: sim = qx · (ĉ_cell + recon_residual), the reconstruction
+    * rebuilt element-wise in the scan projection; probes, shortlist and
+    * the exact re-rank tail are the verified [[annIvfPqTopk]] pieces.
+    * Recall measured against brute force in METRICS next to the
+    * raw-vector composition. */
+  private val annIvfPqResidualTopk = QueryDef(
+    (s, dir) => {
+      val (resFrame, cents) = pqResidualFrame(s, dir)
+      val books = pqResBooksFor(s, dir)
+      val corpus = pqWithRecon(resFrame.withColumn("nx", col("rx")), books)
+        .withColumn("fullrecon", zip_with(col("ncv"), col("recon"), (a, b) => a + b))
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("fullrecon"))
+      val qhead = pqNormalized(s, dir).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("nx"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2),
+          r.getSeq[Double](3)))
+        .sortBy(_._1)
+      val probeRows = qhead.flatMap { case (qid, q, qnrm, qx) =>
+        val p1 = nearestCentroidLocal(q, qnrm, cents)
+        val p2 = nearestCentroidLocal(q, qnrm, cents, exclude = p1)
+        Seq((qid, qx, p1), (qid, qx, p2))
+      }
+      import s.implicits._
+      val probes = probeRows.toDF("query_id", "qx", "cell")
+      val shortlist = topKPerQuery(s,
+        broadcast(probes)
+          .join(corpus, Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", dotCol("qx", "fullrecon")),
+        PqShortK)
+        .select("query_id", "neighbor_id")
+      exactRerank(s, dir, shortlist)
+    },
+    Some(s"""WITH ne AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |           SQRT(${dotSql("embedding", "embedding")})) AS nx
+      |  FROM embeddings),
+      |fe AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |icents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM fe
+      |  WHERE vec_id < $NumCentroids),
+      |iassigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
+      |             c.cent_id) AS arn
+      |    FROM fe e, icents c)
+      |  WHERE arn = 1),
+      |rxc AS (
+      |  SELECT a.vec_id, a.cell,
+      |         list_transform(range(1, ${Dim + 1}),
+      |           i -> q.nx[i] - CAST(c.cvec[i] AS DOUBLE) / c.cnrm) AS rx,
+      |         list_transform(range(1, ${Dim + 1}),
+      |           i -> CAST(c.cvec[i] AS DOUBLE) / c.cnrm) AS ncv
+      |  FROM iassigned a
+      |  JOIN ne q ON q.vec_id = a.vec_id
+      |  JOIN icents c ON a.cell = c.cent_id),
+      |${pqCodebookSqlCtes("r", "rxc", "rx")},
+      |rfull AS (
+      |  SELECT rr.vec_id, x.cell,
+      |         list_transform(range(1, ${Dim + 1}),
+      |           i -> x.ncv[i] + rr.recon[i]) AS recon
+      |  FROM rrecon rr JOIN rxc x ON x.vec_id = rr.vec_id),
+      |iprobes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT e.vec_id AS query_id, c.cent_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) DESC,
+      |             c.cent_id) AS prn
+      |    FROM fe e, icents c WHERE e.vec_id < $NumQueries)
+      |  WHERE prn <= 2),
+      |iscored AS (
+      |  SELECT p.query_id, r.vec_id AS neighbor_id,
+      |         (${dotSql("q.nx", "r.recon")}) AS sim
+      |  FROM iprobes p
+      |  JOIN rfull r ON r.cell = p.cell AND r.vec_id <> p.query_id
       |  JOIN ne q ON q.vec_id = p.query_id),
       |ishort AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -1372,6 +1560,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     "ann_pq_topk" -> annPqTopk,
     "ann_pq_rerank_topk" -> annPqRerankTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
+    "ann_ivfpq_residual_topk" -> annIvfPqResidualTopk,
     "ann_lsh_srp" -> annLshSrp,
     "ann_lsh_pairs" -> annLshPairs,
     "ann_ivf_topk" -> annIvfTopk,
