@@ -106,6 +106,16 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("decontaminate_minhash: benchmark side broadcasts — corpus never sort-merges") {
+    // eval suites are metadata-sized: bench bands+shingles must ride a
+    // broadcast, the corpus side staying narrow through the band join
+    val df = SparkEntry.queries("decontaminate_minhash")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("dsir_weights: bucket tables broadcast back to the token stream") {
     // the corpus-sized side must never shuffle for the lr/c_fx joins —
     // the only hash exchanges allowed are the two Buckets-sized (≤1024
