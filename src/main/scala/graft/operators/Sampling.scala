@@ -265,6 +265,91 @@ object Sampling {
       |  FLOOR((CAST(total AS DOUBLE) / n_sources) / source_tokens * 1e4 + 0.5) / 1e4 AS epochs
       |FROM g ORDER BY source""".stripMargin))
 
+  /** MATERIALIZED epoch mixture — the consumer of [[mixEpochs]]' factor
+    * table: every document re-emitted `epochs(source)` times, so the
+    * downstream shuffle/pack/export stages see the actual upsampled
+    * corpus rather than a recipe. The integer part replicates every doc
+    * of the source; the FRACTIONAL part admits each doc independently by
+    * a deterministic per-doc hash draw at rate frac — in expectation the
+    * source's token share lands exactly on the recipe, and the draw is
+    * reproducible (the hash-priority stance: stable under appends,
+    * auditable).
+    *
+    * Determinism across engines: the factor is kept as the SCALED
+    * integer e4 = ⌊epochs·10⁴+0.5⌋ (the [[mixEpochs]] rounding, before
+    * its inexact /10⁴), so int-part (e4 div 10⁴) and frac (e4 mod 10⁴)
+    * are exact BIGINTs; the draw compares a 16-bit md5 nibble value u
+    * against it as u·10⁴ < frac·2¹⁶ — pure integer arithmetic, no float
+    * compare anywhere. The nibble expression is ONE SQL string valid in
+    * both dialects (the [[ImportanceSelection]] bucket precedent).
+    *
+    * Scale shape: the factor table is #sources rows (ONE map-side-
+    * combined groupBy, the [[mixEpochs]] reduction) broadcast back onto
+    * the corpus; the per-doc draw and the copy explode are narrow
+    * per-row work — the corpus never shuffles, and output volume is the
+    * mixture's irreducible row count (≈ corpus size under share
+    * equalization). A source with epochs < 1 DOWNSAMPLES via the same
+    * fractional draw (int part 0). */
+  /** 16-bit per-doc draw — the first 4 nibbles of
+    * md5("epoch:" || doc_id) as an integer in [0, 2¹⁶). ONE expression
+    * string valid in Spark AND DuckDB SQL (instr/substring/md5 agree —
+    * the [[ImportanceSelection]] bucket precedent). */
+  private val EpochDrawUSql: String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring(md5('epoch:' || CAST(doc_id AS STRING)), $i, 1)) - 1)"
+    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+  }
+
+  private val mixEpochsMaterialize = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val factors = Tables.documents(s, dir).repartition(64)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(sum(col("n_tokens")).as("source_tokens"))
+        .withColumn("total", sum(col("source_tokens")).over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .select(col("source"),
+          floor((col("total").cast("double") / col("n_sources")) /
+            col("source_tokens") * 1e4 + 0.5).cast("long").as("e4"))
+      Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(factors), "source")
+        .withColumn("u", expr(EpochDrawUSql))
+        .withColumn("n_copies",
+          expr("e4 div 10000") +
+            when(col("u") * 10000L < (col("e4") % 10000L) * 65536L, 1L).otherwise(0L))
+        .filter(col("n_copies") >= 1)
+        .withColumn("epoch", explode(sequence(lit(1L), col("n_copies"))))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+    Some(s"""WITH per AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+      |  FROM documents GROUP BY source),
+      |g AS (
+      |  SELECT source, source_tokens,
+      |         SUM(source_tokens) OVER () AS total,
+      |         COUNT(*) OVER () AS n_sources
+      |  FROM per),
+      |f AS (
+      |  SELECT source,
+      |         CAST(FLOOR((CAST(total AS DOUBLE) / n_sources)
+      |           / source_tokens * 1e4 + 0.5) AS BIGINT) AS e4
+      |  FROM g),
+      |drawn AS (
+      |  SELECT d.doc_id, d.source,
+      |         (f.e4 // 10000) +
+      |           (CASE WHEN ($EpochDrawUSql) * 10000 < (f.e4 % 10000) * 65536
+      |                 THEN 1 ELSE 0 END) AS n_copies
+      |  FROM documents d JOIN f USING (source))
+      |SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+      |FROM drawn WHERE n_copies >= 1
+      |ORDER BY doc_id, epoch""".stripMargin))
+
   // ---- fixed-window document chunking ---------------------------------
 
   private val ChunkWin = 32
@@ -612,6 +697,7 @@ object Sampling {
     "mix_budget_cutoff" -> mixBudgetCutoff,
     "pack_sequences" -> packSequences,
     "mix_epochs" -> mixEpochs,
+    "mix_epochs_materialize" -> mixEpochsMaterialize,
     "chunk_documents" -> chunkDocuments,
     "mix_quality_buckets" -> mixQualityBuckets,
     "shuffle_corpus" -> shuffleCorpus,
