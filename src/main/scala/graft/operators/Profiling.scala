@@ -179,8 +179,55 @@ object Profiling {
       |FROM agg a JOIN head USING (source)
       |ORDER BY source""".stripMargin))
 
+  private val NgramTopK = 10
+
+  /** Top-[[NgramTopK]] BIGRAMS per source — the boilerplate detector a
+    * curation run reads next to `profile_vocab`'s unigram stats: a
+    * scrape's repeated header/footer/nav phrases surface as bigrams with
+    * counts far above the Zipf curve, which single tokens dilute.
+    *
+    * Shape at 100 TB: positional bigram explode (the [[Dedup]]
+    * explode-shingles stance — never a per-doc array that an inferred
+    * filter would inline into the scan), then ONE map-side-combined
+    * groupBy(source, bigram) reduces the corpus to its bigram VOCABULARY;
+    * the ranking window partitions by source over that vocabulary-sized
+    * relation, never the corpus. Deterministic tie-break (cnt DESC,
+    * bigram ASC) in both engines. */
+  private val profileNgramTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir).repartition(64)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+        .select(col("source"),
+          concat(expr("toks[i]"), lit(" "), expr("toks[i + 1]")).as("bigram"))
+        .groupBy("source", "bigram").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("cnt").desc, col("bigram"))))
+        .filter(col("rank") <= NgramTopK)
+        .select("source", "rank", "bigram", "cnt")
+        .orderBy("source", "rank")
+    },
+    Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |b AS (
+      |  SELECT source,
+      |         unnest(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |counts AS (
+      |  SELECT source, bigram, COUNT(*) AS cnt FROM b GROUP BY source, bigram)
+      |SELECT source, CAST(rn AS INT) AS rank, bigram, cnt FROM (
+      |  SELECT source, bigram, cnt,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY cnt DESC, bigram) AS rn
+      |  FROM counts)
+      |WHERE rn <= $NgramTopK ORDER BY source, rank""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "profile_documents" -> profileDocuments,
+    "profile_ngram_topk" -> profileNgramTopk,
     "profile_span_overlap" -> profileSpanOverlap,
     "profile_vocab" -> profileVocab)
 }
