@@ -137,6 +137,101 @@ object IvfIndex {
     Similarity.topKPerQuery(s, scored, topk)
   }
 
+  // ---- persisted IVF-PQ (codes on disk) -------------------------------
+
+  /** Residual-PQ layout under `path` — the production serving shape
+    * (FAISS IndexIVFPQ on storage): the corpus is stored as PQ CODES,
+    * not vectors, so the index is ~32× smaller than the float layout at
+    * K=256 and a probe's scan reads code bytes from its nprobe cells
+    * only.
+    *   `centroids/` — nlist seeded coarse centroids (metadata).
+    *   `books/`     — PqM×PqK residual codewords (m, code, cvec):
+    *                  metadata, collected at probe time.
+    *   `codes/`     — (vec_id, code0..codeM-1) PARTITIONED BY cell.
+    * Training and encoding are the verified `ann_ivfpq_residual_topk`
+    * pieces ([[Similarity.pqResidualFrameOf]] / [[Similarity.pqTrainBooks]]
+    * / [[Similarity.pqWithRecon]]) — this object adds persistence and
+    * pruning, not new math (the [[build]] stance). Returns total
+    * codewords written. */
+  def buildPq(emb: DataFrame, path: String): Int = {
+    val s = emb.sparkSession
+    val (resFrame, cents) = Similarity.pqResidualFrameOf(emb)
+    val books = Similarity.pqTrainBooks(
+      resFrame.select(col("vec_id"), col("rx").as("nx")))
+    import s.implicits._
+    cents.toDF().write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex
+      .flatMap { case (bk, m) => bk.map(c => (m, c.code, c.cvec)) }
+      .toDF("m", "code", "cvec").write.mode("overwrite").parquet(s"$path/books")
+    Similarity.pqWithRecon(resFrame.withColumn("nx", col("rx")), books)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until Similarity.PqM).map(m => col(s"code$m")): _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    books.map(_.length).sum
+  }
+
+  private[operators] def loadBooks(
+      s: SparkSession, path: String): Seq[Seq[Similarity.SubCentroid]] = {
+    val rows = s.read.parquet(s"$path/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    (0 until Similarity.PqM).map { m =>
+      rows.filter(_._1 == m).sortBy(_._2)
+        .map { case (_, code, cv) => Similarity.SubCentroid(code, cv) }.toSeq
+    }
+  }
+
+  /** Probe the persisted PQ index: partition-pruned CODE scan over the
+    * nprobe cells, ADC scoring against the reconstruction (coarse
+    * centroid + residual codewords, decoded in the scan projection),
+    * then an exact float re-rank of the `shortK` shortlist against the
+    * original corpus (`emb` — the only place float vectors are read,
+    * shortlist-sized). Query normalization and cell ranking replicate
+    * the fold arithmetic exactly, so results match the inline
+    * `ann_ivfpq_residual_topk` row-for-row. */
+  def probePq(
+      s: SparkSession, path: String, emb: DataFrame,
+      queries: Seq[(Long, Seq[Float])],
+      nprobe: Int = 2, shortK: Int = Similarity.PqShortK,
+      topk: Int = 10): DataFrame = {
+    require(nprobe >= 1 && shortK >= topk, s"bad probe params: $nprobe/$shortK/$topk")
+    val cents = loadCentroids(s, path)
+    val books = loadBooks(s, path)
+    val ncentsLit = typedLit(cents
+      .map(c => c.cvec.map(_ / c.cnrm).toIndexedSeq).toIndexedSeq)
+    val booksVecs: Seq[Seq[Seq[Double]]] = books.map(_.map(_.cvec))
+    val probeRows = queries.flatMap { case (qid, q) =>
+      var qnrm = 0.0
+      q.foreach(x => qnrm += x.toDouble * x.toDouble)
+      qnrm = math.sqrt(qnrm)
+      val qx = q.map(_.toDouble / qnrm)
+      val cells = cents.map { c =>
+        var dot = 0.0
+        var i = 0
+        while (i < q.length) { dot += q(i).toDouble * c.cvec(i); i += 1 }
+        (c.cent_id, dot / (qnrm * c.cnrm))
+      }.sortBy { case (id, sim) => (-sim, id) }.take(nprobe).map(_._1)
+      cells.map(cell => (qid, qx, cell))
+    }
+    import s.implicits._
+    val probes = probeRows.toDF("query_id", "qx", "cell")
+    val codes = s.read.parquet(s"$path/codes")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probeRows.map(_._3).distinct: _*))
+      .withColumn("recon0", concat((0 until Similarity.PqM).map(m =>
+        element_at(typedLit(booksVecs(m)), col(s"code$m") + 1)): _*))
+      .withColumn("recon", zip_with(
+        element_at(ncentsLit, col("cell").cast("int") + 1), col("recon0"),
+        (a, b) => a + b))
+    val shortlist = Similarity.topKPerQuery(s,
+      broadcast(probes)
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", Similarity.dotCol("qx", "recon")),
+      shortK)
+      .select("query_id", "neighbor_id")
+    Similarity.exactRerankOf(emb, shortlist, topk)
+  }
+
   // ---- oracle-gated query over the PERSISTED lifecycle ----------------
 
   // One index build per testdata dir per JVM (the IncrementalDedup
@@ -156,19 +251,27 @@ object IvfIndex {
     f.delete(): Unit
   }
 
-  private def ensureIndex(s: SparkSession, dir: String): String =
-    indexes.getOrElseUpdate(dir, new LazyIndex(() => {
+  private def ensureIndexTagged(
+      s: SparkSession, dir: String, tag: String,
+      buildFn: (DataFrame, String) => Unit): String =
+    indexes.getOrElseUpdate(s"$tag:$dir", new LazyIndex(() => {
       val pid = ProcessHandle.current().pid()
       val slug = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${pid}_$slug"
+        s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${pid}_$slug"
       val f = new java.io.File(path)
       if (f.exists()) rmTree(f) // stale from a failed earlier attempt
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(f)))
-      build(Tables.embeddings(s, dir), path)
+      buildFn(Tables.embeddings(s, dir), path)
       path
     })).value
+
+  private def ensureIndex(s: SparkSession, dir: String): String =
+    ensureIndexTagged(s, dir, "ivfidx", (e, p) => { build(e, p); () })
+
+  private def ensurePqIndex(s: SparkSession, dir: String): String =
+    ensureIndexTagged(s, dir, "ivfpqidx", (e, p) => { buildPq(e, p); () })
 
   /** `ann_ivf_kmeans_topk` through the PERSISTED lifecycle: build the
     * index to storage ONCE (memoized fixture), reload centroids, probe
@@ -189,6 +292,25 @@ object IvfIndex {
     },
     Similarity.all("ann_ivf_kmeans_topk").oracle)
 
+  /** `ann_ivfpq_residual_topk` through the PERSISTED lifecycle: codes on
+    * disk, partition-pruned probe, shortlist-sized float fetch.
+    * [[buildPq]]/[[probePq]] replicate the inline math exactly, so the
+    * residual-IVF-PQ DuckDB twin is reused VERBATIM — the oracle gates
+    * the code round-trip, the cell-partitioned code layout, the codebook
+    * reload, and the pruned ADC probe path. */
+  private val annIvfPqPersistedTopk = QueryDef(
+    (s, dir) => {
+      val path = ensurePqIndex(s, dir)
+      val queries = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < Similarity.NumQueries)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+      probePq(s, path, Tables.embeddings(s, dir), queries,
+        nprobe = Similarity.NProbe, topk = Similarity.TopK)
+    },
+    Similarity.all("ann_ivfpq_residual_topk").oracle)
+
   val all: Map[String, QueryDef] = Map(
-    "ann_ivf_persisted_topk" -> annIvfPersistedTopk)
+    "ann_ivf_persisted_topk" -> annIvfPersistedTopk,
+    "ann_ivfpq_persisted_topk" -> annIvfPqPersistedTopk)
 }

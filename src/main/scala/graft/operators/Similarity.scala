@@ -770,9 +770,9 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * the production 256 (the same seeds-for-trained substitution as the
     * IVF family); at 256 a code byte-packs and a vector stores in
     * [[PqM]] bytes — 32× under the float embedding. */
-  private val PqM = 8
-  private val PqSubDim = Dim / PqM // 8
-  private val PqK = 32
+  private[operators] val PqM = 8
+  private[operators] val PqSubDim = Dim / PqM // 8
+  private[operators] val PqK = 32
   private val PqIters = 2
   private val PqTrainCap = TrainCap // 2048
 
@@ -781,7 +781,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * int8's 8 bits/dim, so the exact re-scan needs the deeper (still
     * k-scaled, corpus-independent) candidate set. The production
     * IVF-PQ recipe re-ranks 10-100× k for the same reason. */
-  private val PqShortK = 200
+  private[operators] val PqShortK = 200
 
   /** Books are pure driver-side metadata derived deterministically from
     * the dir's embeddings — ONE training per (session, dir) serves every
@@ -853,13 +853,15 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * metadata throughout ([[collectCentroids]] precedent). */
   /** (vec_id, embedding, nrm, nx) — the normalized frame every PQ face
     * starts from. */
-  private def pqNormalized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).repartition(64)
-      .select(col("vec_id"), col("embedding"))
+  private[operators] def pqNormalizedOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
       .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
 
-  private def pqTrainBooks(emb: DataFrame): Seq[Seq[SubCentroid]] = {
+  private[operators] def pqNormalized(s: SparkSession, dir: String): DataFrame =
+    pqNormalizedOf(Tables.embeddings(s, dir).repartition(64))
+
+  private[operators] def pqTrainBooks(emb: DataFrame): Seq[Seq[SubCentroid]] = {
     // seed codebooks: PqM × PqK × PqSubDim doubles — metadata
     val seeds = emb.filter(col("vec_id") < PqK)
       .select(col("vec_id"), col("nx")).collect()
@@ -911,7 +913,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   /** Adds a `recon` column — the PQ reconstruction of `nx` — via the
     * PqM narrow argmin folds (zero shuffle) and a codeword lookup in
     * the projection (flat concat in subspace order). */
-  private def pqWithRecon(df: DataFrame, books: Seq[Seq[SubCentroid]]): DataFrame = {
+  private[operators] def pqWithRecon(df: DataFrame, books: Seq[Seq[SubCentroid]]): DataFrame = {
     val booksVecs: Seq[Seq[Seq[Double]]] = books.map(_.map(_.cvec))
     val encoded = (0 until PqM).foldLeft(df) { (d, m) =>
       d.withColumn(s"code$m",
@@ -1200,7 +1202,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   /** Unit-norm centroid vectors (cvec/cnrm) positionally indexed by
     * cent_id — the seeded cells are vec_id 0..[[NumCentroids]]-1, so
     * `element_at(lit, cell+1)` is the cell's normalized centroid. */
-  private def normalizedCentroids(cents: Seq[Centroid]): Seq[Seq[Double]] = {
+  private[operators] def normalizedCentroids(cents: Seq[Centroid]): Seq[Seq[Double]] = {
     require(cents.map(_.cent_id) == (0L until NumCentroids),
       "seeded centroids must be cent_id 0..nlist-1 (positional lookup)")
     cents.map(c => c.cvec.map(_ / c.cnrm))
@@ -1210,8 +1212,8 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * unit-norm centroid `ncv` and the residual `rx = nx − ncv` — all
     * narrow (literal-centroid fold + projection arithmetic, zero
     * shuffle). Every residual-PQ face starts here. */
-  private def pqResidualFrame(s: SparkSession, dir: String): (DataFrame, Seq[Centroid]) = {
-    val emb = pqNormalized(s, dir)
+  private[operators] def pqResidualFrameOf(emb0: DataFrame): (DataFrame, Seq[Centroid]) = {
+    val emb = pqNormalizedOf(emb0)
     val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))
@@ -1224,12 +1226,15 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     (frame, cents)
   }
 
+  private[operators] def pqResidualFrame(s: SparkSession, dir: String): (DataFrame, Seq[Centroid]) =
+    pqResidualFrameOf(Tables.embeddings(s, dir).repartition(64))
+
   /** Residual codebooks — [[pqTrainBooks]] run over `rx` instead of `nx`
     * (identical Lloyd arithmetic on a different vector family), memoized
     * per (session, dir) like [[pqBooksFor]]. */
   private val pqResBooksMemo =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), LazyBooks]
-  private def pqResBooksFor(s: SparkSession, dir: String): Seq[Seq[SubCentroid]] = {
+  private[operators] def pqResBooksFor(s: SparkSession, dir: String): Seq[Seq[SubCentroid]] = {
     pqResBooksMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pqResBooksMemo.remove)
     pqResBooksMemo.getOrElseUpdate((s, dir),
       new LazyBooks(() => pqTrainBooks(
@@ -1239,9 +1244,10 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   /** Exact float-cosine re-rank of a (query_id, neighbor_id) shortlist —
     * the shared tail of the quantized ANN faces: k-sized float reads,
     * shortlist-sized windows. */
-  private def exactRerank(s: SparkSession, dir: String, shortlist: DataFrame): DataFrame = {
+  private[operators] def exactRerankOf(
+      emb: DataFrame, shortlist: DataFrame, k: Int = TopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fe = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val fe = emb.select(col("vec_id"), col("embedding"))
     val qe = fe.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qnrm", sqrt(dotCol("qv", "qv")))
@@ -1252,11 +1258,14 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       .withColumn("sim", dotCol("qv", "embedding") / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))
       .orderBy("query_id", "rank")
   }
+
+  private[operators] def exactRerank(s: SparkSession, dir: String, shortlist: DataFrame): DataFrame =
+    exactRerankOf(Tables.embeddings(s, dir), shortlist)
 
   /** IVF-PQ over RESIDUALS — the full FAISS IndexIVFPQ recipe (Jégou et
     * al. 2011 §IV): codes quantize `nx − ĉ_cell` (the vector minus its

@@ -117,6 +117,53 @@ class IvfIndexSuite extends SparkSuite {
     assert(persisted.toSeq === inline.toSeq)
   }
 
+  test("ann_ivfpq_persisted_topk equals the inline residual IVF-PQ row-for-row") {
+    // codes round-trip + codebook reload + pruned ADC probe must be
+    // invisible in the results vs the plan that trains/encodes inline
+    val persisted = graft.SparkEntry.queries("ann_ivfpq_persisted_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inline = graft.SparkEntry.queries("ann_ivfpq_residual_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(persisted.toSeq === inline.toSeq)
+  }
+
+  test("PQ index stores codes only (no float vectors) and probes prune to nprobe cells") {
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_suite_$pid"
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      IvfIndex.buildPq(emb, path)
+      // the 32x claim rests on the stored schema: codes + the partition
+      // column, never an embedding array
+      val codeCols = spark.read.parquet(s"$path/codes").columns.toSet
+      assert(!codeCols.contains("embedding") && !codeCols.contains("nx"),
+        s"PQ layout leaked float vectors: $codeCols")
+      assert((0 until 8).forall(m => codeCols.contains(s"code$m")), codeCols.toString)
+      val queries = emb.filter(col("vec_id") === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      val df = IvfIndex.probePq(spark, path, emb, queries, nprobe = 2, topk = 5)
+      df.collect()
+      val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+      }
+      assert(scans.nonEmpty, "no scan over the code index found")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.nonEmpty,
+          "code scan must carry a cell partition filter:\n" + scan.toString)
+        val parts = scan.relation.location.listFiles(
+          scan.partitionFilters, scan.dataFilters)
+        assert(parts.length <= 2,
+          s"probe read ${parts.length} cells, expected <= nprobe=2")
+      }
+    } finally rm(new java.io.File(path))
+  }
+
   test("the index is probed many times without retraining") {
     withIndex { path =>
       val emb = Tables.embeddings(spark, sfDir)
