@@ -1562,7 +1562,62 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |FROM slotted s JOIN tails t ON s.cell = t.cell AND s.slot = t.slot
       |ORDER BY vec_id, tail""".stripMargin))
 
+  // ---- k-NN graph -----------------------------------------------------
+
+  private val KnnK = 5
+
+  /** k-NN GRAPH over the corpus — every vector's [[KnnK]] nearest
+    * same-cell neighbors, the input relation for graph-based curation
+    * (SemDeDup-style cluster pruning, graph dedup, label propagation
+    * over [[ConnectedComponents]]). Unlike the `ann_*_topk` family (5
+    * probe queries), this ranks neighbors for EVERY node.
+    *
+    * Cell-bucketed by the seeded coarse quantizer ([[seededAssignedOf]]
+    * — the shared quantizer contract), so candidate mass per node is its
+    * cell population: nlist ∝ N bounds it at scale (the SemDeDup
+    * stance), and cross-cell edges are the banded family's job.
+    *
+    * Shape at 100 TB: ONE cell-partitioned exchange read by both join
+    * sides (ReusedExchange), hot cells triangle-salted by [[SkewGuard]]
+    * — the guard emits each unordered pair once, and since the flat
+    * cosine fold is symmetric term-for-term (ascending-index
+    * accumulation of commutative products), MIRRORING the pair gives
+    * both directed edges bit-identically, halving the pair work vs a
+    * directed self-join. Per-node top-k runs through the bounded
+    * [[graft.functions.TopKAggregator]] — ≤k rows shuffle per (map
+    * partition, node), never a per-node window funnel. */
+  private val knnGraph = QueryDef(
+    (s, dir) => {
+      val banded = seededAssigned(s, dir)
+        .select(col("vec_id"), col("cell").as("band"), col("embedding"), col("nrm"))
+        .repartition(col("band"))
+      val sims = SkewGuard.pairs(banded, "vec_id")
+        .withColumn("sim", dotCol("embedding_1", "embedding_2") /
+          (col("nrm_1") * col("nrm_2")))
+      val directed = sims
+        .select(col("vec_id_1").as("query_id"), col("vec_id_2").as("neighbor_id"),
+          col("sim"))
+        .unionAll(sims.select(col("vec_id_2").as("query_id"),
+          col("vec_id_1").as("neighbor_id"), col("sim")))
+      topKPerQuery(s, directed, KnnK)
+    },
+    Some(s"""WITH $seededAssignSql,
+      |gpairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS sim
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |granked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM gpairs)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM granked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "knn_graph" -> knnGraph,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_int8_topk" -> annInt8Topk,
     "ann_int8_rerank_topk" -> annInt8RerankTopk,
