@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
 object ImportanceSelection {
 
   private[operators] val Buckets = 1024
-  private val Scale = 1048576L // 2^20 fixed-point fraction bits
+  private[operators] val Scale = 1048576L // 2^20 fixed-point fraction bits
 
   /** The "high-quality target domain" of the demo fixture: three of the
     * twenty synthetic sources. A deployment points this predicate (or a
@@ -63,7 +63,7 @@ object ImportanceSelection {
 
   /** mlog2 fixed-point SQL over a NONNEGATIVE bigint expression `x`
     * (callers pass count+1 so the argument is ≥ 1), Spark dialect. */
-  private def mlog2Spark(x: String): String = {
+  private[operators] def mlog2Spark(x: String): String = {
     val l = s"(length(bin(CAST($x AS BIGINT))) - 1)"
     val p = s"shiftleft(CAST(1 AS BIGINT), $l)"
     s"($l * $Scale + ((CAST($x AS BIGINT) - $p) * $Scale) div $p)"
@@ -71,7 +71,7 @@ object ImportanceSelection {
 
   /** Same arithmetic, DuckDB dialect (`//` truncates toward zero like
     * Spark's `div`; operands here are nonnegative so both floor). */
-  private def mlog2Duck(x: String): String = {
+  private[operators] def mlog2Duck(x: String): String = {
     val l = s"(length(bin(CAST($x AS BIGINT))) - 1)"
     val p = s"(CAST(1 AS BIGINT) << $l)"
     s"($l * $Scale + ((CAST($x AS BIGINT) - $p) * $Scale) // $p)"

@@ -383,7 +383,60 @@ object TextAnalysis {
       |  ($gopherPassPredSql) AS passes_gopher
       |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** Per-doc TOKEN-DISTRIBUTION ENTROPY — the information-theoretic
+    * repetitiveness signal next to the Gopher count ratios: templated /
+    * keyword-stuffed documents concentrate probability mass on few
+    * tokens and score low, diverse prose scores near log2(vocab).
+    * H = log2(n) − (Σ_w c_w·log2(c_w)) / n over the doc's token counts.
+    *
+    * Determinism (the [[ImportanceSelection]] stance verbatim): log2 is
+    * MITCHELL'S binary-log in 2^20 fixed point — bin()/shift/int-div
+    * only, monotone, exact at powers of two — summed as exact BIGINTs;
+    * the one truncating division (sum_fx div n) truncates identically in
+    * both engines (nonnegative operands), and the final /2^20 is an
+    * exact binary rescale. No transcendental is ever evaluated.
+    * Overflow: c·mlog2fx(c) ≤ c·63·2^20 — safe past 10^11-token docs.
+    *
+    * Shape at 100 TB: the LM-table reduction — ONE map-side-combined
+    * groupBy(doc_id, token) reduces the corpus to per-doc vocabularies,
+    * ONE map-side-combined rollup to docs. No joins, no windows, no
+    * driver state. */
+  private val textEntropy = QueryDef(
+    (s, dir) => {
+      import ImportanceSelection.{mlog2Spark, Scale}
+      Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(expr(s"c * (${mlog2Spark("c")})")).as("sfx"))
+        .select(col("doc_id"), col("n_tokens"), col("vocab_size"),
+          ((expr(mlog2Spark("n_tokens")) - expr("sfx div n_tokens"))
+            .cast("double") / Scale.toDouble).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import ImportanceSelection.{mlog2Duck, Scale}
+      s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY doc_id, w),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |         COUNT(*) AS vocab_size,
+      |         CAST(SUM(c * (${mlog2Duck("c")})) AS BIGINT) AS sfx
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, vocab_size,
+      |  CAST((${mlog2Duck("n_tokens")}) - (sfx // n_tokens) AS DOUBLE) / $Scale
+      |    AS entropy
+      |FROM agg ORDER BY doc_id""".stripMargin
+    })
+
   val all: Map[String, QueryDef] = Map(
+    "text_entropy" -> textEntropy,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
