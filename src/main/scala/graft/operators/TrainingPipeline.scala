@@ -131,7 +131,10 @@ object TrainingPipeline {
     *     evidence), which is near-benchmark contamination leaving by
     *     the same motive as stage 7;
     *  7. shingle decontamination vs the benchmark originals
-    *     ([[decontaminate]]);
+    *     ([[decontaminate]]), then FUZZY decontamination
+    *     ([[Dedup.fuzzyContaminatedIds]]) — rewritten/truncated
+    *     benchmark text that exact shingles miss leaves by minhash-band
+    *     + verified-Jaccard (≥ 0.5, integer threshold);
     *  8. annotations: global quality quintile
     *     ([[Sampling.withGlobalQuintile]] — distributed prefix-sum, no
     *     global sort), the leakage-safe content-fingerprint split
@@ -181,7 +184,15 @@ object TrainingPipeline {
     val sem = keepers.join(semDropped, Seq("doc_id"), "left_anti")
     val clean = decontaminate(sem, benchmark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored = TextAnalysis.qualityRaw(clean)
+    // fuzzy stage: `clean` has two consumers here (anti-join left +
+    // candidate generation) — the persist above keeps the span-cut chain
+    // from re-executing; `cleanFz` persists too because the quintile
+    // stage's rank+histogram pair scans it twice
+    val cleanFz = clean
+      .join(Dedup.fuzzyContaminatedIds(clean, benchmark),
+        Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = TextAnalysis.qualityRaw(cleanFz)
       .withColumn("score_fp", TextAnalysis.qualityScoreFp)
     val weights = ImportanceSelection
       .dsirWeights(redacted, ImportanceSelection.targetSourceCol,
@@ -264,9 +275,10 @@ object TrainingPipeline {
     * [[Redaction.redactSql]], [[TextAnalysis.gopherSignalsSql]] +
     * [[TextAnalysis.gopherPassPredSql]],
     * [[Similarity.semanticDroppedSqlCtes]],
-    * [[Dedup.shinglesSql]], [[Sampling.splitSql]]) — one definition per
-    * stage on each engine, so a stage change re-verifies the
-    * composition automatically. */
+    * [[Dedup.shinglesSql]], [[Dedup.fuzzyCandSqlCtes]] +
+    * [[Dedup.fuzzyThresholdSql]], [[Sampling.splitSql]]) — one
+    * definition per stage on each engine, so a stage change re-verifies
+    * the composition automatically. */
   private val pipelineCurateFull = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
@@ -322,6 +334,12 @@ object TrainingPipeline {
       |clean AS (
       |  SELECT * FROM sem
       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |fbench AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |${Dedup.fuzzyCandSqlCtes("clean", "fbench")},
+      |fzclean AS (
+      |  SELECT * FROM clean WHERE doc_id NOT IN (
+      |    SELECT doc_id FROM fzcand WHERE ${Dedup.fuzzyThresholdSql})),
       |q AS (
       |  SELECT doc_id, lang, source, text, n_tokens,
       |    CAST(FLOOR(LEAST(n_tokens / 100.0, 1.0) *
@@ -329,7 +347,7 @@ object TrainingPipeline {
       |        / CAST(n_tokens AS DOUBLE)) *
       |      (len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5)
       |      AS BIGINT) AS score_fp
-      |  FROM clean),
+      |  FROM fzclean),
       |rk AS (
       |  SELECT doc_id, lang, source, n_tokens, score_fp,
       |         md5(text) AS fingerprint,

@@ -43,6 +43,24 @@ class TrainingPipelineSuite extends SparkSuite {
     assert(clean.join(corpus, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("fuzzy decontamination drops near-duplicates of benchmark docs, keeps far docs") {
+    import spark.implicits._
+    val benchText = ('a' to 't').map(c => s"tok$c").mkString(" ") // 20 tokens
+    val nearDup = benchText.replace("tokt", "changed")            // 19/20 shared
+    val far = (1 to 20).map(i => s"other$i").mkString(" ")
+    val corpus = Seq((1L, benchText), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val ids = Dedup.fuzzyContaminatedIds(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    // the exact copy MUST be caught (all bands equal); the near-dup's
+    // catch is banding-dependent but DETERMINISTIC (fixed strings, md5)
+    // — pinned to the measured outcome so a banding change surfaces
+    assert(ids.contains(1L), s"exact benchmark copy not flagged: $ids")
+    assert(!ids.contains(3L), s"unrelated doc flagged: $ids")
+    assert(ids.contains(2L),
+      s"near-duplicate (J=16/20 shingles) missed by 4-band minhash: $ids")
+  }
+
   test("curateFull: exclusions, annotations, and stage containment hold") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = TrainingPipeline.curateFull(docs, emb, bench)
