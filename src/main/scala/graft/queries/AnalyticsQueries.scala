@@ -49,6 +49,61 @@ object AnalyticsQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** TPC-H Q9-shaped: profit by (nation, order-year) through a 5-way
+    * join (no partsupp table in the fixture, so profit omits
+    * ps_supplycost — the join/agg shape is Q9's). Three dims broadcast
+    * (filtered part, supplier, nation); the one real shuffle is
+    * lineitem ⨝ orders on orderkey, then a partial agg on the
+    * (nation, year) pair — at 100 TB the fact-fact join carries only
+    * (l_orderkey, suppkey-resolved nation, revenue terms). */
+  private val q9 = QueryDef(
+    (s, dir) => Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("red"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("profit"))
+      .orderBy(col("nation"), col("o_year").desc),
+    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+      |FROM part, supplier, lineitem, orders, nation
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%red%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin))
+
+  /** TPC-H Q20-shaped: suppliers whose shipped volume of red parts
+    * exceeds a threshold — the correlated-subquery/semi-join pattern
+    * (no partsupp, so availability becomes shipped volume). The inner
+    * agg reduces lineitem to suppkey granularity before the semi-join;
+    * supplier/nation broadcast. */
+  private val q20 = QueryDef(
+    (s, dir) => {
+      val volume = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("red"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("red_qty"))
+        .filter(col("red_qty") > 50)
+      Tables.supplier(s, dir)
+        .join(volume, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    },
+    Some("""SELECT s_name, n_name
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+      |  GROUP BY l_suppkey HAVING SUM(l_quantity) > 50)
+      |ORDER BY s_name""".stripMargin))
+
   /** TPC-H Q3-shaped: broadcast dim join + agg + deterministic top-10. */
   private val q3 = QueryDef(
     (s, dir) => Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -392,6 +447,8 @@ object AnalyticsQueries {
     "q1_pricing_summary" -> q1,
     "q3_top_revenue" -> q3,
     "q5_region_revenue" -> q5,
+    "q9_profit_by_nation" -> q9,
+    "q20_red_suppliers" -> q20,
     "q17_small_qty" -> q17SmallQty,
     "join_semi_anti" -> semiAnti,
     "window_topn_per_customer" -> windowTopN,
