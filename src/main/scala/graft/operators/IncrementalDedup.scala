@@ -191,6 +191,60 @@ object IncrementalDedup {
       newBatch.withColumn("fingerprint", md5(col("text"))),
       newBatch.sparkSession.table(catalogTable).hint("merge"), bloom)
 
+  // ---- incremental FUZZY dedup (band catalog) -------------------------
+
+  /** Write the historical MinHash BAND catalog — (band, doc_id), bucketed
+    * and bucket-sorted on `band` — the near-duplicate analogue of the
+    * fingerprint catalog. Band definitions are [[Dedup.minhashBanded]]'s
+    * (shared with the pairs queries and fuzzy decontamination), so one
+    * banding contract serves batch, pipeline, and incremental faces.
+    * Storage is (32-hex band, id) — never shingles or text: the verify
+    * step re-fetches candidate docs from the DOC STORE (the kept-corpus
+    * table a deployment maintains anyway), keeping the index
+    * signature-sized. */
+  def writeBandCatalog(docs: DataFrame, path: String, table: String): String = {
+    Dedup.minhashBanded(docs)
+      .select("band", "doc_id")
+      .repartition(1)
+      .write
+      .bucketBy(CatalogBuckets, "band")
+      .sortBy("band")
+      .option("path", path)
+      .saveAsTable(table)
+    table
+  }
+
+  /** Rows of `newBatch` with NO verified near-duplicate (shingle Jaccard
+    * ≥ 0.5, the [[Dedup.fuzzyContaminatedIds]] integer threshold) in the
+    * band catalog. The catalog side of the band join reads its buckets
+    * in place — the merge hint pins the SMJ shape the layout is built
+    * for, only the (small) banded batch shuffles. Band collisions are
+    * duplicate-mass-sized; their doc texts are re-fetched from
+    * `history` (the doc store) narrowly — history never shuffles, the
+    * candidate id set joins against it and AQE broadcasts the small
+    * side. A batch doc already IN the catalog collides with itself at
+    * J = 1 and is eliminated — same self-elimination contract as the
+    * exact face. */
+  def dedupFuzzyAgainstCatalog(
+      newBatch: DataFrame, catalogTable: String, history: DataFrame): DataFrame = {
+    val s = newBatch.sparkSession
+    val cands = Dedup.minhashBanded(newBatch)
+      .join(s.table(catalogTable).hint("merge")
+        .withColumnRenamed("doc_id", "cat_doc_id"), Seq("band"))
+      .select("doc_id", "sh", "cat_doc_id")
+      .distinct()
+    val catSh = history
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= Dedup.ShingleN)
+      .withColumn("sh_b", Dedup.shinglesExpr)
+      .select(col("doc_id").as("cat_doc_id"), col("sh_b"))
+    val dupIds = cands.join(catSh, Seq("cat_doc_id"))
+      .filter(lit(3) * size(array_intersect(col("sh"), col("sh_b"))) >=
+        size(col("sh")) + size(col("sh_b")))
+      .select("doc_id").distinct()
+    newBatch.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   // ---- oracle-gated query plumbing ------------------------------------
 
   // One catalog fixture per (session, sfDir): table names are
@@ -266,6 +320,49 @@ object IncrementalDedup {
       |  (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
       |ORDER BY doc_id""".stripMargin))
 
+  // Band-catalog fixture: same memo discipline as [[ensureCatalog]],
+  // distinct key space ("bands:" prefix) and table slug.
+  private def ensureBandCatalog(s: SparkSession, dir: String): String = {
+    sweepStopped()
+    built.getOrElseUpdate((s, s"bands:$dir"), new LazyCatalog(() => {
+      val pid = ProcessHandle.current().pid()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val slug = md.digest(dir.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12) + "_" + buildSeq.incrementAndGet()
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_fzcat_${pid}_$slug"
+      val f = new java.io.File(path)
+      if (f.exists()) rmTree(f)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(f)))
+      writeBandCatalog(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+        path, s"graft_fzcat_$slug")
+    })).value
+  }
+
+  /** Fuzzy face of `dedup_incremental`: same even-ids history, NEAR-dup
+    * elimination through the persisted band catalog — evens
+    * self-eliminate at J = 1, odd docs leave only when a verified
+    * near-duplicate of an even exists. The twin replays banding +
+    * verification from the `documents` table via the shared
+    * [[Dedup.fuzzyCandSqlCtes]] fragment. */
+  private val dedupIncrementalFuzzy = QueryDef(
+    (s, dir) => {
+      val cat = ensureBandCatalog(s, dir)
+      dedupFuzzyAgainstCatalog(
+          Tables.documents(s, dir), cat,
+          Tables.documents(s, dir).filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH fib AS (SELECT doc_id, text FROM documents),
+      |fic AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |${Dedup.fuzzyCandSqlCtes("fib", "fic")}
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT IN (
+      |  SELECT doc_id FROM fzcand WHERE ${Dedup.fuzzyThresholdSql})
+      |ORDER BY doc_id""".stripMargin))
+
   // The bloom is a per-catalog-epoch artifact: memoized like the catalog
   // itself so every batch (and the bench's repeated runs) reuses one
   // build, which is the production shape the scaladoc promises.
@@ -297,5 +394,6 @@ object IncrementalDedup {
 
   val all: Map[String, QueryDef] = Map(
     "dedup_incremental" -> dedupIncremental,
-    "dedup_incremental_bloom" -> dedupIncrementalBloom)
+    "dedup_incremental_bloom" -> dedupIncrementalBloom,
+    "dedup_incremental_fuzzy" -> dedupIncrementalFuzzy)
 }

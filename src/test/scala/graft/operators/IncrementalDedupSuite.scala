@@ -51,6 +51,33 @@ class IncrementalDedupSuite extends SparkSuite {
     assert(out.columns.toSeq === Seq("doc_id", "fingerprint", "lang"))
   }
 
+  test("fuzzy face: band catalog bucket-scanned with no exchange; evens self-eliminate") {
+    val df = SparkEntry.queries("dedup_incremental_fuzzy")(spark, sfDir)
+    df.collect()
+    val nodes = walk(df.queryExecution.executedPlan)
+    // the band join is the SMJ whose right side scans the bucketed band
+    // catalog (the anti/fetch joins are hash joins on ids)
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+      .find(j => walk(j.right).exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("graft_fzcat"))
+        case _ => false
+      })
+      .getOrElse(fail("expected a SortMergeJoin over the band catalog, got:\n" +
+        df.queryExecution.executedPlan.toString.take(3000)))
+    val right = walk(smj.right)
+    val scan = right.collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan under the band-catalog side"))
+    assert(scan.bucketedScan, "band catalog scan must use its buckets")
+    assert(!right.exists(_.isInstanceOf[Exchange]),
+      "band catalog side must not re-shuffle:\n" + smj.right.toString.take(2000))
+    // contract: every even (in-catalog) doc collides with itself at
+    // J = 1 and is eliminated
+    val out = df.collect()
+    assert(!out.exists(_.getLong(0) % 2 == 0), "an in-catalog doc survived")
+    assert(out.map(_.getLong(0)).forall(_ % 2 == 1))
+  }
+
   test("streaming ingest anti-joins the same catalog per micro-batch") {
     val sparkS = spark
     import sparkS.implicits._
