@@ -245,6 +245,22 @@ object IncrementalDedup {
     newBatch.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming face of the fuzzy contract: each micro-batch runs the
+    * batch operator against the SAME persisted band catalog + doc store,
+    * via `foreachBatch` — the exact face's stream-STATIC anti-join shape
+    * is not available here because the verified-duplicate id set derives
+    * from the arriving rows themselves (a continuous plan would need a
+    * stream-stream anti-join), while per-micro-batch the derivation is
+    * just the batch plan. Ingest and batch runs consult one index, so a
+    * near-duplicate admitted by either face never re-enters; `emit`
+    * receives each micro-batch's survivors. */
+  def dedupFuzzyStreamWriter(
+      stream: DataFrame, catalogTable: String, history: DataFrame)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      emit(dedupFuzzyAgainstCatalog(batch, catalogTable, history))
+    }
+
   // ---- oracle-gated query plumbing ------------------------------------
 
   // One catalog fixture per (session, sfDir): table names are

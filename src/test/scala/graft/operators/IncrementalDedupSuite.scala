@@ -78,6 +78,46 @@ class IncrementalDedupSuite extends SparkSuite {
     assert(out.map(_.getLong(0)).forall(_ % 2 == 1))
   }
 
+  test("fuzzy streaming face agrees with the batch face per micro-batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fzcat_stream_$pid"
+    val table = "graft_fzcat_stream"
+    try {
+      // history: one 20-token doc; near-dup (19/20 tokens) must be
+      // dropped by the ingest, unrelated text must pass
+      val histText = ('a' to 't').map(c => s"tok$c").mkString(" ")
+      val history = Seq((100L, histText)).toDF("doc_id", "text")
+      IncrementalDedup.writeBandCatalog(history, path, table)
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ListBuffer.empty[Long]
+      val q = IncrementalDedup.dedupFuzzyStreamWriter(
+          input.toDS().toDF("doc_id", "text"), table, history) { surv =>
+          got.synchronized { got ++= surv.select("doc_id").as[Long].collect() }; ()
+        }.start()
+      try {
+        input.addData(
+          (1L, histText),                            // exact copy: dropped
+          (2L, histText.replace("tokt", "changed")), // near-dup: dropped
+          (3L, (1 to 20).map(i => s"other$i").mkString(" "))) // passes
+        q.processAllAvailable()
+        input.addData((4L, histText), (5L, "tiny doc text here"))
+        q.processAllAvailable()
+        // doc 5 has < 20 tokens of unrelated text: no band collision
+        assert(got.sorted.toSeq === Seq(3L, 5L), got.toString)
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("streaming ingest anti-joins the same catalog per micro-batch") {
     val sparkS = spark
     import sparkS.implicits._

@@ -106,6 +106,14 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("knn_graph: both self-join sides read ONE cell exchange (ReusedExchange)") {
+    val df = SparkEntry.queries("knn_graph")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "banded self-join must reuse the cell exchange:\n" + p.take(3000))
+  }
+
   test("decontaminate_minhash: benchmark side broadcasts — corpus never sort-merges") {
     // eval suites are metadata-sized: bench bands+shingles must ride a
     // broadcast, the corpus side staying narrow through the band join
