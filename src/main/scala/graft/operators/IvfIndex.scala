@@ -170,6 +170,28 @@ object IvfIndex {
     books.map(_.length).sum
   }
 
+  /** Assign + residual-encode a NEW batch with the persisted quantizer
+    * and codebooks and append its codes into the partitioned layout —
+    * the steady-state ingest path of the PQ index ([[append]]'s
+    * contract): no retraining, no touch of existing files. Codebook
+    * drift across appends is the same epoch concern as centroid drift —
+    * re-[[buildPq]] when recall METRICS say so. */
+  def appendPq(newBatch: DataFrame, path: String): Unit = {
+    val s = newBatch.sparkSession
+    val cents = loadCentroids(s, path)
+    val books = loadBooks(s, path)
+    val ncentsLit = typedLit(
+      Similarity.normalizedCentroids(cents).map(_.toIndexedSeq).toIndexedSeq)
+    val frame = Similarity.assignCells(withNorm(newBatch), cents)
+      .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
+      .withColumn("ncv", element_at(ncentsLit, col("cell").cast("int") + 1))
+      .withColumn("rx", zip_with(col("nx"), col("ncv"), (x, y) => x - y))
+    Similarity.pqWithRecon(frame.withColumn("nx", col("rx")), books)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until Similarity.PqM).map(m => col(s"code$m")): _*)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   private[operators] def loadBooks(
       s: SparkSession, path: String): Seq[Seq[Similarity.SubCentroid]] = {
     val rows = s.read.parquet(s"$path/books").collect()

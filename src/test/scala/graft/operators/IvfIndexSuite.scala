@@ -164,6 +164,32 @@ class IvfIndexSuite extends SparkSuite {
     } finally rm(new java.io.File(path))
   }
 
+  test("PQ append encodes a new batch with the persisted books; probes see it") {
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_app_$pid"
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      IvfIndex.buildPq(emb, path)
+      val queries = emb.filter(col("vec_id") === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      // append an exact copy of the query vector under a fresh id: same
+      // cell, same codes, and the exact re-rank puts it first at sim 1
+      val clone = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      IvfIndex.appendPq(clone, path)
+      val store = emb.select("vec_id", "embedding").unionByName(clone)
+      val got = IvfIndex.probePq(spark, path, store, queries, nprobe = 2, topk = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.head._2 === 1000000L, got.toSeq.toString)
+      assert(math.abs(got.head._3 - 1.0) < 1e-4)
+    } finally rm(new java.io.File(path))
+  }
+
   test("the index is probed many times without retraining") {
     withIndex { path =>
       val emb = Tables.embeddings(spark, sfDir)
