@@ -206,6 +206,35 @@ object TrainingPipeline {
         "fingerprint", "split", "quintile", "dsir_weight")
   }
 
+  /** Streaming INGEST face of the curation pipeline — the reference's
+    * firehose posture applied to data curation: documents arriving on a
+    * stream are gated, redacted, and deduplicated against the persisted
+    * catalogs per micro-batch (`foreachBatch` — the exact-dedup stage is
+    * a stream-static join, but the within-batch keeper window and the
+    * fuzzy stage's self-derived id sets need batch planning). Stage
+    * functions are the BATCH pipeline's own ([[qualityGate]],
+    * [[Redaction.redactColumn]], [[dedupKeepers]],
+    * [[IncrementalDedup.dedupAgainstCatalog]] /
+    * [[IncrementalDedup.dedupFuzzyAgainstCatalog]]) — one definition per
+    * stage across both deployment shapes, so batch backfills and
+    * streaming ingest admit identical rows. Gates run on post-redaction
+    * text and the fingerprint catalog stores post-redaction
+    * fingerprints, matching [[curateFull]]'s ordering. `emit` receives
+    * each micro-batch's admitted rows (with their `fingerprint`), ready
+    * to append into both catalogs for the next epoch. */
+  def curateStreamWriter(
+      stream: DataFrame, fpCatalog: String, bandCatalog: String,
+      history: DataFrame, cfg: CurationConfig = CurationConfig())(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val redacted = batch
+        .withColumn("text", Redaction.redactColumn(col("text")))
+      val gated = qualityGate(redacted, cfg)
+      val keepers = dedupKeepers(gated)
+      val fresh = IncrementalDedup.dedupAgainstCatalog(keepers, fpCatalog)
+      emit(IncrementalDedup.dedupFuzzyAgainstCatalog(fresh, bandCatalog, history))
+    }
+
   // The oracle interpolates THESE defaults — a tuned CurationConfig and
   // its SQL twin can't silently diverge.
   private val Defaults = CurationConfig()

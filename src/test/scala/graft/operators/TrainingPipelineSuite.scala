@@ -107,6 +107,56 @@ class TrainingPipelineSuite extends SparkSuite {
       "pipeline dsir_weight diverges from the standalone operator")
   }
 
+  test("streaming curation ingest: gate, redact, and both catalog dedups per micro-batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def mkToks(p: String) =
+      (for { a <- 'a' to 'f'; b <- 'a' to 'f' } yield s"$p$a$b").take(32)
+    val histText = mkToks("h").mkString(" ")
+    val nearDup = (mkToks("h").init :+ "zzz").mkString(" ")
+    val catText = mkToks("c").mkString(" ")
+    val dupText = mkToks("d").mkString(" ")
+    val freshPii = (mkToks("f") :+ "12345").mkString(" ")
+    val pid = ProcessHandle.current().pid()
+    val fpPath = s"${System.getProperty("java.io.tmpdir")}/graft_ing_fp_$pid"
+    val bandPath = s"${System.getProperty("java.io.tmpdir")}/graft_ing_band_$pid"
+    val (fpTable, bandTable) = ("graft_ing_fp", "graft_ing_band")
+    try {
+      IncrementalDedup.writeCatalog(Seq(catText).toDF("text"), fpPath, fpTable)
+      val history = Seq((100L, histText)).toDF("doc_id", "text")
+      IncrementalDedup.writeBandCatalog(history, bandPath, bandTable)
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+      val q = TrainingPipeline.curateStreamWriter(
+          input.toDS().toDF("doc_id", "text"), fpTable, bandTable, history) { adm =>
+          got.synchronized {
+            got ++= adm.select("doc_id", "text").as[(Long, String)].collect()
+          }; ()
+        }.start()
+      try {
+        input.addData(
+          (1L, catText),   // exact catalog dup: dropped
+          (2L, nearDup),   // near-dup of band history: dropped
+          (3L, "hi there"),// under minTokens: gated
+          (40L, dupText), (41L, dupText), // within-batch dup: 40 kept
+          (5L, freshPii))  // admitted, digits redacted
+        q.processAllAvailable()
+        val byId = got.toMap
+        assert(byId.keySet === Set(40L, 5L), got.toString)
+        assert(!byId(5L).exists(_.isDigit), s"PII survived: ${byId(5L)}")
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $fpTable")
+      spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(fpPath)); rm(new java.io.File(bandPath))
+    }
+  }
+
   test("curate excludes every held-out benchmark doc and bounds ranks") {
     val out = TrainingPipeline.curate(docs, bench)
     assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
