@@ -158,6 +158,7 @@ object MetricsReport {
     // 4b. streaming catalog-dedup ingest: plain vs Bloom-prefiltered
     // face over the same staged stream + the measured bypass fraction
     val ingest = StreamBench.runDedupIngest(spark, sfDir)
+    val curate = StreamBench.runCurateIngest(spark, sfDir)
 
     val sg = skew.map { case (n, (s, h)) =>
       s"""    "$n": {"salted_pairs": $s, "hot_bands": $h}"""
@@ -197,6 +198,11 @@ object MetricsReport {
          |    "rows": ${ingest.rows},
          |    "kept": ${ingest.kept},
          |    "bloom_bypass_fraction": ${d4(ingest.bypassFraction)}
+         |  },
+         |  "stream_curate": {
+         |    "rows_per_sec": ${d0(curate.rowsPerSec)},
+         |    "rows": ${curate.rows},
+         |    "admitted": ${curate.admitted}
          |  }
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

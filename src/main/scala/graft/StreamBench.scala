@@ -123,6 +123,45 @@ object StreamBench {
     DedupIngestResult(rows / plainSec, rows / bloomSec, rows, keptPlain, bypass)
   }
 
+  final case class CurateIngestResult(rowsPerSec: Double, rows: Long, admitted: Long)
+
+  /** Measure the streaming CURATION ingest face
+    * ([[graft.operators.TrainingPipeline.curateStreamWriter]]): the
+    * staged document stream driven through gate → redact → keepers →
+    * exact-catalog → fuzzy-catalog per micro-batch. Catalogs are built
+    * from the even-id half's POST-REDACTION text (the face's contract:
+    * fingerprints and bands index what the pipeline admits, not raw
+    * input), so roughly half the stream drops as history and the rest
+    * faces the gates. */
+  def runCurateIngest(spark: SparkSession, sfDir: String): CurateIngestResult = {
+    import graft.operators.{IncrementalDedup, Redaction, TrainingPipeline}
+    val stage = java.nio.file.Files.createTempDirectory("graft-curateingest").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    (1 to 5).map(_ => docs).reduce(_ unionAll _)
+      .repartition(24).write.parquet(s"$stage/in")
+    val redactedEvens = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("text", Redaction.redactColumn(col("text")))
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val fpTable = s"graft_sb_curfp_$tag"
+    val bandTable = s"graft_sb_curband_$tag"
+    IncrementalDedup.writeCatalog(redactedEvens, s"$stage/fpcat", fpTable)
+    IncrementalDedup.writeBandCatalog(redactedEvens, s"$stage/bandcat", bandTable)
+    val schema = spark.read.parquet(s"$stage/in").schema
+    val admitted = new LongAdder
+    val t0 = System.nanoTime()
+    val q = TrainingPipeline.curateStreamWriter(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "6").parquet(s"$stage/in"),
+        fpTable, bandTable, redactedEvens) { df => admitted.add(df.count()); () }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stage/ckpt")
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rows = spark.read.parquet(s"$stage/in").count()
+    CurateIngestResult(rows / sec, rows, admitted.sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
