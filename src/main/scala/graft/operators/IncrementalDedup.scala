@@ -245,6 +245,32 @@ object IncrementalDedup {
     newBatch.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Append an admitted batch's fingerprints into the catalog with the
+    * SAME bucket spec — the epoch tick that makes this batch history for
+    * every later run (batch or streaming). The batch must carry a
+    * `fingerprint` column (both dedup faces emit it). */
+  def appendCatalog(admitted: DataFrame, path: String, table: String): Unit =
+    admitted.select("fingerprint").distinct()
+      .repartition(1)
+      .write.mode("append")
+      .bucketBy(CatalogBuckets, "fingerprint")
+      .sortBy("fingerprint")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Append an admitted batch's band signatures into the band catalog —
+    * the fuzzy face's epoch tick ([[appendCatalog]]'s contract). Needs
+    * `doc_id` and `text`. */
+  def appendBandCatalog(admitted: DataFrame, path: String, table: String): Unit =
+    Dedup.minhashBanded(admitted)
+      .select("band", "doc_id")
+      .repartition(1)
+      .write.mode("append")
+      .bucketBy(CatalogBuckets, "band")
+      .sortBy("band")
+      .option("path", path)
+      .saveAsTable(table)
+
   /** Streaming face of the fuzzy contract: each micro-batch runs the
     * batch operator against the SAME persisted band catalog + doc store,
     * via `foreachBatch` — the exact face's stream-STATIC anti-join shape

@@ -235,6 +235,49 @@ object TrainingPipeline {
       emit(IncrementalDedup.dedupFuzzyAgainstCatalog(fresh, bandCatalog, history))
     }
 
+  /** [[curateStreamWriter]] with the EPOCH LOOP closed: after emitting a
+    * micro-batch's admitted rows, their texts append into the doc store
+    * and their fingerprints/bands into both catalogs — so a repeat of
+    * this batch's content in ANY later micro-batch (or a batch backfill)
+    * is history, including near-duplicates. This is what turns the
+    * per-batch keeper window into global dedup: within a batch the
+    * window dedupes, across batches the catalogs do. The doc store and
+    * both catalog tables must exist before the first batch (bootstrap
+    * with [[IncrementalDedup.writeCatalog]] /
+    * [[IncrementalDedup.writeBandCatalog]] over the initial history and
+    * a parquet write of its texts); the store is re-resolved from its
+    * path EVERY batch so earlier batches' appends are visible. */
+  def curateIngest(
+      stream: DataFrame,
+      fpTable: String, fpPath: String,
+      bandTable: String, bandPath: String,
+      docStorePath: String,
+      cfg: CurationConfig = CurationConfig())(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val history = s.read.parquet(docStorePath)
+      val redacted = batch
+        .withColumn("text", Redaction.redactColumn(col("text")))
+      val gated = qualityGate(redacted, cfg)
+      val keepers = dedupKeepers(gated)
+      val fresh = IncrementalDedup.dedupAgainstCatalog(keepers, fpTable)
+      // EAGER localCheckpoint, not persist: the appends below refresh the
+      // catalog/store relations, which INVALIDATES any cached plan that
+      // references them — a persisted `admitted` would silently RECOMPUTE
+      // against the just-grown fp catalog and erase itself before the
+      // band append (observed: zero band rows ever landed). Checkpointing
+      // truncates the lineage to the materialized rows, so the appends
+      // cannot re-derive them.
+      val admitted = IncrementalDedup
+        .dedupFuzzyAgainstCatalog(fresh, bandTable, history)
+        .localCheckpoint()
+      emit(admitted)
+      admitted.select("doc_id", "text").write.mode("append").parquet(docStorePath)
+      IncrementalDedup.appendCatalog(admitted, fpPath, fpTable)
+      IncrementalDedup.appendBandCatalog(admitted, bandPath, bandTable)
+    }
+
   // The oracle interpolates THESE defaults — a tuned CurationConfig and
   // its SQL twin can't silently diverge.
   private val Defaults = CurationConfig()

@@ -271,11 +271,7 @@ class IncrementalDedupSuite extends SparkSuite {
       val survivors = IncrementalDedup.dedupAgainstCatalog(
         docs.filter(col("doc_id") >= 100), table)
       // round 2: survivors' fingerprints appended with the same spec
-      survivors.select("fingerprint").distinct().repartition(1)
-        .write.mode("append")
-        .bucketBy(IncrementalDedup.CatalogBuckets, "fingerprint")
-        .sortBy("fingerprint")
-        .option("path", path).saveAsTable(table)
+      IncrementalDedup.appendCatalog(survivors, path, table)
       // now the SAME batch fully deduplicates against the grown catalog
       val round2 = IncrementalDedup.dedupAgainstCatalog(
         docs.filter(col("doc_id") >= 100), table)

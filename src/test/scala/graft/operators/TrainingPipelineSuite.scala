@@ -157,6 +157,53 @@ class TrainingPipelineSuite extends SparkSuite {
     }
   }
 
+  test("curateIngest closes the epoch loop: repeats across micro-batches become history") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def mkToks(p: String) =
+      (for { a <- 'a' to 'f'; b <- 'a' to 'f' } yield s"$p$a$b").take(32)
+    val histText = mkToks("h").mkString(" ")
+    val textA = mkToks("x").mkString(" ")
+    val nearA = (mkToks("x").init :+ "zzz").mkString(" ") // near-dup of A
+    val textB = mkToks("y").mkString(" ")
+    val pid = ProcessHandle.current().pid()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_epoch_$pid"
+    val (fpTable, bandTable) = ("graft_epoch_fp", "graft_epoch_band")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    try {
+      val history = Seq((100L, histText)).toDF("doc_id", "text")
+      IncrementalDedup.writeCatalog(history, s"$base/fp", fpTable)
+      IncrementalDedup.writeBandCatalog(history, s"$base/band", bandTable)
+      history.write.parquet(s"$base/store")
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ListBuffer.empty[Long]
+      val q = TrainingPipeline.curateIngest(
+          input.toDS().toDF("doc_id", "text"),
+          fpTable, s"$base/fp", bandTable, s"$base/band", s"$base/store") { adm =>
+          got.synchronized { got ++= adm.select("doc_id").as[Long].collect() }; ()
+        }.start()
+      try {
+        input.addData((1L, textA))
+        q.processAllAvailable()
+        // batch 2: an exact repeat of A (new id), a NEAR-dup of A, and a
+        // fresh doc — only the fresh doc may pass, because batch 1's
+        // append made A history in both catalogs AND the doc store
+        input.addData((2L, textA), (3L, nearA), (4L, textB))
+        q.processAllAvailable()
+        assert(got.sorted.toSeq === Seq(1L, 4L), got.toString)
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $fpTable")
+      spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+      rm(new java.io.File(base))
+    }
+  }
+
   test("curate excludes every held-out benchmark doc and bounds ranks") {
     val out = TrainingPipeline.curate(docs, bench)
     assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
