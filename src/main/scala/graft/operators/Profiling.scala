@@ -225,8 +225,53 @@ object Profiling {
       |  FROM counts)
       |WHERE rn <= $NgramTopK ORDER BY source, rank""".stripMargin))
 
+  /** Per-document DUPLICATION RATIO — the fraction of a doc's anchored
+    * [[Dedup.anchoredWindows]] span fingerprints that also occur in ≥2
+    * distinct documents: the span-granular novelty signal (the
+    * "characters in duplicated n-grams" RefinedWeb/MassiveText measure)
+    * that document-level fingerprints and within-doc repetition scores
+    * both miss — a unique doc stuffed with cross-corpus boilerplate
+    * scores high here and nowhere else. Docs shorter than the span
+    * window have no anchors and are absent (same in both engines).
+    *
+    * Shape at 100 TB: [[Dedup.duplicatedSpans]]' single
+    * fingerprint-partitioned exchange, read by the duplicate aggregate
+    * AND the annotate join (ReusedExchange); the per-doc rollup is ONE
+    * map-side-combined groupBy carrying (doc_id, two longs). Ratio via
+    * the repo's floor-half-up fixed rounding. */
+  private val profileDocDuplication = QueryDef(
+    (s, dir) => {
+      val w = Dedup.anchoredWindows(Tables.documents(s, dir), Seq("doc_id"))
+        .repartition(col("fingerprint"))
+      val dup = w.groupBy("fingerprint")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("fingerprint"), lit(1).as("is_dup"))
+      w.join(dup, Seq("fingerprint"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_anchors"),
+          sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_anchors"))
+        .select(col("doc_id"), col("n_anchors"), col("n_dup_anchors"),
+          (floor(col("n_dup_anchors").cast("double") / col("n_anchors") * 1e4 + 0.5) / 1e4)
+            .as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Dedup.anchoredWindowsSql("doc_id")},
+      |dup AS (
+      |  SELECT fingerprint FROM f GROUP BY 1
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |ann AS (
+      |  SELECT f.doc_id,
+      |         CASE WHEN d.fingerprint IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      |  FROM f LEFT JOIN dup d USING (fingerprint))
+      |SELECT doc_id, COUNT(*) AS n_anchors,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_anchors,
+      |  FLOOR(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4 AS dup_ratio
+      |FROM ann GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "profile_documents" -> profileDocuments,
+    "profile_doc_duplication" -> profileDocDuplication,
     "profile_ngram_topk" -> profileNgramTopk,
     "profile_span_overlap" -> profileSpanOverlap,
     "profile_vocab" -> profileVocab)
