@@ -1631,5 +1631,88 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopk,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
-    "embedding_outliers" -> embeddingOutliers)
+    "embedding_outliers" -> embeddingOutliers,
+    "embedding_label_noise" -> embeddingLabelNoise)
+
+  /** LABEL-NOISE pruning report — the supervised-data curation op over
+    * the `label` column: per label, the TRAINED centroid is the mean of
+    * its members (ROUND(AVG, 6) — the kmeans determinism precedent), and
+    * the report lists every vector in the BOTTOM DECILE of
+    * own-label-centroid cosine within its label: the members least like
+    * their class, i.e. the mislabeled/ambiguous-example suspects a
+    * labeled-dataset pass reviews or drops (the centroid-distance face
+    * of Datamaps/Confident-Learning-style pruning, deterministic).
+    *
+    * Shape at 100 TB ([[embeddingOutliers]]' machinery with labels for
+    * cells): the centroid table is ONE map-side-combined groupBy(label)
+    * carrying 64 partial means (#labels rows, driver-held literal);
+    * per-row csim is narrow fold arithmetic; deciles come from a
+    * (label, 1001-slot) fixed-point histogram — cum windows run over
+    * metadata, never the corpus — and the slot set broadcasts back. The
+    * corpus never shuffles. */
+  private lazy val embeddingLabelNoise = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir).repartition(64)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+      val cents = collectCentroids(
+        emb.groupBy(col("label").cast("long").as("cent_id"))
+          .agg(array((1 to Dim).map(i =>
+            round(avg(element_at(col("embedding"), i).cast("double")), 6)): _*)
+            .as("cvec"))
+          .withColumn("cnrm", sqrt(dotCol("cvec", "cvec"))))
+      require(cents.map(_.cent_id) == (0L until cents.length),
+        "labels must be contiguous 0..k-1 (positional centroid lookup)")
+      val cvecs = typedLit(cents.map(_.cvec.toIndexedSeq).toIndexedSeq)
+      val cnrms = typedLit(cents.map(_.cnrm).toIndexedSeq)
+      val slotted = emb
+        .withColumn("cv", element_at(cvecs, col("label").cast("int") + 1))
+        .withColumn("cn2", element_at(cnrms, col("label").cast("int") + 1))
+        .withColumn("csim", dotCol("embedding", "cv") / (col("nrm") * col("cn2")))
+        .select(col("vec_id"), col("label"), col("csim"),
+          (floor(col("csim") * 500).cast("long") + 500L).as("slot"))
+      val hist = slotted.groupBy("label", "slot").agg(count(lit(1)).as("n"))
+      val noise = hist
+        .withColumn("cum_lo",
+          sum("n").over(Window.partitionBy("label").orderBy(col("slot"))))
+        .withColumn("cn", sum("n").over(Window.partitionBy("label")))
+        .filter(col("cum_lo") <= expr("cn div 10"))
+        .select("label", "slot")
+      slotted.join(broadcast(noise), Seq("label", "slot"))
+        .select(col("vec_id"), col("label"), round(col("csim"), 4).as("csim"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val meanList = (1 to Dim)
+        .map(i => s"ROUND(AVG(CAST(embedding[$i] AS DOUBLE)), 6)")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |lcents AS (
+        |  SELECT label, $meanList AS cvec FROM e GROUP BY label),
+        |lcents2 AS (
+        |  SELECT label, cvec, SQRT(${dotSql("cvec", "cvec")}) AS cnrm
+        |  FROM lcents),
+        |slotted AS (
+        |  SELECT e.vec_id, e.label,
+        |         (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS csim,
+        |         CAST(floor((${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm)
+        |           * 500) AS BIGINT) + 500 AS slot
+        |  FROM e JOIN lcents2 c ON e.label = c.label),
+        |hist AS (
+        |  SELECT label, slot, count(*) AS n FROM slotted GROUP BY label, slot),
+        |noise AS (
+        |  SELECT label, slot FROM (
+        |    SELECT label, slot, n,
+        |           SUM(n) OVER (PARTITION BY label ORDER BY slot) AS cum_lo,
+        |           SUM(n) OVER (PARTITION BY label) AS cn
+        |    FROM hist)
+        |  WHERE cum_lo <= cn // 10)
+        |SELECT s.vec_id, s.label, ROUND(s.csim, 4) AS csim
+        |FROM slotted s JOIN noise t ON s.label = t.label AND s.slot = t.slot
+        |ORDER BY vec_id""".stripMargin
+    })
 }
