@@ -1,6 +1,6 @@
 package graft
 import graft.operators.{Dedup, ImportanceSelection, IncrementalDedup, IvfIndex, LanguageModel, Multimodal, Profiling, Redaction, Sampling, Similarity, TextAnalysis, TrainingPipeline}
-import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef, ScalarQueries}
+import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef, ScalarQueries, TpchExtraQueries}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +11,7 @@ object SparkEntry {
 
   private def defs: Map[String, QueryDef] =
     ParityQueries.all ++ AnalyticsQueries.all ++ EventTimeQueries.all ++
-      ScalarQueries.all ++
+      ScalarQueries.all ++ TpchExtraQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
       Sampling.all ++ TrainingPipeline.all ++ IncrementalDedup.all ++
       IvfIndex.all ++ Profiling.all ++ LanguageModel.all ++ Redaction.all ++
