@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.QueryDef
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus search & boilerplate removal — the retrieval face of the
+ * curation toolkit: BM25 keyword relevance over the document corpus
+ * (the standard lexical ranker in front of any RAG / eval-retrieval
+ * stack) and C4-style boilerplate stripping (the corpus-wide most
+ * frequent n-grams are, by construction, the navigation chrome /
+ * cookie banners / template text of a crawl — cut them everywhere).
+ *
+ * Determinism stance (the [[LanguageModel]]/[[ImportanceSelection]]
+ * precedent verbatim): no ln() ever — idf uses MITCHELL'S binary log in
+ * 2^20 fixed point (integer-only, monotone), and the BM25 denominator
+ * is cleared of its textbook fractions up front (k1 = 1.2, b = 0.75 →
+ * ×10 through the term frequency, the avgdl ratio pre-divided into an
+ * integer) so every per-term contribution is one exact integer
+ * division. Scores cross engines as exact BIGINTs; the reported double
+ * is a final /2^20 binary rescale.
+ */
+object Search {
+
+  import ImportanceSelection.{mlog2Spark, mlog2Duck, Scale}
+
+  /** Fixed keyword query for the oracle-gated demo; a deployment binds
+    * this per-request. */
+  private[operators] val QueryTerms = Seq("spark", "join", "vector", "window")
+  private def termsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** BM25(k1=1.2, b=0.75) top-20 with Mitchell-log idf = log2(N/df).
+    * Per-term score: idf_fx · (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)).
+    * Clearing denominators (×10, avgdl = T/N pre-divided to an integer
+    * both engines truncate identically):
+    *   den = 10·tf + 3 + (9·dl·N) div T,  s_fx = (idf_fx·22·tf) div den.
+    *
+    * Shape at 100 TB: the token explode filters to the query terms
+    * IMMEDIATELY (the corpus reduces to matching postings before any
+    * shuffle); df and the (N, T) constants are term-count-sized
+    * broadcasts; one map-side-combined groupBy(doc_id) and a
+    * TakeOrdered top-20 finish it. An inverted-index deployment swaps
+    * the explode for a posting-list scan — the scoring plan is
+    * unchanged. */
+  private val searchBm25 = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val consts = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+        .filter(col("w").isin(QueryTerms: _*))
+        .groupBy("doc_id", "dl", "w")
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfc), "w")
+        .crossJoin(broadcast(consts))
+        .withColumn("idf_fx",
+          expr(s"(${mlog2Spark("n_docs")}) - (${mlog2Spark("df")})"))
+        .withColumn("den", expr("10 * tf + 3 + (9 * dl * n_docs) div t_tokens"))
+        .withColumn("s_fx", expr("(idf_fx * 22 * tf) div den"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), sum("s_fx").as("score_fx"))
+        .orderBy(col("score_fx").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_hits"), col("score_fx"),
+          (col("score_fx").cast("double") / Scale.toDouble).as("score"))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |dd AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      |consts AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dd),
+      |tok AS (
+      |  SELECT doc_id, dl, unnest(toks) AS w FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok WHERE w IN ($termsSql) GROUP BY 1, 2, 3),
+      |dfq AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id,
+      |    (${mlog2Duck("n_docs")}) - (${mlog2Duck("df")}) AS idf_fx,
+      |    (10 * tf + 3 + (9 * dl * n_docs) // t_tokens) AS den,
+      |    tf
+      |  FROM tf JOIN dfq USING (w) CROSS JOIN consts),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_hits,
+      |         CAST(SUM((idf_fx * 22 * tf) // den) AS BIGINT) AS score_fx
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, n_hits, score_fx,
+      |  CAST(score_fx AS DOUBLE) / $Scale AS score
+      |FROM agg ORDER BY score_fx DESC, doc_id LIMIT 20""".stripMargin))
+
+  // ---- C4-style boilerplate n-gram stripping --------------------------
+
+  private[operators] val GramW = 4
+  private[operators] val BoilerK = 20
+
+  /** Strip the corpus's [[BoilerK]] most frequent [[GramW]]-grams from
+    * every document — the C4/RefinedWeb boilerplate cut: template
+    * chrome repeats across a crawl far more than any natural phrase, so
+    * the global frequency head IS the boilerplate list. A token is
+    * dropped iff ANY listed-gram occurrence covers it (overlaps union,
+    * the [[Dedup.spanCut]] rule); docs re-emit exactly once, cleaned.
+    *
+    * Shape at 100 TB: positional gram explode (one scalar concat per
+    * position, no per-doc array) → ONE map-side-combined gram count;
+    * the top-K head is a TakeOrdered (K rows, broadcast back); cut
+    * positions aggregate per doc (boilerplate-mass-sized) and the
+    * corpus consumes them through one AQE-broadcast join + a pure
+    * narrow HOF filter. The corpus never explodes to token granularity
+    * and never shuffles — the DuckDB twin's posexplode+anti-join IS the
+    * naive plan this avoids. */
+  private val textBoilerplateStrip = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+      val grams = docs.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= GramW)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - GramW)).as("i"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", slice(col("toks"), col("i") + 1, lit(GramW))).as("gram"))
+      val top = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("gram")).limit(BoilerK)
+        .select("gram")
+      val cuts = grams.join(broadcast(top), "gram")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("i"))).as("cut_starts"))
+      docs.join(cuts, Seq("doc_id"), "left")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("kept", when(col("cut_starts").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(col("cut_starts"), st => st <= i && i < st + GramW))))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).as("n_cut_tokens"),
+          concat_ws(" ", col("kept")).as("text_clean"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |         array_to_string(list_slice(toks, i + 1, i + $GramW), ' ') AS gram
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - ${GramW - 1})) AS i
+      |        FROM d WHERE len(toks) >= $GramW)),
+      |top AS (
+      |  SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
+      |  ORDER BY c DESC, gram LIMIT $BoilerK),
+      |pos AS (
+      |  SELECT DISTINCT doc_id, i + unnest(range(0, $GramW)) AS pos
+      |  FROM g JOIN top USING (gram)),
+      |tok AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |         unnest(range(0, len(toks))) AS pos
+      |  FROM d),
+      |kept AS (
+      |  SELECT t.doc_id, t.tok, t.pos
+      |  FROM tok t LEFT JOIN pos c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.doc_id IS NULL),
+      |ka AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
+      |  CAST(len(d.toks) - COALESCE(ka.n_kept, 0) AS INT) AS n_cut_tokens,
+      |  COALESCE(ka.text_clean, '') AS text_clean
+      |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "search_bm25" -> searchBm25,
+    "text_boilerplate_strip" -> textBoilerplateStrip)
+}

@@ -1616,9 +1616,84 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |       ROUND(sim, 4) AS sim
       |FROM granked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin))
 
+  // ---- 1-bit sign quantization + Hamming ANN --------------------------
+
+  /** Sign word over dims [lo, hi): bit (i−lo) set iff embedding[i] > 0.
+    * TWO 32-bit halves, not one 64-bit word — bit 63 is the BIGINT sign
+    * bit and `1 << 63` overflows differently across engines; each half
+    * stays a small positive integer. Spark arrays are 0-based. */
+  private def signHalfSpark(lo: Int, hi: Int): String =
+    s"aggregate(sequence($lo, ${hi - 1}), cast(0 as bigint), (acc, i) -> " +
+      s"acc + (CASE WHEN embedding[i] > 0 THEN shiftleft(cast(1 as bigint), i - $lo) " +
+      s"ELSE cast(0 as bigint) END))"
+
+  /** Same fold, DuckDB dialect (1-based lists). */
+  private def signHalfDuck(lo: Int, hi: Int): String =
+    s"CAST(list_sum(list_transform(range($lo, $hi), i -> " +
+      s"CASE WHEN embedding[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - $lo)) " +
+      s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  /** 1-BIT (sign) quantized ANN — the most aggressive point on the
+    * quantization curve after int8 ([[annInt8Topk]]) and PQ: each vector
+    * compresses 64 floats → 64 BITS, and similarity becomes a Hamming
+    * distance (two XOR+popcount ops — sim = Dim − hamming, ties broken
+    * by neighbor_id like every ANN query). Sign-random-projection theory
+    * says popcount approximates angle; this is the memory floor of the
+    * family (256 bytes → 8 bytes per vector, 32× fewer scoring bytes).
+    *
+    * Determinism: the sign fold is exact integer arithmetic from float
+    * COMPARISONS only (no float math at all — stricter than int8's
+    * scale-and-round); XOR/popcount are bit-exact everywhere.
+    *
+    * Shape at 100 TB: sig computation is pure narrow; scoring scans
+    * 8-byte words with two codegen'd popcounts per pair; top-k via the
+    * map-side partial [[topKPerQuery]]. The signature column is the
+    * natural persisted index (append-only, no training state at all —
+    * cf. [[IvfIndex]]). */
+  private val annHammingTopk = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).repartition(64)
+        .select(col("vec_id"),
+          expr(signHalfSpark(0, Dim / 2)).as("sig_lo"),
+          expr(signHalfSpark(Dim / 2, Dim)).as("sig_hi"))
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+      val scored = broadcast(queries)
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id"),
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", expr(
+          s"cast($Dim - (bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)) as double)"))
+      topKPerQuery(s, scored)
+        .withColumn("hamming", (lit(Dim) - col("sim")).cast("int"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH sig AS (
+      |  SELECT vec_id,
+      |         ${signHalfDuck(0, Dim / 2)} AS sig_lo,
+      |         ${signHalfDuck(Dim / 2, Dim)} AS sig_hi
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+      |  FROM sig WHERE vec_id < $NumQueries),
+      |scored AS (
+      |  SELECT query_id, s.vec_id AS neighbor_id,
+      |         CAST($Dim - (bit_count(xor(s.sig_lo, q_lo))
+      |           + bit_count(xor(s.sig_hi, q_hi))) AS DOUBLE) AS sim
+      |  FROM q, sig s WHERE s.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim, CAST($Dim - sim AS INT) AS hamming
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "knn_graph" -> knnGraph,
     "ann_cosine_topk" -> annCosineTopk,
+    "ann_hamming_topk" -> annHammingTopk,
     "ann_int8_topk" -> annInt8Topk,
     "ann_int8_rerank_topk" -> annInt8RerankTopk,
     "ann_pq_topk" -> annPqTopk,

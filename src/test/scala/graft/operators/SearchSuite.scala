@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Independent pins for the search/boilerplate operators: a pure-Scala
+  * reimplementation of the SAME integer arithmetic on the driver,
+  * compared row-for-row against the Spark plans — an engine-independent
+  * check that doesn't share the plan's code path (the DuckDB oracle is
+  * the third voice). */
+class SearchSuite extends SparkSuite {
+
+  private val Scale = 1048576L
+
+  private def mlog2(x: Long): Long = {
+    val l = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << l
+    l * Scale + (x - p) * Scale / p
+  }
+
+  private def docTokens(): Map[Long, Array[String]] =
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+
+  test("bm25 equals a pure-Scala reimplementation of the fixed-point formula") {
+    val docs = docTokens()
+    val terms = Search.QueryTerms.toSet
+    val n = docs.size.toLong
+    val t = docs.values.map(_.length.toLong).sum
+    val tf = docs.toSeq.flatMap { case (id, toks) =>
+      toks.filter(terms).groupBy(identity).map { case (w, o) =>
+        (id, w, o.length.toLong, toks.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = tf.groupBy(_._1).map { case (id, rows) =>
+      val scoreFx = rows.map { case (_, w, f, dl) =>
+        val idf = mlog2(n) - mlog2(df(w))
+        val den = 10 * f + 3 + 9 * dl * n / t
+        idf * 22 * f / den
+      }.sum
+      id -> (rows.size.toLong, scoreFx)
+    }
+    val top = expected.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.take(20)
+
+    val got = SparkEntry.queries("search_bm25")(spark, sfDir)
+      .select("doc_id", "n_hits", "score_fx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === top.map { case (id, (h, s)) => (id, h, s) })
+  }
+
+  test("boilerplate strip equals a pure-Scala reimplementation; text is a subsequence") {
+    val docs = docTokens()
+    val g = Search.GramW
+    val grams = docs.toSeq.flatMap { case (id, toks) =>
+      (0 to toks.length - g).map(i => (id, i, toks.slice(i, i + g).mkString(" ")))
+    }
+    val top = grams.groupBy(_._3).view.mapValues(_.size).toSeq
+      .sortBy { case (gr, c) => (-c, gr) }.take(Search.BoilerK).map(_._1).toSet
+    val expected = docs.map { case (id, toks) =>
+      val cut = grams.filter(r => r._1 == id && top(r._3))
+        .flatMap(r => r._2 until r._2 + g).toSet
+      val kept = toks.zipWithIndex.collect { case (w, i) if !cut(i) => w }
+      id -> (toks.length, toks.length - kept.length, kept.mkString(" "))
+    }
+
+    val got = SparkEntry.queries("text_boilerplate_strip")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got === expected)
+
+    // cleaned text is a subsequence of the original tokens
+    got.foreach { case (id, (_, _, clean)) =>
+      val orig = docs(id).iterator
+      assert(clean.split(" ").filter(_.nonEmpty).forall(w => orig.contains(w)),
+        s"doc $id clean text is not a subsequence")
+    }
+  }
+
+  test("hamming ann: sign words and top-1 match a driver-side brute force") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach(i => if (v(i) > 0) lo |= 1L << i)
+      (32 until 64).foreach(i => if (v(i) > 0) hi |= 1L << (i - 32))
+      (lo, hi)
+    }
+    val sigs = emb.view.mapValues(sig).toMap
+
+    val sparkSigs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> " +
+          "acc + (CASE WHEN embedding[i] > 0 THEN shiftleft(cast(1 as bigint), i) " +
+          "ELSE cast(0 as bigint) END))").as("lo"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.foreach { case (id, (lo, _)) => assert(sparkSigs(id) === lo) }
+
+    val got = SparkEntry.queries("ann_hamming_topk")(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4))) // query, neighbor, ham
+    got.foreach { case (q, nb, ham) =>
+      val (qlo, qhi) = sigs(q)
+      val best = sigs.view.filterKeys(_ != q).map { case (id, (lo, hi)) =>
+        (java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi), id)
+      }.min
+      assert((ham, nb) === best, s"query $q")
+    }
+  }
+}
