@@ -1690,10 +1690,120 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |       ROUND(sim, 4) AS sim, CAST($Dim - sim AS INT) AS hamming
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
+  // ---- cluster-coverage diversity sampling ----------------------------
+
+  /** Cluster-proportional DIVERSITY sampling: allocate each semantic
+    * cell max(1, ⌊√|cell|⌋) picks and take its most central members
+    * (csim desc — the deterministic stand-in for random-within-cluster).
+    * The √ allocation flattens the cluster-size head the way α=0.5
+    * temperature flattens source shares ([[Sampling]]'s `mix_temperature`
+    * recipe applied to semantic space): dominant topics shrink, tail
+    * topics keep representation — the topic-coverage subset selection
+    * step in front of eval-set construction or seed-corpus picks.
+    *
+    * Determinism: √ over integer cell sizes is IEEE-correctly-rounded
+    * (the mix_temperature precedent), floor to BIGINT is exact; ranks
+    * break csim ties by vec_id.
+    *
+    * Shape at 100 TB: assignment is the zero-shuffle centroid fold; the
+    * size table is nlist rows (broadcast); the rank window partitions BY
+    * CELL — bounded population per the SemDeDup nlist ∝ N knob, so no
+    * window partition outgrows a task. */
+  private val sampleDiversity = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = seededAssigned(s, dir).select("vec_id", "cell", "csim")
+      val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+        .withColumn("n_pick", greatest(lit(1L),
+          floor(sqrt(col("cell_size").cast("double"))).cast("long")))
+      assigned.join(broadcast(sizes), "cell")
+        .withColumn("pick_rank", row_number().over(
+          Window.partitionBy("cell").orderBy(col("csim").desc, col("vec_id"))))
+        .filter(col("pick_rank") <= col("n_pick"))
+        .select(col("vec_id"), col("cell"), col("cell_size"), col("pick_rank"))
+        .orderBy("cell", "pick_rank")
+    },
+    Some(s"""WITH $seededAssignSql,
+      |sizes AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size,
+      |         GREATEST(CAST(1 AS BIGINT),
+      |           CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS n_pick
+      |  FROM assigned GROUP BY cell),
+      |dranked AS (
+      |  SELECT a.vec_id, a.cell, s.cell_size, s.n_pick,
+      |         row_number() OVER (PARTITION BY a.cell
+      |           ORDER BY a.csim DESC, a.vec_id) AS pick_rank
+      |  FROM assigned a JOIN sizes s USING (cell))
+      |SELECT vec_id, cell, cell_size, CAST(pick_rank AS INT) AS pick_rank
+      |FROM dranked WHERE pick_rank <= n_pick
+      |ORDER BY cell, pick_rank""".stripMargin))
+
+  // ---- hard-negative mining -------------------------------------------
+
+  /** Mine HARD NEGATIVES for the labeled corpus: per query vector, the
+    * top-k most cosine-similar vectors with a DIFFERENT label — the
+    * highest-value contrastive training pairs (similar embedding, wrong
+    * class) that retrieval/embedding fine-tuning mines after every epoch,
+    * and the complement of [[embeddingLabelNoise]]'s within-label view.
+    *
+    * Shape at 100 TB: brute-force scoring here (the oracle-checkable
+    * baseline, [[annCosineTopk]]'s plan with the label filter fused into
+    * the join condition — rejected pairs never materialize); the scale
+    * path swaps the corpus scan for an ANN shortlist ([[annInt8RerankTopk]]
+    * / IVF probe) and re-applies the same label filter + top-k. */
+  private val mineHardNegatives = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).repartition(64)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val corpus = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("v"), col("label").as("nl"))
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+          col("label").as("ql"))
+      val scored = broadcast(queries)
+        .join(corpus, col("neighbor_id") =!= col("query_id") &&
+          col("nl") =!= col("ql"))
+        .withColumn("sim", graft.functions.VectorFunctions
+          .cosineSimilarity(col("q"), col("v")))
+      val top = topKPerQuery(s, scored)
+      val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      top
+        .join(broadcast(queries.select(col("query_id"), col("ql"))), "query_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label")), "neighbor_id")
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
+          col("ql").as("query_label"), col("neighbor_label"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT vec_id, label, embedding AS v,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS v_norm
+      |  FROM embeddings),
+      |queries AS (
+      |  SELECT vec_id AS query_id, label AS query_label, embedding AS q,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS q_norm
+      |  FROM embeddings WHERE vec_id < $NumQueries),
+      |scored AS (
+      |  SELECT query_id, query_label, vec_id AS neighbor_id,
+      |         label AS neighbor_label,
+      |         (${dotSql("q", "v")}) / (q_norm * v_norm) AS sim
+      |  FROM queries, corpus
+      |  WHERE vec_id <> query_id AND label <> query_label),
+      |ranked AS (
+      |  SELECT query_id, query_label, neighbor_id, neighbor_label, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim, query_label, neighbor_label
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "knn_graph" -> knnGraph,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_hamming_topk" -> annHammingTopk,
+    "sample_diversity" -> sampleDiversity,
+    "mine_hard_negatives" -> mineHardNegatives,
     "ann_int8_topk" -> annInt8Topk,
     "ann_int8_rerank_topk" -> annInt8RerankTopk,
     "ann_pq_topk" -> annPqTopk,
