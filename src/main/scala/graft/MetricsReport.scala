@@ -97,6 +97,7 @@ object MetricsReport {
     val pqrr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_pq_rerank_topk"))
     val ivfpq = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivfpq_topk"))
     val ivfpqr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivfpq_residual_topk"))
+    val hamming = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_hamming_topk"))
     val banded = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
       .select("vec_id_keeper", "vec_id_dropped").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -176,6 +177,7 @@ object MetricsReport {
          |    "ann_pq_rerank_topk_at10": ${d4(pqrr)},
          |    "ann_ivfpq_topk_at10": ${d4(ivfpq)},
          |    "ann_ivfpq_residual_topk_at10": ${d4(ivfpqr)},
+         |    "ann_hamming_topk_at10": ${d4(hamming)},
          |    "dedup_embedding_cosine_pair_recall": ${d4(pairRecall)},
          |    "dedup_embedding_cosine_false_positives": $falsePos
          |  },

@@ -100,5 +100,143 @@ object EventTimeQueries {
     "window_tumbling" -> tumbling,
     "window_sliding" -> sliding,
     "window_session" -> session,
+    "window_gapfill" -> gapfill,
+    "funnel_steps" -> funnelSteps,
+    "cohort_retention" -> cohortRetention,
     "agg_approx_distinct" -> approxDistinct)
+
+  /** FUNNEL analysis — the sequential-pattern event operator: how many
+    * users completed signup → (click after signup) → (purchase after
+    * that click), each step's timestamp strictly after the previous
+    * step's FIRST occurrence. Expressed as three map-side-combined
+    * per-user min-aggregations chained by user_id joins — all three
+    * frames are partitioned by the same key, so AQE plans the chain
+    * without re-shuffling the later (already user-keyed, step-filtered,
+    * shrinking) sides; no per-user event array ever materializes. */
+  private lazy val funnelSteps = QueryDef(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    },
+    Some("""WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+      |       (SELECT COUNT(*) FROM s2) AS n_click_after,
+      |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin))
+
+  /** COHORT-RETENTION matrix — users grouped by first-activity week,
+    * counted as retained in each subsequent week they return: the
+    * standard product-analytics triangle. Cohort anchor = Monday of the
+    * first event's week (`date_trunc('week')` agrees across engines);
+    * offset = whole weeks between anchor and activity week. Two
+    * map-side-combined aggregations (per-user first week; distinct
+    * (cohort, offset, user)) — the distinct reduces map-side before the
+    * count, and the cohort table joins back user-keyed. */
+  private lazy val cohortRetention = QueryDef(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      ev.join(cohorts, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN cohorts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+
+  /** GAP-FILL + forward-fill resampling — the time-series regularization
+    * step (sparse event stream → dense per-entity daily series) that
+    * feature pipelines need before any rolling computation: build the
+    * full (entity × day) grid, left-join the observed daily aggregate,
+    * and carry the last observation forward (`last(..., ignoreNulls)`
+    * over an unbounded-preceding frame ≡ DuckDB's
+    * `last_value(x IGNORE NULLS)`). Days before an entity's first
+    * observation stay null; `filled` marks manufactured rows.
+    *
+    * Determinism: the fixture's `value` carries 2-decimal data, so a
+    * ROUND(AVG, 2) lands on the exact .005 tie boundary constantly and
+    * the engines' tie rules differ (observed: 88.165 → 88.16 vs 88.17).
+    * The daily average is therefore computed in EXACT INTEGER CENTS
+    * (sum of rounded cents, truncating integer division — the q22
+    * threshold discipline) and the reported double is that integer
+    * /100.0, identical IEEE division in both engines; the fill carries
+    * a copy of the already-exact value.
+    *
+    * Shape at 100 TB: the grid is #entities × #days (metadata vs the
+    * event corpus); the daily aggregate is ONE map-side-combined
+    * groupBy; the fill window partitions BY ENTITY (parallel, bounded
+    * by the date range) — no global sort, no unpartitioned window. */
+  private lazy val gapfill = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).filter(col("user_id") < 20)
+      val users = ev.select("user_id").distinct()
+      val grid = users.crossJoin(
+        ev.sparkSession.range(1).select(explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+          expr("interval 1 day"))).as("day")))
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg((expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .cast("double") / 100.0).as("day_avg"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("value_filled",
+          last(col("day_avg"), ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("filled",
+          col("day_avg").isNull && col("value_filled").isNotNull)
+        .select("user_id", "day", "day_avg", "value_filled", "filled")
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH u AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+      |d AS (
+      |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+      |    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+      |grid AS (SELECT user_id, day FROM u, d),
+      |daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) // COUNT(*) AS DOUBLE)
+      |           / 100.0 AS day_avg
+      |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      |f AS (
+      |  SELECT g.user_id, g.day, daily.day_avg,
+      |         last_value(daily.day_avg IGNORE NULLS) OVER (
+      |           PARTITION BY g.user_id ORDER BY g.day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |  FROM grid g LEFT JOIN daily
+      |    ON daily.user_id = g.user_id AND daily.day = g.day)
+      |SELECT user_id, day, day_avg, value_filled,
+      |  (day_avg IS NULL AND value_filled IS NOT NULL) AS filled
+      |FROM f ORDER BY user_id, day""".stripMargin))
 }
