@@ -692,7 +692,84 @@ object Sampling {
       |            ELSE 'test' END AS split
       |FROM h ORDER BY doc_id""".stripMargin))
 
+  // ---- UniMax budget-capped mixing ------------------------------------
+
+  /** UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151):
+    * spend a total token budget across sources so that every source is
+    * repeated at most [[UnimaxCap]] epochs and the remainder spreads as
+    * uniformly as possible — the principled multilingual alternative to
+    * temperature flattening. The published recurrence, sources ASCENDING
+    * by size: fair share = remaining budget div remaining sources; a
+    * source takes min(cap·tokens, fair share); what it cannot absorb
+    * rolls forward to the larger sources.
+    *
+    * The recurrence is SEQUENTIAL over #sources rows — metadata, not
+    * corpus (the driver-held-centroids stance): the corpus reduces via
+    * ONE map-side-combined groupBy(source), the driver replays the
+    * integer recurrence over the collected table, and the allocation
+    * emits as a literal frame. All arithmetic is exact BIGINT
+    * (truncating div), so the DuckDB twin — the same recurrence as a
+    * linear RECURSIVE CTE — matches bit-for-bit. Budget = total div 2,
+    * cap = 2 epochs (demo constants a deployment binds). */
+  private lazy val mixUnimax = QueryDef(
+    (s, dir) => {
+      val per = Tables.documents(s, dir).repartition(64)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("source_tokens"))
+      val rows = per.orderBy("source_tokens", "source").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      var remaining = rows.map(_._2).sum / 2
+      val out = rows.zipWithIndex.map { case ((src, tok), idx) =>
+        val fair = remaining / (rows.length - idx)
+        val alloc = math.min(UnimaxCap * tok, fair)
+        remaining -= alloc
+        (src, tok, alloc, UnimaxCap * tok <= fair)
+      }
+      import s.implicits._
+      s.createDataset(out.toIndexedSeq)
+        .toDF("source", "source_tokens", "alloc_tokens", "capped")
+        .withColumn("epochs_e4",
+          expr("(alloc_tokens * 10000) div source_tokens"))
+        .select("source", "source_tokens", "alloc_tokens", "epochs_e4", "capped")
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE per AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+      |  FROM documents GROUP BY 1),
+      |usrc AS (
+      |  SELECT source, source_tokens,
+      |         CAST(row_number() OVER (ORDER BY source_tokens, source) AS BIGINT)
+      |           AS i,
+      |         CAST(COUNT(*) OVER () AS BIGINT) AS k,
+      |         CAST(SUM(source_tokens) OVER () AS BIGINT) AS total
+      |  FROM per),
+      |rec AS (
+      |  SELECT CAST(0 AS BIGINT) AS i,
+      |         (SELECT total // 2 FROM usrc LIMIT 1) AS remaining,
+      |         CAST(NULL AS VARCHAR) AS source,
+      |         CAST(NULL AS BIGINT) AS source_tokens,
+      |         CAST(NULL AS BIGINT) AS alloc_tokens,
+      |         CAST(NULL AS BOOLEAN) AS capped
+      |  UNION ALL
+      |  SELECT s.i,
+      |         r.remaining
+      |           - LEAST($UnimaxCap * s.source_tokens,
+      |                   r.remaining // (s.k - s.i + 1)),
+      |         s.source, s.source_tokens,
+      |         LEAST($UnimaxCap * s.source_tokens,
+      |               r.remaining // (s.k - s.i + 1)),
+      |         $UnimaxCap * s.source_tokens <= r.remaining // (s.k - s.i + 1)
+      |  FROM rec r JOIN usrc s ON s.i = r.i + 1)
+      |SELECT source, source_tokens, alloc_tokens,
+      |  (alloc_tokens * 10000) // source_tokens AS epochs_e4, capped
+      |FROM rec WHERE i > 0 ORDER BY source""".stripMargin))
+
+  private val UnimaxCap = 2L
+
   val all: Map[String, QueryDef] = Map(
+    "mix_unimax" -> mixUnimax,
     "sample_stratified" -> sampleStratified,
     "mix_budget_cutoff" -> mixBudgetCutoff,
     "pack_sequences" -> packSequences,
