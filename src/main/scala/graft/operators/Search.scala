@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.QueryDef
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -117,62 +118,96 @@ object Search {
     * narrow HOF filter. The corpus never explodes to token granularity
     * and never shuffles — the DuckDB twin's posexplode+anti-join IS the
     * naive plan this avoids. */
+  /** Per-doc sorted cut-start positions of every top-[[BoilerK]] gram
+    * occurrence in `docs` — ONE definition of the boilerplate list and
+    * its occurrence scan, shared by the standalone query and the
+    * pipeline stage so the cut rule can't desync. */
+  private[operators] def boilerplateCuts(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= GramW)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - GramW)).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(GramW))).as("gram"))
+    val top = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("gram")).limit(BoilerK)
+      .select("gram")
+    grams.join(broadcast(top), "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i"))).as("bs_cut_starts"))
+  }
+
+  /** The PIPELINE face of the strip: `docs` back with boilerplate-gram
+    * tokens removed from `text`, all other columns untouched — the
+    * [[graft.operators.TrainingPipeline]] stage form. */
+  private[operators] def stripBoilerplate(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs.join(boilerplateCuts(docs), Seq("doc_id"), "left")
+      .withColumn("bs_toks", split(col("text"), " "))
+      .withColumn("bs_kept", when(col("bs_cut_starts").isNull, col("bs_toks"))
+        .otherwise(filter(col("bs_toks"), (_, i) =>
+          !exists(col("bs_cut_starts"), st => st <= i && i < st + GramW))))
+      .select(keep :+ concat_ws(" ", col("bs_kept")).as("text"): _*)
+  }
+
+  /** DuckDB twin of the strip as composable CTEs over `src(doc_id,
+    * extraCols..., text)`, ending in `bsclean(doc_id, extraCols...,
+    * n_tokens, n_cut_tokens, text_clean)`. CTE names are `bs`-prefixed
+    * to compose inside larger WITH chains (the [[Dedup.spanCutSqlCtes]]
+    * convention). Shared by `text_boilerplate_strip` and the full
+    * curation pipeline's oracle. */
+  private[operators] def boilerplateSqlCtes(src: String, extraCols: Seq[String]): String = {
+    val ex = extraCols.map(c => s"s.$c, ").mkString
+    s"""bsd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+      |bsg AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |         array_to_string(list_slice(toks, i + 1, i + $GramW), ' ') AS gram
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - ${GramW - 1})) AS i
+      |        FROM bsd WHERE len(toks) >= $GramW)),
+      |bstop AS (
+      |  SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM bsg GROUP BY 1)
+      |  ORDER BY c DESC, gram LIMIT $BoilerK),
+      |bspos AS (
+      |  SELECT DISTINCT doc_id, i + unnest(range(0, $GramW)) AS pos
+      |  FROM bsg JOIN bstop USING (gram)),
+      |bstok AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |         unnest(range(0, len(toks))) AS pos
+      |  FROM bsd),
+      |bskept AS (
+      |  SELECT t.doc_id, t.tok, t.pos
+      |  FROM bstok t LEFT JOIN bspos c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.doc_id IS NULL),
+      |bska AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      |  FROM bskept GROUP BY doc_id),
+      |bsclean AS (
+      |  SELECT s.doc_id, ${ex}CAST(len(string_split(s.text, ' ')) AS INT) AS n_tokens,
+      |         CAST(len(string_split(s.text, ' ')) - COALESCE(k.n_kept, 0) AS INT)
+      |           AS n_cut_tokens,
+      |         COALESCE(k.text_clean, '') AS text_clean
+      |  FROM $src s LEFT JOIN bska k ON s.doc_id = k.doc_id)""".stripMargin
+  }
+
   private val textBoilerplateStrip = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
-      val grams = docs.withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= GramW)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), size(col("toks")) - GramW)).as("i"))
-        .select(col("doc_id"), col("i"),
-          concat_ws(" ", slice(col("toks"), col("i") + 1, lit(GramW))).as("gram"))
-      val top = grams.groupBy("gram").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("gram")).limit(BoilerK)
-        .select("gram")
-      val cuts = grams.join(broadcast(top), "gram")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(col("i"))).as("cut_starts"))
-      docs.join(cuts, Seq("doc_id"), "left")
+      docs.join(boilerplateCuts(docs), Seq("doc_id"), "left")
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("kept", when(col("cut_starts").isNull, col("toks"))
+        .withColumn("kept", when(col("bs_cut_starts").isNull, col("toks"))
           .otherwise(filter(col("toks"), (_, i) =>
-            !exists(col("cut_starts"), st => st <= i && i < st + GramW))))
+            !exists(col("bs_cut_starts"), st => st <= i && i < st + GramW))))
         .select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
           (size(col("toks")) - size(col("kept"))).as("n_cut_tokens"),
           concat_ws(" ", col("kept")).as("text_clean"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |g AS (
-      |  SELECT doc_id, CAST(i AS INT) AS i,
-      |         array_to_string(list_slice(toks, i + 1, i + $GramW), ' ') AS gram
-      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - ${GramW - 1})) AS i
-      |        FROM d WHERE len(toks) >= $GramW)),
-      |top AS (
-      |  SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
-      |  ORDER BY c DESC, gram LIMIT $BoilerK),
-      |pos AS (
-      |  SELECT DISTINCT doc_id, i + unnest(range(0, $GramW)) AS pos
-      |  FROM g JOIN top USING (gram)),
-      |tok AS (
-      |  SELECT doc_id, unnest(toks) AS tok,
-      |         unnest(range(0, len(toks))) AS pos
-      |  FROM d),
-      |kept AS (
-      |  SELECT t.doc_id, t.tok, t.pos
-      |  FROM tok t LEFT JOIN pos c ON t.doc_id = c.doc_id AND t.pos = c.pos
-      |  WHERE c.doc_id IS NULL),
-      |ka AS (
-      |  SELECT doc_id, COUNT(*) AS n_kept,
-      |         string_agg(tok, ' ' ORDER BY pos) AS text_clean
-      |  FROM kept GROUP BY doc_id)
-      |SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
-      |  CAST(len(d.toks) - COALESCE(ka.n_kept, 0) AS INT) AS n_cut_tokens,
-      |  COALESCE(ka.text_clean, '') AS text_clean
-      |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
-      |ORDER BY d.doc_id""".stripMargin))
+    Some(s"""WITH ${boilerplateSqlCtes("documents", Seq.empty)}
+      |SELECT doc_id, n_tokens, n_cut_tokens, text_clean
+      |FROM bsclean ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(
     "search_bm25" -> searchBm25,

@@ -116,6 +116,10 @@ object TrainingPipeline {
     *  2. span-level exact dedup ([[Dedup.spanCut]]): duplicated
     *     cross-doc runs are cut, first occurrence kept — BEFORE the
     *     gates, so boilerplate mass doesn't distort quality metrics;
+    *  2b. boilerplate n-gram strip ([[Search.stripBoilerplate]]): the
+    *     corpus's top-K most frequent 4-grams cut everywhere — after
+    *     the span cut (long duplicated RUNS leave first), before
+    *     redaction/gates for the same judged-text-is-final-text reason;
     *  3. PII redaction ([[Redaction.redactColumn]]) — the text that
     *     trains is the text that's judged, so gates come after;
     *  4. quality + repetition gates ([[qualityGate]]), then the Gopher
@@ -162,6 +166,12 @@ object TrainingPipeline {
     val cut = Dedup.spanCut(trainable)
       .drop("n_tokens", "n_cut_tokens")
       .withColumnRenamed("text_clean", "text")
+    // corpus-frequency boilerplate strip ([[Search.stripBoilerplate]]):
+    // the C4-style cut of the top-K most frequent 4-grams, AFTER the
+    // span cut (cross-doc duplicated RUNS leave first, then the
+    // still-ubiquitous short template grams) and before redaction/gates
+    // for the same reason as stage 2 — judged text is final text
+    val stripped = Search.stripBoilerplate(cut)
     // The two multi-consumer boundaries persist (MEMORY_AND_DISK):
     // `redacted` feeds the gate chain AND the DSIR tables, `clean` is
     // scanned by the quintile stage's rank+histogram pair — without the
@@ -172,7 +182,7 @@ object TrainingPipeline {
     // ContextCleaner drops the blocks when the frame is unreferenced. A
     // production run materializes this boundary to storage outright
     // (the redacted corpus IS a deliverable) — same cut, durable form.
-    val redacted = cut.withColumn("text", Redaction.redactColumn(col("text")))
+    val redacted = stripped.withColumn("text", Redaction.redactColumn(col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = qualityGate(redacted, cfg)
     val battered = TextAnalysis.gopherSignals(gated)
@@ -344,6 +354,7 @@ object TrainingPipeline {
     * with the `doc_id % 97 = 0` benchmark stand-in. The SQL twin is
     * COMPOSED from the per-operator fragments each stage already
     * verifies in isolation ([[Dedup.spanCutSqlCtes]],
+    * [[Search.boilerplateSqlCtes]],
     * [[Redaction.redactSql]], [[TextAnalysis.gopherSignalsSql]] +
     * [[TextAnalysis.gopherPassPredSql]],
     * [[Similarity.semanticDroppedSqlCtes]],
@@ -362,10 +373,13 @@ object TrainingPipeline {
       |  SELECT doc_id, lang, source, text FROM documents
       |  WHERE doc_id % 97 <> 0),
       |${Dedup.spanCutSqlCtes("corpus", Seq("lang", "source"))},
+      |spstr AS (
+      |  SELECT doc_id, lang, source, text_clean AS text FROM spclean),
+      |${Search.boilerplateSqlCtes("spstr", Seq("lang", "source"))},
       |red AS (
       |  SELECT doc_id, lang, source,
       |         ${Redaction.redactSql("text_clean")} AS text
-      |  FROM spclean),
+      |  FROM bsclean),
       |${ImportanceSelection.dsirSqlCtes("red", scoreTargets = true)},
       |rt AS (
       |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks,

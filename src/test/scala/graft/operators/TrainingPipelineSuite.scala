@@ -87,8 +87,12 @@ class TrainingPipelineSuite extends SparkSuite {
     // verify via a recomputed pipeline prefix (cut → redact) fingerprint
     val trainable = docs.filter(col("doc_id").isNotNull)
       .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
-    val redacted = Dedup.spanCut(trainable)
-      .withColumn("text", Redaction.redactColumn(col("text_clean")))
+    // the pipeline prefix: span cut → boilerplate strip → redaction
+    val redacted = Search.stripBoilerplate(
+        Dedup.spanCut(trainable)
+          .drop("n_tokens", "n_cut_tokens")
+          .withColumnRenamed("text_clean", "text"))
+      .withColumn("text", Redaction.redactColumn(col("text")))
     assert(redacted.filter(col("text").rlike("[0-9]")).count() === 0)
     // Gopher gate held: every surviving ENGLISH doc passes the battery
     // on its post-cut post-redaction text (non-English rows bypass)
