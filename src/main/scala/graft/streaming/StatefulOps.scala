@@ -206,6 +206,61 @@ object StatefulOps {
       }
   }
 
+  final case class HHEvent(group: String, item: String)
+  final case class HHSummary(group: String, counters: Map[String, Long], processed: Long)
+  final case class HHEstimate(group: String, item: String, est: Long, processed: Long)
+
+  /**
+   * Streaming HEAVY HITTERS per group — the MISRA-GRIES k-counter
+   * summary (Misra & Gries 1982, "Finding repeated elements") as keyed
+   * state: per group at most `k` counters live; a new item with all
+   * counters full decrements every counter instead (dropping zeros).
+   * The deterministic guarantee — independent of arrival order and
+   * partitioning, which is what makes a streaming sketch testable:
+   * `true − processed/k ≤ est ≤ true`, so every item with frequency
+   * above processed/k is GUARANTEED present. The streaming complement of
+   * the exact batch top-k ([[graft.functions.TopKAggregator]]): the
+   * batch pass downstream is the exactness backstop, the ingest sketch
+   * is the bounded-state monitor (trending-item / hot-tenant alerting
+   * on the firehose).
+   *
+   * State is O(groups × k) — never O(stream) or O(distinct items); no
+   * timeout (the summary is the product; TTL composes via
+   * [[runningStats]]' pattern if staleness matters). Each batch emits
+   * the group's full current summary (est desc, item tiebreak), stamped
+   * with `processed` so a consumer keeps the latest epoch per group.
+   */
+  def heavyHittersStream(
+      spark: SparkSession,
+      events: Dataset[HHEvent],
+      k: Int): Dataset[HHEstimate] = {
+    require(k > 0, "k must be positive")
+    import spark.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[HHSummary, HHEstimate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (group, rows, state: GroupState[HHSummary]) =>
+          var counters = state.getOption.map(_.counters)
+            .getOrElse(Map.empty[String, Long])
+          var processed = state.getOption.map(_.processed).getOrElse(0L)
+          rows.foreach { e =>
+            processed += 1
+            counters.get(e.item) match {
+              case Some(c) => counters += e.item -> (c + 1)
+              case None if counters.size < k => counters += e.item -> 1L
+              case None =>
+                counters = counters.view.mapValues(_ - 1)
+                  .filter(_._2 > 0).toMap
+            }
+          }
+          state.update(HHSummary(group, counters, processed))
+          counters.toSeq.sortBy { case (i, c) => (-c, i) }
+            .map { case (i, c) => HHEstimate(group, i, c, processed) }
+            .iterator
+      }
+  }
+
   /**
    * Watermarked stream-stream inner join (SURVEY.md §2.3 streaming
    * mapping): enrich a primary stream with a secondary stream on `key`

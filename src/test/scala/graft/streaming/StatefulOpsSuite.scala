@@ -235,4 +235,47 @@ class StatefulOpsSuite extends SparkSuite {
       assert(!pairs.exists(_._2 == 10L), s"got $pairs")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: Misra-Gries bound holds across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StatefulOps.HHEvent]
+    val k = 4
+    val out = StatefulOps.heavyHittersStream(spark, input.toDS(), k)
+    val q = out.writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    // skewed stream: "hot" dominates, a long tail of singletons
+    val batch1 = Seq.fill(30)("hot") ++ Seq.fill(12)("warm") ++
+      (1 to 20).map(i => s"t$i")
+    val batch2 = Seq.fill(25)("hot") ++ Seq.fill(15)("warm2") ++
+      (21 to 35).map(i => s"t$i")
+    try {
+      input.addData(batch1.map(StatefulOps.HHEvent("g", _)): _*)
+      q.processAllAvailable()
+      input.addData(batch2.map(StatefulOps.HHEvent("g", _)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh").as[StatefulOps.HHEstimate].collect()
+      val n = (batch1 ++ batch2).length.toLong
+      val latest = rows.filter(_.processed == n)
+      assert(latest.nonEmpty, s"no final-epoch rows in ${rows.toSeq}")
+      assert(latest.length <= k)
+      val exact = (batch1 ++ batch2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      // MG guarantee: est <= true and true - est <= processed/k
+      latest.foreach { e =>
+        val t = exact(e.item)
+        assert(e.est <= t, s"${e.item} overestimated")
+        assert(t - e.est <= n / k, s"${e.item} outside the MG bound")
+      }
+      // every item with frequency > n/k MUST be present
+      exact.filter(_._2 > n / k).keys.foreach { item =>
+        assert(latest.exists(_.item == item), s"$item (freq ${exact(item)}) missing")
+      }
+      // state stayed bounded: no epoch ever emitted more than k rows
+      rows.groupBy(_.processed).foreach { case (p, rs) =>
+        assert(rs.length <= k, s"epoch $p emitted ${rs.length} > k rows")
+      }
+    } finally q.stop()
+  }
 }
