@@ -37,13 +37,26 @@ object ShardedExport {
       .drop("total")
 
   /** Write `<outDir>/shard=<k>/…parquet`, one balanced shard per
-    * directory, rows in ascending `pos` within each file. */
+    * directory, rows in ascending `pos` within each file.
+    *
+    * Each file also carries a PARQUET BLOOM FILTER on `doc_id`: the
+    * export is what downstream audits point-probe ("which shard holds
+    * doc X", dedup back-references, deletion requests) — with S shards
+    * a probe without blooms opens S files; with them it reads S footers
+    * and opens ~1. Footer presence is suite-asserted, and the ~1%-FPP
+    * default sizing is bounded by `ndv` = the shard's row count. */
   def write(s: SparkSession, dir: String, outDir: String,
-      numShards: Int = Sampling.NumShards): Unit =
-    withShards(s, dir, numShards)
+      numShards: Int = Sampling.NumShards): Unit = {
+    val sharded = withShards(s, dir, numShards)
+    val ndvPerShard = math.max(1L,
+      sharded.count() / numShards + 1)
+    sharded
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", ndvPerShard.toString)
       .partitionBy("shard")
       .parquet(outDir)
+  }
 }

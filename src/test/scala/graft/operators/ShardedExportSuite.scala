@@ -58,6 +58,39 @@ class ShardedExportSuite extends SparkSuite {
     }
   }
 
+  test("every shard file carries a readable doc_id parquet bloom filter") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("shard-bloom")
+    try {
+      ShardedExport.write(spark, sfDir, out.toString)
+      val conf = spark.sessionState.newHadoopConf()
+      val files = java.nio.file.Files.walk(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty)
+      files.foreach { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          assert(blocks.nonEmpty, s"$p has no row groups")
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == "doc_id")
+              .getOrElse(fail(s"$p has no doc_id column chunk"))
+            assert(cc.getBloomFilterOffset >= 0,
+              s"$p row group missing the doc_id bloom filter")
+            assert(reader.readBloomFilter(cc) != null,
+              s"$p doc_id bloom filter does not deserialize")
+          }
+        } finally reader.close()
+      }
+    } finally {
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("export_shards report matches the written files") {
     val report = SparkEntry.queries("export_shards")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
