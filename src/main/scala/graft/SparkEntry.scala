@@ -1,5 +1,5 @@
 package graft
-import graft.operators.{Dedup, Graph, ImportanceSelection, IncrementalDedup, IvfIndex, LanguageModel, Layout, Multimodal, Profiling, Redaction, Sampling, Search, Similarity, TextAnalysis, TrainingPipeline}
+import graft.operators.{Dedup, Graph, ImportanceSelection, IncrementalDedup, IvfIndex, LanguageModel, Layout, Multimodal, Profiling, Redaction, Sampling, Search, Similarity, TextAnalysis, Tokenizer, TrainingPipeline}
 import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef, ScalarQueries, TpchExtraQueries}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
@@ -15,7 +15,8 @@ object SparkEntry {
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
       Sampling.all ++ TrainingPipeline.all ++ IncrementalDedup.all ++
       IvfIndex.all ++ Profiling.all ++ LanguageModel.all ++ Redaction.all ++
-      ImportanceSelection.all ++ Search.all ++ Graph.all ++ Layout.all
+      ImportanceSelection.all ++ Search.all ++ Graph.all ++ Layout.all ++
+      Tokenizer.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The sideline parity invariant — the reference's signature feature. */

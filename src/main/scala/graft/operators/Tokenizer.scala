@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Tokenizer-training operators — the byte-pair-encoding merge-learning
+ * step (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+ * with Subword Units"; the BPE/WordPiece family every LLM vocabulary is
+ * built with): start from characters, repeatedly merge the most frequent
+ * adjacent symbol pair, weighted by word frequency.
+ *
+ * Semantics note (defined, deterministic, engine-identical): a merge
+ * rewrites each word's symbol sequence with `replace(' '||seg||' ',
+ * ' l r ', ' lr ')` — ONE left-to-right pass, non-overlapping matches
+ * ON THE PADDED STRING, each match consuming its trailing separator.
+ * Both engines (and the suite's Scala replay) share these exact
+ * semantics. It equals textbook BPE except when the same pair repeats
+ * back-to-back inside one word ("l r l r": textbook merges both, the
+ * single pass merges alternate occurrences because the shared separator
+ * is consumed) — a defined, rare deviation, not nondeterminism. Pair
+ * ties break lexicographically.
+ *
+ * Shape at 100 TB: the corpus reduces ONCE to its (word, count)
+ * VOCABULARY (map-side-combined groupBy — the LM-table reduction); every
+ * merge round is a positional pair explode + ONE map-side-combined pair
+ * count over vocabulary-sized data, a 1-row argmax collect (the
+ * driver-held-literal stance), and a narrow per-row rewrite. Rounds are
+ * FIXED (merge budget), so the driver loop does no convergence probing.
+ */
+object Tokenizer {
+
+  private val Merges = 5
+
+  /** Space-join each word's characters — the BPE start state. Works per
+    * CHARACTER (substring is character-based in both engines), so
+    * multi-byte scripts segment correctly. */
+  private def charSeg(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", split(w, ""))
+
+  /** Learn [[Merges]] BPE merges over `docs`' token vocabulary; returns
+    * (merge_rank, lhs, rhs, pair_count). */
+  private[operators] def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+    val vocab0 = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .select(charSeg(col("w")).as("seg"), col("wcnt"))
+    var vocab = vocab0.persist()
+    vocab.count() // materialize before the loop reuses it
+    val merges = (1 to Merges).map { rank =>
+      val top = vocab
+        .select(col("wcnt"), split(col("seg"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] as l, toks[i + 1] as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("wcnt").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()(0)
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      val next = vocab
+        .select(expr(s"trim(replace(' ' || seg || ' ', ' ${l} ${r} ', ' ${l}${r} '))")
+          .as("seg"), col("wcnt"))
+        .persist()
+      next.count()
+      vocab.unpersist()
+      vocab = next
+      (rank, l, r, c)
+    }
+    vocab.unpersist()
+    import s.implicits._
+    s.createDataset(merges).toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** One DuckDB merge round: given CTE `v$i(seg, wcnt)`, emit `m$i`
+    * (the argmax pair) and `v${i+1}` (the rewritten vocabulary). */
+  private def roundSql(i: Int): String =
+    s"""m$i AS (
+      |  SELECT l AS lhs, r AS rhs, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+      |  FROM (
+      |    SELECT wcnt, toks[i + 1] AS l, toks[i + 2] AS r
+      |    FROM (SELECT wcnt, string_split(seg, ' ') AS toks FROM v$i),
+      |         unnest(range(0, len(toks) - 1)) AS t(i)
+      |    WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2
+      |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+      |v${i + 1} AS (
+      |  SELECT trim(replace(' ' || seg || ' ',
+      |           ' ' || (SELECT lhs FROM m$i) || ' ' || (SELECT rhs FROM m$i) || ' ',
+      |           ' ' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || ' '))
+      |           AS seg, wcnt
+      |  FROM v$i)""".stripMargin
+
+  private val vocabBpeMerges = QueryDef(
+    (s, dir) => bpeMerges(s, Tables.documents(s, dir).repartition(64)),
+    Some {
+      val rounds = (1 to Merges).map(roundSql).mkString(",\n")
+      val union = (1 to Merges)
+        .map(i => s"SELECT $i AS merge_rank, lhs, rhs, pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH v1 AS (
+        |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
+        |           i -> substring(w, i, 1)), ' ') AS seg,
+        |         CAST(COUNT(*) AS BIGINT) AS wcnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |$rounds
+        |$union
+        |ORDER BY merge_rank""".stripMargin
+    })
+
+  val all: Map[String, QueryDef] = Map(
+    "vocab_bpe_merges" -> vocabBpeMerges)
+}
