@@ -36,6 +36,78 @@ object ShardedExport {
         expr(s"cast(((pos - 1) * $numShards) div total as int)"))
       .drop("total")
 
+  /** Targeted DELETE-BY-ID over a written export — the compliance
+    * (right-to-be-forgotten / takedown) pass a training-corpus store
+    * must support without rewriting the corpus: probe every file's
+    * `doc_id` BLOOM FILTER (written by [[write]]) and rewrite ONLY the
+    * files that might contain a requested id; untouched files are not
+    * read past their footer, not rewritten, and keep their identity.
+    * Rewrites preserve in-file `pos` order (filter keeps order) and go
+    * write-aside + atomic rename (the [[graft.ops.Compaction]] stance).
+    *
+    * Returns (filesProbed, filesRewritten, rowsDeleted). At 100 TB the
+    * id list is takedown-sized (a broadcast at most) and the rewrite
+    * cost is proportional to the AFFECTED files only — with S balanced
+    * shards and one id, ~1 file reads+rewrites instead of S (modulo the
+    * ~1% bloom FPP, which costs a wasted probe-read, never a wrong
+    * result). */
+  def deleteDocs(s: SparkSession, outDir: String, ids: Seq[Long]): (Int, Int, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(outDir))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    var rewritten = 0
+    var deleted = 0L
+    files.foreach { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p.toString), conf))
+      val mightContain =
+        try {
+          reader.getFooter.getBlocks.asScala.exists { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "doc_id") match {
+              case Some(cc) if cc.getBloomFilterOffset >= 0 =>
+                val bf = reader.readBloomFilter(cc)
+                bf == null || ids.exists(id => bf.findHash(bf.hash(id)))
+              case _ => true // no bloom ⇒ must assume present
+            }
+          }
+        } finally reader.close()
+      if (mightContain) {
+        val rows = s.read.parquet(p.toString)
+        val kept = rows.filter(!col("doc_id").isin(ids: _*))
+        val before = rows.count()
+        val after = kept.count()
+        if (after < before) {
+          val tmp = p.toString + ".rewrite"
+          // keep the bloom contract: the rewritten file must stay
+          // probe-able for the NEXT takedown
+          kept.coalesce(1).write.mode(SaveMode.Overwrite)
+            .option("parquet.bloom.filter.enabled#doc_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#doc_id",
+              math.max(1L, after).toString)
+            .parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // the local FS keeps sibling .crc checksums — a stale one
+          // fails every future read of the replaced file
+          java.nio.file.Files.deleteIfExists(
+            p.resolveSibling("." + p.getFileName.toString + ".crc"))
+          new java.io.File(tmp).listFiles().foreach(_.delete())
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+          rewritten += 1
+          deleted += before - after
+        }
+      }
+    }
+    (files.length, rewritten, deleted)
+  }
+
   /** Write `<outDir>/shard=<k>/…parquet`, one balanced shard per
     * directory, rows in ascending `pos` within each file.
     *

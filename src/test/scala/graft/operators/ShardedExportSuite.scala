@@ -91,6 +91,61 @@ class ShardedExportSuite extends SparkSuite {
     }
   }
 
+  test("deleteDocs removes only the requested ids and rewrites only affected files") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("shard-delete")
+    try {
+      ShardedExport.write(spark, sfDir, out.toString)
+      val before = spark.read.parquet(out.toString)
+        .select("doc_id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // pick two ids from ONE shard so the other shards must stay
+      // byte-identical
+      val shard0 = spark.read.parquet(s"$out/shard=0")
+        .select("doc_id").collect().map(_.getLong(0))
+      val victims = shard0.take(2).toSeq
+      val stamps = java.nio.file.Files.walk(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+
+      val (probed, rewritten, deleted) =
+        ShardedExport.deleteDocs(spark, out.toString, victims)
+      assert(probed == stamps.size)
+      assert(deleted == victims.length.toLong)
+      assert(rewritten >= 1)
+
+      val after = spark.read.parquet(out.toString)
+        .select("doc_id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(victims.forall(!after.contains(_)))
+      assert(after === before -- victims)
+
+      // untouched shards keep their exact files (bloom skipped them or
+      // the filter found nothing; FPP may rewrite a file spuriously but
+      // shard 0's files MUST have changed and most files must not)
+      val unchanged = stamps.count { case (p, t) =>
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(p)).toMillis == t
+      }
+      assert(unchanged >= stamps.size - rewritten)
+      assert(stamps.keys.filter(_.contains("shard=0")).exists { p =>
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(p)).toMillis != stamps(p)
+      })
+
+      // a second takedown on the REWRITTEN file still works (bloom
+      // contract survived the rewrite)
+      val victim2 = spark.read.parquet(s"$out/shard=0")
+        .select("doc_id").collect().map(_.getLong(0)).head
+      val (_, _, deleted2) = ShardedExport.deleteDocs(spark, out.toString, Seq(victim2))
+      assert(deleted2 == 1L)
+    } finally {
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("export_shards report matches the written files") {
     val report = SparkEntry.queries("export_shards")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
