@@ -98,6 +98,7 @@ object MetricsReport {
     val ivfpq = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivfpq_topk"))
     val ivfpqr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_ivfpq_residual_topk"))
     val hamming = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_hamming_topk"))
+    val hammingRr = recallAt10(exactTopk, topkSets(spark, sfDir, "ann_hamming_rerank_topk"))
     val banded = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
       .select("vec_id_keeper", "vec_id_dropped").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -178,6 +179,7 @@ object MetricsReport {
          |    "ann_ivfpq_topk_at10": ${d4(ivfpq)},
          |    "ann_ivfpq_residual_topk_at10": ${d4(ivfpqr)},
          |    "ann_hamming_topk_at10": ${d4(hamming)},
+         |    "ann_hamming_rerank_topk_at10": ${d4(hammingRr)},
          |    "dedup_embedding_cosine_pair_recall": ${d4(pairRecall)},
          |    "dedup_embedding_cosine_false_positives": $falsePos
          |  },

@@ -1650,45 +1650,124 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * map-side partial [[topKPerQuery]]. The signature column is the
     * natural persisted index (append-only, no training state at all —
     * cf. [[IvfIndex]]). */
-  private val annHammingTopk = QueryDef(
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir).repartition(64)
-        .select(col("vec_id"),
-          expr(signHalfSpark(0, Dim / 2)).as("sig_lo"),
-          expr(signHalfSpark(Dim / 2, Dim)).as("sig_hi"))
-      val queries = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"),
-          col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
-      val scored = broadcast(queries)
-        .join(emb.withColumnRenamed("vec_id", "neighbor_id"),
-          col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", expr(
-          s"cast($Dim - (bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)) as double)"))
-      topKPerQuery(s, scored)
-        .withColumn("hamming", (lit(Dim) - col("sim")).cast("int"))
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""WITH sig AS (
+  /** The 1-bit scoring stage — (query_id, neighbor_id, sim) with
+    * sim = Dim − hamming — shared by the single-stage query and the
+    * re-rank pipeline so the sign-quantization contract can't diverge. */
+  private def hammingScored(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).repartition(64)
+      .select(col("vec_id"),
+        expr(signHalfSpark(0, Dim / 2)).as("sig_lo"),
+        expr(signHalfSpark(Dim / 2, Dim)).as("sig_hi"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    broadcast(queries)
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", expr(
+        s"cast($Dim - (bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)) as double)"))
+  }
+
+  /** DuckDB twin of [[hammingScored]]: CTEs ending in
+    * `scoredh(query_id, neighbor_id, sim)` — shared by both 1-bit
+    * queries. */
+  private def hammingScoredSql: String =
+    s"""sig AS (
       |  SELECT vec_id,
       |         ${signHalfDuck(0, Dim / 2)} AS sig_lo,
       |         ${signHalfDuck(Dim / 2, Dim)} AS sig_hi
       |  FROM embeddings),
-      |q AS (
+      |hq AS (
       |  SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
       |  FROM sig WHERE vec_id < $NumQueries),
-      |scored AS (
+      |scoredh AS (
       |  SELECT query_id, s.vec_id AS neighbor_id,
       |         CAST($Dim - (bit_count(xor(s.sig_lo, q_lo))
       |           + bit_count(xor(s.sig_hi, q_hi))) AS DOUBLE) AS sim
-      |  FROM q, sig s WHERE s.vec_id <> query_id),
+      |  FROM hq, sig s WHERE s.vec_id <> query_id)""".stripMargin
+
+  private val annHammingTopk = QueryDef(
+    (s, dir) => {
+      topKPerQuery(s, hammingScored(s, dir))
+        .withColumn("hamming", (lit(Dim) - col("sim")).cast("int"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $hammingScoredSql,
       |ranked AS (
       |  SELECT query_id, neighbor_id, sim,
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM scored)
+      |  FROM scoredh)
       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
       |       ROUND(sim, 4) AS sim, CAST($Dim - sim AS INT) AS hamming
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  /** 1-bit shortlist depth: 40× the final k — DOUBLE the PQ depth and
+    * 13× int8's, because a 64-BIT signature carries the most
+    * quantization noise in the family (measured recall@10 at sf0.1:
+    * 0.16 single-stage → 0.82 at 200-deep → 0.92 at 400-deep). Still
+    * k-scaled and corpus-independent; the float re-scan stays
+    * shortlist-sized. */
+  private val HamShortK = 400
+
+  /** The production shape of 1-bit ANN: the Hamming scan produces a
+    * [[HamShortK]] shortlist over 8-byte signatures (32× fewer scored
+    * bytes than float), then ONLY the shortlist re-scores with exact
+    * float cosine — float reads are k-sized, never corpus-sized. The
+    * final window runs over shortlist-sized partitions. Recall joins
+    * METRICS next to the single-stage number. */
+  private val annHammingRerankTopk = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shortlist = topKPerQuery(s, hammingScored(s, dir), HamShortK)
+        .select("query_id", "neighbor_id")
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qe = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qnrm", sqrt(dotCol("qv", "qv")))
+      val exact = emb
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(shortlist), "neighbor_id")
+        .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+        .join(broadcast(qe), "query_id")
+        .withColumn("sim", dotCol("qv", "embedding") / (col("qnrm") * col("nrm")))
+      exact
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $hammingScoredSql,
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY sim DESC, neighbor_id) AS rank
+      |    FROM scoredh)
+      |  WHERE rank <= $HamShortK),
+      |he AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |hqe AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM he
+      |  WHERE vec_id < $NumQueries),
+      |hexact AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |         (${dotSql("hqe.qv", "ne.embedding")}) / (hqe.qnrm * ne.nrm) AS sim
+      |  FROM short sh
+      |  JOIN he ne ON sh.neighbor_id = ne.vec_id
+      |  JOIN hqe ON sh.query_id = hqe.query_id),
+      |hranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM hexact)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM hranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
   // ---- cluster-coverage diversity sampling ----------------------------
 
@@ -1802,6 +1881,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     "knn_graph" -> knnGraph,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_hamming_topk" -> annHammingTopk,
+    "ann_hamming_rerank_topk" -> annHammingRerankTopk,
     "sample_diversity" -> sampleDiversity,
     "mine_hard_negatives" -> mineHardNegatives,
     "ann_int8_topk" -> annInt8Topk,
