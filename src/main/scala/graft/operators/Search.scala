@@ -209,7 +209,34 @@ object Search {
       |SELECT doc_id, n_tokens, n_cut_tokens, text_clean
       |FROM bsclean ORDER BY doc_id""".stripMargin))
 
+  /** INVERTED-INDEX build — the materialized posting lists behind
+    * [[searchBm25]]'s scoring plan: term → sorted doc_id postings + df.
+    * At 100 TB this IS the search index construction job: one token
+    * explode deduped per doc, ONE map-side-combined groupBy(term); a
+    * posting list's length is the term's df (Zipf-bounded — the head
+    * terms are exactly the ones a deployment stoplists), and the output
+    * partitions/buckets by term so probes read one bucket. Postings
+    * sort deterministically (collect_set → sort_array ≡ the twin's
+    * `list(DISTINCT … ORDER BY …)`). */
+  private lazy val indexPostings = QueryDef(
+    (s, dir) => Tables.documents(s, dir).repartition(64)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+      .orderBy("term"),
+    Some("""WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |       list_sort(list(doc_id)) AS postings
+      |FROM tok WHERE len(term) > 0
+      |GROUP BY term ORDER BY term""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "search_bm25" -> searchBm25,
+    "index_postings" -> indexPostings,
     "text_boilerplate_strip" -> textBoilerplateStrip)
 }

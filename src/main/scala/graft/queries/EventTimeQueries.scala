@@ -103,7 +103,65 @@ object EventTimeQueries {
     "window_gapfill" -> gapfill,
     "funnel_steps" -> funnelSteps,
     "cohort_retention" -> cohortRetention,
+    "scd2_event_type" -> scd2EventType,
     "agg_approx_distinct" -> approxDistinct)
+
+  /** SCD TYPE-2 HISTORY derivation — collapse each user's event stream
+    * into validity intervals of its `event_type` state (the
+    * slowly-changing-dimension table a warehouse keeps for "what was
+    * the state at time T" joins, and the input shape of `join_asof`):
+    * consecutive same-type events merge into one run (gaps-and-islands),
+    * each run becomes a row with `valid_from` (first event), `valid_to`
+    * (next run's start — NULL while current) and `is_current`.
+    *
+    * Ordering is total — (ts, event_id) — so run boundaries are
+    * deterministic. All windows partition BY USER (parallel, bounded by
+    * per-entity history); the only aggregation is one map-side-combined
+    * groupBy per run. */
+  private lazy val scd2EventType = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("is_start",
+          (lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type")).cast("int"))
+        .withColumn("run_id", sum("is_start").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val collapsed = runs.groupBy("user_id", "run_id", "event_type")
+        .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+      val vw = Window.partitionBy("user_id").orderBy("valid_from")
+      collapsed
+        .withColumn("valid_to", lead("valid_from", 1).over(vw))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "n_events", "is_current")
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, ts, event_type,
+      |         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM ordered),
+      |collapsed AS (
+      |  SELECT user_id, run_id, event_type, MIN(ts) AS valid_from,
+      |         COUNT(*) AS n_events
+      |  FROM runs GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    AS valid_to,
+      |  n_events,
+      |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    IS NULL) AS is_current
+      |FROM collapsed ORDER BY user_id, valid_from""".stripMargin))
 
   /** FUNNEL analysis — the sequential-pattern event operator: how many
     * users completed signup → (click after signup) → (purchase after
