@@ -235,8 +235,54 @@ object Search {
       |FROM tok WHERE len(term) > 0
       |GROUP BY term ORDER BY term""".stripMargin))
 
+  /** Fixed demo phrase (2 tokens); a deployment binds this per-request. */
+  private[operators] val Phrase = "table scan"
+  private val PhraseLen = Phrase.split(" ").length
+
+  /** EXACT TOKEN-PHRASE search — the positional-match complement of
+    * [[searchBm25]]'s bag-of-words scoring (and the grep face of the
+    * engine): every document containing the phrase as consecutive
+    * TOKENS, with occurrence count and first position. Token-aligned on
+    * purpose — a raw substring LIKE matches inside words and across
+    * token boundaries, which is not what a phrase query means.
+    *
+    * Shape at 100 TB: a cheap `contains` PRE-FILTER (pushable,
+    * whole-stage-codegen'd, false-positive-only) guards the positional
+    * scan, so the per-position window compare runs on candidate docs
+    * only; everything is pure narrow per-row work — with a positional
+    * index ([[indexPostings]] + positions) the scan becomes a postings
+    * intersection, same output contract. */
+  private lazy val searchPhrase = QueryDef(
+    (s, dir) => {
+      val L = PhraseLen
+      Tables.documents(s, dir).repartition(64)
+        .filter(col("text").contains(Phrase)) // pushable guard
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("hits", filter(
+          expr(s"sequence(0, size(toks) - $L)"),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(L))) === Phrase))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"),
+          size(col("hits")).as("n_occurrences"),
+          col("hits").getItem(0).cast("int").as("first_pos"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH cand AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE contains(text, '$Phrase')),
+      |hits AS (
+      |  SELECT doc_id,
+      |         list_filter(range(0, len(toks) - ${PhraseLen - 1}),
+      |           i -> array_to_string(list_slice(toks, i + 1, i + $PhraseLen), ' ')
+      |                = '$Phrase') AS hl
+      |  FROM cand)
+      |SELECT doc_id, CAST(len(hl) AS INT) AS n_occurrences,
+      |       CAST(hl[1] AS INT) AS first_pos
+      |FROM hits WHERE len(hl) > 0 ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "search_bm25" -> searchBm25,
+    "search_phrase" -> searchPhrase,
     "index_postings" -> indexPostings,
     "text_boilerplate_strip" -> textBoilerplateStrip)
 }
