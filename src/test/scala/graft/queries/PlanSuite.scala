@@ -64,6 +64,36 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("TPC-H extras: scan-bound predicates push, dims broadcast, EXISTS stays semi") {
+    // q6 — THE scan query: all three predicates reach the parquet scan
+    val p6 = plan("q6_forecast_revenue")
+    assert(p6.contains("PushedFilters:") && p6.contains("l_shipdate") &&
+      p6.contains("GreaterThanOrEqual"), p6.take(2500))
+    // q7/q8/q10 — every dim (incl. the double-aliased nation) broadcasts
+    Seq("q7_volume_shipping", "q8_market_share", "q10_returned_items").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a sort-merge join")
+    }
+    // q4 EXISTS → LeftSemi with the non-equi ship-lag term riding it;
+    // q22 NOT EXISTS → LeftAnti
+    assert(plan("q4_priority_late").contains("LeftSemi"))
+    assert(plan("q22_dormant_customers").contains("LeftAnti"))
+  }
+
+  test("search_phrase and layout_zorder stay narrow (no join shuffles)") {
+    // phrase search: contains-guard + per-row positional scan — the only
+    // exchanges are the repartition and the presentation sort
+    val pp = SparkEntry.queries("search_phrase")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("HashJoin"), pp.take(2000))
+    // z-order: the one-row maxes frame must broadcast back, never
+    // sort-merge; the only hash exchange is the cell aggregation
+    val pz = SparkEntry.queries("layout_zorder")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pz.contains("SortMergeJoin"), pz.take(2000))
+  }
+
   test("aggregation is partial (map-side combine) before the shuffle") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
