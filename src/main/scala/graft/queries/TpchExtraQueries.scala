@@ -381,7 +381,36 @@ object TpchExtraQueries {
       |GROUP BY c_nationkey
       |ORDER BY nationkey""".stripMargin))
 
+  /** FOOTER-ONLY statistics — parquet AGGREGATE PUSHDOWN: a bare
+    * COUNT(*)/MIN/MAX over an unfiltered scan reads row-group FOOTERS
+    * instead of data pages (the `BatchScan … PushedAggregation:
+    * [COUNT(*), MIN(…), MAX(…)]` plan, PlanSuite-asserted). At 100 TB
+    * this is the difference between a metadata round and a full scan
+    * for every freshness/rowcount/bounds probe a pipeline issues.
+    * Requires the V2 parquet source: the reader flips
+    * `useV1SourceList` for THIS read only and restores it immediately —
+    * the rest of the library keeps the default V1 planning its plan
+    * pins assert against. */
+  private lazy val aggFooterStats = QueryDef(
+    (s, dir) => {
+      val key = "spark.sql.sources.useV1SourceList"
+      val prev = s.conf.get(key)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s.conf.set(key, "")
+      val base =
+        try s.read.parquet(s"$dir/lineitem.parquet")
+        finally s.conf.set(key, prev)
+      base.selectExpr("count(*) as n_rows",
+        "min(l_orderkey) as min_orderkey", "max(l_orderkey) as max_orderkey",
+        "min(l_linenumber) as min_line", "max(l_linenumber) as max_line")
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+      |  MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+      |  MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line
+      |FROM lineitem""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "agg_footer_stats" -> aggFooterStats,
     "q4_priority_late" -> q4,
     "q6_forecast_revenue" -> q6,
     "q7_volume_shipping" -> q7,

@@ -81,6 +81,14 @@ class PlanSuite extends SparkSuite {
     assert(plan("q22_dormant_customers").contains("LeftAnti"))
   }
 
+  test("agg_footer_stats pushes the whole aggregate into the parquet footers") {
+    val p = plan("agg_footer_stats")
+    assert(p.contains("BatchScan"), p.take(2000))
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2500))
+    // and the session's source planning was restored (other reads stay V1)
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
+  }
+
   test("search_phrase and layout_zorder stay narrow (no join shuffles)") {
     // phrase search: contains-guard + per-row positional scan — the only
     // exchanges are the repartition and the presentation sort
