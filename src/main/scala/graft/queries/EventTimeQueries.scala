@@ -104,7 +104,48 @@ object EventTimeQueries {
     "funnel_steps" -> funnelSteps,
     "cohort_retention" -> cohortRetention,
     "scd2_event_type" -> scd2EventType,
-    "agg_approx_distinct" -> approxDistinct)
+    "agg_approx_distinct" -> approxDistinct,
+    "agg_hll_union" -> aggHllUnion)
+
+  /** MERGEABLE HLL sketches (DataSketches `hll_sketch_agg` /
+    * `hll_union_agg`, Spark 4) — the property `approx_count_distinct`
+    * does NOT give you: per-group sketches persist as BYTES and union
+    * later WITHOUT re-reading data, which at 100 TB is the pre-aggregate
+    * pattern (sketch per day/source at ingest, union at query time —
+    * a metadata round instead of a corpus scan). The demo sketches
+    * per-event-type user sets and unions them to the global count;
+    * gated like [[approxDistinct]] (sketches are deterministic for
+    * fixed input, estimates are engine-specific → the oracle checks
+    * exact counts + a `within_bounds` flag; lgK=12 → rsd ≈ 1.6%,
+    * gate at 3σ ≈ 5%). */
+  private lazy val aggHllUnion = QueryDef(
+    (s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val typed = per.select(col("event_type").as("scope"),
+        col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("within_bounds"))
+      val exactAll = Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val global = per.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+        .crossJoin(exactAll)
+        .select(lit("__all__").as("scope"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_bounds"))
+      typed.union(global).orderBy("scope")
+    },
+    Some("""SELECT event_type AS scope,
+      |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bounds
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '__all__' AS scope,
+      |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bounds
+      |FROM events
+      |ORDER BY scope""".stripMargin))
 
   /** SCD TYPE-2 HISTORY derivation — collapse each user's event stream
     * into validity intervals of its `event_type` state (the
