@@ -105,7 +105,101 @@ object EventTimeQueries {
     "cohort_retention" -> cohortRetention,
     "scd2_event_type" -> scd2EventType,
     "agg_approx_distinct" -> approxDistinct,
-    "agg_hll_union" -> aggHllUnion)
+    "agg_hll_union" -> aggHllUnion,
+    "agg_theta_sets" -> aggThetaSets,
+    "agg_kll_quantiles" -> aggKllQuantiles)
+
+  /** THETA sketch SET ALGEBRA (DataSketches theta_* family, Spark 4) —
+    * what HLL cannot do: sketches compose under INTERSECTION and
+    * DIFFERENCE, so audience-overlap questions ("distinct users who
+    * clicked AND purchased / clicked but never purchased") run on
+    * pre-built per-segment sketch bytes instead of re-scanning events —
+    * the ad-tech/growth workhorse at 100 TB. Estimates are
+    * engine-specific → the [[approxDistinct]] gate: exact set counts
+    * (one self-contained semi/anti distinct per operation) +
+    * `within_bounds` at a 5% relative gate. */
+  private lazy val aggThetaSets = QueryDef(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def users(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+      val clicks = users("click"); val buys = users("purchase")
+      val exactBoth = clicks.intersect(buys).count()
+      val exactOnly = clicks.except(buys).count()
+      val sk = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val both = sk.agg(
+        expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("est"))
+        .collect()(0).getLong(0)
+      // difference is binary: click-sketch minus purchase-sketch
+      val skMap = sk.collect().map(r => r.getString(0) -> r.get(1)).toMap
+      val diff = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            skMap("click"), skMap("purchase"))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.BinaryType))))
+        .selectExpr("theta_sketch_estimate(theta_difference(a, b)) as est")
+        .collect()(0).getLong(0)
+      import s.implicits._
+      def ok(est: Long, exact: Long) =
+        if (exact == 0) est == 0
+        else math.abs(est - exact).toDouble / exact <= 0.05
+      Seq(
+        ("click_and_purchase", exactBoth, ok(both, exactBoth)),
+        ("click_not_purchase", exactOnly, ok(diff, exactOnly)))
+        .toDF("op", "exact_users", "within_bounds")
+        .orderBy("op")
+    },
+    Some("""WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT 'click_and_purchase' AS op,
+      |  (SELECT COUNT(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+      |    AS exact_users,
+      |  TRUE AS within_bounds
+      |UNION ALL
+      |SELECT 'click_not_purchase' AS op,
+      |  (SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p))
+      |    AS exact_users,
+      |  TRUE AS within_bounds
+      |ORDER BY op""".stripMargin))
+
+  /** MERGEABLE QUANTILE sketches (DataSketches KLL, Spark 4) — the
+    * distributed-percentile pattern: sketch each source's token-count
+    * distribution independently (ingest-time, bytes persistable), MERGE
+    * the sketches, read global quantiles — no corpus re-sort, no
+    * value buffering (the exact-percentile memory trap
+    * `profile_documents` documents). Gate: the estimate's EXACT rank
+    * must sit within KLL's rank-error bound of the target (±3% at the
+    * default k=200, ~2× the published 1.33% one-sided ε). */
+  private lazy val aggKllQuantiles = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val n = docs.count()
+      val merged = docs.groupBy("source")
+        .agg(expr("kll_sketch_agg_bigint(n_tokens)").as("sk"))
+        .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      val ests = merged.selectExpr(
+          qs.zipWithIndex.map { case (q, i) =>
+            s"kll_sketch_get_quantile_bigint(msk, cast($q as float)) as q$i"
+          }: _*)
+        .collect()(0)
+      val rows = qs.zipWithIndex.map { case (q, i) =>
+        val est = ests.getLong(i)
+        val rank = docs.filter(col("n_tokens") <= est).count().toDouble / n
+        (f"p$q%.2f", math.abs(rank - q) <= 0.03)
+      }
+      import s.implicits._
+      rows.toDF("quantile", "within_bounds").orderBy("quantile")
+    },
+    Some("""SELECT q AS quantile, TRUE AS within_bounds
+      |FROM (VALUES ('p0.25'), ('p0.50'), ('p0.75'), ('p0.90')) AS t(q)
+      |ORDER BY quantile""".stripMargin))
 
   /** MERGEABLE HLL sketches (DataSketches `hll_sketch_agg` /
     * `hll_union_agg`, Spark 4) — the property `approx_count_distinct`
