@@ -107,7 +107,45 @@ object EventTimeQueries {
     "agg_approx_distinct" -> approxDistinct,
     "agg_hll_union" -> aggHllUnion,
     "agg_theta_sets" -> aggThetaSets,
-    "agg_kll_quantiles" -> aggKllQuantiles)
+    "agg_kll_quantiles" -> aggKllQuantiles,
+    "agg_approx_topk_sketch" -> aggApproxTopkSketch)
+
+  /** `approx_top_k` (Spark 4) — the sketch face of heavy hitters (the
+    * batch complement of the streaming Misra-Gries op): estimate the
+    * token-frequency head without a full groupBy, in one mergeable
+    * accumulator. Gate: every TRUE top-10 token (exact groupBy) must
+    * appear in the sketch's top-10 with its estimate within 2% of the
+    * exact count — sketch output itself is engine-specific, so the
+    * oracle checks the exact head + the flag. */
+  private lazy val aggApproxTopkSketch = QueryDef(
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(10)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // sketch head is 2× the gated head: estimate TIES at the cut rank
+      // are broken arbitrarily, so a true-top-10 item can fall to sketch
+      // rank 11 on an equal estimate — the deeper read absorbs that
+      val sketch = toks.selectExpr("approx_top_k(w, 20, 1000) as tk")
+        .selectExpr("explode(tk) as e").selectExpr("e.item", "e.count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      exact.toSeq.map { case (w, c) =>
+        val ok = sketch.get(w).exists(est => math.abs(est - c).toDouble / c <= 0.02)
+        (w, c, ok)
+      }.toDF("token", "exact_cnt", "within_bounds")
+        .orderBy(col("exact_cnt").desc, col("token"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |head AS (
+      |  SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      |  FROM tok WHERE len(w) > 0 GROUP BY 1
+      |  ORDER BY exact_cnt DESC, token LIMIT 10)
+      |SELECT token, exact_cnt, TRUE AS within_bounds
+      |FROM head ORDER BY exact_cnt DESC, token""".stripMargin))
 
   /** THETA sketch SET ALGEBRA (DataSketches theta_* family, Spark 4) —
     * what HLL cannot do: sketches compose under INTERSECTION and
