@@ -269,7 +269,45 @@ object Profiling {
       |  FLOOR(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4 AS dup_ratio
       |FROM ann GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Generic PER-COLUMN schema profile — the data-quality report a
+    * pipeline runs on every new extract before trusting it (null mass,
+    * cardinality, bounds drift): one row per column of `orders` with
+    * null count, exact distinct count, and stringified min/max. Six
+    * column aggregates compute in ONE pass each (map-side combined);
+    * exact distincts are per-column expand-reduce — at 100 TB swap in
+    * the HLL sketch face (`agg_hll_union`) column by column where exact
+    * cardinality isn't worth its shuffle. */
+  private lazy val profileSchema = QueryDef(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }.reduce(_ union _).orderBy("column_name")
+    },
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT $c) AS n_distinct,
+        |  CAST(MIN($c) AS VARCHAR) AS min_val,
+        |  CAST(MAX($c) AS VARCHAR) AS max_val
+        |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })
+
   val all: Map[String, QueryDef] = Map(
+    "profile_schema" -> profileSchema,
     "profile_documents" -> profileDocuments,
     "profile_doc_duplication" -> profileDocDuplication,
     "profile_ngram_topk" -> profileNgramTopk,

@@ -124,7 +124,28 @@ object ScalarQueries {
       |  regexp_matches(c_name, '0{3}') AS has_triple_zero
       |FROM customer ORDER BY c_custkey""".stripMargin))
 
+  /** VARIANT semi-structured handling (Spark 4 `parse_json` /
+    * `variant_get`) — the modern replacement for stringly JSON columns:
+    * parse once to the shredded binary encoding, extract typed paths in
+    * the scan projection (the plan's `PushedVariantExtractions` slot is
+    * where V2 scans shred at the source at scale). The twin extracts
+    * the same path with DuckDB's JSON operators — same values, so the
+    * representation is proven interchangeable. */
+  private lazy val scalarVariant = QueryDef(
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "scalar_variant" -> scalarVariant,
     "scalar_strings" -> strings,
     "scalar_dates_math" -> datesMath,
     "scalar_arrays_json" -> arraysJson,
