@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.QueryDef
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /**
@@ -83,6 +84,34 @@ object Layout {
       |  MIN(day) AS min_day, MAX(day) AS max_day,
       |  MIN(pk) AS min_pk, MAX(pk) AS max_pk
       |FROM z GROUP BY 1 ORDER BY cell""".stripMargin))
+
+  /** MATERIALIZE the z-ordered layout: lineitem written as `numFiles`
+    * parquet files range-partitioned on the z key, locally sorted — so
+    * every FILE's parquet footer carries narrow min/max on BOTH
+    * `z_day` and `z_pk` (LayoutSuite asserts the actual footer
+    * statistics), and any reader's predicate on either column prunes
+    * most files from the listing stats alone. ONE repartitionByRange
+    * shuffle (sampled range boundaries ≈ equal-size files) + a
+    * partition-local sort — the [[ShardedExport]] write shape keyed by
+    * the interleave. */
+  def writeClustered(s: SparkSession, dir: String, outDir: String,
+      numFiles: Int): Unit = {
+    val raw = Tables.lineitem(s, dir)
+      .select(col("*"),
+        datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))
+          .cast("long").as("z_day"),
+        col("l_partkey").cast("long").as("z_pk"))
+    val maxes = raw.agg(max("z_day").as("max_day"), max("z_pk").as("max_pk"))
+    raw.crossJoin(broadcast(maxes))
+      .withColumn("zdn", expr(s"(z_day * $Top) div max_day"))
+      .withColumn("zpn", expr(s"(z_pk * $Top) div max_pk"))
+      .withColumn("z", expr(zSql("zdn", "zpn")))
+      .drop("max_day", "max_pk", "zdn", "zpn")
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+  }
 
   val all: Map[String, QueryDef] = Map(
     "layout_zorder" -> layoutZorder)

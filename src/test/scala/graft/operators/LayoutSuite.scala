@@ -30,4 +30,50 @@ class LayoutSuite extends SparkSuite {
     assert(cells.map(_._1).sum ===
       graft.Tables.lineitem(spark, sfDir).count())
   }
+
+  test("writeClustered: every FILE's parquet footer bounds both dims") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("zorder")
+    try {
+      val files = 8
+      Layout.writeClustered(spark, sfDir, out.toString, files)
+      val conf = spark.sessionState.newHadoopConf()
+      val parts = java.nio.file.Files.walk(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(parts.size == files, s"expected $files files, got ${parts.size}")
+
+      // per-file min/max of both z dims, read from the FOOTER stats —
+      // the bytes a production reader prunes on
+      def bounds(p: java.nio.file.Path, colName: String): (Long, Long) = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), conf))
+        try {
+          val ccs = r.getFooter.getBlocks.asScala
+            .map(_.getColumns.asScala.find(_.getPath.toDotString == colName).get)
+          val mins = ccs.map(_.getStatistics.genericGetMin
+            .asInstanceOf[java.lang.Long].longValue)
+          val maxs = ccs.map(_.getStatistics.genericGetMax
+            .asInstanceOf[java.lang.Long].longValue)
+          (mins.min, maxs.max)
+        } finally r.close()
+      }
+      val day = parts.map(bounds(_, "z_day"))
+      val pk = parts.map(bounds(_, "z_pk"))
+      val dayRange = (day.map(_._2).max - day.map(_._1).min).toDouble
+      val pkRange = (pk.map(_._2).max - pk.map(_._1).min).toDouble
+      // with 8 z-range files the top interleaved bits split ~3 ways per
+      // dim: mean per-file footer span must bound BOTH dims well under
+      // the full range (a single-column sort would leave one dim at ~1.0)
+      val daySpan = day.map(b => (b._2 - b._1).toDouble / dayRange).sum / files
+      val pkSpan = pk.map(b => (b._2 - b._1).toDouble / pkRange).sum / files
+      assert(daySpan < 0.6, s"day footer span $daySpan")
+      assert(pkSpan < 0.6, s"pk footer span $pkSpan")
+      assert(daySpan + pkSpan < 1.0,
+        s"joint span $daySpan + $pkSpan not better than a single-dim sort")
+    } finally {
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
