@@ -1,5 +1,5 @@
 package graft
-import graft.operators.{Dedup, Graph, ImportanceSelection, IncrementalDedup, IvfIndex, LanguageModel, Layout, Multimodal, Profiling, Redaction, Sampling, Search, Similarity, TextAnalysis, Tokenizer, TrainingPipeline}
+import graft.operators.{Dedup, EntityResolution, Graph, ImportanceSelection, IncrementalDedup, IvfIndex, LanguageModel, Layout, Multimodal, Profiling, Redaction, Sampling, Search, Similarity, TextAnalysis, Tokenizer, TrainingPipeline}
 import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef, ScalarQueries, TpchExtraQueries}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
@@ -16,7 +16,7 @@ object SparkEntry {
       Sampling.all ++ TrainingPipeline.all ++ IncrementalDedup.all ++
       IvfIndex.all ++ Profiling.all ++ LanguageModel.all ++ Redaction.all ++
       ImportanceSelection.all ++ Search.all ++ Graph.all ++ Layout.all ++
-      Tokenizer.all
+      Tokenizer.all ++ EntityResolution.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The sideline parity invariant — the reference's signature feature. */

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.QueryDef
+import org.apache.spark.sql.functions._
+
+/**
+ * Entity resolution / record linkage — the BLOCKING + pairwise-distance
+ * operator every master-data and dedup-across-sources pipeline runs
+ * (Fellegi-Sunter style candidate generation): a cheap deterministic
+ * BLOCKING KEY partitions the universe, candidate pairs form only
+ * WITHIN a block, and an edit-distance verdict (`levenshtein`, an
+ * integer metric both engines implement identically) confirms matches.
+ *
+ * Shape at 100 TB: the all-pairs quadratic never happens — cost is
+ * Σ_blocks C(|block|, 2), bounded by the blocking key's granularity
+ * (the knob; production stacks layer several keys and union candidates,
+ * exactly like the LSH band families in [[Dedup]] — blocking IS the
+ * hand-crafted LSH of structured records). The self-join keys on the
+ * block (ONE exchange both sides), a hot block is the same skew
+ * problem [[SkewGuard]] solves for bands.
+ */
+object EntityResolution {
+
+  private val BlockLen = 16 // chars of the name shared within a block
+  private val MaxDist = 1
+
+  private val matchEntities = QueryDef(
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("blk", substring(col("c_name"), 1, BlockLen))
+        .repartition(col("blk"))
+      val a = c.select(col("blk"), col("c_custkey").as("custkey_1"),
+        col("c_name").as("name_1"))
+      val b = c.select(col("blk"), col("c_custkey").as("custkey_2"),
+        col("c_name").as("name_2"))
+      a.join(b.hint("shuffle_hash"),
+          a("blk") === b("blk") && col("custkey_1") < col("custkey_2"))
+        .withColumn("dist", levenshtein(col("name_1"), col("name_2")))
+        .filter(col("dist") <= MaxDist)
+        .select(col("custkey_1"), col("custkey_2"), col("dist"))
+        .orderBy("custkey_1", "custkey_2")
+    },
+    Some(s"""SELECT a.c_custkey AS custkey_1, b.c_custkey AS custkey_2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON substring(a.c_name, 1, $BlockLen) = substring(b.c_name, 1, $BlockLen)
+      | AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= $MaxDist
+      |ORDER BY custkey_1, custkey_2""".stripMargin))
+
+  val all: Map[String, QueryDef] = Map(
+    "match_entities" -> matchEntities)
+}
