@@ -77,32 +77,45 @@ object ShardedExport {
           }
         } finally reader.close()
       if (mightContain) {
-        val rows = s.read.parquet(p.toString)
-        val kept = rows.filter(!col("doc_id").isin(ids: _*))
-        val before = rows.count()
-        val after = kept.count()
-        if (after < before) {
-          val tmp = p.toString + ".rewrite"
+        // ONE data scan per candidate file: `before` comes free from the
+        // footer already opened for the bloom probe; the filtered rows
+        // write straight to the side location and ITS footer gives
+        // `after` — a bloom false positive costs this single pass, a
+        // true hit costs exactly the unavoidable rewrite
+        val before = {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(p.toString), conf))
+          try r.getRecordCount finally r.close()
+        }
+        val tmp = p.toString + ".rewrite"
+        s.read.parquet(p.toString)
+          .filter(!col("doc_id").isin(ids: _*))
           // keep the bloom contract: the rewritten file must stay
           // probe-able for the NEXT takedown
-          kept.coalesce(1).write.mode(SaveMode.Overwrite)
-            .option("parquet.bloom.filter.enabled#doc_id", "true")
-            .option("parquet.bloom.filter.expected.ndv#doc_id",
-              math.max(1L, after).toString)
-            .parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("parquet.bloom.filter.enabled#doc_id", "true")
+          .option("parquet.bloom.filter.expected.ndv#doc_id",
+            math.max(1L, before).toString)
+          .parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val after = {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(part.toString), conf))
+          try r.getRecordCount finally r.close()
+        }
+        if (after < before) {
           java.nio.file.Files.move(part.toPath, p,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           // the local FS keeps sibling .crc checksums — a stale one
           // fails every future read of the replaced file
           java.nio.file.Files.deleteIfExists(
             p.resolveSibling("." + p.getFileName.toString + ".crc"))
-          new java.io.File(tmp).listFiles().foreach(_.delete())
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
           rewritten += 1
           deleted += before - after
         }
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
       }
     }
     (files.length, rewritten, deleted)
@@ -119,10 +132,12 @@ object ShardedExport {
     * default sizing is bounded by `ndv` = the shard's row count. */
   def write(s: SparkSession, dir: String, outDir: String,
       numShards: Int = Sampling.NumShards): Unit = {
-    val sharded = withShards(s, dir, numShards)
-    val ndvPerShard = math.max(1L,
-      sharded.count() / numShards + 1)
-    sharded
+    // ndv only needs an upper bound — take the row count from the SOURCE
+    // parquet footers (a metadata read), never by materializing the
+    // whole shuffle pipeline a second time
+    val baseRows = s.read.parquet(s"$dir/documents.parquet").count()
+    val ndvPerShard = math.max(1L, baseRows / numShards + 1)
+    withShards(s, dir, numShards)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode(SaveMode.Overwrite)

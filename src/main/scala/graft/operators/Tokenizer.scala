@@ -63,8 +63,14 @@ object Tokenizer {
         .limit(1)
         .collect()(0)
       val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      // learned symbols are DATA interpolated into a SQL literal —
+      // escape quote/backslash or a corpus token containing either
+      // breaks (or corrupts) the rewrite expression
+      def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+      val (lq, rq) = (esc(l), esc(r))
       val next = vocab
-        .select(expr(s"trim(replace(' ' || seg || ' ', ' ${l} ${r} ', ' ${l}${r} '))")
+        .select(expr(
+          s"trim(replace(' ' || seg || ' ', ' ${lq} ${rq} ', ' ${lq}${rq} '))")
           .as("seg"), col("wcnt"))
         .persist()
       next.count()

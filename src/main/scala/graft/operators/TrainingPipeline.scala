@@ -163,9 +163,15 @@ object TrainingPipeline {
     val trainable = docs
       .filter(col("doc_id").isNotNull)
       .join(benchmark.select("doc_id"), Seq("doc_id"), "left_anti")
+    // persist: the strip stage consumes this frame THREE times (gram
+    // derivation twice inside boilerplateCuts + the join left side) —
+    // without the boundary the whole span-cut exchange chain re-executes
+    // per consumer (the `redacted`/`clean` persist rationale, one stage
+    // earlier)
     val cut = Dedup.spanCut(trainable)
       .drop("n_tokens", "n_cut_tokens")
       .withColumnRenamed("text_clean", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-frequency boilerplate strip ([[Search.stripBoilerplate]]):
     // the C4-style cut of the top-K most frequent 4-grams, AFTER the
     // span cut (cross-doc duplicated RUNS leave first, then the

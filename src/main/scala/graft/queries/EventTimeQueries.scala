@@ -304,13 +304,16 @@ object EventTimeQueries {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val collapsed = runs.groupBy("user_id", "run_id", "event_type")
         .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
-      val vw = Window.partitionBy("user_id").orderBy("valid_from")
+      // run_id rides as the tie-break: two runs of one user CAN share
+      // valid_from (same-ts events of different types) and valid_from
+      // alone would leave lead() and the row order engine-arbitrary
+      val vw = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
       collapsed
         .withColumn("valid_to", lead("valid_from", 1).over(vw))
         .withColumn("is_current", col("valid_to").isNull)
         .select("user_id", "event_type", "valid_from", "valid_to",
           "n_events", "is_current")
-        .orderBy("user_id", "valid_from")
+        .orderBy("user_id", "valid_from", "event_type")
     },
     Some("""WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,
@@ -329,12 +332,12 @@ object EventTimeQueries {
       |         COUNT(*) AS n_events
       |  FROM runs GROUP BY 1, 2, 3)
       |SELECT user_id, event_type, valid_from,
-      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run_id)
       |    AS valid_to,
       |  n_events,
-      |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run_id)
       |    IS NULL) AS is_current
-      |FROM collapsed ORDER BY user_id, valid_from""".stripMargin))
+      |FROM collapsed ORDER BY user_id, valid_from, event_type""".stripMargin))
 
   /** FUNNEL analysis — the sequential-pattern event operator: how many
     * users completed signup → (click after signup) → (purchase after

@@ -353,8 +353,10 @@ object TpchExtraQueries {
     (s, dir) => {
       val cust = Tables.customer(s, dir)
         .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+      // integer (truncating) division on BOTH engines — `/` would be a
+      // double divide whose cast TRUNCATES in Spark but ROUNDS in DuckDB
       val thresh = cust.filter(col("c_acctbal") > 0)
-        .agg((sum("bal_cents") / count(lit(1))).cast("long").as("avg_cents"))
+        .agg(expr("sum(bal_cents) div count(1)").as("avg_cents"))
       cust.filter(col("c_acctbal") > 0)
         .join(broadcast(thresh), col("bal_cents") > col("avg_cents"))
         .join(Tables.orders(s, dir)
@@ -370,7 +372,7 @@ object TpchExtraQueries {
       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
       |  FROM customer WHERE c_acctbal > 0),
       |thresh AS (
-      |  SELECT CAST(SUM(bal_cents) / COUNT(*) AS BIGINT) AS avg_cents FROM cust)
+      |  SELECT SUM(bal_cents) // COUNT(*) AS avg_cents FROM cust)
       |SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
       |  ROUND(SUM(c_acctbal), 2) AS totacctbal
       |FROM cust, thresh
@@ -390,7 +392,11 @@ object TpchExtraQueries {
     * Requires the V2 parquet source: the reader flips
     * `useV1SourceList` for THIS read only and restores it immediately —
     * the rest of the library keeps the default V1 planning its plan
-    * pins assert against. */
+    * pins assert against. `aggregatePushdown` itself stays enabled for
+    * the session DELIBERATELY (it must be on at execution time, after
+    * this function returns): it is semantics-neutral — it only rewrites
+    * bare-aggregate-over-V2-scan plans to footer reads with identical
+    * results, and no other query in the library produces a V2 scan. */
   private lazy val aggFooterStats = QueryDef(
     (s, dir) => {
       val key = "spark.sql.sources.useV1SourceList"

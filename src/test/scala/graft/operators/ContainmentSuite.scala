@@ -10,11 +10,13 @@ class ContainmentSuite extends SparkSuite {
 
   test("prefix filtering equals exhaustive all-pairs at containment >= 0.8") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
-      .map { r =>
-        val toks = r.getString(1).split(" ")
-        r.getLong(0) -> toks.sliding(3).map(_.mkString(" ")).toSet
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      // match the query's size filter: sliding(3) on a SHORT array emits
+      // one undersized pseudo-window instead of nothing
+      .filter(_._2.length >= 3)
+      .map { case (id, toks) =>
+        id -> toks.sliding(3).map(_.mkString(" ")).toSet
       }
-      .filter(_._2.nonEmpty)
     val expected = (for {
       (i, a) <- docs; (j, b) <- docs if i < j
       inter = (a & b).size
