@@ -280,4 +280,30 @@ object StatefulOps {
         r("rts") <= l("ts") + expr(s"INTERVAL $toleranceSec seconds"),
       "inner")
   }
+
+  /**
+   * Watermarked stream-stream LEFT OUTER join — the enrich-or-emit-
+   * anyway shape (SURVEY.md §2.13's hardest row): a primary row that
+   * finds no secondary match within ±`toleranceSec` must STILL emit,
+   * null-extended — but only once the watermark proves no match can
+   * arrive anymore. Structured Streaming holds the unmatched left row in
+   * state until `watermark` passes its join window, then emits it with
+   * nulls; the suite drives exactly that lifecycle (match emits in its
+   * batch; non-match emits ONLY after a later event advances the
+   * watermark past the window). State stays bounded by the same
+   * watermark that bounds the inner join's.
+   */
+  def enrichLeftOuter(
+      primary: Dataset[KeyedEvent],
+      secondary: Dataset[KeyedEvent],
+      watermark: String,
+      toleranceSec: Int): Dataset[org.apache.spark.sql.Row] = {
+    val l = primary.toDF("key", "ts", "value").withWatermark("ts", watermark)
+    val r = secondary.toDF("rkey", "rts", "rvalue").withWatermark("rts", watermark)
+    l.join(r,
+      l("key") === r("rkey") &&
+        r("rts") >= l("ts") - expr(s"INTERVAL $toleranceSec seconds") &&
+        r("rts") <= l("ts") + expr(s"INTERVAL $toleranceSec seconds"),
+      "left_outer")
+  }
 }

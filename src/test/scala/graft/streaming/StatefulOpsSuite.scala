@@ -236,6 +236,40 @@ class StatefulOpsSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: matches emit eagerly, non-matches only after the watermark closes their window") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prim = MemoryStream[KeyedEvent]
+    val sec = MemoryStream[KeyedEvent]
+    val joined = StatefulOps.enrichLeftOuter(prim.toDS(), sec.toDS(),
+      watermark = "10 seconds", toleranceSec = 5)
+    val q = joined.writeStream.format("memory").queryName("ss_left")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(50)).start()
+    def rows() = spark.table("ss_left")
+      .select("key", "rvalue").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    try {
+      prim.addData(
+        KeyedEvent("m", ts("2026-01-01 00:00:10"), 1.0),  // will match
+        KeyedEvent("n", ts("2026-01-01 00:00:10"), 2.0))  // never matches
+      sec.addData(KeyedEvent("m", ts("2026-01-01 00:00:12"), 100.0))
+      q.processAllAvailable()
+      // the match emits eagerly; the unmatched row is HELD (its window
+      // can still be matched by late secondary data)
+      assert(rows() === Set(("m", Some(100.0))), rows().toString)
+
+      // advance BOTH watermarks far past n's join window → the held row
+      // must emit null-extended
+      prim.addData(KeyedEvent("z", ts("2026-01-01 00:10:00"), 9.0))
+      sec.addData(KeyedEvent("z2", ts("2026-01-01 00:10:00"), 9.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // outer results surface one trigger later
+      assert(rows().contains(("n", None)),
+        s"unmatched primary row never emitted: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: Misra-Gries bound holds across batches") {
     val sparkS = spark
     import sparkS.implicits._
