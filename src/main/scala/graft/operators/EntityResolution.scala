@@ -37,8 +37,13 @@ object EntityResolution {
         col("c_name").as("name_2"))
       a.join(b.hint("shuffle_hash"),
           a("blk") === b("blk") && col("custkey_1") < col("custkey_2"))
-        .withColumn("dist", levenshtein(col("name_1"), col("name_2")))
-        .filter(col("dist") <= MaxDist)
+        // THRESHOLD-bounded levenshtein (returns −1 past the bound):
+        // the DP early-exits on the O(k·n) band instead of filling the
+        // O(n²) matrix — at 7.5M candidate pairs per 1000-row block this
+        // is the difference between the scan and the metric dominating
+        .withColumn("dist",
+          levenshtein(col("name_1"), col("name_2"), MaxDist))
+        .filter(col("dist").between(0, MaxDist))
         .select(col("custkey_1"), col("custkey_2"), col("dist"))
         .orderBy("custkey_1", "custkey_2")
     },
