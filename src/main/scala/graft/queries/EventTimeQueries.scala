@@ -108,7 +108,50 @@ object EventTimeQueries {
     "agg_hll_union" -> aggHllUnion,
     "agg_theta_sets" -> aggThetaSets,
     "agg_kll_quantiles" -> aggKllQuantiles,
-    "agg_approx_topk_sketch" -> aggApproxTopkSketch)
+    "agg_approx_topk_sketch" -> aggApproxTopkSketch,
+    "agg_countmin_freq" -> aggCountminFreq)
+
+  /** COUNT-MIN sketch point frequencies — the remaining member of the
+    * sketch family (HLL = cardinality, Theta = set algebra, KLL =
+    * quantiles, top-k = heavy hitters, count-min = per-item frequency):
+    * one fixed-size mergeable array answers "how often did item X
+    * occur" for ANY x after the fact, with the classic one-sided
+    * guarantee exact ≤ est ≤ exact + ε·N (w.p. 1−δ). Built by the SQL
+    * `count_min_sketch` aggregate; estimates decode on the driver via
+    * Spark's own CountMinSketch reader (sketch bytes are metadata — the
+    * persistable/mergeable artifact IS the point). Gate: the one-sided
+    * bound itself, per probed user. */
+  private lazy val aggCountminFreq = QueryDef(
+    (s, dir) => {
+      val eps = 0.001
+      val conf = 0.99
+      val ev = Tables.events(s, dir)
+      val bytes = ev.selectExpr(
+          s"count_min_sketch(user_id, ${eps}d, ${conf}d, 42) as sk")
+        .collect()(0).getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = ev.count()
+      val exact = ev.filter(col("user_id") < 5)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      (0L until 5L).map { u =>
+        val ex = exact.getOrElse(u, 0L)
+        val est = sk.estimateCount(u)
+        (u, ex, est >= ex && est <= ex + (eps * n).toLong + 1)
+      }.toDF("user_id", "exact_cnt", "within_bounds")
+        .orderBy("user_id")
+    },
+    Some("""WITH probe AS (
+      |  SELECT CAST(unnest(range(0, 5)) AS BIGINT) AS user_id),
+      |cnt AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      |  FROM events WHERE user_id < 5 GROUP BY 1)
+      |SELECT p.user_id, COALESCE(c.exact_cnt, 0) AS exact_cnt,
+      |  TRUE AS within_bounds
+      |FROM probe p LEFT JOIN cnt c USING (user_id)
+      |ORDER BY p.user_id""".stripMargin))
 
   /** `approx_top_k` (Spark 4) — the sketch face of heavy hitters (the
     * batch complement of the streaming Misra-Gries op): estimate the
