@@ -65,9 +65,10 @@ object ShardedExport {
     files.foreach { p =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(p.toString), conf))
-      val mightContain =
+      // ONE footer open serves both the bloom probe and the row count
+      val (mightContain, before) =
         try {
-          reader.getFooter.getBlocks.asScala.exists { b =>
+          val mc = reader.getFooter.getBlocks.asScala.exists { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == "doc_id") match {
               case Some(cc) if cc.getBloomFilterOffset >= 0 =>
                 val bf = reader.readBloomFilter(cc)
@@ -75,18 +76,13 @@ object ShardedExport {
               case _ => true // no bloom ⇒ must assume present
             }
           }
+          (mc, reader.getRecordCount)
         } finally reader.close()
       if (mightContain) {
-        // ONE data scan per candidate file: `before` comes free from the
-        // footer already opened for the bloom probe; the filtered rows
-        // write straight to the side location and ITS footer gives
-        // `after` — a bloom false positive costs this single pass, a
-        // true hit costs exactly the unavoidable rewrite
-        val before = {
-          val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(p.toString), conf))
-          try r.getRecordCount finally r.close()
-        }
+        // ONE data scan per candidate file: the filtered rows write
+        // straight to the side location and ITS footer gives `after` —
+        // a bloom false positive costs this single pass, a true hit
+        // costs exactly the unavoidable rewrite
         val tmp = p.toString + ".rewrite"
         s.read.parquet(p.toString)
           .filter(!col("doc_id").isin(ids: _*))

@@ -131,7 +131,10 @@ object EventTimeQueries {
         .collect()(0).getAs[Array[Byte]](0)
       val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
-      val n = ev.count()
+      // N for the ε·N bound comes from the sketch itself — no second
+      // table scan, and it is the exact count the sketch INGESTED
+      // (a df.count() would also include null keys the sketch never saw)
+      val n = sk.totalCount()
       val exact = ev.filter(col("user_id") < 5)
         .groupBy("user_id").agg(count(lit(1)).as("cnt"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -354,9 +357,12 @@ object EventTimeQueries {
       collapsed
         .withColumn("valid_to", lead("valid_from", 1).over(vw))
         .withColumn("is_current", col("valid_to").isNull)
-        .select("user_id", "event_type", "valid_from", "valid_to",
+        // run_id stays in the OUTPUT too: it is the only total sort key
+        // (two same-type runs of one user can share valid_from), and a
+        // deterministic surrogate ordinal is what an SCD2 consumer wants
+        .select("user_id", "run_id", "event_type", "valid_from", "valid_to",
           "n_events", "is_current")
-        .orderBy("user_id", "valid_from", "event_type")
+        .orderBy("user_id", "run_id")
     },
     Some("""WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,
@@ -374,13 +380,13 @@ object EventTimeQueries {
       |  SELECT user_id, run_id, event_type, MIN(ts) AS valid_from,
       |         COUNT(*) AS n_events
       |  FROM runs GROUP BY 1, 2, 3)
-      |SELECT user_id, event_type, valid_from,
+      |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type, valid_from,
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run_id)
       |    AS valid_to,
       |  n_events,
       |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run_id)
       |    IS NULL) AS is_current
-      |FROM collapsed ORDER BY user_id, valid_from, event_type""".stripMargin))
+      |FROM collapsed ORDER BY user_id, run_id""".stripMargin))
 
   /** FUNNEL analysis — the sequential-pattern event operator: how many
     * users completed signup → (click after signup) → (purchase after

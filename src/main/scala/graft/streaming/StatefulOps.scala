@@ -267,19 +267,29 @@ object StatefulOps {
    * within ±`toleranceSec` of event time. Both sides carry watermarks so
    * the join state is bounded and late rows drop deterministically.
    */
-  def enrichWithin(
+  /** One definition of the tolerance-window join for both join types —
+    * the interval arithmetic and watermark wiring cannot diverge. */
+  private def enrichJoin(
       primary: Dataset[KeyedEvent],
       secondary: Dataset[KeyedEvent],
       watermark: String,
-      toleranceSec: Int): Dataset[org.apache.spark.sql.Row] = {
+      toleranceSec: Int,
+      joinType: String): Dataset[org.apache.spark.sql.Row] = {
     val l = primary.toDF("key", "ts", "value").withWatermark("ts", watermark)
     val r = secondary.toDF("rkey", "rts", "rvalue").withWatermark("rts", watermark)
     l.join(r,
       l("key") === r("rkey") &&
         r("rts") >= l("ts") - expr(s"INTERVAL $toleranceSec seconds") &&
         r("rts") <= l("ts") + expr(s"INTERVAL $toleranceSec seconds"),
-      "inner")
+      joinType)
   }
+
+  def enrichWithin(
+      primary: Dataset[KeyedEvent],
+      secondary: Dataset[KeyedEvent],
+      watermark: String,
+      toleranceSec: Int): Dataset[org.apache.spark.sql.Row] =
+    enrichJoin(primary, secondary, watermark, toleranceSec, "inner")
 
   /**
    * Watermarked stream-stream LEFT OUTER join — the enrich-or-emit-
@@ -297,13 +307,6 @@ object StatefulOps {
       primary: Dataset[KeyedEvent],
       secondary: Dataset[KeyedEvent],
       watermark: String,
-      toleranceSec: Int): Dataset[org.apache.spark.sql.Row] = {
-    val l = primary.toDF("key", "ts", "value").withWatermark("ts", watermark)
-    val r = secondary.toDF("rkey", "rts", "rvalue").withWatermark("rts", watermark)
-    l.join(r,
-      l("key") === r("rkey") &&
-        r("rts") >= l("ts") - expr(s"INTERVAL $toleranceSec seconds") &&
-        r("rts") <= l("ts") + expr(s"INTERVAL $toleranceSec seconds"),
-      "left_outer")
-  }
+      toleranceSec: Int): Dataset[org.apache.spark.sql.Row] =
+    enrichJoin(primary, secondary, watermark, toleranceSec, "left_outer")
 }

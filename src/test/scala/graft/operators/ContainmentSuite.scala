@@ -9,8 +9,10 @@ import graft.{SparkEntry, SparkSuite, Tables}
 class ContainmentSuite extends SparkSuite {
 
   test("prefix filtering equals exhaustive all-pairs at containment >= 0.8") {
+    // split(" ", -1): Java split drops TRAILING empty tokens where
+    // Spark's keeps them — the -1 limit restores Spark's semantics
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
       // match the query's size filter: sliding(3) on a SHORT array emits
       // one undersized pseudo-window instead of nothing
       .filter(_._2.length >= 3)
