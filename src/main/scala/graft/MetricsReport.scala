@@ -154,6 +154,71 @@ object MetricsReport {
       .filter(col("dl") =!= col("ll")).count()
     ccEdges.unpersist(blocking = false)
 
+    // 3c. per-query memory/shuffle/spill footprint (r9 ask #5): the ten
+    // most expensive queries re-run under a labeled job group with a
+    // TaskMetricsProbe attached, executed via the noop sink (full
+    // execution, nothing collected). peak_task_memory_bytes is the
+    // executor-sizing number; spills > 0 at measurement SF would flag a
+    // query that cannot claim the 100× story.
+    val probe = new graft.metrics.TaskMetricsProbe
+    spark.sparkContext.addSparkListener(probe)
+    val resourceQueries = Seq("dedup_clusters", "pipeline_curate_full",
+      "match_entities", "dedup_embedding_cosine", "dedup_containment",
+      "dedup_minhash_pairs", "ann_ivfpq_residual_topk", "dedup_spans_cut",
+      "mix_quality_buckets", "search_bm25")
+    val resources = resourceQueries.map { q =>
+      spark.sparkContext.setJobGroup(q, s"resource probe: $q",
+        interruptOnCancel = false)
+      try SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.clearJobGroup()
+      probe.quiesce()
+      q -> probe.snapshot(q).getOrElse(new graft.metrics.ResourceStats)
+    }
+
+    // 3d. SkewGuard fired by REAL data (r9 ask #7): at measurement SF no
+    // natural band crosses the cap, so the guard's salted path had only
+    // ever run on suite synthetics. Inject the real-world cause —
+    // boilerplate duplication, one REAL document's text replicated past
+    // the cap under fresh ids — and push it through the PRODUCTION
+    // simhash-pairs path (default cap/maxSalt). Multiset parity vs the
+    // naive unguarded join is a HARD failure, not a reported number.
+    val hotCopies = 1300 // > SkewGuard.DefaultCap ⇒ all 4 simhash bands go hot
+    val docsAll = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val templateText = docsAll.orderBy("doc_id").limit(1)
+      .collect().head.getString(1)
+    val maxDocId = docsAll.agg(max("doc_id")).head().getLong(0)
+    val hotDocs = spark.range(hotCopies.toLong)
+      .select((col("id") + maxDocId + 1).as("doc_id"),
+        lit(templateText).as("text"))
+    val skewedDocs = docsAll.unionByName(hotDocs)
+    val sgObs = new org.apache.spark.sql.Observation("skew_real")
+    val guardedPairs = graft.operators.Dedup
+      .simhashPairs(skewedDocs, Some(sgObs))
+      .persist()
+    val guardedN = guardedPairs.count()
+    val saltedReal = sgObs.get("salted_pairs").asInstanceOf[Long]
+    val hotBandsReal = sgObs.get("hot_bands").asInstanceOf[Long]
+    require(saltedReal > 0,
+      s"hot-band injection did not reach the salted path (copies=$hotCopies)")
+    val naivePairs = {
+      val banded = graft.operators.Dedup.simhashBanded(skewedDocs)
+      val a = banded.select(col("band"), col("doc_id").as("doc_id_1"),
+        col("simhash").as("simhash_1"))
+      val b = banded.select(col("band"), col("doc_id").as("doc_id_2"),
+        col("simhash").as("simhash_2"))
+      graft.operators.Dedup.simhashVerified(
+        a.join(b, "band").filter(col("doc_id_1") < col("doc_id_2")))
+    }.persist()
+    val naiveN = naivePairs.count()
+    val parityMissing = naivePairs.exceptAll(guardedPairs).count()
+    val parityExtra = guardedPairs.exceptAll(naivePairs).count()
+    require(parityMissing == 0 && parityExtra == 0 && guardedN == naiveN,
+      s"skew-guard parity broke on real data: guarded=$guardedN " +
+        s"naive=$naiveN missing=$parityMissing extra=$parityExtra")
+    guardedPairs.unpersist(blocking = false)
+    naivePairs.unpersist(blocking = false)
+
     // 4. end-to-end streaming throughput
     val stream = StreamBench.run(spark, sfDir)
 
@@ -164,6 +229,14 @@ object MetricsReport {
 
     val sg = skew.map { case (n, (s, h)) =>
       s"""    "$n": {"salted_pairs": $s, "hot_bands": $h}"""
+    }.mkString(",\n")
+    val res = resources.map { case (q, r) =>
+      s"""    "$q": {"shuffle_write_bytes": ${r.shuffleWriteBytes}, """ +
+        s""""shuffle_read_bytes": ${r.shuffleReadBytes}, """ +
+        s""""mem_spill_bytes": ${r.memSpillBytes}, """ +
+        s""""disk_spill_bytes": ${r.diskSpillBytes}, """ +
+        s""""peak_task_memory_bytes": ${r.peakTaskMemory}, """ +
+        s""""input_bytes": ${r.inputBytes}, "tasks": ${r.tasks}}"""
     }.mkString(",\n")
     val json =
       s"""{
@@ -187,6 +260,17 @@ object MetricsReport {
          |  "cc_distributed": {"iterations": ${ccDist.iterations}, "converged": ${ccDist.converged}, "disagreements_vs_unionfind": $ccDisagree},
          |  "skew_guard": {
          |$sg
+         |  },
+         |  "resources": {
+         |$res
+         |  },
+         |  "skew_guard_real_data": {
+         |    "injected_copies": $hotCopies,
+         |    "salted_pairs": $saltedReal,
+         |    "hot_bands": $hotBandsReal,
+         |    "guarded_pairs": $guardedN,
+         |    "naive_pairs": $naiveN,
+         |    "multiset_parity": true
          |  },
          |  "stream": {
          |    "rows_per_sec": ${d0(stream.rowsPerSec)},

@@ -21,6 +21,13 @@ object Tables {
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // SESSION INVARIANT, on deliberately for every query: rewrites
+      // bare-aggregate-over-V2-scan plans to parquet footer reads with
+      // identical results (semantics-neutral). Set here at bootstrap —
+      // not flipped from inside a QueryDef — so any future V2 read
+      // inherits it VISIBLY. Only `agg_footer_stats` produces a V2 scan
+      // today (everything else plans V1 per `useV1SourceList`).
+      .config("spark.sql.parquet.aggregatePushdown", "true")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // self-sufficient on sessions the driver builds without our configs:

@@ -1,0 +1,76 @@
+package graft.metrics
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+
+import scala.collection.concurrent.TrieMap
+
+/** Aggregated executor-side resource footprint of one labeled query run —
+  * the memory/shuffle numbers that sit next to the recall numbers in the
+  * per-round METRICS artifact, so the 100×-scale claim carries a MEASURED
+  * byte count, not just a plan shape.
+  *
+  * All sums are across every task of every job that ran under the label;
+  * `peakTaskMemory` is the max single-task execution-memory watermark
+  * (the number that decides whether a task fits an executor slot at the
+  * target SF — sizing guidance reads `peak × shuffle.partitions /
+  * executor.cores` against executor memory). */
+final class ResourceStats {
+  var shuffleWriteBytes: Long = 0L
+  var shuffleReadBytes: Long = 0L
+  var memSpillBytes: Long = 0L
+  var diskSpillBytes: Long = 0L
+  var peakTaskMemory: Long = 0L
+  var inputBytes: Long = 0L
+  var tasks: Long = 0L
+}
+
+/** SparkListener aggregating task metrics PER JOB GROUP: label a run with
+  * `sc.setJobGroup(name, …)`, execute any action, then read
+  * [[snapshot]](name). Every job the action spawns (AQE re-plans included
+  * — they inherit the thread's job group) lands in the same bucket.
+  *
+  * Events post asynchronously on the listener bus, so callers must
+  * [[quiesce]] between the action returning and reading a snapshot. */
+final class TaskMetricsProbe extends SparkListener {
+  private val stageGroup = TrieMap.empty[Int, String]
+  private val stats = TrieMap.empty[String, ResourceStats]
+
+  override def onJobStart(e: SparkListenerJobStart): Unit = {
+    val grp =
+      if (e.properties == null) null
+      else e.properties.getProperty("spark.jobGroup.id")
+    if (grp != null) e.stageIds.foreach(s => stageGroup.put(s, grp))
+  }
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    for (grp <- stageGroup.get(e.stageId); m = e.taskMetrics; if m != null) {
+      val s = stats.getOrElseUpdate(grp, new ResourceStats)
+      s.synchronized {
+        s.shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+        s.shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+        s.memSpillBytes += m.memoryBytesSpilled
+        s.diskSpillBytes += m.diskBytesSpilled
+        s.peakTaskMemory = math.max(s.peakTaskMemory, m.peakExecutionMemory)
+        s.inputBytes += m.inputMetrics.bytesRead
+        s.tasks += 1
+      }
+    }
+
+  /** Wait until the listener bus has drained this probe's events: polls
+    * the total task count until it holds still for `settleMs`. The bus's
+    * own waitUntilEmpty is private[spark]; observed-stability is the
+    * public-API equivalent and bounded by `maxWaitMs`. */
+  def quiesce(settleMs: Long = 300, maxWaitMs: Long = 10000): Unit = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var last = -1L
+    var stableSince = System.nanoTime()
+    while (System.nanoTime() < deadline) {
+      val now = stats.values.map(_.tasks).sum
+      if (now != last) { last = now; stableSince = System.nanoTime() }
+      else if (System.nanoTime() - stableSince > settleMs * 1000000L) return
+      Thread.sleep(50)
+    }
+  }
+
+  def snapshot(group: String): Option[ResourceStats] = stats.get(group)
+}

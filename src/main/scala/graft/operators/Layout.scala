@@ -51,14 +51,21 @@ object Layout {
     * ~7/8 of the cells by footer stats alone. */
   private val layoutZorder = QueryDef(
     (s, dir) => {
+      // day counts from the DATASET MIN, not a fixed epoch: a shipdate
+      // before the epoch would make `day` negative, where Spark's `div`
+      // (truncate) and DuckDB's `//` (floor) diverge and the sign bit
+      // garbles the interleave. (day - lo_day) ≥ 0 by construction on
+      // ANY input; reported min/max stay raw day-since-epoch values.
       val raw = Tables.lineitem(s, dir)
         .select(
           datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))
             .cast("long").as("day"),
           col("l_partkey").cast("long").as("pk"))
-      val maxes = raw.agg(max("day").as("max_day"), max("pk").as("max_pk"))
+      val maxes = raw.agg(min("day").as("lo_day"), max("day").as("hi_day"),
+        max("pk").as("max_pk"))
       raw.crossJoin(broadcast(maxes))
-        .withColumn("dn", expr(s"(day * $Top) div max_day"))
+        .withColumn("dn",
+          expr(s"((day - lo_day) * $Top) div greatest(hi_day - lo_day, 1)"))
         .withColumn("pn", expr(s"(pk * $Top) div max_pk"))
         .withColumn("z", expr(zSql("dn", "pn")))
         .withColumn("cell", expr(s"z >> ${2 * DimBits - CellBits}"))
@@ -74,10 +81,12 @@ object Layout {
       |         CAST(l_partkey AS BIGINT) AS pk
       |  FROM lineitem),
       |maxes AS (
-      |  SELECT MAX(day) AS mx_day, MAX(pk) AS mx_pk FROM raw),
+      |  SELECT MIN(day) AS lo_day, MAX(day) AS hi_day, MAX(pk) AS mx_pk FROM raw),
       |z AS (
       |  SELECT day, pk, ${zSql("dn", "pn")} AS z FROM (
-      |    SELECT day, pk, (day * $Top) // mx_day AS dn, (pk * $Top) // mx_pk AS pn
+      |    SELECT day, pk,
+      |           ((day - lo_day) * $Top) // GREATEST(hi_day - lo_day, 1) AS dn,
+      |           (pk * $Top) // mx_pk AS pn
       |    FROM raw, maxes))
       |SELECT z >> ${2 * DimBits - CellBits} AS cell,
       |  COUNT(*) AS n_rows,
@@ -101,12 +110,16 @@ object Layout {
         datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))
           .cast("long").as("z_day"),
         col("l_partkey").cast("long").as("z_pk"))
-    val maxes = raw.agg(max("z_day").as("max_day"), max("z_pk").as("max_pk"))
+    // same min-normalization as the report query: the interleave input
+    // must be non-negative regardless of where shipdates fall vs epoch
+    val maxes = raw.agg(min("z_day").as("lo_day"), max("z_day").as("hi_day"),
+      max("z_pk").as("max_pk"))
     raw.crossJoin(broadcast(maxes))
-      .withColumn("zdn", expr(s"(z_day * $Top) div max_day"))
+      .withColumn("zdn",
+        expr(s"((z_day - lo_day) * $Top) div greatest(hi_day - lo_day, 1)"))
       .withColumn("zpn", expr(s"(z_pk * $Top) div max_pk"))
       .withColumn("z", expr(zSql("zdn", "zpn")))
-      .drop("max_day", "max_pk", "zdn", "zpn")
+      .drop("lo_day", "hi_day", "max_pk", "zdn", "zpn")
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

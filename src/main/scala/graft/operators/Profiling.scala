@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.QueryDef
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -277,18 +278,30 @@ object Profiling {
     * exact distincts are per-column expand-reduce — at 100 TB swap in
     * the HLL sketch face (`agg_hll_union`) column by column where exact
     * cardinality isn't worth its shuffle. */
+  /** Columns whose min/max must render through an EXPLICIT fixed-decimal
+    * format: a default string cast of a double goes scientific in Spark
+    * above ~1e7 (`1.2E7`) where DuckDB's VARCHAR cast stays plain — a
+    * latent parity break the fixture never triggers. `%.2f` renders the
+    * same bytes in both engines (the fixture's 2-decimal money values
+    * are never exact binary .xx5 midpoints, so the engines' tie-rounding
+    * modes can't disagree). */
+  private val doubleProfileCols = Set("o_totalprice")
+
   private lazy val profileSchema = QueryDef(
     (s, dir) => {
       val o = Tables.orders(s, dir)
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
+      def render(c: Column, name: String): Column =
+        if (doubleProfileCols(name)) format_string("%.2f", c)
+        else c.cast("string")
       cols.map { c =>
         o.agg(
           count(lit(1)).as("n_rows"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
           countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_val"),
-          max(col(c)).cast("string").as("max_val"))
+          render(min(col(c)), c).as("min_val"),
+          render(max(col(c)), c).as("max_val"))
           .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
             col("n_distinct"), col("min_val"), col("max_val"))
       }.reduce(_ union _).orderBy("column_name")
@@ -296,12 +309,15 @@ object Profiling {
     Some {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
+      def render(inner: String, name: String): String =
+        if (doubleProfileCols(name)) s"printf('%.2f', $inner)"
+        else s"CAST($inner AS VARCHAR)"
       cols.map { c =>
         s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |  COUNT(DISTINCT $c) AS n_distinct,
-        |  CAST(MIN($c) AS VARCHAR) AS min_val,
-        |  CAST(MAX($c) AS VARCHAR) AS max_val
+        |  ${render(s"MIN($c)", c)} AS min_val,
+        |  ${render(s"MAX($c)", c)} AS max_val
         |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     })

@@ -469,11 +469,7 @@ object Sampling {
       |  FROM documents),
       |q AS (
       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-      |    CAST(FLOOR(LEAST(n_tokens / 100.0, 1.0) *
-      |      (1.0 - len(list_filter(toks, x -> x IN (${TextAnalysis.stopList})))
-      |        / CAST(n_tokens AS DOUBLE)) *
-      |      (len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5)
-      |      AS BIGINT) AS score_fp
+      |    ${TextAnalysis.scoreFpSql} AS score_fp
       |  FROM t),
       |r AS (
       |  SELECT doc_id, n_tokens, score_fp,

@@ -217,7 +217,10 @@ object Search {
     * terms are exactly the ones a deployment stoplists), and the output
     * partitions/buckets by term so probes read one bucket. Postings
     * sort deterministically (collect_set → sort_array ≡ the twin's
-    * `list(DISTINCT … ORDER BY …)`). */
+    * `list_sort(list(…))`) and serialize as a space-joined string: the
+    * driver's canonicalizer hashes scalar cells (a bare list column is
+    * unsortable in its pandas path — the one r9 harness red), and the
+    * string form is also what a posting-file layout stores. */
   private lazy val indexPostings = QueryDef(
     (s, dir) => Tables.documents(s, dir).repartition(64)
       .select(col("doc_id"),
@@ -225,13 +228,13 @@ object Search {
       .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_set(col("doc_id"))).as("postings"))
+        array_join(sort_array(collect_set(col("doc_id"))), " ").as("postings"))
       .orderBy("term"),
     Some("""WITH tok AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents)
       |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-      |       list_sort(list(doc_id)) AS postings
+      |       array_to_string(list_sort(list(doc_id)), ' ') AS postings
       |FROM tok WHERE len(term) > 0
       |GROUP BY term ORDER BY term""".stripMargin))
 

@@ -85,7 +85,10 @@ object ShardedExport {
         // costs exactly the unavoidable rewrite
         val tmp = p.toString + ".rewrite"
         s.read.parquet(p.toString)
-          .filter(!col("doc_id").isin(ids: _*))
+          // keep-predicate must pass NULL keys: `!isin` evaluates to NULL
+          // for a NULL doc_id and a bare filter would silently delete
+          // unrelated null-keyed rows on a takedown
+          .filter(col("doc_id").isNull || !col("doc_id").isin(ids: _*))
           // keep the bloom contract: the rewritten file must stay
           // probe-able for the NEXT takedown
           .coalesce(1).write.mode(SaveMode.Overwrite)

@@ -959,24 +959,31 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
         |             ($subDist), c.code) AS prn
         |    FROM $from p JOIN $cents c ON p.m = c.m)
         |  WHERE prn = 1""".stripMargin
+    // Every CTE is AS MATERIALIZED: DuckDB INLINES a plain CTE at each
+    // reference, so this train→assign chain (exp referenced 3×, each cb
+    // by the next iteration) re-expands multiplicatively through the
+    // Lloyd iterations — the r9 driver's allocator died planning exactly
+    // that. Materialized, each step computes once into a ≤(N×PqM)-row
+    // temp (bounded: the corpus here is the embeddings table) and memory
+    // is flat in PqIters.
     val iterCtes = (1 to PqIters).map { i =>
       val cents = if (i == 1) s"${pfx}cb0" else s"${pfx}cb${i - 1}"
-      s"${pfx}a${i - 1} AS (\n  ${assignSql(s"${pfx}tr", cents)}),\n" +
-        s"${pfx}cb$i AS (\n  SELECT m, code, $meanList AS cvec\n" +
+      s"${pfx}a${i - 1} AS MATERIALIZED (\n  ${assignSql(s"${pfx}tr", cents)}),\n" +
+        s"${pfx}cb$i AS MATERIALIZED (\n  SELECT m, code, $meanList AS cvec\n" +
         s"  FROM ${pfx}a${i - 1} GROUP BY m, code)"
     }.mkString(",\n")
-    s"""${pfx}exp AS (
+    s"""${pfx}exp AS MATERIALIZED (
       |  SELECT vec_id, m,
       |         list_slice($vecCol, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sub
       |  FROM $src, range(0, $PqM) AS t(m)),
-      |${pfx}tr AS (SELECT * FROM ${pfx}exp WHERE vec_id < $PqTrainCap),
-      |${pfx}cb0 AS (
+      |${pfx}tr AS MATERIALIZED (SELECT * FROM ${pfx}exp WHERE vec_id < $PqTrainCap),
+      |${pfx}cb0 AS MATERIALIZED (
       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
       |  FROM ${pfx}exp WHERE vec_id < $PqK),
       |$iterCtes,
-      |${pfx}codes AS (
+      |${pfx}codes AS MATERIALIZED (
       |  ${assignSql(s"${pfx}exp", s"${pfx}cb$PqIters")}),
-      |${pfx}recon AS (
+      |${pfx}recon AS MATERIALIZED (
       |  SELECT p.vec_id, flatten(list(c.cvec ORDER BY p.m)) AS recon
       |  FROM ${pfx}codes p JOIN ${pfx}cb$PqIters c ON p.m = c.m AND p.code = c.code
       |  GROUP BY p.vec_id)""".stripMargin
@@ -1309,19 +1316,24 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
         .select("query_id", "neighbor_id")
       exactRerank(s, dir, shortlist)
     },
-    Some(s"""WITH ne AS (
+    // MATERIALIZED throughout: ne/fe/icents/rxc are each referenced from
+    // several downstream CTEs — inlined (DuckDB's default) the whole
+    // residual+codebook chain re-expands per reference and the planner's
+    // memory grows multiplicatively (the r9 driver OOM); materialized,
+    // every step is a small computed-once temp.
+    Some(s"""WITH ne AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
       |           SQRT(${dotSql("embedding", "embedding")})) AS nx
       |  FROM embeddings),
-      |fe AS (
+      |fe AS MATERIALIZED (
       |  SELECT vec_id, embedding,
       |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
       |  FROM embeddings),
-      |icents AS (
+      |icents AS MATERIALIZED (
       |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM fe
       |  WHERE vec_id < $NumCentroids),
-      |iassigned AS (
+      |iassigned AS MATERIALIZED (
       |  SELECT vec_id, cell FROM (
       |    SELECT e.vec_id, c.cent_id AS cell,
       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1329,7 +1341,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |             c.cent_id) AS arn
       |    FROM fe e, icents c)
       |  WHERE arn = 1),
-      |rxc AS (
+      |rxc AS MATERIALIZED (
       |  SELECT a.vec_id, a.cell,
       |         list_transform(range(1, ${Dim + 1}),
       |           i -> q.nx[i] - CAST(c.cvec[i] AS DOUBLE) / c.cnrm) AS rx,
@@ -1339,7 +1351,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |  JOIN ne q ON q.vec_id = a.vec_id
       |  JOIN icents c ON a.cell = c.cent_id),
       |${pqCodebookSqlCtes("r", "rxc", "rx")},
-      |rfull AS (
+      |rfull AS MATERIALIZED (
       |  SELECT rr.vec_id, x.cell,
       |         list_transform(range(1, ${Dim + 1}),
       |           i -> x.ncv[i] + rr.recon[i]) AS recon

@@ -79,16 +79,40 @@ object TextAnalysis {
     .withColumn("avg_token_len",
       (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
 
-  /** Composite quality score ×1e4 as an EXACT integer. floor-based
-    * half-up rounding: Spark's round() goes through the decimal string
-    * repr while DuckDB rounds the exact binary value — they disagree on
-    * .5 boundaries (e.g. 0.25375). floor(x*1e4+0.5) computes identically
-    * on identical doubles in both engines, and as a BIGINT it also
-    * ranks/aggregates exactly (the property `mix_quality_buckets`'
-    * global ranking rides on). Expects [[qualityRaw]]'s columns. */
-  private[operators] def qualityScoreFp: Column =
-    floor((least(col("n_tokens") / lit(100.0), lit(1.0)) *
-      (lit(1.0) - col("stop_ratio")) * col("diversity")) * 1e4 + 0.5).cast("long")
+  /** Composite quality score ×1e4 as an EXACT integer, in PURE INTEGER
+    * arithmetic end-to-end. The score is the rational
+    * `min(n,100)/100 · (n−stops)/n · distinct/n`, so with
+    * `num = min(n,100)·(n−stops)·distinct·10⁴` and `den = 100·n²` the
+    * half-up-rounded fixed point is `floor(num/den + 1/2)` =
+    * `(2·num + den) div (2·den)`. No double exists anywhere in the
+    * chain: the previous float form (`floor(double-product·1e4 + 0.5)`)
+    * was a chain of double multiplies whose folding/reassociation is not
+    * guaranteed stable across ENGINE BUILDS — a doc whose product sits a
+    * ULP from a floor boundary can flip `score_fp` and move a quintile
+    * edge (the repeated `mix_quality_buckets` driver-vs-local
+    * divergence). QualityBucketsSuite pins integer ≡ old-float on the
+    * fixture. As a BIGINT the score also ranks/aggregates exactly (the
+    * property `mix_quality_buckets`' global ranking rides on). Expects
+    * `toks` + `n_tokens` in scope ([[qualityRaw]]'s columns). */
+  private[operators] def qualityScoreFp: Column = expr(
+    s"""(2 * (least(CAST(n_tokens AS BIGINT), 100) *
+       |      (CAST(n_tokens AS BIGINT) - size(filter(toks, t -> t IN ($stopList)))) *
+       |      CAST(size(array_distinct(toks)) AS BIGINT) * 10000)
+       |  + 100 * CAST(n_tokens AS BIGINT) * CAST(n_tokens AS BIGINT))
+       |div (200 * CAST(n_tokens AS BIGINT) * CAST(n_tokens AS BIGINT))""".stripMargin)
+
+  /** DuckDB twin of [[qualityScoreFp]] — the same integer arithmetic
+    * (`//` floors ≡ `div` truncates on these non-negative operands).
+    * Expects `toks` + `n_tokens` in scope. ONE definition inlined by
+    * every oracle that scores quality (`text_quality`,
+    * `mix_quality_buckets`, the curation pipeline) so the engines can
+    * never disagree on what quality means. */
+  private[operators] def scoreFpSql: String =
+    s"""(2 * (LEAST(CAST(n_tokens AS BIGINT), 100) *
+       |      (CAST(n_tokens AS BIGINT) - len(list_filter(toks, t -> t IN ($stopList)))) *
+       |      CAST(len(list_distinct(toks)) AS BIGINT) * 10000)
+       |  + 100 * CAST(n_tokens AS BIGINT) * CAST(n_tokens AS BIGINT))
+       |// (200 * CAST(n_tokens AS BIGINT) * CAST(n_tokens AS BIGINT))""".stripMargin
 
   /** Quality scoring: stopword ratio, lexical diversity, mean token
     * length, composite score — the heuristics used to filter web corpora. */
@@ -111,13 +135,14 @@ object TextAnalysis {
       |  SELECT doc_id, n_tokens,
       |    len(list_filter(toks, t -> t IN ($stopList))) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
       |    len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE) AS diversity,
-      |    (length(text) - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+      |    (length(text) - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+      |    $scoreFpSql AS score_fp
       |  FROM t)
       |SELECT doc_id, n_tokens,
       |  ROUND(stop_ratio, 4) AS stop_ratio,
       |  ROUND(diversity, 4) AS diversity,
       |  ROUND(avg_token_len, 4) AS avg_token_len,
-      |  FLOOR(LEAST(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * diversity * 1e4 + 0.5) / 1e4 AS quality_score
+      |  score_fp / 1e4 AS quality_score
       |FROM q ORDER BY doc_id""".stripMargin))
 
   /** Marker-token profiles for the n-gram-heuristic language ID. Tiny and

@@ -434,11 +434,7 @@ object TrainingPipeline {
       |    SELECT doc_id FROM fzcand WHERE ${Dedup.fuzzyThresholdSql})),
       |q AS (
       |  SELECT doc_id, lang, source, text, n_tokens,
-      |    CAST(FLOOR(LEAST(n_tokens / 100.0, 1.0) *
-      |      (1.0 - len(list_filter(toks, x -> x IN (${TextAnalysis.stopList})))
-      |        / CAST(n_tokens AS DOUBLE)) *
-      |      (len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5)
-      |      AS BIGINT) AS score_fp
+      |    ${TextAnalysis.scoreFpSql} AS score_fp
       |  FROM fzclean),
       |rk AS (
       |  SELECT doc_id, lang, source, n_tokens, score_fp,

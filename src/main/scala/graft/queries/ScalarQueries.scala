@@ -138,10 +138,13 @@ object ScalarQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type"),
+    // json_extract_string (->> semantics) then a plain VARCHAR→number
+    // cast: JSON-typed casts changed behavior across DuckDB releases
+    // (the r9 driver-vs-local divergence), string casts did not.
     Some("""SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-      |  CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
-      |  CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(

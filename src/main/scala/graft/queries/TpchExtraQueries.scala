@@ -392,11 +392,13 @@ object TpchExtraQueries {
     * Requires the V2 parquet source: the reader flips
     * `useV1SourceList` for THIS read only and restores it immediately —
     * the rest of the library keeps the default V1 planning its plan
-    * pins assert against. `aggregatePushdown` itself stays enabled for
-    * the session DELIBERATELY (it must be on at execution time, after
-    * this function returns): it is semantics-neutral — it only rewrites
-    * bare-aggregate-over-V2-scan plans to footer reads with identical
-    * results, and no other query in the library produces a V2 scan. */
+    * pins assert against. `aggregatePushdown` is a documented SESSION
+    * INVARIANT set at bootstrap ([[graft.Tables.configure]]) — it must
+    * be on at execution time, after this function returns, and setting
+    * it there (not here) means a future V2 read inherits it visibly,
+    * not as a QueryDef side effect. The set below only repeats the
+    * invariant for driver-built sessions that skipped `configure` (the
+    * same self-sufficiency pattern as `Tables.load`'s nanos flag). */
   private lazy val aggFooterStats = QueryDef(
     (s, dir) => {
       val key = "spark.sql.sources.useV1SourceList"

@@ -13,6 +13,8 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same session invariant Tables.configure sets for the mains
+    .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
