@@ -635,6 +635,46 @@ object Sampling {
       |       COUNT(*) AS n_docs, MIN(pos) AS min_pos, MAX(pos) AS max_pos
       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin))
 
+  /** JSONL export formatting — the interchange format every LLM training
+    * stack ingests: one JSON object per document, built EXPLICITLY
+    * (fixed key order, explicit escaping) rather than via an engine's
+    * to_json (whose key ordering/float formatting is engine-specific —
+    * exactly what an oracle-checked exporter must not depend on).
+    * Escapes are spelled with chr(92)/chr(34) so the SQL text is
+    * IDENTICAL in both dialects — no string-literal escaping rules in
+    * play at all. Shards are doc_id-hash-keyed ([[NumShards]], same
+    * count as `export_shards`).
+    *
+    * Shape at 100 TB: pure narrow per-row formatting (zero shuffle —
+    * the presentation sort here is the oracle's determinism, not the
+    * writer's; a real export hangs `.write.partitionBy("shard").text`
+    * off the `line` column, the [[graft.operators.ShardedExport]]
+    * layout). */
+  private val exportJsonl = QueryDef(
+    (s, dir) => {
+      val esc = "replace(replace(text, chr(92), chr(92) || chr(92)), " +
+        "chr(34), chr(92) || chr(34))"
+      Tables.documents(s, dir).repartition(64)
+        .withColumn("shard",
+          pmod(conv(substring(md5(concat(lit("shard:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int"),
+            lit(NumShards)))
+        .withColumn("line", expr(
+          s"""concat('{"doc_id":', CAST(doc_id AS STRING),
+             |  ',"lang":"', lang, '","source":"', source,
+             |  '","text":"', $esc, '"}')""".stripMargin))
+        .select(col("doc_id"), col("shard"), col("line"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      |  CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      |    % $NumShards AS shard,
+      |  concat('{"doc_id":', CAST(doc_id AS VARCHAR),
+      |    ',"lang":"', lang, '","source":"', source,
+      |    '","text":"', replace(replace(text, chr(92), chr(92) || chr(92)),
+      |                          chr(34), chr(92) || chr(34)), '"}') AS line
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   // ---- leakage-safe holdout split -------------------------------------
 
   /** Content-keyed train/valid/test split: the split is a function of the
@@ -776,5 +816,6 @@ object Sampling {
     "shuffle_corpus" -> shuffleCorpus,
     "split_holdout" -> splitHoldout,
     "mix_temperature" -> mixTemperature,
-    "export_shards" -> exportShards)
+    "export_shards" -> exportShards,
+    "export_jsonl" -> exportJsonl)
 }

@@ -283,9 +283,95 @@ object Search {
       |       CAST(hl[1] AS INT) AS first_pos
       |FROM hits WHERE len(hl) > 0 ORDER BY doc_id""".stripMargin))
 
+  /** VECTOR-SPACE (TF-IDF cosine) ranking — the classical lexical
+    * retrieval model beside [[searchBm25]]'s probabilistic one: doc
+    * weight w(t,d) = tf·idf over the FULL vocabulary (so document norms
+    * reflect the whole document, not just query hits), query weight
+    * idf(t) per query term, score = cosine of the two vectors.
+    *
+    * Determinism: idf is the Mitchell fixed-point log (no ln anywhere);
+    * weights downscale to integers (`div 1024` — with ≤2^8 distinct
+    * terms/doc and tf·idf_fx ≤ 2^31 this keeps every norm sum < 2^53,
+    * so its int→double conversion is EXACT; at longer docs the shift is
+    * the knob to grow). dot/nq/nd cross engines as exact BIGINTs; the
+    * final cosine is a fixed tree of single IEEE ops on identical
+    * doubles (convert/sqrt/multiply/divide — each correctly rounded, no
+    * reassociable literal chain), presented as floor(cos·1e4+0.5).
+    * Ranking is by that integer, doc_id tie-break.
+    *
+    * Shape at 100 TB: the full-vocab (doc,term,tf) reduction IS the
+    * inverted-index build ([[indexPostings]]) — one map-side-combined
+    * groupBy; df joins back vocabulary-partitioned (term-keyed shuffle,
+    * Zipf-bounded rows); norms are one per-doc reduction; the query
+    * side is K idf rows broadcast; TakeOrdered finishes. */
+  private lazy val searchTfidfCosine = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val consts = docs.agg(count(lit(1)).as("n_docs"))
+      val tfAll = docs
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfAll = tfAll.groupBy("w").agg(count(lit(1)).as("df"))
+      val weighted = tfAll.join(dfAll, "w")
+        .crossJoin(broadcast(consts))
+        .withColumn("idf_fx",
+          expr(s"(${mlog2Spark("n_docs")}) - (${mlog2Spark("df")})"))
+        .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
+      val nd = weighted.groupBy("doc_id")
+        .agg(sum(expr("w_fx * w_fx")).as("nd"))
+      val qw = dfAll.filter(col("w").isin(QueryTerms: _*))
+        .crossJoin(broadcast(consts))
+        .withColumn("idf_fx",
+          expr(s"(${mlog2Spark("n_docs")}) - (${mlog2Spark("df")})"))
+        .withColumn("wq_fx", expr("idf_fx div 1024"))
+        .select("w", "wq_fx")
+      val nq = qw.agg(sum(expr("wq_fx * wq_fx")).as("nq"))
+      weighted.join(broadcast(qw), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), sum(expr("wq_fx * w_fx")).as("dot"))
+        .join(nd, "doc_id")
+        .crossJoin(broadcast(nq))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nd").cast("double"))))
+        .withColumn("score_fx", floor(col("cos") * 1e4 + 0.5).cast("long"))
+        .orderBy(col("score_fx").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_hits"), col("score_fx"),
+          (col("score_fx").cast("double") / 1e4).as("score"))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+      |tfall AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(toks) AS w FROM d) GROUP BY 1, 2),
+      |dfall AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tfall GROUP BY 1),
+      |wt AS (
+      |  SELECT doc_id, w, tf,
+      |    ((tf * ((${mlog2Duck("n_docs")}) - (${mlog2Duck("df")})))) // 1024 AS w_fx
+      |  FROM tfall JOIN dfall USING (w) CROSS JOIN consts),
+      |nd AS (SELECT doc_id, SUM(w_fx * w_fx) AS nd FROM wt GROUP BY 1),
+      |qw AS (
+      |  SELECT w, ((${mlog2Duck("n_docs")}) - (${mlog2Duck("df")})) // 1024 AS wq_fx
+      |  FROM dfall CROSS JOIN consts WHERE w IN ($termsSql)),
+      |nqv AS (SELECT SUM(wq_fx * wq_fx) AS nq FROM qw),
+      |dots AS (
+      |  SELECT doc_id, COUNT(*) AS n_hits, SUM(wq_fx * w_fx) AS dot
+      |  FROM wt JOIN qw USING (w) GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, n_hits,
+      |    CAST(FLOOR((CAST(dot AS DOUBLE) /
+      |      (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nd AS DOUBLE)))) * 1e4 + 0.5)
+      |      AS BIGINT) AS score_fx
+      |  FROM dots JOIN nd USING (doc_id) CROSS JOIN nqv)
+      |SELECT doc_id, n_hits, score_fx, CAST(score_fx AS DOUBLE) / 1e4 AS score
+      |FROM scored ORDER BY score_fx DESC, doc_id LIMIT 20""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "search_bm25" -> searchBm25,
     "search_phrase" -> searchPhrase,
+    "search_tfidf_cosine" -> searchTfidfCosine,
     "index_postings" -> indexPostings,
     "text_boilerplate_strip" -> textBoilerplateStrip)
 }

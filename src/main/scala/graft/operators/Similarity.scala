@@ -1889,9 +1889,60 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |       ROUND(sim, 4) AS sim, query_label, neighbor_label
       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
+  /** Cosine threshold for [[annRangeSearch]]: low enough that every
+    * query returns a non-trivial neighborhood on the fixture (6-14
+    * results per query at sf0.01; 0.40 returns nothing there). */
+  private[operators] val RangeTau = 0.25
+
+  /** RANGE SEARCH — the threshold face of the similarity-search API
+    * (top-k answers "the k closest", range answers "everything within
+    * τ" — radius queries, dedup candidate pulls, recall audits). Exact
+    * over the broadcast query set: with a handful of query vectors the
+    * right plan IS one narrow corpus scan (queries broadcast, sim fused
+    * into the scan projection, the τ filter cuts before any shuffle; the
+    * only exchange is the presentation sort). A LARGE query set flips to
+    * the banded shape instead: SRP-band both sides and verify candidates
+    * — exactly [[dedupEmbeddingCosine]]'s machinery with queries as the
+    * second relation; this query is also its exactness baseline.
+    *
+    * The τ comparison crosses engines on bit-identical sims (the same
+    * trust the whole top-k family's rank cut rides on). Output ordered
+    * by (query_id, neighbor_id) — unique, no tie hazard. */
+  private lazy val annRangeSearch = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).repartition(64)
+      val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      broadcast(queries)
+        .join(corpus, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          graft.functions.VectorFunctions.cosineSimilarity(col("q"), col("v")))
+        .filter(col("sim") >= RangeTau)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT vec_id, embedding AS v,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS v_norm
+      |  FROM embeddings),
+      |queries AS (
+      |  SELECT vec_id AS query_id, embedding AS q,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS q_norm
+      |  FROM embeddings WHERE vec_id < $NumQueries),
+      |scored AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |         (${dotSql("q", "v")}) / (q_norm * v_norm) AS sim
+      |  FROM queries, corpus WHERE vec_id <> query_id)
+      |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim
+      |FROM scored WHERE sim >= $RangeTau
+      |ORDER BY query_id, neighbor_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "knn_graph" -> knnGraph,
     "ann_cosine_topk" -> annCosineTopk,
+    "ann_range_search" -> annRangeSearch,
     "ann_hamming_topk" -> annHammingTopk,
     "ann_hamming_rerank_topk" -> annHammingRerankTopk,
     "sample_diversity" -> sampleDiversity,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The hand-built JSONL lines must be REAL JSON: every line parses with a
+  * standard JSON reader and round-trips the source fields bit-for-bit —
+  * including documents containing the two escaped characters, which the
+  * driver fixture never exercises. */
+class ExportJsonlSuite extends SparkSuite {
+
+  private val lineSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("text", StringType)))
+
+  test("every exported line parses as JSON and round-trips the source row") {
+    val out = SparkEntry.queries("export_jsonl")(spark, sfDir)
+      .withColumn("parsed", from_json(col("line"), lineSchema))
+    // from_json yields NULL on malformed input — a single null is a fail
+    assert(out.filter(col("parsed").isNull).count() == 0)
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val mismatched = out.select(col("parsed.doc_id").as("doc_id"),
+        col("parsed.lang").as("lang"), col("parsed.source").as("source"),
+        col("parsed.text").as("text"))
+      .exceptAll(src)
+    assert(mismatched.isEmpty, mismatched.take(3).mkString(", "))
+    val shards = out.select("shard").distinct().collect().map(_.getInt(0))
+    assert(shards.forall(s => s >= 0 && s < 16) && shards.length > 1)
+  }
+
+  test("backslashes and quotes in text escape into valid JSON") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl-esc").toString
+    Seq((1L, "a \\ b", "en", "web", 10L), (2L, "say \"hi\" \\\\ done", "en", "web", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("export_jsonl")(spark, tmp)
+      .withColumn("parsed", from_json(col("line"), lineSchema))
+    val back = out.select(col("parsed.doc_id"), col("parsed.text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "a \\ b", 2L -> "say \"hi\" \\\\ done"))
+  }
+}

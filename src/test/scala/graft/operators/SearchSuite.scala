@@ -49,6 +49,40 @@ class SearchSuite extends SparkSuite {
     assert(got.toSeq === top.map { case (id, (h, s)) => (id, h, s) })
   }
 
+  test("tfidf cosine equals a pure-Scala reimplementation of the integer pipeline") {
+    val docs = docTokens()
+    val n = docs.size.toLong
+    val tfAll = docs.toSeq.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) }
+    }
+    val df = tfAll.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def idf(w: String): Long = mlog2(n) - mlog2(df(w))
+    val wfx = tfAll.map { case (id, w, tf) => (id, w) -> tf * idf(w) / 1024 }.toMap
+    val nd = wfx.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(x => x._2 * x._2).sum).toMap
+    val terms = Search.QueryTerms.filter(df.contains)
+    val qw = terms.map(w => w -> idf(w) / 1024).toMap
+    val nq = qw.values.map(v => v * v).sum
+    val expected = docs.keys.toSeq.flatMap { id =>
+      val hits = terms.filter(w => wfx.contains((id, w)))
+      if (hits.isEmpty) None
+      else {
+        val dot = hits.map(w => qw(w) * wfx((id, w))).sum
+        val cos = dot.toDouble /
+          (math.sqrt(nq.toDouble) * math.sqrt(nd(id).toDouble))
+        Some((id, hits.size.toLong, math.floor(cos * 1e4 + 0.5).toLong))
+      }
+    }
+    val top = expected.sortBy { case (id, _, s) => (-s, id) }.take(20)
+
+    val got = SparkEntry.queries("search_tfidf_cosine")(spark, sfDir)
+      .select("doc_id", "n_hits", "score_fx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === top)
+    // cosines are genuine: in (0, 1] and the head is non-trivial
+    assert(top.nonEmpty && top.forall { case (_, _, s) => s > 0 && s <= 10000 })
+  }
+
   test("boilerplate strip equals a pure-Scala reimplementation; text is a subsequence") {
     val docs = docTokens()
     val g = Search.GramW

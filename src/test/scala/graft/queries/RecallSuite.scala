@@ -184,4 +184,27 @@ class RecallSuite extends SparkSuite {
     info(f"dedup_embedding_cosine pair recall = $recall%.3f (${banded.size}/${exact.size})")
     assert(recall >= 0.9)
   }
+
+  test("ann_range_search is consistent with the exact top-k ranking") {
+    // Exact-over-broadcast-queries, so two invariants hold EXACTLY (not
+    // as recall): every returned sim clears τ, and any top-k result at
+    // sim ≥ τ + a rounding guard is in the range set (the guard keeps
+    // the presentation-rounded top-k sims from straddling the raw-τ cut).
+    val tau = 0.25
+    val range = run("ann_range_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(range.nonEmpty)
+    assert(range.forall { case (_, _, s) => s >= tau - 5e-5 },
+      "range search returned a sub-threshold neighbor")
+    val rangeSets = range.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val topkAbove = run("ann_cosine_topk")
+      .filter(col("sim") >= tau + 1e-4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(topkAbove.nonEmpty)
+    topkAbove.foreach { case (q, n) =>
+      assert(rangeSets.getOrElse(q, Set.empty).contains(n),
+        s"top-k neighbor $n of query $q (sim ≥ τ) missing from range result")
+    }
+  }
 }
