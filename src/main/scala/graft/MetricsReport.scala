@@ -173,8 +173,17 @@ object MetricsReport {
         .write.format("noop").mode("overwrite").save()
       finally spark.sparkContext.clearJobGroup()
       probe.quiesce()
-      q -> probe.snapshot(q).getOrElse(new graft.metrics.ResourceStats)
+      // fail-loud (the missing-CC-verdict discipline): an unattributed
+      // run must never write an all-zero row indistinguishable from a
+      // genuinely free query into the tracked artifact
+      val st = probe.snapshot(q).getOrElse(
+        throw new IllegalStateException(s"no task metrics attributed to '$q'"))
+      require(st.tasks > 0, s"resource probe saw zero tasks for '$q'")
+      q -> st
     }
+    // release: the probe must not keep accumulating through the skew
+    // joins and streaming benches below (nor grow stageGroup unbounded)
+    spark.sparkContext.removeSparkListener(probe)
 
     // 3d. SkewGuard fired by REAL data (r9 ask #7): at measurement SF no
     // natural band crosses the cap, so the guard's salted path had only

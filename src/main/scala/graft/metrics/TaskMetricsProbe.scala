@@ -22,6 +22,22 @@ final class ResourceStats {
   var peakTaskMemory: Long = 0L
   var inputBytes: Long = 0L
   var tasks: Long = 0L
+
+  /** Consistent copy taken under the same lock the bus thread writes
+    * under — the only sanctioned way to read these fields from another
+    * thread (a bare field read has no happens-before edge to the
+    * listener's writes and may observe stale values indefinitely). */
+  private[metrics] def copySnapshot(): ResourceStats = synchronized {
+    val c = new ResourceStats
+    c.shuffleWriteBytes = shuffleWriteBytes
+    c.shuffleReadBytes = shuffleReadBytes
+    c.memSpillBytes = memSpillBytes
+    c.diskSpillBytes = diskSpillBytes
+    c.peakTaskMemory = peakTaskMemory
+    c.inputBytes = inputBytes
+    c.tasks = tasks
+    c
+  }
 }
 
 /** SparkListener aggregating task metrics PER JOB GROUP: label a run with
@@ -65,12 +81,17 @@ final class TaskMetricsProbe extends SparkListener {
     var last = -1L
     var stableSince = System.nanoTime()
     while (System.nanoTime() < deadline) {
-      val now = stats.values.map(_.tasks).sum
+      // read under each stats object's lock — establishes the
+      // happens-before edge with the bus thread's synchronized writes
+      val now = stats.values.map(s => s.synchronized(s.tasks)).sum
       if (now != last) { last = now; stableSince = System.nanoTime() }
       else if (System.nanoTime() - stableSince > settleMs * 1000000L) return
       Thread.sleep(50)
     }
   }
 
-  def snapshot(group: String): Option[ResourceStats] = stats.get(group)
+  /** Lock-consistent copy of the group's stats (never the live mutable
+    * object the bus thread is still writing). */
+  def snapshot(group: String): Option[ResourceStats] =
+    stats.get(group).map(_.copySnapshot())
 }

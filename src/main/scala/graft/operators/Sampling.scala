@@ -635,14 +635,50 @@ object Sampling {
       |       COUNT(*) AS n_docs, MIN(pos) AS min_pos, MAX(pos) AS max_pos
       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin))
 
+  /** JSON-string-or-null fragment for column `c` — the ONE escaping
+    * definition both dialects inline (`duck` toggles only the dialect
+    * spellings: the `'g'` flag DuckDB needs to replace ALL regex
+    * matches where Spark always does). Escape order matters: strip the
+    * un-escapable control characters (C0 minus \t \n \r), THEN escape
+    * backslash (before any escape inserts new ones), then quote, then
+    * spell \n \r \t. Every special character is written chr(…) so no
+    * dialect string-literal escaping rule is in play; the control-strip
+    * regex class is itself concat-built from chr() for the same reason. */
+  private def jsonStrSql(c: String, duck: Boolean): String = {
+    val cls = "concat('[', chr(1), '-', chr(8), chr(11), chr(12), " +
+      "chr(14), '-', chr(31), ']')"
+    val stripped =
+      if (duck) s"regexp_replace($c, $cls, '', 'g')"
+      else s"regexp_replace($c, $cls, '')"
+    val esc = s"""replace(replace(replace(replace(replace($stripped,
+      |    chr(92), chr(92) || chr(92)),
+      |    chr(34), chr(92) || chr(34)),
+      |    chr(10), chr(92) || 'n'),
+      |    chr(13), chr(92) || 'r'),
+      |    chr(9), chr(92) || 't')""".stripMargin
+    s"""CASE WHEN $c IS NULL THEN 'null' ELSE concat('"', $esc, '"') END"""
+  }
+
+  private def jsonLineSql(duck: Boolean): String = {
+    val str = if (duck) "VARCHAR" else "STRING"
+    s"""concat('{"doc_id":',
+       |  CASE WHEN doc_id IS NULL THEN 'null' ELSE CAST(doc_id AS $str) END,
+       |  ',"lang":', ${jsonStrSql("lang", duck)},
+       |  ',"source":', ${jsonStrSql("source", duck)},
+       |  ',"text":', ${jsonStrSql("text", duck)}, '}')""".stripMargin
+  }
+
   /** JSONL export formatting — the interchange format every LLM training
     * stack ingests: one JSON object per document, built EXPLICITLY
-    * (fixed key order, explicit escaping) rather than via an engine's
-    * to_json (whose key ordering/float formatting is engine-specific —
-    * exactly what an oracle-checked exporter must not depend on).
-    * Escapes are spelled with chr(92)/chr(34) so the SQL text is
-    * IDENTICAL in both dialects — no string-literal escaping rules in
-    * play at all. Shards are doc_id-hash-keyed ([[NumShards]], same
+    * (fixed key order, full RFC 8259 string escaping — backslash,
+    * quote, \n \r \t spelled, remaining C0 controls stripped — and
+    * NULL fields as JSON null) rather than via an engine's to_json
+    * (whose key ordering/float formatting is engine-specific — exactly
+    * what an oracle-checked exporter must not depend on). One escaping
+    * definition generates BOTH dialects ([[jsonStrSql]]), so Spark and
+    * the twin cannot drift; NULL inputs never hit concat (Spark
+    * null-propagates where DuckDB skips — both unreachable behind the
+    * CASE/coalesce). Shards are doc_id-hash-keyed ([[NumShards]], same
     * count as `export_shards`).
     *
     * Shape at 100 TB: pure narrow per-row formatting (zero shuffle —
@@ -652,27 +688,20 @@ object Sampling {
     * layout). */
   private val exportJsonl = QueryDef(
     (s, dir) => {
-      val esc = "replace(replace(text, chr(92), chr(92) || chr(92)), " +
-        "chr(34), chr(92) || chr(34))"
       Tables.documents(s, dir).repartition(64)
         .withColumn("shard",
           pmod(conv(substring(md5(concat(lit("shard:"),
-            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int"),
+            coalesce(col("doc_id").cast("string"), lit("")))), 1, 4),
+            16, 10).cast("int"),
             lit(NumShards)))
-        .withColumn("line", expr(
-          s"""concat('{"doc_id":', CAST(doc_id AS STRING),
-             |  ',"lang":"', lang, '","source":"', source,
-             |  '","text":"', $esc, '"}')""".stripMargin))
+        .withColumn("line", expr(jsonLineSql(duck = false)))
         .select(col("doc_id"), col("shard"), col("line"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id,
-      |  CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      |  CAST(('0x' || substr(md5('shard:' || coalesce(CAST(doc_id AS VARCHAR), '')), 1, 4)) AS INT)
       |    % $NumShards AS shard,
-      |  concat('{"doc_id":', CAST(doc_id AS VARCHAR),
-      |    ',"lang":"', lang, '","source":"', source,
-      |    '","text":"', replace(replace(text, chr(92), chr(92) || chr(92)),
-      |                          chr(34), chr(92) || chr(34)), '"}') AS line
+      |  ${jsonLineSql(duck = true)} AS line
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   // ---- leakage-safe holdout split -------------------------------------

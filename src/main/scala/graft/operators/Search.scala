@@ -221,14 +221,41 @@ object Search {
     * driver's canonicalizer hashes scalar cells (a bare list column is
     * unsortable in its pandas path — the one r9 harness red), and the
     * string form is also what a posting-file layout stores. */
-  private lazy val indexPostings = QueryDef(
-    (s, dir) => Tables.documents(s, dir).repartition(64)
+  /** Array-postings index build over any (doc_id, text) frame — the ONE
+    * definition behind both the full build and the incremental merge. */
+  private[operators] def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
-        array_join(sort_array(collect_set(col("doc_id"))), " ").as("postings"))
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+
+  /** INDEX MAINTENANCE: merge a delta corpus's postings into a base
+    * index without rebuilding — df adds, posting lists concatenate and
+    * re-sort (doc sets disjoint by contract: a delta is NEW documents;
+    * updates route through [[graft.operators.IncrementalDedup]]-style
+    * tombstoning first). Both sides are term-keyed, so at scale the
+    * merge is ONE co-partitioned full-outer join on term over
+    * vocabulary-sized relations (term-bucketed storage makes it
+    * exchange-free, the incremental-dedup catalog pattern) — the corpus
+    * itself is only scanned for the delta. */
+  private[operators] def mergePostings(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.select(col("term"), col("df").as("df_b"), col("postings").as("p_b"))
+    val d = delta.select(col("term"), col("df").as("df_d"), col("postings").as("p_d"))
+    b.join(d, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"),
+        sort_array(concat(
+          coalesce(col("p_b"), expr("CAST(array() AS ARRAY<BIGINT>)")),
+          coalesce(col("p_d"), expr("CAST(array() AS ARRAY<BIGINT>)")))).as("postings"))
+  }
+
+  private lazy val indexPostings = QueryDef(
+    (s, dir) => postingsOf(Tables.documents(s, dir).repartition(64))
+      .select(col("term"), col("df"),
+        array_join(col("postings"), " ").as("postings"))
       .orderBy("term"),
     Some("""WITH tok AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
@@ -237,6 +264,24 @@ object Search {
       |       array_to_string(list_sort(list(doc_id)), ' ') AS postings
       |FROM tok WHERE len(term) > 0
       |GROUP BY term ORDER BY term""".stripMargin))
+
+  /** The index-maintenance lifecycle as an oracle-gated query: build the
+    * base index on ~6/7 of the corpus, build the delta index on the
+    * rest, [[mergePostings]] them — and gate the MERGED result against
+    * the FULL-REBUILD oracle (the twin is [[indexPostings]]' SQL
+    * verbatim, over all documents). merge ≡ rebuild is the maintenance
+    * contract, and the driver checks it row-for-row. */
+  private lazy val indexPostingsIncremental = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+      val base = postingsOf(docs.filter(col("doc_id") % 7 =!= 0))
+      val delta = postingsOf(docs.filter(col("doc_id") % 7 === 0))
+      mergePostings(base, delta)
+        .select(col("term"), col("df"),
+          array_join(col("postings"), " ").as("postings"))
+        .orderBy("term")
+    },
+    indexPostings.oracle)
 
   /** Fixed demo phrase (2 tokens); a deployment binds this per-request. */
   private[operators] val Phrase = "table scan"
@@ -373,5 +418,6 @@ object Search {
     "search_phrase" -> searchPhrase,
     "search_tfidf_cosine" -> searchTfidfCosine,
     "index_postings" -> indexPostings,
+    "index_postings_incremental" -> indexPostingsIncremental,
     "text_boilerplate_strip" -> textBoilerplateStrip)
 }

@@ -1934,10 +1934,14 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |scored AS (
       |  SELECT query_id, vec_id AS neighbor_id,
       |         (${dotSql("q", "v")}) / (q_norm * v_norm) AS sim
-      |  FROM queries, corpus WHERE vec_id <> query_id)
+      |  FROM queries, corpus WHERE vec_id <> query_id),
+      |rng AS (
+      |  -- τ filter in its OWN scope: the final SELECT re-aliases the
+      |  -- rounded sim, and a WHERE there would lean on DuckDB's
+      |  -- column-over-alias resolution to see the RAW value
+      |  SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= $RangeTau)
       |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim
-      |FROM scored WHERE sim >= $RangeTau
-      |ORDER BY query_id, neighbor_id""".stripMargin))
+      |FROM rng ORDER BY query_id, neighbor_id""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(
     "knn_graph" -> knnGraph,

@@ -40,14 +40,19 @@ object Tokenizer {
   private def charSeg(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws(" ", split(w, ""))
 
-  /** Learn [[Merges]] BPE merges over `docs`' token vocabulary; returns
-    * (merge_rank, lhs, rhs, pair_count). */
-  private[operators] def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** Run the BPE training loop over `docs`' token vocabulary: returns
+    * the learned merges AND the final vocabulary state. The final
+    * (word, seg) pairs ARE the trained tokenizer's segmentation table —
+    * what [[all]]'s `tokenize_bpe_encode` applies back to the corpus.
+    * The vocabulary frames carry the raw word through every rewrite so
+    * the segmentation stays joinable. */
+  private def train(s: SparkSession, docs: DataFrame)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val vocab0 = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
-      .select(charSeg(col("w")).as("seg"), col("wcnt"))
+      .select(col("w"), charSeg(col("w")).as("seg"), col("wcnt"))
     var vocab = vocab0.persist()
     vocab.count() // materialize before the loop reuses it
     val merges = (1 to Merges).map { rank =>
@@ -69,7 +74,7 @@ object Tokenizer {
       def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
       val (lq, rq) = (esc(l), esc(r))
       val next = vocab
-        .select(expr(
+        .select(col("w"), expr(
           s"trim(replace(' ' || seg || ' ', ' ${lq} ${rq} ', ' ${lq}${rq} '))")
           .as("seg"), col("wcnt"))
         .persist()
@@ -78,6 +83,13 @@ object Tokenizer {
       vocab = next
       (rank, l, r, c)
     }
+    (merges, vocab)
+  }
+
+  /** Learn [[Merges]] BPE merges over `docs`' token vocabulary; returns
+    * (merge_rank, lhs, rhs, pair_count). */
+  private[operators] def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (merges, vocab) = train(s, docs)
     vocab.unpersist()
     import s.implicits._
     s.createDataset(merges).toDF("merge_rank", "lhs", "rhs", "pair_count")
@@ -86,8 +98,13 @@ object Tokenizer {
 
   /** One DuckDB merge round: given CTE `v$i(seg, wcnt)`, emit `m$i`
     * (the argmax pair) and `v${i+1}` (the rewritten vocabulary). */
+  // MATERIALIZED throughout: each m$i is referenced 3× (the scalar
+  // subqueries in the rewrite) and each v$i twice — inlined (DuckDB's
+  // default), the chain re-expands ~3^rounds and the oracle runs for
+  // minutes; materialized, every round computes once (the Similarity PQ
+  // codebook lesson applied to the BPE loop).
   private def roundSql(i: Int): String =
-    s"""m$i AS (
+    s"""m$i AS MATERIALIZED (
       |  SELECT l AS lhs, r AS rhs, CAST(SUM(wcnt) AS BIGINT) AS pair_count
       |  FROM (
       |    SELECT wcnt, toks[i + 1] AS l, toks[i + 2] AS r
@@ -96,31 +113,75 @@ object Tokenizer {
       |    WHERE len(toks) >= 2)
       |  GROUP BY 1, 2
       |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-      |v${i + 1} AS (
-      |  SELECT trim(replace(' ' || seg || ' ',
+      |v${i + 1} AS MATERIALIZED (
+      |  SELECT w, trim(replace(' ' || seg || ' ',
       |           ' ' || (SELECT lhs FROM m$i) || ' ' || (SELECT rhs FROM m$i) || ' ',
       |           ' ' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || ' '))
       |           AS seg, wcnt
       |  FROM v$i)""".stripMargin
 
+  /** The shared v1..v[[Merges]]+1 training CTE chain (w carried through
+    * every rewrite) — composed by BOTH the merges oracle and the encode
+    * oracle so the two can never train different tokenizers. */
+  private def trainSqlCtes: String = {
+    val rounds = (1 to Merges).map(roundSql).mkString(",\n")
+    s"""v1 AS MATERIALIZED (
+      |  SELECT w, array_to_string(list_transform(range(1, len(w) + 1),
+      |           i -> substring(w, i, 1)), ' ') AS seg,
+      |         CAST(COUNT(*) AS BIGINT) AS wcnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |$rounds""".stripMargin
+  }
+
   private val vocabBpeMerges = QueryDef(
     (s, dir) => bpeMerges(s, Tables.documents(s, dir).repartition(64)),
     Some {
-      val rounds = (1 to Merges).map(roundSql).mkString(",\n")
       val union = (1 to Merges)
         .map(i => s"SELECT $i AS merge_rank, lhs, rhs, pair_count FROM m$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH v1 AS (
-        |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
-        |           i -> substring(w, i, 1)), ' ') AS seg,
-        |         CAST(COUNT(*) AS BIGINT) AS wcnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE len(w) > 0 GROUP BY w),
-        |$rounds
+      s"""WITH $trainSqlCtes
         |$union
         |ORDER BY merge_rank""".stripMargin
     })
 
+  /** ENCODE with the trained tokenizer: per-document subword-unit count
+    * (the number every budget/packing decision needs under the REAL
+    * vocabulary, not the `text_tokens` ceil(len/4) estimate). The final
+    * training state's (word, seg) pairs ARE the tokenizer — encoding is
+    * a vocabulary join, not a per-document merge replay.
+    *
+    * Shape at 100 TB: training reduces the corpus once to its
+    * vocabulary (the [[bpeMerges]] shape); the segmentation table is
+    * vocabulary-sized and BROADCASTS to the corpus token stream — the
+    * corpus never shuffles, and per-doc unit counts are one map-side-
+    * combined rollup. */
+  private lazy val tokenizeBpeEncode = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+      val (_, vocab) = train(s, docs)
+      val units = vocab
+        .select(col("w"), size(split(col("seg"), " ")).cast("long").as("n_units"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(units), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_units").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $trainSqlCtes,
+      |enc AS (
+      |  SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_units
+      |  FROM v${Merges + 1}),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |       CAST(SUM(n_units) AS BIGINT) AS n_bpe_tokens
+      |FROM tok JOIN enc USING (w)
+      |WHERE len(w) > 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
-    "vocab_bpe_merges" -> vocabBpeMerges)
+    "vocab_bpe_merges" -> vocabBpeMerges,
+    "tokenize_bpe_encode" -> tokenizeBpeEncode)
 }

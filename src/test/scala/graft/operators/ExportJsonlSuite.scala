@@ -30,17 +30,33 @@ class ExportJsonlSuite extends SparkSuite {
     assert(shards.forall(s => s >= 0 && s < 16) && shards.length > 1)
   }
 
-  test("backslashes and quotes in text escape into valid JSON") {
+  test("backslashes, quotes, control chars, and NULL fields stay valid JSON") {
     val sparkS = spark
     import sparkS.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("jsonl-esc").toString
-    Seq((1L, "a \\ b", "en", "web", 10L), (2L, "say \"hi\" \\\\ done", "en", "web", 12L))
+    Seq(
+      (1L, "a \\ b", "en", "web", 10L),
+      (2L, "say \"hi\" \\\\ done", "en", "web", 12L),
+      (3L, "line1\nline2\ttabbed\rcr", "en", "web", 20L),
+      (4L, "bell\u0007gone \u0001\u001fstripped", "en", "web", 20L),
+      (5L, "nulls next door", null, null, 15L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("export_jsonl")(spark, tmp)
       .withColumn("parsed", from_json(col("line"), lineSchema))
-    val back = out.select(col("parsed.doc_id"), col("parsed.text"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(back == Map(1L -> "a \\ b", 2L -> "say \"hi\" \\\\ done"))
+    assert(out.filter(col("parsed").isNull).count() == 0, "a line failed to parse")
+    val back = out.select(col("parsed.doc_id"), col("parsed.text"), col("parsed.lang"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(back(1L) == (("a \\ b", Some("en"))))
+    assert(back(2L) == (("say \"hi\" \\\\ done", Some("en"))))
+    // \n \t \r round-trip as real characters
+    assert(back(3L) == (("line1\nline2\ttabbed\rcr", Some("en"))))
+    // other C0 controls are STRIPPED (un-representable without \u escapes)
+    assert(back(4L) == (("bellgone stripped", Some("en"))))
+    // NULL string fields emit JSON null, not a broken literal
+    assert(back(5L) == (("nulls next door", None)))
+    // the raw line for the null-field doc says `"lang":null` explicitly
+    val rawNull = out.filter(col("doc_id") === 5L).select("line").head().getString(0)
+    assert(rawNull.contains("\"lang\":null"), rawNull)
   }
 }

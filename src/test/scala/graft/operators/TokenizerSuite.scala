@@ -34,4 +34,39 @@ class TokenizerSuite extends SparkSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got === expected)
   }
+
+  test("bpe encode equals a pure-Scala replay applied per word") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val wcnt = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    var seg: Map[String, String] =
+      wcnt.keys.map(w => w -> w.toCharArray.mkString(" ")).toMap
+    (1 to 5).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seg.foreach { case (w, s) =>
+        s.split(" ").sliding(2).foreach {
+          case Array(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + wcnt(w)
+          case _ =>
+        }
+      }
+      val ((l, r), _) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      seg = seg.map { case (w, s) =>
+        w -> s" $s ".replace(s" $l $r ", s" $l$r ").trim
+      }
+    }
+    val units = seg.map { case (w, s) => w -> s.split(" ").length.toLong }
+    val expected = docs.map { case (id, toks) =>
+      (id, toks.length.toLong, toks.map(units).sum)
+    }.sortBy(_._1).toSeq
+
+    val got = SparkEntry.queries("tokenize_bpe_encode")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the real-vocabulary count is never larger than the character count
+    expected.foreach { case (id, words, bpe) =>
+      assert(bpe >= words, s"doc $id has fewer units than words")
+    }
+  }
 }
