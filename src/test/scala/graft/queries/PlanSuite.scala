@@ -46,6 +46,29 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("GlobalLimit"), p.take(2000))
   }
 
+  test("bpe encode joins the corpus via a BROADCAST of the vocabulary") {
+    // the segmentation table is vocabulary-sized; the corpus token
+    // stream must never sort-merge against it
+    val p = plan("tokenize_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("incremental index merge is ONE co-partitioned join of aggregated postings") {
+    // both sides reduce to (term, df, postings) BEFORE the merge join —
+    // the corpus itself is never a join input, and nothing goes
+    // nested-loop/cartesian
+    val p = plan("index_postings_incremental")
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("export_jsonl is pure narrow formatting (no join, no aggregate)") {
+    val p = plan("export_jsonl")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("dimension joins broadcast (no shuffle of the fact table for dims)") {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
