@@ -70,9 +70,14 @@ object CurateIngestDrive {
 
       // batch 2: repeat an ADMITTED batch-1 text under a fresh id (the
       // epoch loop must reject it), one NEAR-dup of an admitted text
-      // (band catalog must reject it), and 10 fresh docs
-      val repeatText = docs.filter(col("doc_id") === a1.filter(_ < 20).min)
-        .select("text").head().getString(0)
+      // (band catalog must reject it), and 10 fresh docs. Guard the min:
+      // an empty admission set must FAIL-report, not crash the drive
+      // before the RESULT line prints.
+      val fresh1 = a1.filter(_ < 20)
+      check(fresh1.nonEmpty, "batch 1 admitted at least one fixture doc")
+      val repeatId = if (fresh1.nonEmpty) fresh1.min else -1L
+      val repeatText = docs.filter(col("doc_id") === repeatId)
+        .select("text").collect().headOption.map(_.getString(0)).getOrElse("absent")
       val nearText = repeatText.split(" ").init.mkString(" ") + " zzzz"
       val batch2 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 30)
         .unionByName(Seq((2001L, repeatText), (2002L, nearText)).toDF("doc_id", "text"))

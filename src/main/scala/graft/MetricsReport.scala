@@ -166,24 +166,26 @@ object MetricsReport {
       "match_entities", "dedup_embedding_cosine", "dedup_containment",
       "dedup_minhash_pairs", "ann_ivfpq_residual_topk", "dedup_spans_cut",
       "mix_quality_buckets", "search_bm25")
-    val resources = resourceQueries.map { q =>
-      spark.sparkContext.setJobGroup(q, s"resource probe: $q",
-        interruptOnCancel = false)
-      try SparkEntry.queries(q)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      finally spark.sparkContext.clearJobGroup()
-      probe.quiesce()
-      // fail-loud (the missing-CC-verdict discipline): an unattributed
-      // run must never write an all-zero row indistinguishable from a
-      // genuinely free query into the tracked artifact
-      val st = probe.snapshot(q).getOrElse(
-        throw new IllegalStateException(s"no task metrics attributed to '$q'"))
-      require(st.tasks > 0, s"resource probe saw zero tasks for '$q'")
-      q -> st
-    }
-    // release: the probe must not keep accumulating through the skew
-    // joins and streaming benches below (nor grow stageGroup unbounded)
-    spark.sparkContext.removeSparkListener(probe)
+    val resources =
+      try resourceQueries.map { q =>
+        spark.sparkContext.setJobGroup(q, s"resource probe: $q",
+          interruptOnCancel = false)
+        try SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+        probe.quiesce()
+        // fail-loud (the missing-CC-verdict discipline): an unattributed
+        // run must never write an all-zero row indistinguishable from a
+        // genuinely free query into the tracked artifact
+        val st = probe.snapshot(q).getOrElse(
+          throw new IllegalStateException(s"no task metrics attributed to '$q'"))
+        require(st.tasks > 0, s"resource probe saw zero tasks for '$q'")
+        q -> st
+      } finally
+        // release EVEN when a fail-loud throw aborts the loop: the probe
+        // must not keep accumulating through the skew joins and streaming
+        // benches below (nor grow stageGroup unbounded)
+        spark.sparkContext.removeSparkListener(probe)
 
     // 3d. SkewGuard fired by REAL data (r9 ask #7): at measurement SF no
     // natural band crosses the cap, so the guard's salted path had only

@@ -645,7 +645,12 @@ object Sampling {
     * dialect string-literal escaping rule is in play; the control-strip
     * regex class is itself concat-built from chr() for the same reason. */
   private def jsonStrSql(c: String, duck: Boolean): String = {
-    val cls = "concat('[', chr(1), '-', chr(8), chr(11), chr(12), " +
+    // Spark's class starts at NUL — Spark strings can hold U+0000 and an
+    // unstripped one makes the line RFC-invalid; DuckDB VARCHAR cannot
+    // hold NUL (chr(0) is an error there), so its class starts at 1 and
+    // the strip is vacuously aligned.
+    val lo = if (duck) "chr(1)" else "chr(0)"
+    val cls = s"concat('[', $lo, '-', chr(8), chr(11), chr(12), " +
       "chr(14), '-', chr(31), ']')"
     val stripped =
       if (duck) s"regexp_replace($c, $cls, '', 'g')"
@@ -696,13 +701,16 @@ object Sampling {
             lit(NumShards)))
         .withColumn("line", expr(jsonLineSql(duck = false)))
         .select(col("doc_id"), col("shard"), col("line"))
-        .orderBy("doc_id")
+        // explicit null placement (Spark defaults nulls FIRST, DuckDB
+        // LAST) + line tie-break so several null-id rows still have a
+        // deterministic total order
+        .orderBy(col("doc_id").asc_nulls_first, col("line"))
     },
     Some(s"""SELECT doc_id,
       |  CAST(('0x' || substr(md5('shard:' || coalesce(CAST(doc_id AS VARCHAR), '')), 1, 4)) AS INT)
       |    % $NumShards AS shard,
       |  ${jsonLineSql(duck = true)} AS line
-      |FROM documents ORDER BY doc_id""".stripMargin))
+      |FROM documents ORDER BY doc_id ASC NULLS FIRST, line""".stripMargin))
 
   // ---- leakage-safe holdout split -------------------------------------
 

@@ -274,8 +274,12 @@ object Search {
   private lazy val indexPostingsIncremental = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
-      val base = postingsOf(docs.filter(col("doc_id") % 7 =!= 0))
-      val delta = postingsOf(docs.filter(col("doc_id") % 7 === 0))
+      // null-total split: a NULL doc_id makes BOTH bare predicates
+      // null-valued and the row would silently vanish from the merged
+      // index while the full-rebuild oracle still counts its terms
+      val bucket = coalesce(col("doc_id") % 7, lit(0L))
+      val base = postingsOf(docs.filter(bucket =!= 0))
+      val delta = postingsOf(docs.filter(bucket === 0))
       mergePostings(base, delta)
         .select(col("term"), col("df"),
           array_join(col("postings"), " ").as("postings"))

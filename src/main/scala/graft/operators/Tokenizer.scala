@@ -160,8 +160,14 @@ object Tokenizer {
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
       val (_, vocab) = train(s, docs)
+      // eager localCheckpoint then RELEASE the training cache: without
+      // this the final vocab stays persisted for the session lifetime
+      // (bpeMerges unpersists; this path must too). Checkpoint blocks
+      // are ContextCleaner-reclaimed once the plan is GC'd.
       val units = vocab
         .select(col("w"), size(split(col("seg"), " ")).cast("long").as("n_units"))
+        .localCheckpoint()
+      vocab.unpersist(blocking = false)
       docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .join(broadcast(units), "w")

@@ -64,7 +64,7 @@ class TokenizerSuite extends SparkSuite {
     val got = SparkEntry.queries("tokenize_bpe_encode")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === expected)
-    // the real-vocabulary count is never larger than the character count
+    // units are never FEWER than words (each word is at least one unit)
     expected.foreach { case (id, words, bpe) =>
       assert(bpe >= words, s"doc $id has fewer units than words")
     }
