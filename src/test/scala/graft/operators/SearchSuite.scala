@@ -83,6 +83,29 @@ class SearchSuite extends SparkSuite {
     assert(top.nonEmpty && top.forall { case (_, _, s) => s > 0 && s <= 10000 })
   }
 
+  test("persisted bm25 index: probe ≡ inline row-for-row, postings partition-pruned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val inline = SparkEntry.queries("search_bm25")(spark, sfDir).collect().toSeq
+    val dfIdx = SparkEntry.queries("search_bm25_indexed")(spark, sfDir)
+    val indexed = dfIdx.collect().toSeq
+    assert(indexed.map(_.toSeq) === inline.map(_.toSeq),
+      "persisted-index probe diverged from the inline query")
+    // the probe reads ONLY the query terms' posting partitions
+    val scans = flattenPlan(dfIdx.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+    }
+    assert(scans.nonEmpty, "no scan over the postings index found")
+    scans.foreach { scan =>
+      assert(scan.partitionFilters.nonEmpty,
+        "postings scan must carry a term partition filter:\n" + scan.toString)
+      val parts = scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters)
+      assert(parts.length <= Search.QueryTerms.size,
+        s"probe read ${parts.length} term partitions, expected <= ${Search.QueryTerms.size}")
+    }
+  }
+
   test("boilerplate strip equals a pure-Scala reimplementation; text is a subsequence") {
     val docs = docTokens()
     val g = Search.GramW
