@@ -6,7 +6,8 @@
 //        -I scripts/plandump_r10.scala
 object PlanDumpR10 {
   def run(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val names = Seq("search_tfidf_cosine", "ann_range_search", "export_jsonl")
+    val names = Seq("search_tfidf_cosine", "ann_range_search", "export_jsonl",
+      "tokenize_bpe_encode", "index_postings_incremental", "search_bm25_indexed")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
