@@ -44,6 +44,24 @@ object Search {
     * TakeOrdered top-20 finish it. An inverted-index deployment swaps
     * the explode for a posting-list scan — the scoring plan is
     * unchanged. */
+  /** Mitchell fixed-point idf over (df, n_docs) columns — the one idf
+    * definition every scorer and the index build share. */
+  private def idfFx: org.apache.spark.sql.Column =
+    expr(s"(${mlog2Spark("n_docs")}) - (${mlog2Spark("df")})")
+
+  /** The TF-IDF cosine presentation over a (doc_id, n_hits, dot, nd,
+    * nq) frame — ONE definition of the fixed-tree IEEE cosine + integer
+    * rank, shared by the inline query and the persisted-index probe. */
+  private def tfidfFinish(dots: DataFrame): DataFrame =
+    dots
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nd").cast("double"))))
+      .withColumn("score_fx", floor(col("cos") * 1e4 + 0.5).cast("long"))
+      .orderBy(col("score_fx").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_hits"), col("score_fx"),
+        (col("score_fx").cast("double") / 1e4).as("score"))
+
   /** The BM25 scoring rollup over a (doc_id, dl, tf, df, n_docs,
     * t_tokens) frame — ONE definition of the cleared-fraction integer
     * formula, shared by the inline query and the persisted-index probe
@@ -307,16 +325,29 @@ object Search {
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
     toks.select("doc_id", "dl").write.parquet(s"$path/doclen")
-    toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
-      .write.parquet(s"$path/consts")
-    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    val consts = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
+    consts.write.parquet(s"$path/consts")
+    val tfd = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("term")
+      .persist()
+    tfd.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc_id"), col("dl"), col("tf"))))
           .as("postings"))
       .write.partitionBy("term").parquet(s"$path/postings")
+    // full-vocabulary TF-IDF document norms — the only TF-IDF input the
+    // PRUNED probe can't derive (it never sees non-query terms); same
+    // integer-weight formula as the inline query
+    tfd.join(tfd.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .crossJoin(broadcast(consts))
+      .withColumn("idf_fx", idfFx)
+      .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
+      .groupBy("doc_id").agg(sum(expr("w_fx * w_fx")).as("nd"))
+      .write.parquet(s"$path/norms")
+    tfd.unpersist(blocking = false)
+    ()
   }
 
   /** Probe the persisted index: read ONLY the query terms' posting
@@ -367,6 +398,41 @@ object Search {
   private lazy val searchBm25Indexed = QueryDef(
     (s, dir) => probeTextIndex(s, ensureTextIndex(s, dir), QueryTerms),
     searchBm25.oracle)
+
+  /** TF-IDF cosine over the SAME persisted index: the pruned postings
+    * supply (doc, tf, df) for the query terms, the stored `norms` table
+    * supplies the full-vocabulary document norms the probe cannot
+    * derive (it never reads non-query terms), and the shared
+    * [[tfidfFinish]] ranks — one index serves BOTH rankers, and the
+    * inline twin gates the whole lifecycle verbatim. */
+  private[operators] def probeTfidfIndex(
+      s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    val post = s.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+    val consts = s.read.parquet(s"$path/consts")
+    val norms = s.read.parquet(s"$path/norms")
+    val qw = post.select("term", "df").crossJoin(broadcast(consts))
+      .withColumn("idf_fx", idfFx)
+      .withColumn("wq_fx", expr("idf_fx div 1024"))
+      .select("term", "wq_fx")
+    val nq = qw.agg(sum(expr("wq_fx * wq_fx")).as("nq"))
+    val cand = post
+      .select(col("term"), col("df"), explode(col("postings")).as("p"))
+      .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf_fx", idfFx)
+      .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
+    tfidfFinish(cand.join(broadcast(qw), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum(expr("wq_fx * w_fx")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(nq)))
+  }
+
+  private lazy val searchTfidfIndexed = QueryDef(
+    (s, dir) => probeTfidfIndex(s, ensureTextIndex(s, dir), QueryTerms),
+    searchTfidfCosine.oracle)
 
   /** Fixed demo phrase (2 tokens); a deployment binds this per-request. */
   private[operators] val Phrase = "table scan"
@@ -445,30 +511,21 @@ object Search {
       val dfAll = tfAll.groupBy("w").agg(count(lit(1)).as("df"))
       val weighted = tfAll.join(dfAll, "w")
         .crossJoin(broadcast(consts))
-        .withColumn("idf_fx",
-          expr(s"(${mlog2Spark("n_docs")}) - (${mlog2Spark("df")})"))
+        .withColumn("idf_fx", idfFx)
         .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
       val nd = weighted.groupBy("doc_id")
         .agg(sum(expr("w_fx * w_fx")).as("nd"))
       val qw = dfAll.filter(col("w").isin(QueryTerms: _*))
         .crossJoin(broadcast(consts))
-        .withColumn("idf_fx",
-          expr(s"(${mlog2Spark("n_docs")}) - (${mlog2Spark("df")})"))
+        .withColumn("idf_fx", idfFx)
         .withColumn("wq_fx", expr("idf_fx div 1024"))
         .select("w", "wq_fx")
       val nq = qw.agg(sum(expr("wq_fx * wq_fx")).as("nq"))
-      weighted.join(broadcast(qw), "w")
+      tfidfFinish(weighted.join(broadcast(qw), "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"), sum(expr("wq_fx * w_fx")).as("dot"))
         .join(nd, "doc_id")
-        .crossJoin(broadcast(nq))
-        .withColumn("cos", col("dot").cast("double") /
-          (sqrt(col("nq").cast("double")) * sqrt(col("nd").cast("double"))))
-        .withColumn("score_fx", floor(col("cos") * 1e4 + 0.5).cast("long"))
-        .orderBy(col("score_fx").desc, col("doc_id"))
-        .limit(20)
-        .select(col("doc_id"), col("n_hits"), col("score_fx"),
-          (col("score_fx").cast("double") / 1e4).as("score"))
+        .crossJoin(broadcast(nq)))
     },
     Some(s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -503,6 +560,7 @@ object Search {
     "search_bm25_indexed" -> searchBm25Indexed,
     "search_phrase" -> searchPhrase,
     "search_tfidf_cosine" -> searchTfidfCosine,
+    "search_tfidf_indexed" -> searchTfidfIndexed,
     "index_postings" -> indexPostings,
     "index_postings_incremental" -> indexPostingsIncremental,
     "text_boilerplate_strip" -> textBoilerplateStrip)

@@ -90,6 +90,13 @@ class SearchSuite extends SparkSuite {
     val indexed = dfIdx.collect().toSeq
     assert(indexed.map(_.toSeq) === inline.map(_.toSeq),
       "persisted-index probe diverged from the inline query")
+    // the SAME index serves the TF-IDF ranker: persisted ≡ inline there too
+    val tfInline = SparkEntry.queries("search_tfidf_cosine")(spark, sfDir)
+      .collect().toSeq
+    val tfIndexed = SparkEntry.queries("search_tfidf_indexed")(spark, sfDir)
+      .collect().toSeq
+    assert(tfIndexed.map(_.toSeq) === tfInline.map(_.toSeq),
+      "persisted tfidf probe diverged from the inline query")
     // the probe reads ONLY the query terms' posting partitions
     val scans = flattenPlan(dfIdx.queryExecution.executedPlan).collect {
       case f: FileSourceScanExec
