@@ -31,19 +31,6 @@ object Search {
   private[operators] val QueryTerms = Seq("spark", "join", "vector", "window")
   private def termsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
 
-  /** BM25(k1=1.2, b=0.75) top-20 with Mitchell-log idf = log2(N/df).
-    * Per-term score: idf_fx · (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)).
-    * Clearing denominators (×10, avgdl = T/N pre-divided to an integer
-    * both engines truncate identically):
-    *   den = 10·tf + 3 + (9·dl·N) div T,  s_fx = (idf_fx·22·tf) div den.
-    *
-    * Shape at 100 TB: the token explode filters to the query terms
-    * IMMEDIATELY (the corpus reduces to matching postings before any
-    * shuffle); df and the (N, T) constants are term-count-sized
-    * broadcasts; one map-side-combined groupBy(doc_id) and a
-    * TakeOrdered top-20 finish it. An inverted-index deployment swaps
-    * the explode for a posting-list scan — the scoring plan is
-    * unchanged. */
   /** Mitchell fixed-point idf over (df, n_docs) columns — the one idf
     * definition every scorer and the index build share. */
   private def idfFx: org.apache.spark.sql.Column =
@@ -68,8 +55,7 @@ object Search {
     * so the two paths can never score differently. */
   private def bm25Rollup(scored0: DataFrame): DataFrame =
     scored0
-      .withColumn("idf_fx",
-        expr(s"(${mlog2Spark("n_docs")}) - (${mlog2Spark("df")})"))
+      .withColumn("idf_fx", idfFx)
       .withColumn("den", expr("10 * tf + 3 + (9 * dl * n_docs) div t_tokens"))
       .withColumn("s_fx", expr("(idf_fx * 22 * tf) div den"))
       .groupBy("doc_id")
@@ -79,6 +65,19 @@ object Search {
       .select(col("doc_id"), col("n_hits"), col("score_fx"),
         (col("score_fx").cast("double") / Scale.toDouble).as("score"))
 
+  /** BM25(k1=1.2, b=0.75) top-20 with Mitchell-log idf = log2(N/df).
+    * Per-term score: idf_fx · (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)).
+    * Clearing denominators (×10, avgdl = T/N pre-divided to an integer
+    * both engines truncate identically):
+    *   den = 10·tf + 3 + (9·dl·N) div T,  s_fx = (idf_fx·22·tf) div den.
+    *
+    * Shape at 100 TB: the token explode filters to the query terms
+    * IMMEDIATELY (the corpus reduces to matching postings before any
+    * shuffle); df and the (N, T) constants are term-count-sized
+    * broadcasts; one map-side-combined groupBy(doc_id) and a
+    * TakeOrdered top-20 finish it. An inverted-index deployment swaps
+    * the explode for a posting-list scan — the scoring plan is
+    * unchanged ([[searchBm25Indexed]] IS that deployment). */
   private val searchBm25 = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
@@ -324,7 +323,6 @@ object Search {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
-    toks.select("doc_id", "dl").write.parquet(s"$path/doclen")
     val consts = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
     consts.write.parquet(s"$path/consts")
     val tfd = toks
@@ -332,40 +330,49 @@ object Search {
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .persist()
-    tfd.groupBy("term")
+    // ONE term aggregate feeds both the postings write and the norms'
+    // df join — never two shuffles for the same reduction
+    val postAgg = tfd.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc_id"), col("dl"), col("tf"))))
           .as("postings"))
-      .write.partitionBy("term").parquet(s"$path/postings")
+      .persist()
+    postAgg.write.partitionBy("term").parquet(s"$path/postings")
     // full-vocabulary TF-IDF document norms — the only TF-IDF input the
     // PRUNED probe can't derive (it never sees non-query terms); same
     // integer-weight formula as the inline query
-    tfd.join(tfd.groupBy("term").agg(count(lit(1)).as("df")), "term")
+    tfd.join(postAgg.select("term", "df"), "term")
       .crossJoin(broadcast(consts))
       .withColumn("idf_fx", idfFx)
       .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
       .groupBy("doc_id").agg(sum(expr("w_fx * w_fx")).as("nd"))
       .write.parquet(s"$path/norms")
+    postAgg.unpersist(blocking = false)
     tfd.unpersist(blocking = false)
     ()
   }
 
-  /** Probe the persisted index: read ONLY the query terms' posting
-    * partitions (pruned before any data IO), explode to candidate
-    * (doc, tf, dl) rows, and run the SAME [[bm25Rollup]] as the inline
-    * query — no corpus scan anywhere; the only inputs are posting lists
-    * and the broadcast constants. */
-  private[operators] def probeTextIndex(
+  /** Pruned candidate read shared by BOTH probes — the partition-pruning
+    * contract lives in exactly one place: read ONLY the query terms'
+    * posting partitions, explode to (term, df, doc_id, dl, tf) rows,
+    * attach the broadcast constants. */
+  private def prunedCandidates(
       s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
     val post = s.read.parquet(s"$path/postings")
       .filter(col("term").isin(terms: _*))
     val consts = s.read.parquet(s"$path/consts")
-    bm25Rollup(post
-      .select(col("term"), col("df"), explode(col("postings")).as("p"))
-      .select(col("df"), col("p.doc_id").as("doc_id"),
+    post.select(col("term"), col("df"), explode(col("postings")).as("p"))
+      .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
         col("p.dl").as("dl"), col("p.tf").as("tf"))
-      .crossJoin(broadcast(consts)))
+      .crossJoin(broadcast(consts))
   }
+
+  /** Probe the persisted index: [[prunedCandidates]] through the SAME
+    * [[bm25Rollup]] as the inline query — no corpus scan anywhere; the
+    * only inputs are posting lists and the broadcast constants. */
+  private[operators] def probeTextIndex(
+      s: SparkSession, path: String, terms: Seq[String]): DataFrame =
+    bm25Rollup(prunedCandidates(s, path, terms))
 
   // one index build per testdata dir per JVM — the IvfIndex memo pattern
   private final class LazyIdx(b: () => String) { lazy val value: String = b() }
@@ -407,23 +414,14 @@ object Search {
     * inline twin gates the whole lifecycle verbatim. */
   private[operators] def probeTfidfIndex(
       s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
-    val post = s.read.parquet(s"$path/postings")
-      .filter(col("term").isin(terms: _*))
-    val consts = s.read.parquet(s"$path/consts")
     val norms = s.read.parquet(s"$path/norms")
-    val qw = post.select("term", "df").crossJoin(broadcast(consts))
-      .withColumn("idf_fx", idfFx)
-      .withColumn("wq_fx", expr("idf_fx div 1024"))
-      .select("term", "wq_fx")
-    val nq = qw.agg(sum(expr("wq_fx * wq_fx")).as("nq"))
-    val cand = post
-      .select(col("term"), col("df"), explode(col("postings")).as("p"))
-      .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
-        col("p.tf").as("tf"))
-      .crossJoin(broadcast(consts))
+    val cand = prunedCandidates(s, path, terms)
       .withColumn("idf_fx", idfFx)
       .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
-    tfidfFinish(cand.join(broadcast(qw), "term")
+      .withColumn("wq_fx", expr("idf_fx div 1024"))
+    val qw = cand.select("term", "wq_fx").distinct()
+    val nq = qw.agg(sum(expr("wq_fx * wq_fx")).as("nq"))
+    tfidfFinish(cand
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), sum(expr("wq_fx * w_fx")).as("dot"))
       .join(norms, "doc_id")
@@ -505,8 +503,12 @@ object Search {
       val docs = Tables.documents(s, dir).repartition(64)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val consts = docs.agg(count(lit(1)).as("n_docs"))
+      // empty tokens (split artifacts) are NOT vocabulary — the same
+      // filter the index build applies, so stored norms ≡ inline norms
+      // on any input, not just clean fixtures
       val tfAll = docs
         .select(col("doc_id"), explode(col("toks")).as("w"))
+        .filter(length(col("w")) > 0)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val dfAll = tfAll.groupBy("w").agg(count(lit(1)).as("df"))
       val weighted = tfAll.join(dfAll, "w")
@@ -532,7 +534,8 @@ object Search {
       |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
       |tfall AS (
       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-      |    SELECT doc_id, unnest(toks) AS w FROM d) GROUP BY 1, 2),
+      |    SELECT doc_id, unnest(toks) AS w FROM d)
+      |  WHERE len(w) > 0 GROUP BY 1, 2),
       |dfall AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tfall GROUP BY 1),
       |wt AS (
       |  SELECT doc_id, w, tf,

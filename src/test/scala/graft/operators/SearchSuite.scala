@@ -53,7 +53,9 @@ class SearchSuite extends SparkSuite {
     val docs = docTokens()
     val n = docs.size.toLong
     val tfAll = docs.toSeq.flatMap { case (id, toks) =>
-      toks.groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) }
+      // empty tokens are not vocabulary — same filter as the query
+      toks.filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, o) => (id, w, o.length.toLong) }
     }
     val df = tfAll.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     def idf(w: String): Long = mlog2(n) - mlog2(df(w))
@@ -111,6 +113,26 @@ class SearchSuite extends SparkSuite {
       assert(parts.length <= Search.QueryTerms.size,
         s"probe read ${parts.length} term partitions, expected <= ${Search.QueryTerms.size}")
     }
+  }
+
+  test("tfidf persisted ≡ inline on a corpus with empty split tokens") {
+    // double spaces split into empty tokens; they are NOT vocabulary —
+    // the stored norms and the inline norms must agree on that (the
+    // empty-token filter lives in both paths; this pins it)
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tfidx-empty").toString
+    Seq((1L, "spark  join vector"), (2L, "window  spark spark"),
+      (3L, " join window "), (4L, "vector plain words"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val inline = SparkEntry.queries("search_tfidf_cosine")(spark, tmp)
+      .collect().toSeq
+    val indexed = SparkEntry.queries("search_tfidf_indexed")(spark, tmp)
+      .collect().toSeq
+    assert(inline.nonEmpty)
+    assert(indexed.map(_.toSeq) === inline.map(_.toSeq),
+      "empty split tokens desynced the stored norms from the inline query")
   }
 
   test("boilerplate strip equals a pure-Scala reimplementation; text is a subsequence") {
