@@ -322,7 +322,53 @@ object Profiling {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     })
 
+  /** CORPUS MANIFEST — the reproducibility receipt a training run pins
+    * its dataset to (and the equality check two runs compare): per
+    * content shard (fingerprint-prefix-bucketed) the doc count, token
+    * total, and a shard digest over the SORTED fingerprints; plus one
+    * corpus-level Merkle root = md5 over the sorted shard digests,
+    * repeated on every row (the driver-friendly way to emit a scalar
+    * beside a table). Any single-document change — content, addition,
+    * removal — flips its shard digest and the root.
+    *
+    * Scale shape: this is WHY the digest is two-level — a flat
+    * md5(all sorted fingerprints) needs a corpus-wide ordered reduction
+    * into one reducer; here fingerprints sort WITHIN 16 shards
+    * (parallel, bounded), and the root reduces 16 digests. At 100 TB
+    * raise the prefix width (shards = 16^k) — depth stays 2. */
+  private lazy val profileManifest = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard", substring(col("fp"), 1, 1))
+      val shards = docs.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+          md5(concat_ws("", sort_array(collect_list(col("fp")))))
+            .as("shard_digest"))
+      val root = shards
+        .agg(md5(concat_ws("", sort_array(collect_list(col("shard_digest")))))
+          .as("corpus_root"))
+      shards.crossJoin(broadcast(root)).orderBy("shard")
+    },
+    Some("""WITH f AS (
+      |  SELECT md5(text) AS fp,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT substring(fp, 1, 1) AS shard, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |         md5(string_agg(fp, '' ORDER BY fp)) AS shard_digest
+      |  FROM f GROUP BY 1),
+      |r AS (
+      |  SELECT md5(string_agg(shard_digest, '' ORDER BY shard_digest))
+      |           AS corpus_root
+      |  FROM s)
+      |SELECT shard, n_docs, tokens, shard_digest, corpus_root
+      |FROM s, r ORDER BY shard""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "profile_manifest" -> profileManifest,
     "profile_schema" -> profileSchema,
     "profile_documents" -> profileDocuments,
     "profile_doc_duplication" -> profileDocDuplication,
