@@ -75,6 +75,19 @@ def main(sf_dir, out_dir):
                 print(f"SQLERR   {name}: {e}")
                 bad += 1
                 continue
+        # Type lint: DuckDB's HUGEINT (bare integer SUM) and DECIMAL render
+        # identically to BIGINT under str() here, but the real driver goes
+        # through Arrow/pandas where they stringify differently — exactly
+        # how mix_quality_buckets/scalar_variant stayed red for 3 rounds
+        # while this gate was green. Forbid the class outright.
+        otypes = [str(t).upper() for t in o.types]
+        banned = [(c, t) for c, t in zip(ocols, otypes)
+                  if "HUGEINT" in t or t.startswith("DECIMAL")]
+        if banned:
+            print(f"ORATYPE  {name}: oracle result has driver-unsafe column "
+                  f"types {banned} — CAST in the final SELECT")
+            bad += 1
+            continue
         if sorted(scols) != sorted(ocols):
             print(f"SCHEMA   {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
             bad += 1

@@ -477,7 +477,7 @@ object Sampling {
       |         COUNT(*) OVER () AS total
       |  FROM q)
       |SELECT CAST((r * 5) // total AS INT) AS quintile,
-      |  COUNT(*) AS n_docs, SUM(n_tokens) AS tokens,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
       |  MIN(score_fp) AS min_fp, MAX(score_fp) AS max_fp
       |FROM r GROUP BY 1 ORDER BY quintile""".stripMargin))
 

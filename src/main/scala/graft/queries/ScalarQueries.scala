@@ -142,7 +142,7 @@ object ScalarQueries {
     // cast: JSON-typed casts changed behavior across DuckDB releases
     // (the r9 driver-vs-local divergence), string casts did not.
     Some("""SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
       |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
