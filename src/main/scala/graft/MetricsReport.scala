@@ -173,7 +173,7 @@ object MetricsReport {
         try SparkEntry.queries(q)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         finally spark.sparkContext.clearJobGroup()
-        probe.quiesce()
+        probe.quiesce(sc = spark.sparkContext)
         // fail-loud (the missing-CC-verdict discipline): an unattributed
         // run must never write an all-zero row indistinguishable from a
         // genuinely free query into the tracked artifact

@@ -72,11 +72,19 @@ final class TaskMetricsProbe extends SparkListener {
       }
     }
 
-  /** Wait until the listener bus has drained this probe's events: polls
-    * the total task count until it holds still for `settleMs`. The bus's
-    * own waitUntilEmpty is private[spark]; observed-stability is the
-    * public-API equivalent and bounded by `maxWaitMs`. */
-  def quiesce(settleMs: Long = 300, maxWaitMs: Long = 10000): Unit = {
+  /** Wait until the listener bus has drained this probe's events.
+    *
+    * Preferred path: the bus's own `waitUntilEmpty(maxWaitMs)` — exact
+    * (an empty bus means every posted event was delivered), but
+    * `private[spark]` in source, so it is reached reflectively through
+    * the bytecode-public accessors. Fallback (no context given or
+    * reflection fails): poll the total task count until it holds still
+    * for `settleMs` — a heuristic that can under-count if the bus
+    * stalls longer than the settle window mid-drain, hence the stderr
+    * warning when `maxWaitMs` is exhausted without stability. */
+  def quiesce(settleMs: Long = 300, maxWaitMs: Long = 10000,
+      sc: org.apache.spark.SparkContext = null): Unit = {
+    if (sc != null && busDrained(sc, maxWaitMs)) return
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
     var last = -1L
     var stableSince = System.nanoTime()
@@ -88,7 +96,30 @@ final class TaskMetricsProbe extends SparkListener {
       else if (System.nanoTime() - stableSince > settleMs * 1000000L) return
       Thread.sleep(50)
     }
+    System.err.println(
+      s"[TaskMetricsProbe] quiesce: task count never held still for " +
+        s"${settleMs}ms within ${maxWaitMs}ms — snapshot may under-count")
   }
+
+  /** Reflective `sc.listenerBus.waitUntilEmpty(timeoutMs)`. Returns true
+    * iff the bus reported empty (TimeoutException / any reflection
+    * failure → false, caller falls back to the polling heuristic). */
+  private[metrics] def busDrained(
+      sc: org.apache.spark.SparkContext, timeoutMs: Long): Boolean =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        .invoke(bus, java.lang.Long.valueOf(timeoutMs))
+      true
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if e.getCause.isInstanceOf[java.util.concurrent.TimeoutException] =>
+        System.err.println(
+          s"[TaskMetricsProbe] quiesce: listener bus still busy after " +
+            s"${timeoutMs}ms — falling back to settle polling")
+        false
+      case _: Throwable => false
+    }
 
   /** Lock-consistent copy of the group's stats (never the live mutable
     * object the bus thread is still writing). */

@@ -41,6 +41,12 @@ object Search {
     * rank, shared by the inline query and the persisted-index probe. */
   private def tfidfFinish(dots: DataFrame): DataFrame =
     dots
+      // zero-norm guard: a doc (or query set) whose every weight floors
+      // to 0 under the div-1024 downscale yields nd=0 or nq=0 and a
+      // 0/0 = NaN cosine — Spark would cast it to null/0 while DuckDB
+      // errors casting NaN to BIGINT. Such rows carry no signal; drop
+      // them (the twin applies the same predicate).
+      .filter(col("nd") > 0 && col("nq") > 0)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nq").cast("double")) * sqrt(col("nd").cast("double"))))
       .withColumn("score_fx", floor(col("cos") * 1e4 + 0.5).cast("long"))
@@ -554,7 +560,8 @@ object Search {
       |    CAST(FLOOR((CAST(dot AS DOUBLE) /
       |      (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nd AS DOUBLE)))) * 1e4 + 0.5)
       |      AS BIGINT) AS score_fx
-      |  FROM dots JOIN nd USING (doc_id) CROSS JOIN nqv)
+      |  FROM dots JOIN nd USING (doc_id) CROSS JOIN nqv
+      |  WHERE nd > 0 AND nq > 0)
       |SELECT doc_id, n_hits, score_fx, CAST(score_fx AS DOUBLE) / 1e4 AS score
       |FROM scored ORDER BY score_fx DESC, doc_id LIMIT 20""".stripMargin))
 

@@ -26,7 +26,12 @@ class TaskMetricsProbeSuite extends SparkSuite {
         .write.format("noop").mode("overwrite").save()
       finally spark.sparkContext.clearJobGroup()
 
-      probe.quiesce()
+      // exercise the reflective bus-drain path (exact), not just the
+      // settle-polling fallback — and prove reflection resolves on this
+      // Spark build rather than silently degrading to the heuristic
+      assert(probe.busDrained(spark.sparkContext, 10000),
+        "reflective listenerBus.waitUntilEmpty did not engage")
+      probe.quiesce(sc = spark.sparkContext)
       val sh = probe.snapshot("probe_shuffle")
       assert(sh.isDefined)
       assert(sh.get.shuffleWriteBytes > 0, s"tasks=${sh.get.tasks}")
