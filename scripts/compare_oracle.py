@@ -10,6 +10,7 @@ row-sorted stringified values (mirroring the described driver behavior).
 """
 import sys, json, glob, os, hashlib
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -29,6 +30,56 @@ def canon(rows, cols):
         out.append("\x01".join(vals))
     out.sort()
     return hashlib.md5("\x02".join(out).encode()).hexdigest()
+
+
+def canon_df(df):
+    """Driver-parity canonicalization THROUGH pandas — the real driver
+    reads both sides via Arrow/pandas, where DuckDB HUGEINT lands as
+    float64 and DECIMAL as object, stringifying differently from the
+    int they numerically equal. Returns (kinds, hash): dtype KINDS per
+    name-sorted column (i/u collapsed to 'i') plus a hash over
+    stringified, row-sorted cells. A kind mismatch between the Spark
+    and oracle frames is exactly the class that survived three rounds
+    under the fetchall/str() path above."""
+    cols = sorted(df.columns)
+    # normalize DATE representations: Spark parquet dates arrive as
+    # object(datetime.date) while DuckDB's .df() gives datetime64 —
+    # the real driver treats these equal (window_gapfill was green),
+    # so promote date-object columns to datetime64 before kind compare
+    import datetime
+    df = df.copy()
+    for c in cols:
+        if df[c].dtype.kind == "O":
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], datetime.date) \
+                    and not isinstance(nn.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
+    kinds = []
+    for c in cols:
+        k = df[c].dtype.kind
+        kinds.append("i" if k in "iu" else k)
+    out = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for c, k in zip(cols, kinds):
+            v = row[c]
+            if k == "f":
+                vals.append(f"{v:.6g}")
+            elif k == "M":
+                vals.append(pd.Timestamp(v).isoformat())
+            else:
+                # the real driver's sort_values dies on ndarray/list
+                # cells — fail the same way instead of str()-ing past it
+                # (object-kind columns only: numpy scalars in numeric
+                # columns also expose __array__ but are fine)
+                if k == "O" and (isinstance(v, (list, tuple, dict))
+                                 or hasattr(v, "__array__")):
+                    raise TypeError(
+                        f"unhashable list-like cell in column '{c}'")
+                vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return kinds, hashlib.md5("\x02".join(out).encode()).hexdigest()
 
 
 def connect(sf_dir):
@@ -106,11 +157,73 @@ def main(sf_dir, out_dir):
             print(f"  spark-only: {d1}\n  oracle-only: {d2}")
             bad += 1
             continue
+        # driver-parity third voice: both sides through pandas, the path
+        # the real driver's canonicalizer takes (list columns die, and
+        # dtype-kind divergence — HUGEINT→float64, DECIMAL→object —
+        # stringifies differently even when fetchall/str() matched)
+        try:
+            skinds, shash = canon_df(pd.read_parquet(pq))
+            okinds, ohash = canon_df(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"PANDAS   {name}: driver-path canonicalize failed: {e}")
+            bad += 1
+            continue
+        if skinds != okinds:
+            print(f"DTYPE    {name}: pandas dtype kinds diverge "
+                  f"spark={skinds} oracle={okinds} (cols sorted)")
+            bad += 1
+            continue
+        if shash != ohash:
+            print(f"DHASH    {name}: driver-path (pandas) hash mismatch")
+            bad += 1
+            continue
         print(f"OK       {name} ({len(srows)} rows)")
         ok += 1
     print(f"\n{ok} ok, {bad} bad")
     return 1 if bad else 0
 
 
+def selftest():
+    """Prove the gates fire on seeded regressions (run: --selftest)."""
+    con = duckdb.connect()
+    fails = []
+
+    # 1. HUGEINT lint: a bare integer SUM must be rejected
+    r = con.sql("SELECT SUM(x) AS s FROM (SELECT 1 AS x UNION ALL SELECT 2)")
+    types = [str(t).upper() for t in r.types]
+    if not any("HUGEINT" in t for t in types):
+        fails.append("seeded bare SUM did not type as HUGEINT")
+
+    # 2. the cast form passes the same lint
+    r2 = con.sql("SELECT CAST(SUM(x) AS BIGINT) AS s "
+                 "FROM (SELECT 1 AS x UNION ALL SELECT 2)")
+    if any("HUGEINT" in str(t).upper() or str(t).upper().startswith("DECIMAL")
+           for t in r2.types):
+        fails.append("CAST(SUM AS BIGINT) wrongly flagged")
+
+    # 3. driver-path dtype gate: HUGEINT lands as pandas float64 ('f')
+    #    while the Spark twin is int64 ('i') — kinds must diverge
+    okinds, _ = canon_df(r.df())
+    skinds, _ = canon_df(pd.DataFrame({"s": pd.array([3], dtype="int64")}))
+    if okinds == skinds:
+        fails.append("pandas dtype-kind gate blind to HUGEINT vs int64")
+
+    # 4. list columns must die in the driver path (sort_values on
+    #    ndarray cells), mirroring the real driver's hard failure
+    try:
+        canon_df(con.sql("SELECT [1, 2] AS l").df())
+        fails.append("list column survived driver-path canonicalization")
+    except Exception:
+        pass
+
+    for f in fails:
+        print(f"SELFTEST FAIL: {f}")
+    print("selftest:", "FAIL" if fails else "ok",
+          f"({4 - len(fails)}/4 gates)")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

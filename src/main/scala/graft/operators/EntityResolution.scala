@@ -25,12 +25,23 @@ object EntityResolution {
   private val BlockLen = 16 // chars of the name shared within a block
   private val MaxDist = 1
 
+  /** Parallelism FLOOR for the pair stage. The blocked self-join's cost
+    * is CPU (levenshtein over Σ C(|block|,2) pairs), not bytes — AQE's
+    * byte-based coalescing saw ~KBs of shuffle and squeezed the r10
+    * exchange to 5 tasks while 32 cores idled. An EXPLICIT partition
+    * count makes the exchange REPARTITION_BY_NUM, which AQE never
+    * coalesces; 4× defaultParallelism keeps the Σ-pairs tail balanced
+    * and scales with the cluster (it is executor-count-derived, not a
+    * constant). */
+  private[operators] def pairParallelism(s: org.apache.spark.sql.SparkSession): Int =
+    4 * s.sparkContext.defaultParallelism
+
   private val matchEntities = QueryDef(
     (s, dir) => {
       val c = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"))
         .withColumn("blk", substring(col("c_name"), 1, BlockLen))
-        .repartition(col("blk"))
+        .repartition(pairParallelism(s), col("blk"))
       val a = c.select(col("blk"), col("c_custkey").as("custkey_1"),
         col("c_name").as("name_1"))
       val b = c.select(col("blk"), col("c_custkey").as("custkey_2"),
