@@ -318,14 +318,29 @@ object Search {
 
   // ---- persisted text index (the IvfIndex lifecycle for search) ------
 
-  /** Build the BM25-ready text index at `path`: term-PARTITIONED posting
-    * lists carrying per-posting tf (postings sort by doc_id — the
-    * on-disk training order), plus the doc-length table and the corpus
-    * constants. Term-partitioning is the fixture-scale stand-in for the
-    * production layout (bucket-by-term past directory-count limits; the
-    * pruning contract is identical): a probe's `term IN (…)` prunes to
-    * the probed terms' directories from listing metadata alone. */
-  private[operators] def buildTextIndex(docs: DataFrame, path: String): Unit = {
+  /** Postings per stored row are bounded by SEGMENTING on doc_id range:
+    * `segment = doc_id div SegmentDocRange` caps a row's postings at the
+    * range width no matter how frequent the term — a stop-word's list
+    * becomes corpus/range rows instead of ONE corpus-scale row (>2 GB
+    * rows break Spark; one row is one task). This is Lucene's
+    * segment-file shape expressed relationally, and it also breaks the
+    * Zipf-head skew of the (term)-keyed build aggregate into
+    * (term, segment) keys. Rare terms pay a few near-empty rows —
+    * noise. The default keeps rows ≲ 64k postings. */
+  private[operators] val SegmentDocRange: Long = 65536L
+
+  /** Build the BM25-ready text index at `path`: term-PARTITIONED,
+    * doc_id-range-SEGMENTED posting lists carrying per-posting tf
+    * (postings sort by doc_id — the on-disk training order), plus the
+    * doc-length table and the corpus constants. Term-partitioning is
+    * the fixture-scale stand-in for the production layout
+    * (bucket-by-term past directory-count limits; the pruning contract
+    * is identical): a probe's `term IN (…)` prunes to the probed terms'
+    * directories from listing metadata alone, then reads ALL segments
+    * of those terms. Each segment row is denormalized with the term's
+    * TOTAL df so the probe needs no second lookup. */
+  private[operators] def buildTextIndex(docs: DataFrame, path: String,
+      segmentDocRange: Long = SegmentDocRange): Unit = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
@@ -336,24 +351,27 @@ object Search {
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .persist()
-    // ONE term aggregate feeds both the postings write and the norms'
-    // df join — never two shuffles for the same reduction
-    val postAgg = tfd.groupBy("term")
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(struct(col("doc_id"), col("dl"), col("tf"))))
-          .as("postings"))
-      .persist()
-    postAgg.write.partitionBy("term").parquet(s"$path/postings")
+    // ONE vocabulary-sized df aggregate feeds the segment rows' total-df
+    // column AND the norms' weight join — never two shuffles for the
+    // same reduction
+    val dfc = tfd.groupBy("term").agg(count(lit(1)).as("df")).persist()
+    tfd
+      .withColumn("segment", expr(s"doc_id div ${segmentDocRange}L"))
+      .groupBy("term", "segment")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("dl"), col("tf"))))
+        .as("postings"))
+      .join(dfc, "term")
+      .write.partitionBy("term").parquet(s"$path/postings")
     // full-vocabulary TF-IDF document norms — the only TF-IDF input the
     // PRUNED probe can't derive (it never sees non-query terms); same
     // integer-weight formula as the inline query
-    tfd.join(postAgg.select("term", "df"), "term")
+    tfd.join(dfc, "term")
       .crossJoin(broadcast(consts))
       .withColumn("idf_fx", idfFx)
       .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
       .groupBy("doc_id").agg(sum(expr("w_fx * w_fx")).as("nd"))
       .write.parquet(s"$path/norms")
-    postAgg.unpersist(blocking = false)
+    dfc.unpersist(blocking = false)
     tfd.unpersist(blocking = false)
     ()
   }

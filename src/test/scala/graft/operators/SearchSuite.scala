@@ -135,6 +135,49 @@ class SearchSuite extends SparkSuite {
       "empty split tokens desynced the stored norms from the inline query")
   }
 
+  test("segmented postings: stop-word rows are bounded, probe ≡ inline across segments") {
+    // synthetic stop-word corpus: 'the' appears in EVERY doc, so its
+    // posting list is corpus-sized — exactly the Zipf-head row the
+    // segmentation exists to bound (one unbounded row = one >2GB task
+    // at 100 TB). Build with a tiny doc_id range so the fixture
+    // actually exercises multi-segment terms.
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tfidx-seg").toString
+    val docs = (0L until 64L).map { i =>
+      val extra = if (i % 3 == 0) "spark join" else if (i % 3 == 1) "vector" else "window"
+      (i, s"the quick doc $i has the $extra terms the end")
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val range = 8L
+    val idx = s"$tmp/idx"
+    Search.buildTextIndex(
+      spark.read.parquet(s"$tmp/documents.parquet"), idx, segmentDocRange = range)
+    val post = spark.read.parquet(s"$idx/postings")
+    // every stored row's postings are bounded by the segment width
+    val maxRow = post.select(max(size(col("postings")))).head().getInt(0)
+    assert(maxRow <= range,
+      s"a posting row holds $maxRow postings, exceeding the $range-doc segment bound")
+    // the stop word genuinely spans segments (the test would be vacuous
+    // if everything landed in one)
+    val theSegs = post.filter(col("term") === "the")
+      .select("segment").distinct().count()
+    assert(theSegs == 8, s"'the' spans $theSegs segments, expected 8")
+    // total df is denormalized identically on every segment row
+    val dfVals = post.filter(col("term") === "the")
+      .select("df").distinct().collect().map(_.getLong(0))
+    assert(dfVals.toSeq == Seq(64L), s"df per segment row: ${dfVals.toSeq}")
+    // probing across segments reproduces the inline rankers row-for-row
+    val bmInline = SparkEntry.queries("search_bm25")(spark, tmp).collect().toSeq
+    val bmProbe = Search.probeTextIndex(spark, idx, Search.QueryTerms).collect().toSeq
+    assert(bmProbe.map(_.toSeq) === bmInline.map(_.toSeq),
+      "segmented bm25 probe diverged from inline")
+    val tfInline = SparkEntry.queries("search_tfidf_cosine")(spark, tmp).collect().toSeq
+    val tfProbe = Search.probeTfidfIndex(spark, idx, Search.QueryTerms).collect().toSeq
+    assert(tfProbe.map(_.toSeq) === tfInline.map(_.toSeq),
+      "segmented tfidf probe diverged from inline")
+  }
+
   test("boilerplate strip equals a pure-Scala reimplementation; text is a subsequence") {
     val docs = docTokens()
     val g = Search.GramW
