@@ -36,21 +36,56 @@ object IncrementalDedup {
 
   val CatalogBuckets = 8
 
+  // ---- epoch commit protocol ------------------------------------------
+  //
+  // Every catalog write lands in an `epoch=<n>` PARTITION and becomes
+  // visible only when its marker commits — [[graft.ops.EpochCommit]]'s
+  // protocol (shared with the IVF layouts). A crash mid-append leaves a
+  // torn, UNMARKED epoch no reader ever sees, and the next append
+  // sweeps it — without this, a half-appended catalog silently
+  // under-dedups forever after.
+
+  import graft.ops.EpochCommit
+
+  /** Epochs whose commit marker exists — the readable catalog view. */
+  def committedEpochs(s: SparkSession, path: String): Seq[Long] =
+    EpochCommit.committed(s, path)
+
+  /** The catalog restricted to COMMITTED epochs — the only sanctioned
+    * read path. The epoch predicate is a partition filter (pruned from
+    * listing metadata, no data cost) and the bucketed layout survives
+    * the filter + projection, so the zero-exchange join contract is
+    * unchanged. Falls through untouched for a legacy unpartitioned
+    * catalog. */
+  def committedTable(s: SparkSession, table: String): DataFrame = {
+    val t = s.table(table)
+    if (!t.columns.contains("epoch")) t
+    else {
+      val loc = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString
+      t.filter(col("epoch").isin(committedEpochs(s, loc): _*)).drop("epoch")
+    }
+  }
+
   /** Write `docs`' fingerprint catalog as a bucketed external table and
     * return its (session-scoped) table name. One writer task per call
     * (`repartition(1)`) so each bucket is a single file and the join can
     * elide the catalog-side sort; a real deployment writes with many
     * tasks and keeps per-bucket files sorted, trading the elided Sort
-    * for write parallelism. */
+    * for write parallelism. The bootstrap lands as committed epoch 0. */
   def writeCatalog(docs: DataFrame, path: String, table: String): String = {
     docs.select(md5(col("text")).as("fingerprint"))
       .distinct()
+      .withColumn("epoch", lit(0L))
       .repartition(1)
       .write
+      .partitionBy("epoch")
       .bucketBy(CatalogBuckets, "fingerprint")
       .sortBy("fingerprint")
       .option("path", path)
       .saveAsTable(table)
+    EpochCommit.mark(docs.sparkSession, path, 0L)
     table
   }
 
@@ -61,7 +96,8 @@ object IncrementalDedup {
     val s = newBatch.sparkSession
     newBatch
       .withColumn("fingerprint", md5(col("text")))
-      .join(s.table(catalogTable).hint("merge"), Seq("fingerprint"), "left_anti")
+      .join(committedTable(s, catalogTable).hint("merge"),
+        Seq("fingerprint"), "left_anti")
   }
 
   /** Streaming face of the same contract: an ingest stream anti-joins
@@ -74,7 +110,8 @@ object IncrementalDedup {
     * history. */
   def dedupStreamAgainstCatalog(stream: DataFrame, catalogTable: String): DataFrame =
     stream.withColumn("fingerprint", md5(col("text")))
-      .join(stream.sparkSession.table(catalogTable), Seq("fingerprint"), "left_anti")
+      .join(committedTable(stream.sparkSession, catalogTable),
+        Seq("fingerprint"), "left_anti")
 
   /** [[dedupStreamAgainstCatalog]] with the SAME Bloom bytes the batch
     * face uses ([[catalogBloom]]): each micro-batch probes the filter
@@ -88,7 +125,7 @@ object IncrementalDedup {
       stream: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame =
     bloomSplit(
       stream.withColumn("fingerprint", md5(col("text"))),
-      stream.sparkSession.table(catalogTable), bloom)
+      committedTable(stream.sparkSession, catalogTable), bloom)
 
   // ---- Bloom-prefiltered variant --------------------------------------
 
@@ -127,7 +164,8 @@ object IncrementalDedup {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Shim
-    val n = if (expectedItems >= 0) expectedItems else s.table(catalogTable).count()
+    val n = if (expectedItems >= 0) expectedItems
+      else committedTable(s, catalogTable).count()
     if (n == 0) {
       // the always-no filter: zero items inserted, any size
       val bf = org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
@@ -138,7 +176,7 @@ object IncrementalDedup {
       val agg = new BloomFilterAggregate(
         Shim.expression(xxhash64(col("fingerprint"))),
         Literal(n), Literal(optimalNumBits(n, fpp)))
-      s.table(catalogTable)
+      committedTable(s, catalogTable)
         .select(Shim.column(agg.toAggregateExpression()).as("bloom"))
         .head().getAs[Array[Byte]](0)
     }
@@ -189,7 +227,7 @@ object IncrementalDedup {
       newBatch: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame =
     bloomSplit(
       newBatch.withColumn("fingerprint", md5(col("text"))),
-      newBatch.sparkSession.table(catalogTable).hint("merge"), bloom)
+      committedTable(newBatch.sparkSession, catalogTable).hint("merge"), bloom)
 
   // ---- incremental FUZZY dedup (band catalog) -------------------------
 
@@ -205,12 +243,15 @@ object IncrementalDedup {
   def writeBandCatalog(docs: DataFrame, path: String, table: String): String = {
     Dedup.minhashBanded(docs)
       .select("band", "doc_id")
+      .withColumn("epoch", lit(0L))
       .repartition(1)
       .write
+      .partitionBy("epoch")
       .bucketBy(CatalogBuckets, "band")
       .sortBy("band")
       .option("path", path)
       .saveAsTable(table)
+    EpochCommit.mark(docs.sparkSession, path, 0L)
     table
   }
 
@@ -229,7 +270,7 @@ object IncrementalDedup {
       newBatch: DataFrame, catalogTable: String, history: DataFrame): DataFrame = {
     val s = newBatch.sparkSession
     val cands = Dedup.minhashBanded(newBatch)
-      .join(s.table(catalogTable).hint("merge")
+      .join(committedTable(s, catalogTable).hint("merge")
         .withColumnRenamed("doc_id", "cat_doc_id"), Seq("band"))
       .select("doc_id", "sh", "cat_doc_id")
       .distinct()
@@ -248,28 +289,52 @@ object IncrementalDedup {
   /** Append an admitted batch's fingerprints into the catalog with the
     * SAME bucket spec — the epoch tick that makes this batch history for
     * every later run (batch or streaming). The batch must carry a
-    * `fingerprint` column (both dedup faces emit it). */
-  def appendCatalog(admitted: DataFrame, path: String, table: String): Unit =
+    * `fingerprint` column (both dedup faces emit it). Crash-atomic: the
+    * new epoch is invisible until its marker commits, and any torn
+    * earlier attempt is swept first. */
+  def appendCatalog(admitted: DataFrame, path: String, table: String): Unit = {
+    val s = admitted.sparkSession
+    val epoch = appendCatalogData(admitted, path, table)
+    EpochCommit.mark(s, path, epoch)
+  }
+
+  /** The data half of [[appendCatalog]] — everything UP TO the commit
+    * point. Exposed separately so the crash-recovery suite can stop
+    * exactly where a real crash would. Returns the epoch written. */
+  private[operators] def appendCatalogData(
+      admitted: DataFrame, path: String, table: String): Long = {
+    val s = admitted.sparkSession
+    val epoch = EpochCommit.nextEpoch(s, path)
     admitted.select("fingerprint").distinct()
+      .withColumn("epoch", lit(epoch))
       .repartition(1)
       .write.mode("append")
+      .partitionBy("epoch")
       .bucketBy(CatalogBuckets, "fingerprint")
       .sortBy("fingerprint")
       .option("path", path)
       .saveAsTable(table)
+    epoch
+  }
 
   /** Append an admitted batch's band signatures into the band catalog —
-    * the fuzzy face's epoch tick ([[appendCatalog]]'s contract). Needs
-    * `doc_id` and `text`. */
-  def appendBandCatalog(admitted: DataFrame, path: String, table: String): Unit =
+    * the fuzzy face's epoch tick ([[appendCatalog]]'s contract,
+    * including crash atomicity). Needs `doc_id` and `text`. */
+  def appendBandCatalog(admitted: DataFrame, path: String, table: String): Unit = {
+    val s = admitted.sparkSession
+    val epoch = EpochCommit.nextEpoch(s, path)
     Dedup.minhashBanded(admitted)
       .select("band", "doc_id")
+      .withColumn("epoch", lit(epoch))
       .repartition(1)
       .write.mode("append")
+      .partitionBy("epoch")
       .bucketBy(CatalogBuckets, "band")
       .sortBy("band")
       .option("path", path)
       .saveAsTable(table)
+    EpochCommit.mark(s, path, epoch)
+  }
 
   /** Streaming face of the fuzzy contract: each micro-batch runs the
     * batch operator against the SAME persisted band catalog + doc store,

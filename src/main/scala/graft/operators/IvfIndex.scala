@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
  *   `centroids/` — nlist rows (cent_id, cvec, cnrm): metadata-sized,
  *                  collected to the driver at probe time.
  *   `assigned/`  — the corpus with its cell id, parquet PARTITIONED BY
- *                  cell: a probe reads ONLY its nprobe cells' files via
+ *                  (epoch, cell) — epoch is [[graft.ops.EpochCommit]]'s
+ *                  crash-atomic append layer; a probe reads ONLY its
+ *                  nprobe cells' files of COMMITTED epochs via
  *                  partition pruning (suite-asserted `PartitionFilters`)
  *                  — the on-disk analogue of the "touch 1/nlist of the
  *                  data" IVF contract, and the property that matters at
@@ -73,23 +75,40 @@ object IvfIndex {
       import s.implicits._
       trained.toDF().write.mode("overwrite").parquet(s"$path/centroids")
       Similarity.assignCells(e, trained)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+        .withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("epoch", "cell")
+        .parquet(s"$path/assigned")
+      graft.ops.EpochCommit.mark(s, s"$path/assigned", 0L)
       trained.length
     } finally { train.unpersist(); () }
   }
 
   /** Assign a NEW batch with the already-trained quantizer and append it
     * into the partitioned layout — the steady-state ingest path: no
-    * retraining, no touch of existing files (parquet append adds files
-    * under each cell directory), probes see the grown index on their
-    * next read. Centroid drift across many appends is real; the epoch
-    * policy (when to re-[[build]]) is the caller's — the recall METRICS
-    * are the signal to watch. */
+    * retraining, no touch of existing files (the batch lands in a fresh
+    * epoch partition), probes see the grown index on their next read.
+    * Crash-atomic via [[graft.ops.EpochCommit]]: a torn append is
+    * invisible until its marker commits and is swept on retry. Centroid
+    * drift across many appends is real; the epoch policy (when to
+    * re-[[build]]) is the caller's — the recall METRICS are the signal
+    * to watch. */
   def append(newBatch: DataFrame, path: String): Unit = {
+    val epoch = appendData(newBatch, path)
+    graft.ops.EpochCommit.mark(newBatch.sparkSession, s"$path/assigned", epoch)
+  }
+
+  /** The data half of [[append]] — everything UP TO the commit point,
+    * exposed so the crash-recovery suite can stop exactly where a real
+    * crash would. Returns the epoch written. */
+  private[operators] def appendData(newBatch: DataFrame, path: String): Long = {
     val s = newBatch.sparkSession
     val cents = loadCentroids(s, path)
+    val root = s"$path/assigned"
+    val epoch = graft.ops.EpochCommit.nextEpoch(s, root)
     Similarity.assignCells(withNorm(newBatch), cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+      .withColumn("epoch", lit(epoch))
+      .write.mode("append").partitionBy("epoch", "cell").parquet(root)
+    epoch
   }
 
   private[operators] def loadCentroids(
@@ -126,7 +145,8 @@ object IvfIndex {
     val probes = probeRows.toDF("query_id", "q", "qnrm", "cell")
     // the partition column comes back typed by partition-inference; cast
     // to the centroid id type so the join key lines up
-    val assigned = s.read.parquet(s"$path/assigned")
+    val assigned = graft.ops.EpochCommit
+      .filterCommitted(s.read.parquet(s"$path/assigned"), s"$path/assigned")
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(probeRows.map(_._4).distinct: _*))
     val scored = broadcast(probes)
@@ -166,16 +186,19 @@ object IvfIndex {
     Similarity.pqWithRecon(resFrame.withColumn("nx", col("rx")), books)
       .select(col("vec_id") +: col("cell") +:
         (0 until Similarity.PqM).map(m => col(s"code$m")): _*)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch", "cell").parquet(s"$path/codes")
+    graft.ops.EpochCommit.mark(s, s"$path/codes", 0L)
     books.map(_.length).sum
   }
 
   /** Assign + residual-encode a NEW batch with the persisted quantizer
     * and codebooks and append its codes into the partitioned layout —
     * the steady-state ingest path of the PQ index ([[append]]'s
-    * contract): no retraining, no touch of existing files. Codebook
-    * drift across appends is the same epoch concern as centroid drift —
-    * re-[[buildPq]] when recall METRICS say so. */
+    * contract, crash atomicity included): no retraining, no touch of
+    * existing files. Codebook drift across appends is the same epoch
+    * concern as centroid drift — re-[[buildPq]] when recall METRICS say
+    * so. */
   def appendPq(newBatch: DataFrame, path: String): Unit = {
     val s = newBatch.sparkSession
     val cents = loadCentroids(s, path)
@@ -186,10 +209,14 @@ object IvfIndex {
       .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
       .withColumn("ncv", element_at(ncentsLit, col("cell").cast("int") + 1))
       .withColumn("rx", zip_with(col("nx"), col("ncv"), (x, y) => x - y))
+    val root = s"$path/codes"
+    val epoch = graft.ops.EpochCommit.nextEpoch(s, root)
     Similarity.pqWithRecon(frame.withColumn("nx", col("rx")), books)
       .select(col("vec_id") +: col("cell") +:
         (0 until Similarity.PqM).map(m => col(s"code$m")): _*)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .withColumn("epoch", lit(epoch))
+      .write.mode("append").partitionBy("epoch", "cell").parquet(root)
+    graft.ops.EpochCommit.mark(s, root, epoch)
   }
 
   private[operators] def loadBooks(
@@ -236,7 +263,8 @@ object IvfIndex {
     }
     import s.implicits._
     val probes = probeRows.toDF("query_id", "qx", "cell")
-    val codes = s.read.parquet(s"$path/codes")
+    val codes = graft.ops.EpochCommit
+      .filterCommitted(s.read.parquet(s"$path/codes"), s"$path/codes")
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(probeRows.map(_._3).distinct: _*))
       .withColumn("recon0", concat((0 until Similarity.PqM).map(m =>

@@ -284,4 +284,49 @@ class IncrementalDedupSuite extends SparkSuite {
       rm(new java.io.File(path))
     }
   }
+
+  test("catalog append is crash-atomic: a torn epoch is invisible and swept on retry") {
+    val docs = Tables.documents(spark, sfDir)
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_crash_$pid"
+    val table = "graft_fpcat_crash"
+    try {
+      IncrementalDedup.writeCatalog(
+        docs.filter(col("doc_id") < 100), path, table)
+      val before = IncrementalDedup.committedTable(spark, table).count()
+      val survivors = IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id") >= 100), table).localCheckpoint()
+      assert(survivors.count() > 0)
+
+      // CRASH POINT: data fully written (files on disk, partition in the
+      // metastore) but the commit marker never lands
+      val torn = IncrementalDedup.appendCatalogData(survivors, path, table)
+      assert(new java.io.File(s"$path/epoch=$torn").exists(),
+        "torn epoch data must be on disk for the test to mean anything")
+      // all-or-nothing: readers see NONE of the torn epoch
+      assert(IncrementalDedup.committedTable(spark, table).count() === before,
+        "a torn, unmarked epoch leaked into the committed view")
+      // and the join face under-dedups exactly as if the append never ran
+      assert(IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id") >= 100), table).count() === survivors.count())
+
+      // RETRY: the normal append sweeps the torn files, reuses the same
+      // epoch number (it was never committed), and commits
+      IncrementalDedup.appendCatalog(survivors, path, table)
+      assert(IncrementalDedup.committedEpochs(spark, path) === Seq(0L, torn),
+        "retry should commit the previously-torn epoch number")
+      // exact count — had the sweep not run, the torn files would double
+      // every fingerprint of this batch
+      assert(IncrementalDedup.committedTable(spark, table).count() ===
+        before + survivors.count())
+      assert(IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id") >= 100), table).count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
 }

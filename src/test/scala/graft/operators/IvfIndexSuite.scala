@@ -106,6 +106,34 @@ class IvfIndexSuite extends SparkSuite {
     }
   }
 
+  test("IVF append is crash-atomic: a torn epoch is invisible to probes, swept on retry") {
+    withIndex { path =>
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      val before = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 3)
+        .collect().map(_.toSeq).toSeq
+      val clone = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      // CRASH POINT: data on disk, marker never lands
+      val torn = IvfIndex.appendData(clone, path)
+      assert(new java.io.File(s"$path/assigned/epoch=$torn").exists())
+      // all-or-nothing: the probe result is EXACTLY the pre-append one
+      val during = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 3)
+        .collect().map(_.toSeq).toSeq
+      assert(during === before, "a torn epoch leaked into a probe")
+      // RETRY commits; the clone must now be the exact nearest neighbor,
+      // ONCE (a skipped sweep would return it from two epochs)
+      IvfIndex.append(clone, path)
+      val after = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(after.head._2 === 1000000L && math.abs(after.head._3 - 1.0) < 1e-4)
+      assert(after.count(_._2 == 1000000L) === 1,
+        s"clone appears ${after.count(_._2 == 1000000L)} times — torn epoch not swept")
+    }
+  }
+
   test("ann_ivf_persisted_topk equals the inline kmeans query row-for-row") {
     // the persisted lifecycle (build → parquet → reload → pruned probe)
     // must be invisible in the results: same quantizer math, same probe
