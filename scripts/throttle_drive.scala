@@ -41,16 +41,17 @@ object ThrottleDrive {
     def check(cond: Boolean, what: String): Unit =
       if (cond) tag(s"PASS $what") else { failures += 1; tag(s"FAIL $what") }
 
-    // 4000-file backlog of 10 rows each: one file is one admission unit,
-    // and neither query can drain it inside the measurement window, so
-    // both run throttle-bound the whole time.
+    // 600-file backlog of 10 rows each: one file is one admission unit,
+    // deep enough that neither query drains it inside the measurement
+    // window (the unthrottled side admits ~2 files/500ms = ~60 in 15 s),
+    // shallow enough that the per-trigger directory listing stays cheap.
     val dir = Files.createTempDirectory("graft-throttle").toString
     val schema = StructType.fromDDL(
       "partition INT, offset LONG, key STRING, value STRING")
-    spark.range(0, 40000)
+    spark.range(0, 6000)
       .selectExpr("cast(id % 4 as int) as partition", "id as offset",
         "cast(id as string) as key", "concat('v', id) as value")
-      .repartition(4000)
+      .repartition(600)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
     val policy = ThrottlePolicy(
@@ -81,16 +82,27 @@ object ThrottleDrive {
     check(policy.isThrottled("fh:sideline:replay") &&
       !policy.isThrottled("firehose:main"), "regex selects exactly the sideline id")
 
-    // measurement window; rates come from StreamingQueryProgress — the
-    // same surface the reference's status report maps to
-    Thread.sleep(12000)
-    val mainRows = qMain.recentProgress.map(_.numInputRows).sum
-    val sideRows = qSide.recentProgress.map(_.numInputRows).sum
+    // rates come from StreamingQueryProgress — the same surface the
+    // reference's status report maps to. Startup (checkpoint setup,
+    // first listing) is excluded: wait until BOTH queries have admitted
+    // rows, snapshot, then measure the DELTA over a fixed window.
+    def admitted(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.map(_.numInputRows).sum
+    val warmDeadline = System.nanoTime() + 60L * 1000000000L
+    while ((admitted(qMain) == 0 || admitted(qSide) == 0) &&
+        System.nanoTime() < warmDeadline)
+      Thread.sleep(200)
+    check(admitted(qMain) > 0 && admitted(qSide) > 0,
+      "both queries admitted rows within the warmup budget")
+    val (m0, s0) = (admitted(qMain), admitted(qSide))
+    Thread.sleep(15000)
+    val mainRows = admitted(qMain) - m0
+    val sideRows = admitted(qSide) - s0
     val st = coord.status()
       .map(s => f"${s.name}@${s.inputRowsPerSecond}%.1f rows/s").mkString(", ")
     coord.close(5000)
     val ratio = mainRows.toDouble / math.max(sideRows, 1L)
-    tag(s"progress: main=$mainRows rows, side=$sideRows rows; status=[$st]")
+    tag(s"window delta: main=$mainRows rows, side=$sideRows rows; status=[$st]")
     tag(f"measured admission ratio = $ratio%.2f (nominal $nominal%.1f)")
     check(sideRows > 0, "throttled query made progress")
     check(ratio >= nominal / 2 && ratio <= nominal * 2,
