@@ -583,7 +583,65 @@ object Search {
       |SELECT doc_id, n_hits, score_fx, CAST(score_fx AS DOUBLE) / 1e4 AS score
       |FROM scored ORDER BY score_fx DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** RECIPROCAL RANK FUSION of the BM25 and TF-IDF rankings — the
+    * standard hybrid-retrieval combiner (Cormack et al., RRF(d) =
+    * Σ_r 1/(k + rank_r(d)), k = 60): every production search stack that
+    * runs more than one ranker fuses this way because it needs only
+    * RANKS, never the incomparable raw scores. Here it fuses the
+    * engine's two lexical rankers; a deployment fuses BM25 with the ANN
+    * cosine ranking through the identical arithmetic.
+    *
+    * Determinism: ranks are exact ints (each ranker's total order is
+    * `score_fx DESC, doc_id`), and each reciprocal is the INTEGER
+    * `2^20 div (60 + rank)` — the sum of ≤2 such terms crosses engines
+    * as an exact BIGINT; missing-from-a-ranking contributes 0 (rank
+    * reported as 0). Final order: `rrf_fx DESC, doc_id`, top 10.
+    *
+    * Shape at 100 TB: the fusion itself is head-sized (top-20 + top-20
+    * rows — the window sorts 20 rows, not the corpus); total cost is
+    * the two rankers', which at scale are index probes
+    * ([[searchBm25Indexed]]/[[searchTfidfIndexed]] fuse identically). */
+  private lazy val searchRrfFusion = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def ranked(df: DataFrame, rankCol: String): DataFrame =
+        df.select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score_fx").desc, col("doc_id"))).as(rankCol))
+      val br = ranked(searchBm25.fn(s, dir), "bm25_rank")
+      val tr = ranked(searchTfidfCosine.fn(s, dir), "tfidf_rank")
+      br.join(tr, Seq("doc_id"), "full_outer")
+        .na.fill(0, Seq("bm25_rank", "tfidf_rank"))
+        .withColumn("rrf_fx", expr(
+          """CASE WHEN bm25_rank = 0 THEN 0L ELSE 1048576 div (60 + bm25_rank) END +
+            |CASE WHEN tfidf_rank = 0 THEN 0L ELSE 1048576 div (60 + tfidf_rank) END""".stripMargin))
+        .orderBy(col("rrf_fx").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("bm25_rank"), col("tfidf_rank"),
+          col("rrf_fx"),
+          (col("rrf_fx").cast("double") / 1048576.0).as("rrf"))
+    },
+    Some(s"""WITH bm AS MATERIALIZED (${searchBm25.oracle.get}),
+      |tf AS MATERIALIZED (${searchTfidfCosine.oracle.get}),
+      |br AS (SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT) AS r
+      |       FROM bm),
+      |tr AS (SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT) AS r
+      |       FROM tf),
+      |u AS (
+      |  SELECT COALESCE(br.doc_id, tr.doc_id) AS doc_id,
+      |         COALESCE(br.r, 0) AS bm25_rank,
+      |         COALESCE(tr.r, 0) AS tfidf_rank,
+      |         CAST(CASE WHEN br.r IS NULL THEN 0 ELSE 1048576 // (60 + br.r) END +
+      |              CASE WHEN tr.r IS NULL THEN 0 ELSE 1048576 // (60 + tr.r) END
+      |           AS BIGINT) AS rrf_fx
+      |  FROM br FULL OUTER JOIN tr ON br.doc_id = tr.doc_id)
+      |SELECT doc_id, bm25_rank, tfidf_rank, rrf_fx,
+      |  CAST(rrf_fx AS DOUBLE) / 1048576.0 AS rrf
+      |FROM u ORDER BY rrf_fx DESC, doc_id LIMIT 10""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "search_rrf_fusion" -> searchRrfFusion,
     "search_bm25" -> searchBm25,
     "search_bm25_indexed" -> searchBm25Indexed,
     "search_phrase" -> searchPhrase,

@@ -460,7 +460,60 @@ object TextAnalysis {
       |FROM agg ORDER BY doc_id""".stripMargin
     })
 
+  /** READABILITY scoring — the Flesch-Kincaid grade level, the classic
+    * length-complexity signal next to [[textQuality]]'s ratios (corpus
+    * curation uses it to bucket corpora by audience level and to cut
+    * degenerate keyword-stuffing pages that score off-scale).
+    *
+    * Determinism: the whole grade is ONE integer division of exact
+    * BIGINTs. FK·100 = 39·w/s + 1180·syl/w − 1559 over the common
+    * denominator s·w gives `(39·w² + 1180·syl·s) div (s·w) − 1559` —
+    * numerator and denominator are positive, so Spark's
+    * truncate-toward-zero `div` ≡ DuckDB's floor `//`. Syllables are
+    * the vowel-GROUP count (runs of [aeiouy] in the lowercased text,
+    * the standard heuristic) floored at one per word; words/sentences
+    * floor at 1 so empty or unpunctuated docs stay defined.
+    *
+    * Shape at 100 TB: pure narrow per-row work — three regex passes and
+    * integer arithmetic inside one WholeStageCodegen span, no shuffle
+    * until the presentation sort. */
+  private val textReadability = QueryDef(
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("n_words", greatest(lit(1L),
+        expr("size(filter(split(text, ' '), t -> length(t) > 0))").cast("long")))
+      .withColumn("n_sentences", greatest(lit(1L),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.!?]", ""))).cast("long")))
+      .withColumn("n_syllables", greatest(col("n_words"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long")))
+      .withColumn("fk_grade_c", expr(
+        "(39 * n_words * n_words + 1180 * n_syllables * n_sentences)" +
+          " div (n_sentences * n_words) - 1559"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fk_grade_c"),
+        (col("fk_grade_c").cast("double") / 100.0).as("fk_grade"))
+      .orderBy("doc_id"),
+    Some("""WITH m AS (
+      |  SELECT doc_id,
+      |    GREATEST(1, CAST(len(list_filter(string_split(text, ' '),
+      |      t -> len(t) > 0)) AS BIGINT)) AS n_words,
+      |    GREATEST(1, CAST(length(text) -
+      |      length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT)) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_words, n_sentences,
+      |    GREATEST(n_words, vg) AS n_syllables,
+      |    CAST((39 * n_words * n_words + 1180 * GREATEST(n_words, vg) * n_sentences)
+      |      // (n_sentences * n_words) - 1559 AS BIGINT) AS fk_grade_c
+      |  FROM m)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, fk_grade_c,
+      |  CAST(fk_grade_c AS DOUBLE) / 100.0 AS fk_grade
+      |FROM g ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "text_readability" -> textReadability,
     "text_entropy" -> textEntropy,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

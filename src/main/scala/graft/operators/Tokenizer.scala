@@ -187,7 +187,49 @@ object Tokenizer {
       |WHERE len(w) > 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** The UNIT VOCABULARY the trained tokenizer ships: every distinct
+    * subword unit of the final segmentation state, with its
+    * corpus-weighted occurrence count and a deterministic integer id
+    * (the id↔unit table an embedding layer is sized against — the
+    * artifact `tokenize_bpe_encode` counts under, made inspectable).
+    * Ids are dense ranks over `(occurrences DESC, unit)` — frequency
+    * order, the convention real tokenizers use so low ids are hot.
+    *
+    * Shape at 100 TB: the unit explode runs over the VOCABULARY (already
+    * corpus-reduced by training), so everything after `train` is
+    * vocabulary-sized — one map-side-combined rollup and a head sort. */
+  private lazy val tokenizeVocabUnits = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).repartition(64)
+      val (_, vocab) = train(s, docs)
+      val units = vocab
+        .select(col("wcnt"), explode(split(col("seg"), " ")).as("unit"))
+        .groupBy("unit")
+        .agg(count(lit(1)).as("n_words"), sum("wcnt").as("occurrences"))
+        .localCheckpoint() // release the training cache (the encode stance)
+      vocab.unpersist(blocking = false)
+      units
+        .withColumn("unit_id", row_number().over(
+          Window.orderBy(col("occurrences").desc, col("unit"))).cast("long"))
+        .select(col("unit_id"), col("unit"), col("n_words"), col("occurrences"))
+        .orderBy("unit_id")
+    },
+    Some(s"""WITH $trainSqlCtes,
+      |u AS (
+      |  SELECT unnest(string_split(seg, ' ')) AS unit, wcnt
+      |  FROM v${Merges + 1}),
+      |agg AS (
+      |  SELECT unit, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |         CAST(SUM(wcnt) AS BIGINT) AS occurrences
+      |  FROM u GROUP BY unit)
+      |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, unit) AS BIGINT)
+      |         AS unit_id,
+      |       unit, n_words, occurrences
+      |FROM agg ORDER BY unit_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "vocab_bpe_merges" -> vocabBpeMerges,
-    "tokenize_bpe_encode" -> tokenizeBpeEncode)
+    "tokenize_bpe_encode" -> tokenizeBpeEncode,
+    "tokenize_vocab_units" -> tokenizeVocabUnits)
 }
