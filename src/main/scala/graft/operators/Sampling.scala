@@ -451,6 +451,70 @@ object Sampling {
       .drop("qb", "intra", "o_qb", "off", "total", "r")
   }
 
+  /** PER-SOURCE quality quintiles — the source-conditional variant of
+    * [[withGlobalQuintile]]: quality scores are only comparable WITHIN a
+    * source (a clean-reference corpus and a web crawl occupy disjoint
+    * score ranges, so a global cut just drops the crawl wholesale);
+    * CCNet-style filtering buckets each source against itself. Same
+    * prefix-sum discipline, one level deeper: ranks are per-(source,
+    * slot) window work (parallel), offsets come from the
+    * #sources × ≤251-row histogram (the only per-source windows run
+    * over THAT, never the corpus), quintile = rank·5 div source-total.
+    * No giant source ever funnels through one reducer. */
+  private[operators] def withSourceQuintile(scored0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scored0.withColumn("qb", expr("cast(score_fp div 40 as int)"))
+    val intra = Window.partitionBy("source", "qb").orderBy("score_fp", "doc_id")
+    val ranked = scored.withColumn("intra",
+      row_number().over(intra).cast("long"))
+    val offs = scored.groupBy("source", "qb").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy("source").orderBy("qb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy("source").orderBy("qb").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source").as("o_src"), col("qb").as("o_qb"),
+        col("off"), col("total"))
+    ranked.join(broadcast(offs),
+        col("source") === col("o_src") && col("qb") === col("o_qb"))
+      .withColumn("r", col("off") + col("intra") - 1)
+      .withColumn("quintile", expr("cast((r * 5) div total as int)"))
+      .drop("qb", "intra", "o_src", "o_qb", "off", "total", "r")
+  }
+
+  private val mixQualityBySource = QueryDef(
+    (s, dir) => {
+      val scored = TextAnalysis.qualityRaw(
+          Tables.documents(s, dir).repartition(64))
+        .select(col("source"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          TextAnalysis.qualityScoreFp.as("score_fp"))
+      withSourceQuintile(scored)
+        .groupBy("source", "quintile")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+          min("score_fp").as("min_fp"), max("score_fp").as("max_fp"))
+        .orderBy("source", "quintile")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT source, doc_id, text, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    ${TextAnalysis.scoreFpSql} AS score_fp
+      |  FROM t),
+      |r AS (
+      |  SELECT source, n_tokens, score_fp,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY score_fp, doc_id) - 1 AS r,
+      |         COUNT(*) OVER (PARTITION BY source) AS total
+      |  FROM q)
+      |SELECT source, CAST((r * 5) // total AS INT) AS quintile,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  MIN(score_fp) AS min_fp, MAX(score_fp) AS max_fp
+      |FROM r GROUP BY 1, 2 ORDER BY source, quintile""".stripMargin))
+
   private val mixQualityBuckets = QueryDef(
     (s, dir) => {
       val scored = TextAnalysis.qualityRaw(
@@ -850,6 +914,7 @@ object Sampling {
     "mix_epochs_materialize" -> mixEpochsMaterialize,
     "chunk_documents" -> chunkDocuments,
     "mix_quality_buckets" -> mixQualityBuckets,
+    "mix_quality_by_source" -> mixQualityBySource,
     "shuffle_corpus" -> shuffleCorpus,
     "split_holdout" -> splitHoldout,
     "mix_temperature" -> mixTemperature,

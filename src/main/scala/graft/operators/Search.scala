@@ -640,8 +640,55 @@ object Search {
       |  CAST(rrf_fx AS DOUBLE) / 1048576.0 AS rrf
       |FROM u ORDER BY rrf_fx DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** LEXICAL + VECTOR hybrid retrieval — [[searchRrfFusion]]'s
+    * arithmetic fusing rankers from DIFFERENT modalities: the BM25
+    * keyword ranking and the ANN cosine ranking of query vector 0
+    * (`vec_id` ≡ `doc_id` in the corpus contract), which is exactly the
+    * BM25 + embedding-retrieval hybrid every RAG stack runs. RRF is the
+    * right combiner precisely here: a BM25 score and a cosine are
+    * incomparable numbers, their RANKS are not. Same integer
+    * reciprocals, same head-sized cost — at scale both inputs are index
+    * probes (the persisted text index and the IVF index). */
+  private lazy val searchHybridRrf = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val br = searchBm25.fn(s, dir).select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score_fx").desc, col("doc_id"))).as("bm25_rank"))
+      val ar = Similarity.all("ann_cosine_topk").fn(s, dir)
+        .filter(col("query_id") === 0)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("ann_rank"))
+      br.join(ar, Seq("doc_id"), "full_outer")
+        .na.fill(0, Seq("bm25_rank", "ann_rank"))
+        .withColumn("rrf_fx", expr(
+          """CASE WHEN bm25_rank = 0 THEN 0L ELSE 1048576 div (60 + bm25_rank) END +
+            |CASE WHEN ann_rank = 0 THEN 0L ELSE 1048576 div (60 + ann_rank) END""".stripMargin))
+        .orderBy(col("rrf_fx").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("bm25_rank"), col("ann_rank"), col("rrf_fx"),
+          (col("rrf_fx").cast("double") / 1048576.0).as("rrf"))
+    },
+    Some(s"""WITH bm AS MATERIALIZED (${searchBm25.oracle.get}),
+      |ann AS MATERIALIZED (${Similarity.all("ann_cosine_topk").oracle.get}),
+      |br AS (SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INT) AS r
+      |       FROM bm),
+      |ar AS (SELECT neighbor_id AS doc_id, rank AS r FROM ann WHERE query_id = 0),
+      |u AS (
+      |  SELECT COALESCE(br.doc_id, ar.doc_id) AS doc_id,
+      |         COALESCE(br.r, 0) AS bm25_rank,
+      |         COALESCE(ar.r, 0) AS ann_rank,
+      |         CAST(CASE WHEN br.r IS NULL THEN 0 ELSE 1048576 // (60 + br.r) END +
+      |              CASE WHEN ar.r IS NULL THEN 0 ELSE 1048576 // (60 + ar.r) END
+      |           AS BIGINT) AS rrf_fx
+      |  FROM br FULL OUTER JOIN ar ON br.doc_id = ar.doc_id)
+      |SELECT doc_id, bm25_rank, ann_rank, rrf_fx,
+      |  CAST(rrf_fx AS DOUBLE) / 1048576.0 AS rrf
+      |FROM u ORDER BY rrf_fx DESC, doc_id LIMIT 10""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "search_rrf_fusion" -> searchRrfFusion,
+    "search_hybrid_rrf" -> searchHybridRrf,
     "search_bm25" -> searchBm25,
     "search_bm25_indexed" -> searchBm25Indexed,
     "search_phrase" -> searchPhrase,

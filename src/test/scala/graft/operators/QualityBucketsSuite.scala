@@ -30,6 +30,30 @@ class QualityBucketsSuite extends SparkSuite {
     assert(got.toSeq === naive.toSeq)
   }
 
+  test("per-source prefix-sum quintiles equal the naive partitioned window form") {
+    val got = SparkEntry.queries("mix_quality_by_source")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    val naive = TextAnalysis.qualityRaw(Tables.documents(spark, sfDir))
+      .select(col("source"), col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreFp.as("score_fp"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("score_fp", "doc_id"))
+        .cast("long") - 1)
+      .withColumn("total", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("quintile", expr("cast((r * 5) div total as int)"))
+      .groupBy("source", "quintile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+        min("score_fp").as("min_fp"), max("score_fp").as("max_fp"))
+      .orderBy("source", "quintile").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    assert(got.toSeq === naive.toSeq)
+  }
+
   test("integer score_fp equals the exact rational half-up (driver-side third voice)") {
     // The pure-integer rewrite must compute floor(num/den + 1/2) of the
     // EXACT rational min(n,100)/100·(n−stops)/n·distinct/n — pinned here
