@@ -607,8 +607,11 @@ object Search {
       def ranked(df: DataFrame, rankCol: String): DataFrame =
         df.select(col("doc_id"), row_number().over(
           Window.orderBy(col("score_fx").desc, col("doc_id"))).as(rankCol))
-      val br = ranked(searchBm25.fn(s, dir), "bm25_rank")
-      val tr = ranked(searchTfidfCosine.fn(s, dir), "tfidf_rank")
+      // rank over the PERSISTED index probes — the serving path (the
+      // indexed queries face the inline oracles verbatim, so the fusion
+      // twin composed from those oracles still gates this exactly)
+      val br = ranked(searchBm25Indexed.fn(s, dir), "bm25_rank")
+      val tr = ranked(searchTfidfIndexed.fn(s, dir), "tfidf_rank")
       br.join(tr, Seq("doc_id"), "full_outer")
         .na.fill(0, Seq("bm25_rank", "tfidf_rank"))
         .withColumn("rrf_fx", expr(
@@ -652,7 +655,7 @@ object Search {
   private lazy val searchHybridRrf = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val br = searchBm25.fn(s, dir).select(col("doc_id"),
+      val br = searchBm25Indexed.fn(s, dir).select(col("doc_id"),
         row_number().over(
           Window.orderBy(col("score_fx").desc, col("doc_id"))).as("bm25_rank"))
       val ar = Similarity.all("ann_cosine_topk").fn(s, dir)
