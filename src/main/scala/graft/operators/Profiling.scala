@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.QueryDef
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -367,7 +367,65 @@ object Profiling {
       |SELECT shard, n_docs, tokens, shard_digest, corpus_root
       |FROM s, r ORDER BY shard""".stripMargin))
 
+  /** CORPUS DIFF — what changed between two dataset snapshots, by
+    * content: full-outer join of the two fingerprint projections keyed
+    * on doc_id, each row classified added / removed / modified /
+    * unchanged. The ops primitive behind "what did this crawl refresh
+    * actually change" and the audit step before re-running an expensive
+    * curation pass (skip unchanged). General form; the fixture query
+    * derives both snapshots from `documents` deterministically
+    * (prev = id%7≠0, curr = id%5≠0 with id%11=0 texts edited) so the
+    * oracle shares the derivation.
+    *
+    * Shape at 100 TB: both sides reduce to (doc_id, md5) projections
+    * before the join — fingerprint-sized, never the texts; the join is
+    * one co-partitioned shuffle on doc_id (bucketed snapshot storage
+    * makes it exchange-free, the IncrementalDedup catalog stance); the
+    * summary is a map-side-combined 4-row groupBy. */
+  def corpusDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), md5(col("text")).as("fp_prev"))
+    val c = curr.select(col("doc_id"), md5(col("text")).as("fp_curr"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_curr").isNull, lit("removed"))
+          .when(col("fp_prev") === col("fp_curr"), lit("unchanged"))
+          .otherwise(lit("modified")))
+  }
+
+  private val corpusDiffQuery = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+      val curr = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      corpusDiff(prev, curr)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .orderBy("status")
+    },
+    Some("""WITH prev AS (
+      |  SELECT doc_id, md5(text) AS fp_prev FROM documents WHERE doc_id % 7 <> 0),
+      |curr AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END)
+      |      AS fp_curr
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |d AS (
+      |  SELECT COALESCE(prev.doc_id, curr.doc_id) AS doc_id,
+      |    CASE WHEN fp_prev IS NULL THEN 'added'
+      |         WHEN fp_curr IS NULL THEN 'removed'
+      |         WHEN fp_prev = fp_curr THEN 'unchanged'
+      |         ELSE 'modified' END AS status
+      |  FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id)
+      |SELECT status, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM d GROUP BY status ORDER BY status""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "corpus_diff" -> corpusDiffQuery,
     "profile_manifest" -> profileManifest,
     "profile_schema" -> profileSchema,
     "profile_documents" -> profileDocuments,

@@ -628,6 +628,58 @@ object Sampling {
     * histogram, broadcast back. On a 1000-executor cluster the bucket
     * width is a knob (4 hex digits → 65536-way) — the shape stays one
     * narrow corpus pass + metadata. */
+  // ---- weighted sampling (deterministic Efraimidis-Spirakis) ----------
+
+  private[operators] val WeightedK = 50
+
+  /** TOKEN-WEIGHTED sampling without replacement — the A-ES reservoir
+    * scheme (Efraimidis & Spirakis 2006: draw u ∈ (0,1] per item, keep
+    * the top-k by u^(1/w), equivalently the SMALLEST −log(u)/w), made
+    * deterministic and integer the house way: u is the 16-bit value of
+    * a salted md5 nibble prefix (so the sample is reproducible — the
+    * `shuffle_corpus` salt stance), and −log₂(u)/w is the exact BIGINT
+    * `((16·2²⁰ − mlog2_fx(h)) · 2²⁰) div w` — Mitchell's monotone
+    * fixed-point log, no ln anywhere (the [[Search]] idf precedent).
+    * Weights are `n_tokens`: token-proportional document sampling, the
+    * draw a mixture executes when shares are expressed in tokens.
+    *
+    * Shape at 100 TB: one narrow corpus pass computes the key per row
+    * (hash + integer arithmetic, codegen'd), then TakeOrdered keeps k —
+    * no shuffle at all; weights sum nowhere (the scheme needs no
+    * normalizing pass, its defining advantage over inverse-CDF
+    * sampling). */
+  private val sampleWeighted = QueryDef(
+    (s, dir) => {
+      import graft.operators.{ImportanceSelection => IS}
+      Tables.documents(s, dir).repartition(64)
+        .select(col("doc_id"), col("source"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat('wsample:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) + 1"))
+        .withColumn("key_fx", expr(
+          s"((16 * ${IS.Scale} - (${IS.mlog2Spark("h")})) * ${IS.Scale})" +
+            " div greatest(n_tokens, 1L)"))
+        .orderBy(col("key_fx"), col("doc_id"))
+        .limit(WeightedK)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("key_fx"))
+    },
+    Some {
+      import graft.operators.{ImportanceSelection => IS}
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) + 1 AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ((16 * ${IS.Scale} - (${IS.mlog2Duck("h")})) * ${IS.Scale})
+        |      // GREATEST(n_tokens, 1) AS key_fx
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, CAST(key_fx AS BIGINT) AS key_fx
+        |FROM k ORDER BY key_fx, doc_id LIMIT $WeightedK""".stripMargin
+    })
+
   private val ShuffleSalt = "shuffle:"
 
   /** (doc_id, source, pos, total) in the seeded shuffle order — the
@@ -915,6 +967,7 @@ object Sampling {
     "chunk_documents" -> chunkDocuments,
     "mix_quality_buckets" -> mixQualityBuckets,
     "mix_quality_by_source" -> mixQualityBySource,
+    "sample_weighted" -> sampleWeighted,
     "shuffle_corpus" -> shuffleCorpus,
     "split_holdout" -> splitHoldout,
     "mix_temperature" -> mixTemperature,

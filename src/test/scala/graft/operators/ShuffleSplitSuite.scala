@@ -94,6 +94,40 @@ class ShuffleSplitSuite extends SparkSuite {
     }
   }
 
+  test("sample_weighted favors heavy documents and matches a pure-Scala replay") {
+    // engine-independent third voice: replay the integer A-ES key from
+    // the raw text (mlog2 re-derived in plain Scala) and take top-k
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val scale = 1048576L
+    def mlog2(x: Long): Long = {
+      val l = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = 1L << l
+      l * scale + (x - p) * scale / p
+    }
+    val keyed = docs.map { case (id, text) =>
+      val w = math.max(1L, text.split(" ", -1).length.toLong)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsample:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(4)
+      val h = java.lang.Long.parseLong(hex, 16) + 1
+      val key = (16 * scale - mlog2(h)) * scale / w
+      (id, w, key)
+    }
+    val expect = keyed.sortBy { case (id, _, k) => (k, id) }.take(50)
+      .map { case (id, w, k) => (id, w, k) }
+    val got = graft.SparkEntry.queries("sample_weighted")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect.toSeq)
+    // weighting is real: the sample's mean token count exceeds the
+    // corpus mean (token-proportional draws favor long docs)
+    val corpusMean = keyed.map(_._2).sum.toDouble / keyed.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("split_holdout fractions are near 90/5/5 and cover every document") {
     val split = SparkEntry.queries("split_holdout")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(2)))
