@@ -424,8 +424,105 @@ object Profiling {
       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM d GROUP BY status ORDER BY status""".stripMargin))
 
+  /** N-GRAM NOVELTY curve — per document (in doc_id ingest order), the
+    * fraction of its distinct 3-gram shingles seen in NO earlier
+    * document: the corpus-saturation signal (novelty decaying toward
+    * zero says new data is re-treading old ground — the diminishing-
+    * returns curve crawl scheduling watches). Shares [[Dedup]]'s
+    * shingle definition so "gram" means the same thing as in every
+    * dedup operator.
+    *
+    * Determinism: first-occurrence is `min(doc_id)` per gram (exact),
+    * the ratio is the integer fixed point `(n_novel·10⁴) div n_grams`.
+    *
+    * Shape at 100 TB: one gram explode → ONE map-side-combined
+    * `min(doc_id)` per gram (vocabulary-sized, the df-table shape);
+    * the join back is gram-keyed on the same exchange; per-doc rollup
+    * is map-side combined. Nothing is quadratic and nothing sorts
+    * globally. */
+  private val profileNgramNovelty = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(64)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= Dedup.ShingleN)
+        .withColumn("sh", Dedup.shinglesExpr)
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val firsts = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
+      ex.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_fp", expr("(n_novel * 10000) div n_grams"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |d AS (
+      |  SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM t
+      |  WHERE len(toks) >= ${Dedup.ShingleN}),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM d),
+      |f AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST((SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END) * 10000)
+      |    // COUNT(*) AS BIGINT) AS novelty_fp
+      |FROM ex JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** EQUI-DEPTH histogram (deciles) of a fact-table measure — the
+    * `mix_quality_buckets` distributed-prefix-sum machinery applied to
+    * RELATIONAL data (`lineitem.l_extendedprice`): the statistics
+    * object an optimizer or data-quality monitor keeps per column,
+    * computed with no global sort. Values move as EXACT INTEGER CENTS
+    * (the q22 discipline); slots are `cents div 65536` (≤161 for this
+    * domain), ranks are per-slot windows, offsets come from the
+    * metadata-sized histogram, decile = rank·10 div N ≡ the oracle's
+    * one-window row_number arithmetic. Tie order is total
+    * (cents, l_orderkey, l_linenumber). */
+  private val profileEquidepthPrice = QueryDef(
+    (s, dir) => {
+      val rows = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("slot", expr("cast(cents div 65536 as int)"))
+      val intra = Window.partitionBy("slot")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+      val ranked = rows.withColumn("intra", row_number().over(intra).cast("long"))
+      val offs = rows.groupBy("slot").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(
+          Window.orderBy("slot").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("slot").as("o_slot"), col("off"), col("total"))
+      ranked.join(broadcast(offs), col("slot") === col("o_slot"))
+        .withColumn("r", col("off") + col("intra") - 1)
+        .withColumn("decile", expr("cast((r * 10) div total as int)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_rows"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("decile")
+    },
+    Some("""WITH c AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT cents,
+      |         row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) - 1
+      |           AS r,
+      |         COUNT(*) OVER () AS total
+      |  FROM c)
+      |SELECT CAST((r * 10) // total AS INT) AS decile,
+      |       COUNT(*) AS n_rows, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |FROM r GROUP BY 1 ORDER BY decile""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "corpus_diff" -> corpusDiffQuery,
+    "profile_ngram_novelty" -> profileNgramNovelty,
+    "profile_equidepth_price" -> profileEquidepthPrice,
     "profile_manifest" -> profileManifest,
     "profile_schema" -> profileSchema,
     "profile_documents" -> profileDocuments,
