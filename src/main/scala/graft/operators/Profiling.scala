@@ -435,11 +435,13 @@ object Profiling {
     * Determinism: first-occurrence is `min(doc_id)` per gram (exact),
     * the ratio is the integer fixed point `(n_novel·10⁴) div n_grams`.
     *
-    * Shape at 100 TB: one gram explode → ONE map-side-combined
-    * `min(doc_id)` per gram (vocabulary-sized, the df-table shape);
-    * the join back is gram-keyed on the same exchange; per-doc rollup
-    * is map-side combined. Nothing is quadratic and nothing sorts
-    * globally. */
+    * Shape at 100 TB: one gram explode feeds TWO map-side-combined
+    * aggregates — `min(doc_id)` per gram (vocabulary-sized, the
+    * df-table shape) re-aggregated by its winning doc into per-doc
+    * novel counts, and the per-doc gram totals — joined DOC-sized:
+    * the exploded gram stream never joins back (the naive gram-keyed
+    * join-back the twin spells out would shuffle every occurrence
+    * twice). Nothing is quadratic and nothing sorts globally. */
   private val profileNgramNovelty = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
@@ -447,13 +449,13 @@ object Profiling {
         .filter(size(col("toks")) >= Dedup.ShingleN)
         .withColumn("sh", Dedup.shinglesExpr)
       val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val firsts = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
-      ex.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+      val novel = ex.groupBy("g").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      ex.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left_outer")
+        .na.fill(0L, Seq("n_novel"))
         .withColumn("novelty_fp", expr("(n_novel * 10000) div n_grams"))
+        .select("doc_id", "n_grams", "n_novel", "novelty_fp")
         .orderBy("doc_id")
     },
     Some(s"""WITH t AS (
