@@ -24,6 +24,51 @@ object ParityQueries {
       .withColumnRenamed("partition", "log_partition")
       .withColumnRenamed("offset", "log_offset")
 
+  // One V2-layout materialization of the event log per (process, dir) —
+  // the ensureTextIndex memo pattern; the fixture is what a deployment
+  // maintains as its log segments.
+  private val v2Logs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureV2Log(s: SparkSession, dir: String): String =
+    v2Logs.getOrElseUpdate(dir, {
+      val pid = ProcessHandle.current().pid()
+      val slug = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_v2log_${pid}_$slug"
+      graft.sources.GraftLog.materialize(ParquetEventLog(dir, 4).read(s), path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+      path
+    })
+
+  /** The NATIVE DataSource V2 connector face (S1/S2's assign+seek+poll
+    * as a [[graft.sources.GraftLogProvider]] MicroBatchStream/Batch):
+    * the synthesized event log materializes into the V2 segment layout
+    * once, the connector reads it back, and the per-partition progress
+    * rollup is gated against the SAME logCte twin the file-based faces
+    * use — so the V2 write→footer-stats→typed-read path is
+    * driver-checked end-to-end. */
+  private val logV2Scan = QueryDef(
+    (s, dir) => {
+      val path = ensureV2Log(s, dir)
+      s.read.format("graftlog").option("path", path).load()
+        .groupBy(col("partition").as("log_partition"))
+        .agg(count(lit(1)).as("n_records"),
+          min("offset").as("min_offset"), max("offset").as("max_offset"),
+          countDistinct("key").as("n_keys"))
+        .orderBy("log_partition")
+    },
+    Some(s"""$logCte
+      |SELECT log_partition, CAST(COUNT(*) AS BIGINT) AS n_records,
+      |  MIN(log_offset) AS min_offset, MAX(log_offset) AS max_offset,
+      |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+      |FROM log GROUP BY log_partition ORDER BY log_partition""".stripMargin))
+
   /** Reference KeyFilter sideline recipe (F4): tenant skip-list on the
     * firehose. */
   private val fhKeyfilter = QueryDef(
@@ -327,6 +372,7 @@ object ParityQueries {
 
   val all: Map[String, QueryDef] = Map(
     "fh_keyfilter" -> fhKeyfilter,
+    "log_v2_scan" -> logV2Scan,
     "fh_skiplist_anti" -> fhSkiplistAnti,
     "fh_regex" -> fhRegex,
     "fh_chain" -> fhChain,

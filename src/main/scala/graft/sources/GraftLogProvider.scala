@@ -1,0 +1,321 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * NATIVE DataSource V2 micro-batch connector for the partitioned
+ * offset log — the reference Consumer contract
+ * (kafka/Consumer.java:199-364 assign/seek/poll,
+ * `PartitionOffsetManager` positions) expressed at the level Spark
+ * actually models sources: a [[MicroBatchStream]] whose [[Offset]] IS
+ * the per-partition next-read position map (the reference's
+ * ConsumerState), whose `planInputPartitions(start, end)` is
+ * assign+seek (one InputPartition per log partition, offset-range
+ * bounded), and whose admission control
+ * ([[SupportsAdmissionControl.latestOffset(Offset, ReadLimit)]])
+ * implements `maxOffsetsPerTrigger` by splitting the row budget over
+ * partition backlogs proportionally — Kafka-source semantics, and the
+ * hook [[graft.engine.ThrottlePolicy]] shapes.
+ *
+ * Unlike [[FileLogSource]] (which delegates offset tracking to the
+ * file-stream source's file-level checkpoint), this connector OWNS its
+ * offsets: restart resumes from the committed per-partition positions,
+ * an out-of-range start follows `failOnDataLoss` (fail, or clamp and
+ * warn — kafka/Consumer.java:548-590's recovery), and `latestOffset`
+ * reads only parquet FOOTER statistics (metadata RPCs, the position-
+ * lookup analogue — never data).
+ *
+ * Layout: parquet files under `dir/partition=<p>/`, each carrying
+ * (offset, key, value) — the Kafka segment-directory shape;
+ * [[GraftLog.materialize]] writes it from any (partition, offset, key,
+ * value) frame. Offsets are dense per partition from 0 (the fixture
+ * log contract); `offset` = next position to read (exclusive end).
+ *
+ * Scale shape: planning is metadata-only (directory listing + footer
+ * stats per partition); each task reads its own partition directory's
+ * files bounded to [start, end) — row-group stats skip whole groups
+ * outside the range at larger segment sizes.
+ */
+object GraftLog {
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("key", StringType), StructField("value", StringType)))
+
+  /** Write a (partition, offset, key, value) frame into the V2 log
+    * layout (one directory per partition — the Kafka segment shape). */
+  def materialize(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.select("partition", "offset", "key", "value")
+      .write.mode("overwrite").partitionBy("partition").parquet(dir)
+
+  private[sources] def partitionDirs(dir: String, conf: Configuration): Map[Int, Path] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("partition=") =>
+        st.getPath.getName.stripPrefix("partition=").toInt -> st.getPath
+    }.toMap
+  }
+
+  private[sources] def partFiles(fs: FileSystem, d: Path): Seq[Path] =
+    fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+
+  /** Per-partition END position (max offset + 1) from parquet FOOTER
+    * statistics only — the metadata-cost position lookup. */
+  private[sources] def latestOffsets(dir: String, conf: Configuration): Map[Int, Long] =
+    partitionDirs(dir, conf).map { case (p, d) =>
+      val fs = d.getFileSystem(conf)
+      val maxOff = partFiles(fs, d).foldLeft(-1L) { (acc, f) =>
+        val footer = ParquetFileReader.readFooter(
+          HadoopInputFile.fromPath(f, conf), org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        val m = footer.getBlocks.asScala.foldLeft(acc) { (a, b) =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "offset") match {
+            case Some(c) if c.getStatistics != null && !c.getStatistics.isEmpty =>
+              math.max(a, c.getStatistics.genericGetMax
+                .asInstanceOf[java.lang.Number].longValue())
+            case _ => a
+          }
+        }
+        m
+      }
+      p -> (maxOff + 1)
+    }
+
+  // ---- offset JSON (sorted keys — byte-stable for the checkpoint) ----
+  private[sources] def offsetsToJson(m: Map[Int, Long]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+
+  private[sources] def offsetsFromJson(s: String): Map[Int, Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(s) match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k.toInt -> v.toLong
+        case (k, JLong(v)) => k.toInt -> v
+        case (k, v) => throw new IllegalArgumentException(s"bad offset $k=$v")
+      }.toMap
+      case other => throw new IllegalArgumentException(s"bad offset json: $other")
+    }
+  }
+}
+
+final case class GraftLogOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = GraftLog.offsetsToJson(offsets)
+}
+
+class GraftLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLog.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftLogTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftlog requires option(\"path\", ...)")))
+}
+
+final class GraftLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graftlog(`$path`)"
+  override def schema(): StructType = GraftLog.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftLogScan(path, options.asScala.toMap)
+    }
+}
+
+final class GraftLogScan(path: String, options: Map[String, String]) extends Scan {
+  override def readSchema(): StructType = GraftLog.Schema
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val conf = new Configuration()
+      val latest = GraftLog.latestOffsets(path, conf)
+      GraftLogScan.plan(path, conf,
+        latest.map { case (p, _) => p -> 0L }, latest)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftLogReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLogMicroBatchStream(path, options)
+}
+
+object GraftLogScan {
+  /** assign + seek: one InputPartition per log partition, bounded
+    * [start, end); partitions with no backlog plan nothing. */
+  private[sources] def plan(path: String, conf: Configuration,
+      start: Map[Int, Long], end: Map[Int, Long]): Array[InputPartition] = {
+    val dirs = GraftLog.partitionDirs(path, conf)
+    end.toSeq.sortBy(_._1).flatMap { case (p, until) =>
+      val from = start.getOrElse(p, 0L)
+      if (until <= from) None
+      else dirs.get(p).map { d =>
+        val fs = d.getFileSystem(conf)
+        GraftLogInputPartition(p, from, until,
+          GraftLog.partFiles(fs, d).map(_.toString).toArray)
+      }
+    }.toArray
+  }
+}
+
+final case class GraftLogInputPartition(
+    partition: Int, from: Long, until: Long, files: Array[String])
+  extends InputPartition
+
+final class GraftLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftLogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val conf = new Configuration()
+      private var fileIdx = 0
+      private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
+      private var row: InternalRow = _
+
+      private def nextReader(): Boolean = {
+        if (reader != null) { reader.close(); reader = null }
+        if (fileIdx >= gp.files.length) false
+        else {
+          @annotation.nowarn("cat=deprecation")
+          val r = ParquetReader
+            .builder(new GroupReadSupport(), new Path(gp.files(fileIdx)))
+            .withConf(conf).build()
+          reader = r
+          fileIdx += 1
+          true
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null && !nextReader()) return false
+          val g = reader.read()
+          if (g == null) { reader.close(); reader = null }
+          else {
+            val off = g.getLong("offset", 0)
+            if (off >= gp.from && off < gp.until) {
+              def str(f: String): UTF8String =
+                if (g.getFieldRepetitionCount(f) == 0) null
+                else UTF8String.fromString(g.getString(f, 0))
+              row = new GenericInternalRow(
+                Array[Any](gp.partition, off, str("key"), str("value")))
+              return true
+            }
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+}
+
+final class GraftLogMicroBatchStream(path: String, options: Map[String, String])
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val conf = new Configuration()
+  private val failOnDataLoss =
+    options.getOrElse("failondataloss", "true").toBoolean
+
+  /** Kafka-source convention: maxOffsetsPerTrigger becomes the default
+    * admission limit. */
+  override def getDefaultReadLimit: ReadLimit =
+    options.get("maxoffsetspertrigger")
+      .map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = {
+    val latest = GraftLog.latestOffsets(path, conf)
+    val start = options.get("startingoffsets") match {
+      case None | Some("earliest") => latest.map { case (p, _) => p -> 0L }
+      case Some("latest") => latest
+      case Some(json) =>
+        val want = GraftLog.offsetsFromJson(json)
+        // out-of-range recovery (kafka/Consumer.java:548-590): a seek
+        // past the log end either fails loudly or clamps to the end
+        want.map { case (p, o) =>
+          val lat = latest.getOrElse(p, 0L)
+          if (o > lat) {
+            if (failOnDataLoss)
+              throw new IllegalStateException(
+                s"startingOffsets $o out of range for partition $p (latest $lat)")
+            System.err.println(
+              s"[graftlog] partition $p start $o out of range; clamping to $lat")
+            p -> lat
+          } else p -> o
+        } ++ (latest.keySet -- want.keySet).map(p => p -> 0L)
+    }
+    GraftLogOffset(start)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftLogOffset].offsets
+    val latest = GraftLog.latestOffsets(path, conf)
+    limit match {
+      case _: ReadAllAvailable => GraftLogOffset(latest)
+      case r: ReadMaxRows =>
+        // split the row budget over partition backlogs PROPORTIONALLY
+        // (the Kafka-source rule), remainder to ascending partition ids
+        // — deterministic, and a starved partition always progresses
+        // when the budget allows
+        val backlog = latest.map { case (p, l) =>
+          p -> math.max(0L, l - from.getOrElse(p, 0L))
+        }
+        val total = backlog.values.sum
+        val cap = r.maxRows()
+        if (total <= cap) GraftLogOffset(latest)
+        else {
+          val base = backlog.map { case (p, b) => p -> (b * cap / total) }
+          var rem = cap - base.values.sum
+          val takes = backlog.keys.toSeq.sorted.map { p =>
+            val extra = if (rem > 0 && base(p) < backlog(p)) { rem -= 1; 1L } else 0L
+            p -> math.min(backlog(p), base(p) + extra)
+          }.toMap
+          GraftLogOffset(latest.map { case (p, _) =>
+            p -> (from.getOrElse(p, 0L) + takes.getOrElse(p, 0L))
+          })
+        }
+      case _ => GraftLogOffset(latest) // minRows/composite: take all
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftLogOffset(GraftLog.offsetsFromJson(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftLogScan.plan(path, conf,
+      start.asInstanceOf[GraftLogOffset].offsets,
+      end.asInstanceOf[GraftLogOffset].offsets)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory
+
+  override def commit(end: Offset): Unit = () // positions live in the checkpoint
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The native V2 micro-batch connector's contract: offsets ARE the
+  * per-partition position map (the reference ConsumerState), admission
+  * control splits a row budget over backlogs, restart resumes from the
+  * committed positions, and out-of-range starts follow failOnDataLoss
+  * (kafka/Consumer.java:548-590's recovery). */
+class GraftLogProviderSuite extends SparkSuite {
+
+  private def writeLog(n: Int, parts: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftlog").toString
+    GraftLog.materialize(
+      spark.range(0, n.toLong)
+        .selectExpr(s"cast(id % $parts as int) as partition",
+          s"id div $parts as offset",
+          "cast(id as string) as key", "concat('v', id) as value"),
+      dir)
+    dir
+  }
+
+  test("batch read through the V2 provider equals the raw parquet content") {
+    val dir = writeLog(200, 4)
+    val got = spark.read.format("graftlog").option("path", dir).load()
+      .orderBy("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val want = spark.read.parquet(dir)
+      .select(col("partition").cast("int"), col("offset"), col("key"), col("value"))
+      .orderBy("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 200)
+  }
+
+  test("latestOffset reads footer statistics only; offsets are dense per partition") {
+    val dir = writeLog(120, 3)
+    val latest = GraftLog.latestOffsets(dir, new org.apache.hadoop.conf.Configuration())
+    assert(latest === Map(0 -> 40L, 1 -> 40L, 2 -> 40L))
+  }
+
+  test("maxOffsetsPerTrigger splits the budget proportionally over backlogs") {
+    val dir = writeLog(400, 4)
+    val sink = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+    val q = spark.readStream.format("graftlog").option("path", dir)
+      .option("maxOffsetsPerTrigger", "100").load()
+      .writeStream.trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.add(id -> df.count()); ()
+      }.start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (sink.asInstanceOf[java.util.List[(Long, Long)]].size() < 4 &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val batches = sink.asScala.toSeq.sortBy(_._1).map(_._2).filter(_ > 0)
+    assert(batches.sum === 400, s"batches=$batches")
+    // every admission-bounded batch is exactly the 100-row budget
+    assert(batches.forall(_ <= 100), s"a batch exceeded the budget: $batches")
+    assert(batches.count(_ == 100) >= 3, s"expected 4 full batches: $batches")
+  }
+
+  test("restart resumes from the committed per-partition positions") {
+    val dir = writeLog(120, 4)
+    val cp = java.nio.file.Files.createTempDirectory("graftlog-cp").toString
+    val out = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    def run(expectTotal: Long): Unit = {
+      val q = spark.readStream.format("graftlog").option("path", dir)
+        .option("maxOffsetsPerTrigger", "40").load()
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => out.add(r.getLong(1) * 10 + r.getInt(0))); ()
+        }.start()
+      q.awaitTermination(60000)
+      ()
+    }
+    run(120)
+    import scala.jdk.CollectionConverters._
+    val afterFirst = out.asScala.size
+    assert(afterFirst === 120, s"first run delivered $afterFirst")
+    // grow the log, restart from the same checkpoint: ONLY the new rows
+    val extra = spark.range(1000, 1040)
+      .selectExpr("cast(id % 4 as int) as partition", "30 + (id - 1000) div 4 as offset",
+        "cast(id as string) as key", "concat('v', id) as value")
+    extra.write.mode("append").partitionBy("partition")
+      .parquet(dir)
+    run(160)
+    val total = out.asScala.size
+    assert(total === 160, s"restart re-delivered or dropped rows: $total")
+    // no duplicates: every (offset, partition) key is unique
+    assert(out.asScala.toSet.size === 160)
+  }
+
+  test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {
+    val dir = writeLog(40, 4) // 10 offsets per partition
+    val bad = """{"0":99,"1":0,"2":0,"3":0}"""
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graftlog").option("path", dir)
+        .option("startingOffsets", bad).load()
+        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(30000)
+    }
+    assert(err.getMessage.contains("out of range") ||
+      Option(err.getCause).exists(_.getMessage.contains("out of range")))
+
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val q2 = spark.readStream.format("graftlog").option("path", dir)
+      .option("startingOffsets", bad).option("failOnDataLoss", "false").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        n.addAndGet(df.count()); ()
+      }.start()
+    q2.awaitTermination(30000)
+    // partition 0 clamped to its end (contributes 0), the rest replay fully
+    assert(n.get() === 30, s"clamped run delivered ${n.get()}")
+  }
+}
