@@ -139,38 +139,123 @@ final class GraftLogTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftLogScan(path, options.asScala.toMap)
-    }
+    new GraftLogScanBuilder(path, options.asScala.toMap)
 }
 
-final class GraftLogScan(path: String, options: Map[String, String]) extends Scan {
-  override def readSchema(): StructType = GraftLog.Schema
+/** Pushdown surface of the connector: COLUMN PRUNING (the reader emits
+  * only requested fields — a 2-column projection never decodes payload
+  * strings) and FILTER PUSHDOWN on the log coordinates — `partition`
+  * equality/membership prunes whole partition directories at PLANNING
+  * time, `offset` comparisons narrow each task's [from, until) range.
+  * Both are applied EXACTLY, so they are claimed as pushed (Spark drops
+  * its post-scan copy); anything else stays residual. */
+final class GraftLogScanBuilder(path: String, options: Map[String, String])
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
+
+  private var required: StructType = GraftLog.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the connector's column order; empty projection (count(*))
+    // keeps offset so the reader still has a row to count
+    required =
+      if (requiredSchema.isEmpty) StructType(GraftLog.Schema.filter(_.name == "offset"))
+      else StructType(GraftLog.Schema.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("partition", _: Int) => true
+      case In("partition", vs) => vs.forall(_.isInstanceOf[Int])
+      case GreaterThan("offset", _: Long) | GreaterThanOrEqual("offset", _: Long) => true
+      case LessThan("offset", _: Long) | LessThanOrEqual("offset", _: Long) => true
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** (partition predicate, offset-range narrowing) from the pushed set. */
+  private[sources] def bounds: GraftLogBounds = {
+    import org.apache.spark.sql.sources._
+    var parts: Option[Set[Int]] = None
+    var minFrom = 0L
+    var maxUntil = Long.MaxValue
+    pushed.foreach {
+      case EqualTo("partition", v: Int) =>
+        parts = Some(parts.getOrElse(Set(v)).intersect(Set(v)))
+      case In("partition", vs) =>
+        val s = vs.collect { case i: Int => i }.toSet
+        parts = Some(parts.fold(s)(_.intersect(s)))
+      case GreaterThan("offset", v: Long) => minFrom = math.max(minFrom, v + 1)
+      case GreaterThanOrEqual("offset", v: Long) => minFrom = math.max(minFrom, v)
+      case LessThan("offset", v: Long) => maxUntil = math.min(maxUntil, v)
+      case LessThanOrEqual("offset", v: Long) => maxUntil = math.min(maxUntil, v + 1)
+      case _ => ()
+    }
+    GraftLogBounds(parts, minFrom, maxUntil)
+  }
+
+  override def build(): Scan =
+    new GraftLogScan(path, options, required, bounds, pushed.map(_.toString))
+}
+
+/** Planning-time narrowing from pushed filters: partition membership +
+  * a [minFrom, maxUntil) offset window applied to every partition. */
+final case class GraftLogBounds(
+    partitions: Option[Set[Int]], minFrom: Long, maxUntil: Long) {
+  def keeps(p: Int): Boolean = partitions.forall(_.contains(p))
+  def narrow(from: Long, until: Long): (Long, Long) =
+    (math.max(from, minFrom), math.min(until, maxUntil))
+}
+
+object GraftLogBounds {
+  val All: GraftLogBounds = GraftLogBounds(None, 0L, Long.MaxValue)
+}
+
+final class GraftLogScan(path: String, options: Map[String, String],
+    required: StructType = GraftLog.Schema,
+    bounds: GraftLogBounds = GraftLogBounds.All,
+    pushedDesc: Array[String] = Array.empty) extends Scan {
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftlog(`$path`) PushedFilters: [${pushedDesc.mkString(", ")}], " +
+      s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val conf = new Configuration()
       val latest = GraftLog.latestOffsets(path, conf)
       GraftLogScan.plan(path, conf,
-        latest.map { case (p, _) => p -> 0L }, latest)
+        latest.map { case (p, _) => p -> 0L }, latest, bounds)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftLogReaderFactory
+      new GraftLogReaderFactory(required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, options)
+    new GraftLogMicroBatchStream(path, options, required)
 }
 
 object GraftLogScan {
   /** assign + seek: one InputPartition per log partition, bounded
-    * [start, end); partitions with no backlog plan nothing. */
+    * [start, end) then narrowed by any pushed bounds; partitions with
+    * no backlog (or pruned by a pushed partition predicate) plan
+    * nothing. */
   private[sources] def plan(path: String, conf: Configuration,
-      start: Map[Int, Long], end: Map[Int, Long]): Array[InputPartition] = {
+      start: Map[Int, Long], end: Map[Int, Long],
+      bounds: GraftLogBounds = GraftLogBounds.All): Array[InputPartition] = {
     val dirs = GraftLog.partitionDirs(path, conf)
-    end.toSeq.sortBy(_._1).flatMap { case (p, until) =>
-      val from = start.getOrElse(p, 0L)
-      if (until <= from) None
+    end.toSeq.sortBy(_._1).flatMap { case (p, until0) =>
+      val (from, until) = bounds.narrow(start.getOrElse(p, 0L), until0)
+      if (until <= from || !bounds.keeps(p)) None
       else dirs.get(p).map { d =>
         val fs = d.getFileSystem(conf)
         GraftLogInputPartition(p, from, until,
@@ -184,9 +269,11 @@ final case class GraftLogInputPartition(
     partition: Int, from: Long, until: Long, files: Array[String])
   extends InputPartition
 
-final class GraftLogReaderFactory extends PartitionReaderFactory {
+final class GraftLogReaderFactory(required: StructType = GraftLog.Schema)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftLogInputPartition]
+    val fields = required.fieldNames
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
       private var fileIdx = 0
@@ -218,8 +305,13 @@ final class GraftLogReaderFactory extends PartitionReaderFactory {
               def str(f: String): UTF8String =
                 if (g.getFieldRepetitionCount(f) == 0) null
                 else UTF8String.fromString(g.getString(f, 0))
-              row = new GenericInternalRow(
-                Array[Any](gp.partition, off, str("key"), str("value")))
+              // COLUMN PRUNING: only the pruned schema's fields are
+              // decoded/emitted, in its order
+              row = new GenericInternalRow(fields.map[Any] {
+                case "partition" => gp.partition
+                case "offset" => off
+                case f => str(f)
+              })
               return true
             }
           }
@@ -232,7 +324,8 @@ final class GraftLogReaderFactory extends PartitionReaderFactory {
   }
 }
 
-final class GraftLogMicroBatchStream(path: String, options: Map[String, String])
+final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
+    required: StructType = GraftLog.Schema)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private val conf = new Configuration()
@@ -314,7 +407,7 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String])
       end.asInstanceOf[GraftLogOffset].offsets)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory
+    new GraftLogReaderFactory(required)
 
   override def commit(end: Offset): Unit = () // positions live in the checkpoint
   override def stop(): Unit = ()

@@ -35,6 +35,35 @@ class GraftLogProviderSuite extends SparkSuite {
     assert(got.length === 200)
   }
 
+  test("pushdown: partition predicates prune planning, offset range narrows tasks, columns prune") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = writeLog(200, 4) // 50 offsets per partition
+    val df = spark.read.format("graftlog").option("path", dir).load()
+      .filter(col("partition") === 2 && col("offset") < 5)
+      .select("key")
+    val got = df.collect().map(_.getString(0)).sorted
+    // parity vs the unpruned read
+    val want = spark.read.format("graftlog").option("path", dir).load()
+      .collect().filter(r => r.getInt(0) == 2 && r.getLong(1) < 5)
+      .map(_.getString(2)).sorted
+    assert(got.toSeq === want.toSeq && got.length === 5)
+    val scan = flattenPlan(df.queryExecution.executedPlan).collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec:\n" +
+      df.queryExecution.executedPlan.toString.take(2000)))
+    // partition pruning happened at PLANNING: one task, narrowed range
+    val parts = scan.inputPartitions.collect { case g: GraftLogInputPartition => g }
+    assert(parts.length === 1, s"planned ${parts.length} partitions")
+    assert(parts.head.partition === 2 && parts.head.until <= 5L,
+      s"task not narrowed: ${parts.head}")
+    // column pruning reached the reader schema
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("key"),
+      scan.scan.readSchema().treeString)
+    // the claimed-pushed filters appear in the scan description
+    assert(scan.scan.description().contains("partition"),
+      scan.scan.description())
+  }
+
   test("latestOffset reads footer statistics only; offsets are dense per partition") {
     val dir = writeLog(120, 3)
     val latest = GraftLog.latestOffsets(dir, new org.apache.hadoop.conf.Configuration())
