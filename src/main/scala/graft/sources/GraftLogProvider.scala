@@ -326,9 +326,21 @@ final class GraftLogReaderFactory(required: StructType = GraftLog.Schema)
 
 final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
     required: StructType = GraftLog.Schema)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val conf = new Configuration()
+
+  /** Trigger.AvailableNow contract: pin the end positions ONCE at query
+    * start; every batch then drains toward that fixed end under the
+    * same admission limits (without this, Spark falls back to a single
+    * unlimited batch and the rate shaping is silently ignored). */
+  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(GraftLog.latestOffsets(path, conf))
+
+  private def currentEnd(): Map[Int, Long] =
+    availableNowEnd.getOrElse(GraftLog.latestOffsets(path, conf))
   private val failOnDataLoss =
     options.getOrElse("failondataloss", "true").toBoolean
 
@@ -369,7 +381,7 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftLogOffset].offsets
-    val latest = GraftLog.latestOffsets(path, conf)
+    val latest = currentEnd()
     limit match {
       case _: ReadAllAvailable => GraftLogOffset(latest)
       case r: ReadMaxRows =>

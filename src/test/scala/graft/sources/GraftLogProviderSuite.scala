@@ -92,6 +92,36 @@ class GraftLogProviderSuite extends SparkSuite {
     assert(batches.count(_ == 100) >= 3, s"expected 4 full batches: $batches")
   }
 
+  test("ThrottlePolicy shapes the V2 source's admission via launchShaped") {
+    import graft.engine.{QueryCoordinator, ThrottlePolicy}
+    val dir = writeLog(400, 4)
+    val policy = ThrottlePolicy(
+      defaultRatePerTrigger = 1000,
+      throttledRatePerTrigger = 60,
+      throttledPattern = Some("sideline".r))
+    val coord = new QueryCoordinator(spark, maxConcurrentQueries = 1)
+    val batches = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    val q = coord.launchShaped("fh:sideline:replay", policy) { shaping =>
+      spark.readStream.format("graftlog").option("path", dir)
+        .option("maxOffsetsPerTrigger", shaping.ratePerTrigger.toString)
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(df.count()); ()
+        }.start()
+    }
+    q.awaitTermination(60000)
+    coord.close(5000)
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.map(_.toLong).filter(_ > 0)
+    assert(sizes.sum === 400)
+    // the REGEX-matched throttled rate (60), not the default (1000),
+    // reached the V2 source's admission control
+    assert(sizes.forall(_ <= 60), s"a batch exceeded the throttled rate: $sizes")
+    assert(sizes.length >= 7, s"expected >= 7 shaped batches: $sizes")
+  }
+
   test("restart resumes from the committed per-partition positions") {
     val dir = writeLog(120, 4)
     val cp = java.nio.file.Files.createTempDirectory("graftlog-cp").toString
