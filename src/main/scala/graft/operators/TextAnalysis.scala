@@ -512,7 +512,46 @@ object TextAnalysis {
       |  CAST(fk_grade_c AS DOUBLE) / 100.0 AS fk_grade
       |FROM g ORDER BY doc_id""".stripMargin))
 
+  /** Demo blocklist — a deployment loads the real list (hundreds of
+    * terms) from config; the mechanics are term-count-independent. The
+    * fixture terms are chosen to actually HIT the synthetic corpus. */
+  private[operators] val Blocklist = Seq("slow", "leak", "crash")
+  private def blockSql = Blocklist.map(t => s"'$t'").mkString(", ")
+
+  /** BLOCKLIST filtering — the C4 "bad words" gate: token-aligned,
+    * case-insensitive membership against a term list (token-aligned on
+    * purpose: a substring match bans "class" for containing "ass" — the
+    * classic over-blocking failure). Reports per-doc hit count,
+    * distinct matched terms (sorted, joined — the audit trail a
+    * removal decision needs), and the keep verdict (zero hits).
+    *
+    * Shape at 100 TB: the list is a LITERAL in a codegen'd higher-order
+    * filter (hundreds of terms — expression-sized, the FilterSpec
+    * stance); pure narrow per-row work, no shuffle before the
+    * presentation sort. A list too large to inline flips to the
+    * [[graft.ops.SkipList]] broadcast anti-join shape. */
+  private val textBlocklist = QueryDef(
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("hits", expr(s"filter(toks, t -> t IN ($blockSql))"))
+      .select(col("doc_id"),
+        size(col("hits")).as("n_hits"),
+        array_join(sort_array(array_distinct(col("hits"))), " ")
+          .as("matched_terms"),
+        (size(col("hits")) === 0).as("keep"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      |  CAST(len(list_filter(string_split(lower(text), ' '),
+      |    t -> t IN ($blockSql))) AS INT) AS n_hits,
+      |  COALESCE(array_to_string(list_sort(list_distinct(
+      |    list_filter(string_split(lower(text), ' '),
+      |      t -> t IN ($blockSql)))), ' '), '') AS matched_terms,
+      |  len(list_filter(string_split(lower(text), ' '),
+      |    t -> t IN ($blockSql))) = 0 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "text_blocklist" -> textBlocklist,
     "text_readability" -> textReadability,
     "text_entropy" -> textEntropy,
     "text_tokens" -> textTokens,
