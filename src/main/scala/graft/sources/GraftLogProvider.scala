@@ -123,6 +123,40 @@ final case class GraftLogOffset(offsets: Map[Int, Long]) extends Offset {
   override def json(): String = GraftLog.offsetsToJson(offsets)
 }
 
+/** [[graft.sources.LogSource]] face over the V2 connector — what plugs
+  * the native source into the engine surfaces that consume LogSources
+  * ([[graft.streaming.StreamingFirehose]], the sideline machinery):
+  * batch reads and `currentState` go through the connector's Batch
+  * path (footer-stats positions), streaming through its
+  * MicroBatchStream with its own offset checkpointing + admission
+  * control. `rate` maps [[graft.engine.ThrottlePolicy]]'s
+  * per-trigger budget onto `maxOffsetsPerTrigger`. */
+final case class GraftLogSource(
+    dir: String,
+    namespace: String = "graftlog",
+    rate: Option[Long] = None) extends LogSource {
+
+  def read(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    spark.read.format("graftlog").option("path", dir).load()
+      .withColumn("namespace",
+        org.apache.spark.sql.functions.lit(namespace))
+
+  def readStreamFrom(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val r = spark.readStream.format("graftlog").option("path", dir)
+    rate.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString)).load()
+      .withColumn("namespace",
+        org.apache.spark.sql.functions.lit(namespace))
+  }
+
+  /** Positions from footer statistics — never a data scan (overrides
+    * the trait's read-and-aggregate default). */
+  override def currentState(spark: org.apache.spark.sql.SparkSession): graft.model.ConsumerState =
+    graft.model.ConsumerState(
+      GraftLog.latestOffsets(dir, new Configuration()).map { case (p, next) =>
+        graft.model.ConsumerPartition(namespace, p) -> (next - 1)
+      })
+}
+
 class GraftLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

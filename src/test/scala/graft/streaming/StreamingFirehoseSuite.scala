@@ -7,6 +7,7 @@ import graft.model.ConsumerState
 import graft.sideline.SidelineRequest
 import graft.sources.LogSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import scala.collection.mutable
@@ -20,6 +21,42 @@ class StreamingFirehoseSuite extends SparkSuite {
     val namespace = "mem"
     def read(spark: SparkSession): DataFrame = df()
     override def currentState(spark: SparkSession): ConsumerState = ConsumerState.empty
+  }
+
+  test("firehose runs on the native V2 log source: filter parity + committed watermark") {
+    import graft.sources.{GraftLog, GraftLogSource}
+    val dir = java.nio.file.Files.createTempDirectory("fh-v2log").toString
+    GraftLog.materialize(
+      spark.range(0, 120)
+        .selectExpr("cast(id % 4 as int) as partition", "id div 4 as offset",
+          "cast(id % 10 as string) as key", "concat('v', id) as value"),
+      dir)
+    val src = GraftLogSource(dir, namespace = "v2", rate = Some(40L))
+    val engine = SidelineEngine.inMemory(src)
+    engine.start(SidelineRequest("s1", FilterSpec.KeyIn("key", Seq("3", "7"))), spark)
+
+    val main = mutable.ArrayBuffer.empty[(Int, Long, String)]
+    val handle = new StreamingFirehose.FirehoseHandle
+    val q = StreamingFirehose.run(
+      src.readStreamFrom(spark), engine,
+      mainSink = (df, _) => main.synchronized {
+        main ++= df.select("partition", "offset", "key").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      },
+      handle = Some(handle))
+    q.awaitTermination(60000)
+
+    // parity with the batch face over the same V2 read
+    val want = src.read(spark)
+      .filter(!col("key").isin("3", "7"))
+      .select("partition", "offset", "key").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sorted
+    assert(main.sorted === want.toSeq)
+    // the admission cap kept batches bounded, so >1 batch committed, and
+    // the final watermark is every partition's top offset
+    val st = handle.committedState.offsets
+    assert(st.keySet.map(_.partition) === Set(0, 1, 2, 3))
+    assert(st.values.toSet === Set(29L), st.toString)
   }
 
   test("chain mutations between micro-batches are honored; failed routing works") {
