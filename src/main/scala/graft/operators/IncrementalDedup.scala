@@ -68,6 +68,44 @@ object IncrementalDedup {
     }
   }
 
+  /** STREAMING variant of [[committedTable]]: a continuous stream-static
+    * plan resolves the static side ONCE, so a literal committed-epoch
+    * list would freeze at plan time and epochs appended mid-stream —
+    * the whole point of the ingest loop — would never be consulted
+    * (the catalog table itself re-lists partitions every micro-batch;
+    * verified empirically). The epoch predicate here is an
+    * EXECUTION-TIME marker check instead: evaluated per batch, it
+    * admits newly committed epochs and keeps torn ones invisible.
+    * `true` verdicts cache per JVM (markers are never deleted); `false`
+    * re-checks, because a torn epoch's NUMBER is reused by the retry.
+    * Cost: torn epochs' files are scanned-then-dropped rather than
+    * partition-pruned — they are rare and swept, and the bucketed join
+    * layout is untouched (a filter preserves the scan's partitioning). */
+  def committedTableStreaming(s: SparkSession, table: String): DataFrame = {
+    val t = s.table(table)
+    if (!t.columns.contains("epoch")) t
+    else {
+      val loc = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString
+      val isCommitted = org.apache.spark.sql.functions.udf(
+        (e: Long) => IncrementalDedup.epochMarkerExists(loc, e))
+      t.filter(isCommitted(col("epoch"))).drop("epoch")
+    }
+  }
+
+  private val markerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
+  private[operators] def epochMarkerExists(loc: String, epoch: Long): Boolean =
+    markerCache.contains((loc, epoch)) || {
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_epochs"), epoch.toString)
+      val found = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .exists(p)
+      if (found) markerCache.put((loc, epoch), ())
+      found
+    }
+
   /** Write `docs`' fingerprint catalog as a bucketed external table and
     * return its (session-scoped) table name. One writer task per call
     * (`repartition(1)`) so each bucket is a single file and the join can
@@ -110,7 +148,7 @@ object IncrementalDedup {
     * history. */
   def dedupStreamAgainstCatalog(stream: DataFrame, catalogTable: String): DataFrame =
     stream.withColumn("fingerprint", md5(col("text")))
-      .join(committedTable(stream.sparkSession, catalogTable),
+      .join(committedTableStreaming(stream.sparkSession, catalogTable),
         Seq("fingerprint"), "left_anti")
 
   /** [[dedupStreamAgainstCatalog]] with the SAME Bloom bytes the batch
@@ -125,7 +163,7 @@ object IncrementalDedup {
       stream: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame =
     bloomSplit(
       stream.withColumn("fingerprint", md5(col("text"))),
-      committedTable(stream.sparkSession, catalogTable), bloom)
+      committedTableStreaming(stream.sparkSession, catalogTable), bloom)
 
   // ---- Bloom-prefiltered variant --------------------------------------
 
@@ -304,6 +342,7 @@ object IncrementalDedup {
   private[operators] def appendCatalogData(
       admitted: DataFrame, path: String, table: String): Long = {
     val s = admitted.sparkSession
+    EpochCommit.requireEpochLayout(s, path)
     val epoch = EpochCommit.nextEpoch(s, path)
     admitted.select("fingerprint").distinct()
       .withColumn("epoch", lit(epoch))
@@ -319,9 +358,20 @@ object IncrementalDedup {
 
   /** Append an admitted batch's band signatures into the band catalog —
     * the fuzzy face's epoch tick ([[appendCatalog]]'s contract,
-    * including crash atomicity). Needs `doc_id` and `text`. */
+    * including crash atomicity — same data/commit split, same
+    * torn-epoch suite coverage). Needs `doc_id` and `text`. */
   def appendBandCatalog(admitted: DataFrame, path: String, table: String): Unit = {
+    val epoch = appendBandCatalogData(admitted, path, table)
+    EpochCommit.mark(admitted.sparkSession, path, epoch)
+  }
+
+  /** The data half of [[appendBandCatalog]] — everything UP TO the
+    * commit point (the [[appendCatalogData]] seam, so the crash suite
+    * can stop exactly where a real crash would). */
+  private[operators] def appendBandCatalogData(
+      admitted: DataFrame, path: String, table: String): Long = {
     val s = admitted.sparkSession
+    EpochCommit.requireEpochLayout(s, path)
     val epoch = EpochCommit.nextEpoch(s, path)
     Dedup.minhashBanded(admitted)
       .select("band", "doc_id")
@@ -333,7 +383,7 @@ object IncrementalDedup {
       .sortBy("band")
       .option("path", path)
       .saveAsTable(table)
-    EpochCommit.mark(s, path, epoch)
+    epoch
   }
 
   /** Streaming face of the fuzzy contract: each micro-batch runs the

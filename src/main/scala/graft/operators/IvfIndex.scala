@@ -104,6 +104,7 @@ object IvfIndex {
     val s = newBatch.sparkSession
     val cents = loadCentroids(s, path)
     val root = s"$path/assigned"
+    graft.ops.EpochCommit.requireEpochLayout(s, root)
     val epoch = graft.ops.EpochCommit.nextEpoch(s, root)
     Similarity.assignCells(withNorm(newBatch), cents)
       .withColumn("epoch", lit(epoch))
@@ -210,6 +211,7 @@ object IvfIndex {
       .withColumn("ncv", element_at(ncentsLit, col("cell").cast("int") + 1))
       .withColumn("rx", zip_with(col("nx"), col("ncv"), (x, y) => x - y))
     val root = s"$path/codes"
+    graft.ops.EpochCommit.requireEpochLayout(s, root)
     val epoch = graft.ops.EpochCommit.nextEpoch(s, root)
     Similarity.pqWithRecon(frame.withColumn("nx", col("rx")), books)
       .select(col("vec_id") +: col("cell") +:

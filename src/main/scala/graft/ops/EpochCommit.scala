@@ -76,8 +76,32 @@ object EpochCommit {
   /** Restrict an epoch-partitioned frame to COMMITTED epochs and drop
     * the protocol column — the only sanctioned read path. The predicate
     * is a partition filter: pruned from listing metadata, no data
-    * cost. */
+    * cost. A LEGACY layout (no epoch partition — persisted by a
+    * pre-protocol build) passes through untouched, mirroring
+    * `IncrementalDedup.committedTable`'s guard. */
   def filterCommitted(df: DataFrame, root: String): DataFrame =
-    df.filter(col("epoch").isin(committed(df.sparkSession, root): _*))
+    if (!df.columns.contains("epoch")) df
+    else df.filter(col("epoch").isin(committed(df.sparkSession, root): _*))
       .drop("epoch")
+
+  /** True iff `root` holds a LEGACY (pre-protocol) layout: partition
+    * directories exist but none of them is an `epoch=` level. Appending
+    * epoch partitions next to them would corrupt partition inference —
+    * appenders must fail loudly instead. */
+  def isLegacyLayout(s: SparkSession, root: String): Boolean = {
+    val rootPath = new Path(root)
+    val fs = hadoopFs(s, rootPath)
+    if (!fs.exists(rootPath)) return false
+    val dirs = fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+    dirs.nonEmpty && !dirs.exists(_.startsWith("epoch="))
+  }
+
+  /** Guard an append against a legacy layout (fail-loud beats silently
+    * mixing `epoch=` dirs into a flat partitioning). */
+  def requireEpochLayout(s: SparkSession, root: String): Unit =
+    require(!isLegacyLayout(s, root),
+      s"$root holds a pre-epoch (legacy) layout — rebuild it (or migrate by " +
+        "moving existing partitions under epoch=0 and marking epoch 0) " +
+        "before appending")
 }

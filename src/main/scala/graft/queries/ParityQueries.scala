@@ -27,10 +27,14 @@ object ParityQueries {
   // One V2-layout materialization of the event log per (process, dir) —
   // the ensureTextIndex memo pattern; the fixture is what a deployment
   // maintains as its log segments.
+  // LazyIdx wrapper (the ensureTextIndex pattern): TrieMap's by-name
+  // getOrElseUpdate evaluates racing builders EAGERLY in both threads —
+  // two concurrent first calls would double-materialize into one path
+  private final class LazyV2(b: () => String) { lazy val value: String = b() }
   private val v2Logs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, LazyV2]
   private def ensureV2Log(s: SparkSession, dir: String): String =
-    v2Logs.getOrElseUpdate(dir, {
+    v2Logs.getOrElseUpdate(dir, new LazyV2(() => {
       val pid = ProcessHandle.current().pid()
       val slug = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
@@ -44,7 +48,7 @@ object ParityQueries {
         rm(new java.io.File(path))
       }))
       path
-    })
+    })).value
 
   /** The NATIVE DataSource V2 connector face (S1/S2's assign+seek+poll
     * as a [[graft.sources.GraftLogProvider]] MicroBatchStream/Batch):

@@ -79,23 +79,59 @@ object GraftLog {
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
       .sortBy(_.getName)
 
+  /** The session's Hadoop configuration — spark.hadoop.* settings and
+    * filesystem credentials MUST reach every FS call (a bare
+    * `new Configuration()` only works on filesystems needing zero
+    * config); falls back to a bare one outside any session (tests of
+    * the pure helpers). */
+  private[sources] def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Serializable form for shipping the driver's Hadoop conf to
+    * executor-side readers. */
+  private[sources] def confToMap(conf: Configuration): Map[String, String] =
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+
+  private[sources] def confFromMap(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Per-file [min, max] offset envelope from parquet FOOTER statistics
+    * — the metadata that both positions ([[latestOffsets]]) and
+    * file-level PLANNING pruning read; never data pages. */
+  private[sources] def fileOffsetRanges(
+      d: Path, conf: Configuration): Seq[(String, Long, Long)] = {
+    val fs = d.getFileSystem(conf)
+    partFiles(fs, d).map { f =>
+      val footer = ParquetFileReader.readFooter(
+        HadoopInputFile.fromPath(f, conf),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val (mn, mx) = footer.getBlocks.asScala.foldLeft((Long.MaxValue, -1L)) {
+        case ((a0, a1), b) =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "offset") match {
+            case Some(c) if c.getStatistics != null && !c.getStatistics.isEmpty =>
+              (math.min(a0, c.getStatistics.genericGetMin
+                .asInstanceOf[java.lang.Number].longValue()),
+                math.max(a1, c.getStatistics.genericGetMax
+                  .asInstanceOf[java.lang.Number].longValue()))
+            case _ => (0L, Long.MaxValue - 1) // no stats: never prune this file
+          }
+      }
+      (f.toString, mn, mx)
+    }
+  }
+
   /** Per-partition END position (max offset + 1) from parquet FOOTER
     * statistics only — the metadata-cost position lookup. */
   private[sources] def latestOffsets(dir: String, conf: Configuration): Map[Int, Long] =
     partitionDirs(dir, conf).map { case (p, d) =>
-      val fs = d.getFileSystem(conf)
-      val maxOff = partFiles(fs, d).foldLeft(-1L) { (acc, f) =>
-        val footer = ParquetFileReader.readFooter(
-          HadoopInputFile.fromPath(f, conf), org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-        val m = footer.getBlocks.asScala.foldLeft(acc) { (a, b) =>
-          b.getColumns.asScala.find(_.getPath.toDotString == "offset") match {
-            case Some(c) if c.getStatistics != null && !c.getStatistics.isEmpty =>
-              math.max(a, c.getStatistics.genericGetMax
-                .asInstanceOf[java.lang.Number].longValue())
-            case _ => a
-          }
-        }
-        m
+      val maxOff = fileOffsetRanges(d, conf).foldLeft(-1L) {
+        case (acc, (_, _, mx)) =>
+          math.max(acc, if (mx == Long.MaxValue - 1) -1L else mx)
       }
       p -> (maxOff + 1)
     }
@@ -152,7 +188,7 @@ final case class GraftLogSource(
     * the trait's read-and-aggregate default). */
   override def currentState(spark: org.apache.spark.sql.SparkSession): graft.model.ConsumerState =
     graft.model.ConsumerState(
-      GraftLog.latestOffsets(dir, new Configuration()).map { case (p, next) =>
+      GraftLog.latestOffsets(dir, GraftLog.sessionConf()).map { case (p, next) =>
         graft.model.ConsumerPartition(namespace, p) -> (next - 1)
       })
 }
@@ -259,30 +295,37 @@ final class GraftLogScan(path: String, options: Map[String, String],
     pushedDesc: Array[String] = Array.empty) extends Scan {
   override def readSchema(): StructType = required
 
+  // the DRIVER-side session conf, captured at scan construction; ships
+  // to executors as a plain map (spark.hadoop.* / credentials included)
+  private val conf = GraftLog.sessionConf()
+  private val confMap = GraftLog.confToMap(conf)
+
   override def description(): String =
     s"graftlog(`$path`) PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val conf = new Configuration()
       val latest = GraftLog.latestOffsets(path, conf)
       GraftLogScan.plan(path, conf,
         latest.map { case (p, _) => p -> 0L }, latest, bounds)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftLogReaderFactory(required)
+      new GraftLogReaderFactory(required, confMap)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, options, required)
+    new GraftLogMicroBatchStream(path, options, required, bounds, confMap)
 }
 
 object GraftLogScan {
   /** assign + seek: one InputPartition per log partition, bounded
     * [start, end) then narrowed by any pushed bounds; partitions with
     * no backlog (or pruned by a pushed partition predicate) plan
-    * nothing. */
+    * nothing, and within a partition only the FILES whose footer
+    * [min, max] offset envelope overlaps the range ship to the task —
+    * without this, every micro-batch re-decodes the whole partition
+    * and draining a backlog is O(n²) in the log size. */
   private[sources] def plan(path: String, conf: Configuration,
       start: Map[Int, Long], end: Map[Int, Long],
       bounds: GraftLogBounds = GraftLogBounds.All): Array[InputPartition] = {
@@ -290,10 +333,11 @@ object GraftLogScan {
     end.toSeq.sortBy(_._1).flatMap { case (p, until0) =>
       val (from, until) = bounds.narrow(start.getOrElse(p, 0L), until0)
       if (until <= from || !bounds.keeps(p)) None
-      else dirs.get(p).map { d =>
-        val fs = d.getFileSystem(conf)
-        GraftLogInputPartition(p, from, until,
-          GraftLog.partFiles(fs, d).map(_.toString).toArray)
+      else dirs.get(p).flatMap { d =>
+        val files = GraftLog.fileOffsetRanges(d, conf)
+          .collect { case (f, mn, mx) if mx >= from && mn < until => f }
+        if (files.isEmpty) None
+        else Some(GraftLogInputPartition(p, from, until, files.toArray))
       }
     }.toArray
   }
@@ -303,13 +347,17 @@ final case class GraftLogInputPartition(
     partition: Int, from: Long, until: Long, files: Array[String])
   extends InputPartition
 
-final class GraftLogReaderFactory(required: StructType = GraftLog.Schema)
+final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
+    confMap: Map[String, String] = Map.empty)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftLogInputPartition]
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
-      private val conf = new Configuration()
+      // executor side: rebuild the DRIVER's Hadoop conf (credentials,
+      // fs impls) — a bare new Configuration() would drop it all
+      private val conf =
+        if (confMap.isEmpty) new Configuration() else GraftLog.confFromMap(confMap)
       private var fileIdx = 0
       private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
       private var row: InternalRow = _
@@ -359,11 +407,14 @@ final class GraftLogReaderFactory(required: StructType = GraftLog.Schema)
 }
 
 final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
-    required: StructType = GraftLog.Schema)
+    required: StructType = GraftLog.Schema,
+    bounds: GraftLogBounds = GraftLogBounds.All,
+    confMap: Map[String, String] = Map.empty)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private val conf = new Configuration()
+  private val conf =
+    if (confMap.isEmpty) GraftLog.sessionConf() else GraftLog.confFromMap(confMap)
 
   /** Trigger.AvailableNow contract: pin the end positions ONCE at query
     * start; every batch then drains toward that fixed end under the
@@ -448,12 +499,16 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
     GraftLogOffset(GraftLog.offsetsFromJson(json))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    // the Scan's pushed bounds apply here too — the claimed-exact
+    // pushdown contract must hold if Spark ever pushes into streaming
+    // relations (today it does not; offsets still advance for pruned
+    // partitions, whose rows the bounds exclude by construction)
     GraftLogScan.plan(path, conf,
       start.asInstanceOf[GraftLogOffset].offsets,
-      end.asInstanceOf[GraftLogOffset].offsets)
+      end.asInstanceOf[GraftLogOffset].offsets, bounds)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(required)
+    new GraftLogReaderFactory(required, confMap)
 
   override def commit(end: Offset): Unit = () // positions live in the checkpoint
   override def stop(): Unit = ()

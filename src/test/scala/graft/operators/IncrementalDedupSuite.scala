@@ -118,6 +118,88 @@ class IncrementalDedupSuite extends SparkSuite {
     }
   }
 
+  test("band-catalog append is crash-atomic: torn epoch invisible, retry clean") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fzcat_crash_$pid"
+    val table = "graft_fzcat_crash"
+    try {
+      val histText = ('a' to 't').map(c => s"tok$c").mkString(" ")
+      IncrementalDedup.writeBandCatalog(
+        Seq((100L, histText)).toDF("doc_id", "text"), path, table)
+      val newDoc = Seq((200L, (1 to 20).map(i => s"new$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      // CRASH POINT: band rows written, marker never lands — a fuzzy
+      // dedup against the catalog must behave as if the append never ran
+      val torn = IncrementalDedup.appendBandCatalogData(newDoc, path, table)
+      assert(new java.io.File(s"$path/epoch=$torn").exists())
+      val dupOfNew = Seq((300L, (1 to 20).map(i => s"new$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      assert(IncrementalDedup.dedupFuzzyAgainstCatalog(
+        dupOfNew, table, newDoc).count() === 1,
+        "a torn band epoch leaked into the fuzzy join")
+      // RETRY commits; the duplicate of the appended doc now collides
+      IncrementalDedup.appendBandCatalog(newDoc, path, table)
+      assert(IncrementalDedup.committedEpochs(spark, path) === Seq(0L, torn))
+      assert(IncrementalDedup.dedupFuzzyAgainstCatalog(
+        dupOfNew, table, newDoc).count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
+  test("a catalog epoch committed MID-STREAM is consulted by later micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_midstream_$pid"
+    val table = "graft_fpcat_midstream"
+    try {
+      IncrementalDedup.writeCatalog(
+        Seq((1L, "alpha text")).toDF("doc_id", "text"), path, table)
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ListBuffer.empty[Long]
+      val q = IncrementalDedup.dedupStreamAgainstCatalog(
+          input.toDS().toDF("doc_id", "text"), table)
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized { got ++= df.select("doc_id").as[Long].collect() }
+            ()
+        }.start()
+      try {
+        input.addData((10L, "alpha text"), (11L, "beta text"))
+        q.processAllAvailable()
+        assert(got.sorted.toSeq === Seq(11L), got.toString)
+        // the ingest loop's epoch tick: survivors append MID-STREAM —
+        // with a plan-time epoch literal this epoch would be invisible
+        // and doc 12 would be wrongly re-admitted forever
+        IncrementalDedup.appendCatalog(
+          Seq(("beta-fp-owner", md5Hex("beta text"))).toDF("who", "fingerprint"),
+          path, table)
+        input.addData((12L, "beta text"), (13L, "gamma text"))
+        q.processAllAvailable()
+        assert(got.sorted.toSeq === Seq(11L, 13L), got.toString)
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   test("streaming ingest anti-joins the same catalog per micro-batch") {
     val sparkS = spark
     import sparkS.implicits._
