@@ -417,7 +417,179 @@ object TpchExtraQueries {
       |  MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line
       |FROM lineitem""".stripMargin))
 
+  /** TPC-H Q2-shaped: minimum-cost supplier. The correlated scalar-MIN
+    * subquery decorrelates into ONE map-side-combined per-part minimum
+    * joined back to the (part, supplier) offers — never a per-row
+    * subquery; all dims (filtered part, supplier→nation→region chain)
+    * broadcast. No partsupp in the fixture: lineitem stands in as the
+    * offer table, offer cost = the pair's minimum line price in EXACT
+    * INTEGER CENTS (the q22 discipline — the min-equality join can
+    * never hinge on a double ULP). s_acctbal is raw parquet data, so
+    * ordering on it is engine-stable. */
+  private val q2 = QueryDef(
+    (s, dir) => {
+      val offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cost_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("cost_c").as("cost_c"))
+      val minCost = offers.groupBy("l_partkey")
+        .agg(min("cost_c").as("min_c"))
+      val eligible = Tables.part(s, dir)
+        .filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val suppliers = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      offers
+        .join(minCost, Seq("l_partkey"))
+        .filter(col("cost_c") === col("min_c"))
+        .join(broadcast(eligible), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost_c"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some("""WITH offers AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+      |  FROM lineitem GROUP BY 1, 2),
+      |mc AS (SELECT l_partkey, MIN(cost_c) AS min_c FROM offers GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, cost_c
+      |FROM offers
+      |JOIN mc USING (l_partkey)
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE cost_c = min_c AND p_type = 'STANDARD'
+      |  AND r_name = 'EUROPE'
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin))
+
+  /** TPC-H Q11-shaped: important stock identification. Per-part value
+    * from one nation's suppliers, kept where value exceeds a FRACTION of
+    * the total — the global threshold is a 1-row aggregate broadcast
+    * back (never a correlated subquery), and the fraction compare is
+    * pure integer (`1000·value_c > total_c` ⇔ value > 0.1%): exact
+    * cents end-to-end. No partsupp: value = the nation's lineitem
+    * revenue per part. */
+  private val q11 = QueryDef(
+    (s, dir) => {
+      val natSupp = Tables.supplier(s, dir)
+        .filter(col("s_nationkey") === 1)
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, dir)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+          .as("value_c"))
+      val total = vals.agg(sum("value_c").as("total_c"))
+      vals.crossJoin(broadcast(total))
+        .filter(expr("1000 * value_c > total_c"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_c").cast("long").as("value_c"))
+        .orderBy(col("value_c").desc, col("p_partkey"))
+    },
+    Some("""WITH v AS (
+      |  SELECT l_partkey AS p_partkey,
+      |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS value_c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey = 1
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c FROM v)
+      |SELECT p_partkey, value_c
+      |FROM v CROSS JOIN t
+      |WHERE 1000 * value_c > total_c
+      |ORDER BY value_c DESC, p_partkey""".stripMargin))
+
+  /** TPC-H Q12-shaped: shipping-priority analysis. One fact-fact join
+    * on orderkey, LATE lines only (shipdate > orderdate + 60d — the
+    * fixture has no commit/receipt dates), conditional CASE aggregation
+    * splitting urgent from routine priorities — the canonical
+    * two-counter rollup, grouped by l_returnflag in place of the absent
+    * l_shipmode. */
+  private val q12 = QueryDef(
+    (s, dir) => Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** TPC-H Q21-shaped: suppliers who kept orders waiting. The classic
+    * EXISTS + NOT EXISTS pair becomes a left_semi (another supplier
+    * contributed to the order) then a left_anti (no OTHER supplier was
+    * also late) — both hash joins on orderkey with the suppkey
+    * inequality riding the join condition, never per-row subqueries.
+    * "Late" = shipped >90 days after the order date (no receipt/commit
+    * dates in the fixture); finished orders only. */
+  private val q21 = QueryDef(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = li
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      late
+        .join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""WITH late AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "q2_min_cost_supplier" -> q2,
+    "q11_important_parts" -> q11,
+    "q12_priority_lateness" -> q12,
+    "q21_waiting_suppliers" -> q21,
     "agg_footer_stats" -> aggFooterStats,
     "q4_priority_late" -> q4,
     "q6_forecast_revenue" -> q6,
