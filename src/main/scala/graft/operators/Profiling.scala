@@ -444,10 +444,15 @@ object Profiling {
     * twice). Nothing is quadratic and nothing sorts globally. */
   private val profileNgramNovelty = QueryDef(
     (s, dir) => {
+      // TWO aggregates consume the gram stream — materialize the
+      // expensive per-doc shingle computation ONCE (the dedup_containment
+      // localCheckpoint precedent; doc-count rows of arrays)
       val docs = Tables.documents(s, dir).repartition(64)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= Dedup.ShingleN)
         .withColumn("sh", Dedup.shinglesExpr)
+        .select("doc_id", "sh")
+        .localCheckpoint()
       val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val novel = ex.groupBy("g").agg(min("doc_id").as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
