@@ -82,29 +82,26 @@ object IncrementalDedup {
     * partition-pruned — they are rare and swept, and the bucketed join
     * layout is untouched (a filter preserves the scan's partitioning). */
   def committedTableStreaming(s: SparkSession, table: String): DataFrame = {
-    val t = s.table(table)
+    // ignoreMissingFiles: a concurrent retry's sweep may delete a torn
+    // epoch's files between this batch's planning and its read — those
+    // rows were going to be dropped by the marker filter anyway, so a
+    // vanished torn file must not fail the stream
+    val t = s.read.option("ignoreMissingFiles", "true").table(table)
     if (!t.columns.contains("epoch")) t
     else {
       val loc = s.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .location.toString
+      // executor-side marker checks carry the DRIVER's Hadoop conf via
+      // broadcast (credentials/fs impls — the GraftLogProvider stance);
+      // the marker layout itself lives only in EpochCommit
+      val confBc = org.apache.spark.sql.graft.Shim.broadcastConf(
+        s.sparkContext, s.sessionState.newHadoopConf())
       val isCommitted = org.apache.spark.sql.functions.udf(
-        (e: Long) => IncrementalDedup.epochMarkerExists(loc, e))
+        (e: Long) => EpochCommit.markerExists(loc, e, confBc.value))
       t.filter(isCommitted(col("epoch"))).drop("epoch")
     }
   }
-
-  private val markerCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
-  private[operators] def epochMarkerExists(loc: String, epoch: Long): Boolean =
-    markerCache.contains((loc, epoch)) || {
-      val p = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(loc, "_epochs"), epoch.toString)
-      val found = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .exists(p)
-      if (found) markerCache.put((loc, epoch), ())
-      found
-    }
 
   /** Write `docs`' fingerprint catalog as a bucketed external table and
     * return its (session-scoped) table name. One writer task per call
@@ -161,9 +158,17 @@ object IncrementalDedup {
     * face — rebuild the stream's plan when the catalog epoch rolls). */
   def dedupStreamAgainstCatalogBloom(
       stream: DataFrame, catalogTable: String, bloom: Array[Byte]): DataFrame =
+    // PLAN-TIME committed view on purpose, matching the plan-time bloom:
+    // this face's whole horizon freezes when the plan is built (a bloom
+    // cannot un-say "definitely new" for an epoch committed later), and
+    // the scaladoc's contract is rebuild-the-plan-per-epoch. Mixing the
+    // per-batch streaming view with a frozen bloom would let bypassed
+    // duplicates through SILENTLY — frozen+frozen is coherent,
+    // fresh+frozen is not. The plain face above is the
+    // track-growth-mid-stream option.
     bloomSplit(
       stream.withColumn("fingerprint", md5(col("text"))),
-      committedTableStreaming(stream.sparkSession, catalogTable), bloom)
+      committedTable(stream.sparkSession, catalogTable), bloom)
 
   // ---- Bloom-prefiltered variant --------------------------------------
 

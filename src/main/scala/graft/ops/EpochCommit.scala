@@ -73,6 +73,25 @@ object EpochCommit {
     committed(s, root).lastOption.getOrElse(0L) + 1
   }
 
+  /** Does `epoch`'s commit marker exist? EXECUTOR-SAFE: takes an
+    * explicit Hadoop conf (ship the driver's via
+    * [[org.apache.spark.sql.graft.Shim.broadcastConf]]) — the marker
+    * namespace layout lives HERE, beside mark/committed/sweepTorn,
+    * never re-derived by callers. `true` verdicts cache per JVM
+    * (markers are never deleted); `false` re-checks, because a torn
+    * epoch's number is reused by the retry. */
+  def markerExists(root: String, epoch: Long,
+      conf: org.apache.hadoop.conf.Configuration): Boolean =
+    markerCache.contains((root, epoch)) || {
+      val p = new Path(epochsDir(root), epoch.toString)
+      val found = p.getFileSystem(conf).exists(p)
+      if (found) markerCache.put((root, epoch), ())
+      found
+    }
+
+  private val markerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
+
   /** Restrict an epoch-partitioned frame to COMMITTED epochs and drop
     * the protocol column — the only sanctioned read path. The predicate
     * is a partition filter: pruned from listing metadata, no data
@@ -84,17 +103,22 @@ object EpochCommit {
     else df.filter(col("epoch").isin(committed(df.sparkSession, root): _*))
       .drop("epoch")
 
-  /** True iff `root` holds a LEGACY (pre-protocol) layout: partition
-    * directories exist but none of them is an `epoch=` level. Appending
-    * epoch partitions next to them would corrupt partition inference —
-    * appenders must fail loudly instead. */
+  /** True iff `root` holds a LEGACY (pre-protocol) layout: data exists
+    * — partition directories OR flat data files (an unpartitioned
+    * pre-protocol write has bare part-*.parquet at root) — and none of
+    * it is under an `epoch=` level. Appending epoch partitions next to
+    * either would corrupt partition inference — appenders must fail
+    * loudly instead. */
   def isLegacyLayout(s: SparkSession, root: String): Boolean = {
     val rootPath = new Path(root)
     val fs = hadoopFs(s, rootPath)
     if (!fs.exists(rootPath)) return false
-    val dirs = fs.listStatus(rootPath).filter(_.isDirectory)
-      .map(_.getPath.getName).filterNot(_.startsWith("_"))
-    dirs.nonEmpty && !dirs.exists(_.startsWith("epoch="))
+    val entries = fs.listStatus(rootPath).toSeq
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val dirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    val flatData = entries.exists(!_.isDirectory)
+    (dirs.nonEmpty || flatData) && !dirs.exists(_.startsWith("epoch="))
   }
 
   /** Guard an append against a legacy layout (fail-loud beats silently

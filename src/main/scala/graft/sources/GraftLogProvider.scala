@@ -89,50 +89,60 @@ object GraftLog {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  /** Serializable form for shipping the driver's Hadoop conf to
-    * executor-side readers. */
-  private[sources] def confToMap(conf: Configuration): Map[String, String] =
-    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
-
-  private[sources] def confFromMap(m: Map[String, String]): Configuration = {
-    val c = new Configuration(false)
-    m.foreach { case (k, v) => c.set(k, v) }
-    c
+  /** A file's offset envelope from its parquet footer: the [min, max]
+    * over stats-bearing row groups, plus `complete` = every row group
+    * carried stats (only then may PLANNING prune the file — an
+    * incomplete envelope must never hide rows). */
+  private[sources] final case class FileEnvelope(
+      file: String, statsMin: Long, statsMax: Long, complete: Boolean) {
+    def overlaps(from: Long, until: Long): Boolean =
+      !complete || (statsMax >= from && statsMin < until)
   }
 
-  /** Per-file [min, max] offset envelope from parquet FOOTER statistics
-    * — the metadata that both positions ([[latestOffsets]]) and
-    * file-level PLANNING pruning read; never data pages. */
+  // log segments are immutable once written (append-only layout, fresh
+  // file names per append) — footer envelopes cache per JVM forever, so
+  // a short-trigger stream reads each footer ONCE, not twice per batch
+  private val envelopeCache =
+    scala.collection.concurrent.TrieMap.empty[String, FileEnvelope]
+
+  /** Per-file offset envelopes from parquet FOOTER statistics — the
+    * metadata that both positions ([[latestOffsets]]) and file-level
+    * PLANNING pruning read; never data pages. */
   private[sources] def fileOffsetRanges(
-      d: Path, conf: Configuration): Seq[(String, Long, Long)] = {
+      d: Path, conf: Configuration): Seq[FileEnvelope] = {
     val fs = d.getFileSystem(conf)
     partFiles(fs, d).map { f =>
-      val footer = ParquetFileReader.readFooter(
-        HadoopInputFile.fromPath(f, conf),
-        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-      val (mn, mx) = footer.getBlocks.asScala.foldLeft((Long.MaxValue, -1L)) {
-        case ((a0, a1), b) =>
-          b.getColumns.asScala.find(_.getPath.toDotString == "offset") match {
-            case Some(c) if c.getStatistics != null && !c.getStatistics.isEmpty =>
-              (math.min(a0, c.getStatistics.genericGetMin
-                .asInstanceOf[java.lang.Number].longValue()),
-                math.max(a1, c.getStatistics.genericGetMax
-                  .asInstanceOf[java.lang.Number].longValue()))
-            case _ => (0L, Long.MaxValue - 1) // no stats: never prune this file
-          }
-      }
-      (f.toString, mn, mx)
+      envelopeCache.getOrElseUpdate(f.toString, {
+        val footer = ParquetFileReader.readFooter(
+          HadoopInputFile.fromPath(f, conf),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        val z = (Long.MaxValue, -1L, true)
+        val (mn, mx, complete) = footer.getBlocks.asScala.foldLeft(z) {
+          case ((a0, a1, c0), b) =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "offset") match {
+              case Some(c) if c.getStatistics != null && !c.getStatistics.isEmpty =>
+                (math.min(a0, c.getStatistics.genericGetMin
+                  .asInstanceOf[java.lang.Number].longValue()),
+                  math.max(a1, c.getStatistics.genericGetMax
+                    .asInstanceOf[java.lang.Number].longValue()), c0)
+              case _ => (a0, a1, false) // a stats-less row group: envelope
+                // stays usable for positions, pruning is disabled
+            }
+        }
+        FileEnvelope(f.toString, mn, mx, complete)
+      })
     }
   }
 
   /** Per-partition END position (max offset + 1) from parquet FOOTER
-    * statistics only — the metadata-cost position lookup. */
+    * statistics only — the metadata-cost position lookup. A stats-less
+    * row group cannot advance the position (its rows become readable
+    * once any stats-bearing group covers their range); stats are always
+    * present for Spark-written segments. */
   private[sources] def latestOffsets(dir: String, conf: Configuration): Map[Int, Long] =
     partitionDirs(dir, conf).map { case (p, d) =>
-      val maxOff = fileOffsetRanges(d, conf).foldLeft(-1L) {
-        case (acc, (_, _, mx)) =>
-          math.max(acc, if (mx == Long.MaxValue - 1) -1L else mx)
-      }
+      val maxOff = fileOffsetRanges(d, conf)
+        .foldLeft(-1L)((acc, e) => math.max(acc, e.statsMax))
       p -> (maxOff + 1)
     }
 
@@ -298,7 +308,10 @@ final class GraftLogScan(path: String, options: Map[String, String],
   // the DRIVER-side session conf, captured at scan construction; ships
   // to executors as a plain map (spark.hadoop.* / credentials included)
   private val conf = GraftLog.sessionConf()
-  private val confMap = GraftLog.confToMap(conf)
+  // broadcast ONCE per query (Spark's own sources' shape) — never the
+  // whole conf inside every task's serialized closure
+  private val confBc = org.apache.spark.sql.graft.Shim.broadcastConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext, conf)
 
   override def description(): String =
     s"graftlog(`$path`) PushedFilters: [${pushedDesc.mkString(", ")}], " +
@@ -311,11 +324,11 @@ final class GraftLogScan(path: String, options: Map[String, String],
         latest.map { case (p, _) => p -> 0L }, latest, bounds)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftLogReaderFactory(required, confMap)
+      new GraftLogReaderFactory(required, confBc)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, options, required, bounds, confMap)
+    new GraftLogMicroBatchStream(path, options, required, bounds, confBc)
 }
 
 object GraftLogScan {
@@ -335,7 +348,7 @@ object GraftLogScan {
       if (until <= from || !bounds.keeps(p)) None
       else dirs.get(p).flatMap { d =>
         val files = GraftLog.fileOffsetRanges(d, conf)
-          .collect { case (f, mn, mx) if mx >= from && mn < until => f }
+          .collect { case e if e.overlaps(from, until) => e.file }
         if (files.isEmpty) None
         else Some(GraftLogInputPartition(p, from, until, files.toArray))
       }
@@ -348,16 +361,16 @@ final case class GraftLogInputPartition(
   extends InputPartition
 
 final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
-    confMap: Map[String, String] = Map.empty)
+    confBc: org.apache.spark.sql.graft.ConfBroadcast = null)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftLogInputPartition]
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
-      // executor side: rebuild the DRIVER's Hadoop conf (credentials,
-      // fs impls) — a bare new Configuration() would drop it all
+      // executor side: the DRIVER's Hadoop conf via broadcast
+      // (credentials, fs impls) — a bare new Configuration() drops it
       private val conf =
-        if (confMap.isEmpty) new Configuration() else GraftLog.confFromMap(confMap)
+        if (confBc == null) new Configuration() else confBc.value
       private var fileIdx = 0
       private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
       private var row: InternalRow = _
@@ -409,12 +422,12 @@ final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
 final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
     required: StructType = GraftLog.Schema,
     bounds: GraftLogBounds = GraftLogBounds.All,
-    confMap: Map[String, String] = Map.empty)
+    confBc: org.apache.spark.sql.graft.ConfBroadcast = null)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val conf =
-    if (confMap.isEmpty) GraftLog.sessionConf() else GraftLog.confFromMap(confMap)
+    if (confBc == null) GraftLog.sessionConf() else confBc.value
 
   /** Trigger.AvailableNow contract: pin the end positions ONCE at query
     * start; every batch then drains toward that fixed end under the
@@ -508,7 +521,7 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
       end.asInstanceOf[GraftLogOffset].offsets, bounds)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(required, confMap)
+    new GraftLogReaderFactory(required, confBc)
 
   override def commit(end: Offset): Unit = () // positions live in the checkpoint
   override def stop(): Unit = ()
