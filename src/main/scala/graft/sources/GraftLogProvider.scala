@@ -64,6 +64,46 @@ object GraftLog {
     df.select("partition", "offset", "key", "value")
       .write.mode("overwrite").partitionBy("partition").parquet(dir)
 
+  /** PRODUCE into the log — the reference's emit side (S6) over the
+    * native layout: each record of `df` (partition, key, value) gets
+    * the next dense offset of its partition (current end position from
+    * footer stats + intra-batch rank) and lands as a new segment file.
+    * Intra-batch order is (key, value) — producers needing a specific
+    * order pre-assign offsets and use [[materialize]]-style writes.
+    *
+    * Single producer per log (the marker-namespace stance). The frame
+    * is repartitioned BY partition before the write so each partition's
+    * batch is ONE task = ONE new segment file: the parquet committer
+    * then makes every partition's append all-or-nothing — a commit-
+    * phase tear can lose a whole partition's segment (dense offsets
+    * keep their no-gap prefix and the retry reassigns the same
+    * offsets), never a slice of one.
+    *
+    * Returns the new end position per partition. Consumers see the
+    * appended rows on their next `latestOffset` poll — the streaming
+    * suite's restart test drives exactly that. */
+  def append(df: org.apache.spark.sql.DataFrame, dir: String): Map[Int, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val conf = sessionConf()
+    val bases = latestOffsets(dir, conf)
+    import spark.implicits._
+    val baseDf = bases.toSeq.toDF("partition", "__base")
+    val w = Window.partitionBy("partition").orderBy("key", "value")
+    df.select(col("partition").cast("int").as("partition"),
+        col("key"), col("value"))
+      .join(broadcast(baseDf), Seq("partition"), "left_outer")
+      .withColumn("offset",
+        coalesce(col("__base"), lit(0L)) +
+          row_number().over(w).cast("long") - 1)
+      .drop("__base")
+      .repartition(col("partition"))
+      .select("partition", "offset", "key", "value")
+      .write.mode("append").partitionBy("partition").parquet(dir)
+    latestOffsets(dir, conf)
+  }
+
   private[sources] def partitionDirs(dir: String, conf: Configuration): Map[Int, Path] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)

@@ -154,6 +154,36 @@ class GraftLogProviderSuite extends SparkSuite {
     assert(out.asScala.toSet.size === 160)
   }
 
+  test("produce: append assigns dense next offsets per partition; consumers poll them") {
+    val dir = writeLog(40, 4) // 10 offsets per partition
+    val before = GraftLog.latestOffsets(dir, new org.apache.hadoop.conf.Configuration())
+    assert(before.values.toSet === Set(10L))
+    def segFiles(p: Int): Int = new java.io.File(s"$dir/partition=$p")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    val baseFiles0 = segFiles(0)
+    // produce 12 new records across 3 of the 4 partitions
+    val batch = spark.range(0, 12)
+      .selectExpr("cast(id % 3 as int) as partition",
+        "concat('k', id) as key", "concat('nv', id) as value")
+    val after = GraftLog.append(batch, dir)
+    assert(after === Map(0 -> 14L, 1 -> 14L, 2 -> 14L, 3 -> 10L), after.toString)
+    // offsets stay DENSE per partition and the new rows read back typed
+    val rows = spark.read.format("graftlog").option("path", dir).load()
+    val perPart = rows.groupBy("partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("mx"), min("offset").as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    perPart.foreach { case (p, n, mx, mn) =>
+      assert(mn === 0L && mx === n - 1, s"partition $p not dense: n=$n max=$mx")
+    }
+    val newOnes = rows.filter(col("value").startsWith("nv")).count()
+    assert(newOnes === 12)
+    // each appended partition's batch landed as ONE new segment file
+    // (the all-or-nothing unit the producer contract promises)
+    assert(segFiles(0) === baseFiles0 + 1,
+      s"partition 0 grew by ${segFiles(0) - baseFiles0} files, expected 1")
+  }
+
   test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {
     val dir = writeLog(40, 4) // 10 offsets per partition
     val bad = """{"0":99,"1":0,"2":0,"3":0}"""
