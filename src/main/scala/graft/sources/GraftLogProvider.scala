@@ -70,37 +70,63 @@ object GraftLog {
     * footer stats + intra-batch rank) and lands as a new segment file.
     * Intra-batch order is (key, value) — producers needing a specific
     * order pre-assign offsets and use [[materialize]]-style writes.
+    * Null or unparseable partition values fail the batch loudly (a
+    * silently-coerced null would write a `__HIVE_DEFAULT_PARTITION__`
+    * directory that poisons every later read of the log).
     *
     * Single producer per log (the marker-namespace stance). The frame
-    * is repartitioned BY partition before the write so each partition's
-    * batch is ONE task = ONE new segment file: the parquet committer
-    * then makes every partition's append all-or-nothing — a commit-
-    * phase tear can lose a whole partition's segment (dense offsets
-    * keep their no-gap prefix and the retry reassigns the same
-    * offsets), never a slice of one.
+    * is hash-partitioned BY partition BEFORE offsets are assigned (one
+    * exchange serves both the rank window and the write) so each
+    * partition's batch is ONE task = ONE new segment file
+    * (`maxRecordsPerFile` is pinned off for this write — a split
+    * segment would break the unit): the parquet committer then makes
+    * every partition's append all-or-nothing — a commit-phase tear can
+    * lose a whole partition's segment, never a slice of one.
+    *
+    * Retry discipline: losing a partition's segment keeps its offsets a
+    * dense prefix, but a MULTI-partition batch can tear with SOME
+    * partitions committed — a blind retry would duplicate those. Pass
+    * `expectedBases` (the positions captured before the first attempt)
+    * and the retry fails loudly on any partition that already
+    * committed, naming it so the producer can drop its rows — the
+    * optimistic-sequence check a transactional producer runs.
     *
     * Returns the new end position per partition. Consumers see the
-    * appended rows on their next `latestOffset` poll — the streaming
-    * suite's restart test drives exactly that. */
-  def append(df: org.apache.spark.sql.DataFrame, dir: String): Map[Int, Long] = {
+    * appended rows on their next `latestOffset` poll. */
+  def append(df: org.apache.spark.sql.DataFrame, dir: String,
+      expectedBases: Option[Map[Int, Long]] = None): Map[Int, Long] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
-    val conf = sessionConf()
+    val conf = spark.sessionState.newHadoopConf()
     val bases = latestOffsets(dir, conf)
+    expectedBases.foreach { want =>
+      val moved = want.filter { case (p, b) => bases.getOrElse(p, 0L) != b }
+      require(moved.isEmpty,
+        s"append precondition failed — partitions already advanced past the " +
+          s"expected bases (committed by a previous attempt?): " +
+          moved.map { case (p, b) => s"$p: expected $b, found ${bases.getOrElse(p, 0L)}" }
+            .mkString(", "))
+    }
     import spark.implicits._
     val baseDf = bases.toSeq.toDF("partition", "__base")
     val w = Window.partitionBy("partition").orderBy("key", "value")
-    df.select(col("partition").cast("int").as("partition"),
+    // the null check lives INSIDE the used column (coalesce evaluates
+    // lazily) — a dropped assert column would be pruned away unexecuted
+    df.select(coalesce(col("partition").cast("int"), expr(
+          "CAST(assert_true(false, 'null/unparseable partition in append batch') AS INT)"))
+          .as("partition"),
         col("key"), col("value"))
+      // ONE hash exchange on partition satisfies BOTH the window's
+      // required distribution and the one-file-per-partition write
+      .repartition(col("partition"))
       .join(broadcast(baseDf), Seq("partition"), "left_outer")
       .withColumn("offset",
         coalesce(col("__base"), lit(0L)) +
           row_number().over(w).cast("long") - 1)
-      .drop("__base")
-      .repartition(col("partition"))
       .select("partition", "offset", "key", "value")
-      .write.mode("append").partitionBy("partition").parquet(dir)
+      .write.mode("append").option("maxRecordsPerFile", 0L)
+      .partitionBy("partition").parquet(dir)
     latestOffsets(dir, conf)
   }
 

@@ -182,6 +182,23 @@ class GraftLogProviderSuite extends SparkSuite {
     // (the all-or-nothing unit the producer contract promises)
     assert(segFiles(0) === baseFiles0 + 1,
       s"partition 0 grew by ${segFiles(0) - baseFiles0} files, expected 1")
+
+    // retry discipline: the optimistic-sequence check fails loudly on a
+    // partition that already advanced past the captured base
+    val stale = before // captured BEFORE the append above
+    val err = intercept[IllegalArgumentException] {
+      GraftLog.append(batch, dir, expectedBases = Some(stale))
+    }
+    assert(err.getMessage.contains("already advanced"), err.getMessage)
+    // a null partition fails the batch instead of poisoning the layout
+    val bad = spark.sql(
+      "SELECT cast(null as int) AS partition, 'k' AS key, 'v' AS value")
+    val nullErr = intercept[Exception] { GraftLog.append(bad, dir) }
+    assert(nullErr.getMessage.contains("null/unparseable") ||
+      Option(nullErr.getCause).exists(_.getMessage.contains("null/unparseable")),
+      nullErr.toString)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("HIVE_DEFAULT")), "null partition leaked")
   }
 
   test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {
