@@ -2,9 +2,13 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -49,8 +53,12 @@ import scala.jdk.CollectionConverters._
  *
  * Scale shape: planning is metadata-only (directory listing + footer
  * stats per partition); each task reads its own partition directory's
- * files bounded to [start, end) — row-group stats skip whole groups
- * outside the range at larger segment sizes.
+ * files bounded to [start, end). The bounds are pushed into the
+ * parquet DECODE itself ([[GraftLogReaderFactory]]): the offset range
+ * rides a parquet record filter whose row-group statistics skip whole
+ * groups outside the range, and the requested projection prunes the
+ * read schema so unrequested payload columns are never decompressed —
+ * both asserted by decoded-bytes measurements in the suite.
  */
 object GraftLog {
   val Schema: StructType = StructType(Seq(
@@ -140,10 +148,16 @@ object GraftLog {
     }.toMap
   }
 
+  private[sources] def partFileStatuses(
+      fs: FileSystem, d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(d).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_")
+      }.sortBy(_.getPath.getName)
+
   private[sources] def partFiles(fs: FileSystem, d: Path): Seq[Path] =
-    fs.listStatus(d).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-      .sortBy(_.getName)
+    partFileStatuses(fs, d).map(_.getPath)
 
   /** The session's Hadoop configuration — spark.hadoop.* settings and
     * filesystem credentials MUST reach every FS call (a bare
@@ -166,10 +180,14 @@ object GraftLog {
   }
 
   // log segments are immutable once written (append-only layout, fresh
-  // file names per append) — footer envelopes cache per JVM forever, so
-  // a short-trigger stream reads each footer ONCE, not twice per batch
+  // file names per append) — footer envelopes cache per JVM so a
+  // short-trigger stream reads each footer ONCE, not twice per batch.
+  // BOUNDED (LRU) so a long-lived driver over a huge log stays flat,
+  // and keyed by (path, mtime, length) so a non-Spark writer that
+  // reuses a segment file name is re-read, never served a stale
+  // envelope that would corrupt positions and pruning.
   private val envelopeCache =
-    scala.collection.concurrent.TrieMap.empty[String, FileEnvelope]
+    new graft.ops.LruCache[(String, Long, Long), FileEnvelope](65536)
 
   /** Per-file offset envelopes from parquet FOOTER statistics — the
     * metadata that both positions ([[latestOffsets]]) and file-level
@@ -177,8 +195,10 @@ object GraftLog {
   private[sources] def fileOffsetRanges(
       d: Path, conf: Configuration): Seq[FileEnvelope] = {
     val fs = d.getFileSystem(conf)
-    partFiles(fs, d).map { f =>
-      envelopeCache.getOrElseUpdate(f.toString, {
+    partFileStatuses(fs, d).map { st =>
+      val f = st.getPath
+      envelopeCache.getOrElseUpdate(
+        (f.toString, st.getModificationTime, st.getLen)) {
         val footer = ParquetFileReader.readFooter(
           HadoopInputFile.fromPath(f, conf),
           org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
@@ -196,7 +216,7 @@ object GraftLog {
             }
         }
         FileEnvelope(f.toString, mn, mx, complete)
-      })
+      }
     }
   }
 
@@ -288,9 +308,10 @@ final class GraftLogTable(path: String) extends Table with SupportsRead {
     new GraftLogScanBuilder(path, options.asScala.toMap)
 }
 
-/** Pushdown surface of the connector: COLUMN PRUNING (the reader emits
-  * only requested fields — a 2-column projection never decodes payload
-  * strings) and FILTER PUSHDOWN on the log coordinates — `partition`
+/** Pushdown surface of the connector: COLUMN PRUNING (the projection
+  * reaches the parquet read schema — a 2-column projection never reads
+  * or decodes payload column chunks) and FILTER PUSHDOWN on the log
+  * coordinates — `partition`
   * equality/membership prunes whole partition directories at PLANNING
   * time, `offset` comparisons narrow each task's [from, until) range.
   * Both are applied EXACTLY, so they are claimed as pushed (Spark drops
@@ -387,7 +408,8 @@ final class GraftLogScan(path: String, options: Map[String, String],
     override def planInputPartitions(): Array[InputPartition] = {
       val latest = GraftLog.latestOffsets(path, conf)
       GraftLogScan.plan(path, conf,
-        latest.map { case (p, _) => p -> 0L }, latest, bounds)
+        latest.map { case (p, _) => p -> 0L }, latest, bounds,
+        options.get("minpartitions").map(_.toInt).getOrElse(1))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLogReaderFactory(required, confBc)
@@ -404,27 +426,142 @@ object GraftLogScan {
     * nothing, and within a partition only the FILES whose footer
     * [min, max] offset envelope overlaps the range ship to the task —
     * without this, every micro-batch re-decodes the whole partition
-    * and draining a backlog is O(n²) in the log size. */
+    * and draining a backlog is O(n²) in the log size.
+    *
+    * `minSplits` (the Kafka source's `minPartitions` option): when the
+    * planned task count is below it, partition ranges are SPLIT into
+    * offset sub-ranges proportionally to backlog — without this, read
+    * parallelism is capped at #log-partitions and one hot partition's
+    * drain runs on one core however large the cluster. Each sub-range
+    * re-prunes its file list against the footer envelopes, so the extra
+    * tasks read slices, not copies. */
   private[sources] def plan(path: String, conf: Configuration,
       start: Map[Int, Long], end: Map[Int, Long],
-      bounds: GraftLogBounds = GraftLogBounds.All): Array[InputPartition] = {
+      bounds: GraftLogBounds = GraftLogBounds.All,
+      minSplits: Int = 1): Array[InputPartition] = {
     val dirs = GraftLog.partitionDirs(path, conf)
-    end.toSeq.sortBy(_._1).flatMap { case (p, until0) =>
+    val base = end.toSeq.sortBy(_._1).flatMap { case (p, until0) =>
       val (from, until) = bounds.narrow(start.getOrElse(p, 0L), until0)
       if (until <= from || !bounds.keeps(p)) None
       else dirs.get(p).flatMap { d =>
-        val files = GraftLog.fileOffsetRanges(d, conf)
-          .collect { case e if e.overlaps(from, until) => e.file }
-        if (files.isEmpty) None
-        else Some(GraftLogInputPartition(p, from, until, files.toArray))
+        val envs = GraftLog.fileOffsetRanges(d, conf)
+          .filter(_.overlaps(from, until))
+        if (envs.isEmpty) None else Some((p, from, until, envs))
+      }
+    }
+    val splits = splitCounts(base.map(t => t._3 - t._2), minSplits)
+    base.zip(splits).flatMap { case ((p, from, until, envs), k) =>
+      if (k <= 1) Seq(GraftLogInputPartition(p, from, until,
+        envs.map(_.file).toArray))
+      else {
+        val n = until - from
+        (0 until k).flatMap { i =>
+          // near-even long-math boundaries: from + i*n/k
+          val f = from + i.toLong * n / k
+          val u = from + (i + 1).toLong * n / k
+          val files = envs.filter(_.overlaps(f, u)).map(_.file)
+          if (u <= f || files.isEmpty) None
+          else Some(GraftLogInputPartition(p, f, u, files.toArray))
+        }
       }
     }.toArray
+  }
+
+  /** Split allocation: proportional to backlog (floor, remainder to
+    * ascending partitions that can still split — deterministic), every
+    * planned partition gets >= 1, no partition splits finer than one
+    * offset per task. A hint, not a contract: tiny backlogs may cap the
+    * total below `minSplits`. */
+  private[sources] def splitCounts(backlogs: Seq[Long], minSplits: Int): Seq[Int] = {
+    val n = backlogs.length
+    if (n == 0 || minSplits <= n) Seq.fill(n)(1)
+    else {
+      val total = backlogs.sum.toDouble
+      if (total <= 0) Seq.fill(n)(1)
+      else {
+        val raw = backlogs.map(b => math.max(1, math.min(b,
+          math.floor(b * minSplits / total).toLong)).toInt)
+        var rem = minSplits - raw.sum
+        raw.zip(backlogs).map { case (k, b) =>
+          if (rem > 0 && k < b) { rem -= 1; k + 1 } else k
+        }
+      }
+    }
   }
 }
 
 final case class GraftLogInputPartition(
     partition: Int, from: Long, until: Long, files: Array[String])
   extends InputPartition
+
+/** [[GroupReadSupport]] that prunes the requested read schema BY NAME
+  * against each file's OWN schema — decode-level column pruning. Parquet
+  * then reads/decompresses/decodes ONLY the kept columns' pages; a
+  * 2-column projection never touches the payload column chunks. Pruning
+  * against the file schema (not a hand-built MessageType) keeps the
+  * repetition/type of every kept field exactly the file's, so schema
+  * compatibility holds for any writer. */
+final class ProjectedGroupReadSupport(keep: Array[String])
+    extends GroupReadSupport {
+  override def init(context: InitContext): ReadSupport.ReadContext = {
+    val file = context.getFileSchema
+    val kept = keep.filter(file.containsField)
+      .map(n => file.getType(file.getFieldIndex(n)))
+    new ReadSupport.ReadContext(new MessageType(file.getName, kept: _*))
+  }
+}
+
+/** [[org.apache.parquet.io.SeekableInputStream]] wrapper that counts
+  * bytes PHYSICALLY fetched from storage — the measurement behind the
+  * suite's decode-pruning assertions and the connector's `bytesFetched`
+  * task metric. (Hadoop's own `FileSystem.Statistics` misses the
+  * ByteBuffer/positioned read paths parquet uses on local files, so the
+  * connector counts at the stream it actually reads.) */
+private final class CountingStream(
+    d: org.apache.parquet.io.SeekableInputStream,
+    c: java.util.concurrent.atomic.LongAdder)
+  extends org.apache.parquet.io.DelegatingSeekableInputStream(d) {
+  override def getPos: Long = d.getPos
+  override def seek(p: Long): Unit = d.seek(p)
+  private def counted(n: Int): Int = { if (n > 0) c.add(n.toLong); n }
+  override def read(): Int = { val b = d.read(); if (b >= 0) c.add(1L); b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int =
+    counted(d.read(b, off, len))
+  override def read(buf: java.nio.ByteBuffer): Int = counted(d.read(buf))
+  override def readFully(b: Array[Byte]): Unit = {
+    d.readFully(b); c.add(b.length.toLong)
+  }
+  override def readFully(b: Array[Byte], off: Int, len: Int): Unit = {
+    d.readFully(b, off, len); c.add(len.toLong)
+  }
+  override def readFully(buf: java.nio.ByteBuffer): Unit = {
+    val n = buf.remaining(); d.readFully(buf); c.add(n.toLong)
+  }
+}
+
+private final class CountingInputFile(
+    d: org.apache.parquet.io.InputFile,
+    c: java.util.concurrent.atomic.LongAdder)
+  extends org.apache.parquet.io.InputFile {
+  override def getLength: Long = d.getLength
+  override def newStream(): org.apache.parquet.io.SeekableInputStream =
+    new CountingStream(d.newStream(), c)
+}
+
+object GraftLogReaderFactory {
+  /** Bytes the connector's readers physically fetched in this JVM —
+    * per-executor counter; the suite asserts pruned reads fetch less. */
+  val bytesFetched = new java.util.concurrent.atomic.LongAdder
+
+  /** The InputFile-based builder face (the Path face can't take a
+    * wrapped stream). */
+  private[sources] final class GroupBuilder(
+      in: org.apache.parquet.io.InputFile,
+      rs: ReadSupport[org.apache.parquet.example.data.Group])
+    extends ParquetReader.Builder[org.apache.parquet.example.data.Group](in) {
+    override def getReadSupport(): ReadSupport[org.apache.parquet.example.data.Group] = rs
+  }
+}
 
 final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
     confBc: org.apache.spark.sql.graft.ConfBroadcast = null)
@@ -437,6 +574,23 @@ final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
       // (credentials, fs impls) — a bare new Configuration() drops it
       private val conf =
         if (confBc == null) new Configuration() else confBc.value
+      // physical columns to DECODE: the requested fields minus the
+      // virtual `partition` (a directory, not a column), plus `offset`
+      // always — the range predicate needs it even when unprojected
+      private val physical: Array[String] = {
+        val want = fields.filter(_ != "partition")
+        if (want.contains("offset")) want else "offset" +: want
+      }
+      // the task's [from, until) pushed into parquet itself: row-group
+      // statistics (and column/offset indexes) SKIP whole groups outside
+      // the range — a tail-slice read of a multi-row-group segment costs
+      // its slice, not the segment — and record-level filtering drops
+      // the rest before assembly
+      private val rangeFilter = FilterCompat.get(FilterApi.and(
+        FilterApi.gtEq(FilterApi.longColumn("offset"),
+          java.lang.Long.valueOf(gp.from)),
+        FilterApi.lt(FilterApi.longColumn("offset"),
+          java.lang.Long.valueOf(gp.until))))
       private var fileIdx = 0
       private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
       private var row: InternalRow = _
@@ -445,11 +599,12 @@ final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
         if (reader != null) { reader.close(); reader = null }
         if (fileIdx >= gp.files.length) false
         else {
-          @annotation.nowarn("cat=deprecation")
-          val r = ParquetReader
-            .builder(new GroupReadSupport(), new Path(gp.files(fileIdx)))
-            .withConf(conf).build()
-          reader = r
+          val in = new CountingInputFile(
+            HadoopInputFile.fromPath(new Path(gp.files(fileIdx)), conf),
+            GraftLogReaderFactory.bytesFetched)
+          reader = new GraftLogReaderFactory.GroupBuilder(
+              in, new ProjectedGroupReadSupport(physical))
+            .withConf(conf).withFilter(rangeFilter).build()
           fileIdx += 1
           true
         }
@@ -462,12 +617,13 @@ final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
           if (g == null) { reader.close(); reader = null }
           else {
             val off = g.getLong("offset", 0)
+            // defense-in-depth re-check of the pushed range (a stats-less
+            // writer can defeat group-level skipping, never correctness)
             if (off >= gp.from && off < gp.until) {
               def str(f: String): UTF8String =
                 if (g.getFieldRepetitionCount(f) == 0) null
                 else UTF8String.fromString(g.getString(f, 0))
-              // COLUMN PRUNING: only the pruned schema's fields are
-              // decoded/emitted, in its order
+              // only the pruned schema's fields are emitted, in its order
               row = new GenericInternalRow(fields.map[Any] {
                 case "partition" => gp.partition
                 case "offset" => off
@@ -494,6 +650,8 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
 
   private val conf =
     if (confBc == null) GraftLog.sessionConf() else confBc.value
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Trigger.AvailableNow contract: pin the end positions ONCE at query
     * start; every batch then drains toward that fixed end under the
@@ -530,7 +688,7 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
             if (failOnDataLoss)
               throw new IllegalStateException(
                 s"startingOffsets $o out of range for partition $p (latest $lat)")
-            System.err.println(
+            log.warn(
               s"[graftlog] partition $p start $o out of range; clamping to $lat")
             p -> lat
           } else p -> o
@@ -584,7 +742,8 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
     // partitions, whose rows the bounds exclude by construction)
     GraftLogScan.plan(path, conf,
       start.asInstanceOf[GraftLogOffset].offsets,
-      end.asInstanceOf[GraftLogOffset].offsets, bounds)
+      end.asInstanceOf[GraftLogOffset].offsets, bounds,
+      options.get("minpartitions").map(_.toInt).getOrElse(1))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required, confBc)

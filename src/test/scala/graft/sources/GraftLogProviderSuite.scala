@@ -201,6 +201,70 @@ class GraftLogProviderSuite extends SparkSuite {
       .exists(_.getName.contains("HIVE_DEFAULT")), "null partition leaked")
   }
 
+  test("decode-level pruning: projection and offset range cut physically-read bytes") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graftlog-decode").toString
+    // ONE partition, ONE fat segment with MANY row groups: values are
+    // ~512 distinct chars each (dictionary can't collapse them), rows
+    // sorted by offset so row-group stats are tight disjoint ranges
+    spark.range(0, 20000).repartition(1).sortWithinPartitions("id")
+      .selectExpr("cast(0 as int) as partition", "id as offset",
+        "cast(id as string) as key",
+        "concat_ws('', array_repeat(sha2(cast(id as string), 512), 4)) as value")
+      .write.option("parquet.block.size", "65536")
+      .partitionBy("partition").mode("overwrite").parquet(dir)
+    val conf = new Configuration()
+    val pdir = new Path(dir, "partition=0")
+    val file = GraftLog.partFiles(pdir.getFileSystem(conf), pdir) match {
+      case Seq(one) => one
+      case more => fail(s"expected one segment file, got $more")
+    }
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    assert(footer.getBlocks.size() > 3,
+      s"fixture must be multi-row-group, got ${footer.getBlocks.size()} groups")
+
+    // physically-fetched bytes around a direct drain of the connector's
+    // OWN read path (the PartitionReader the tasks run); counted at the
+    // parquet input stream — Hadoop FS statistics miss the ByteBuffer/
+    // positioned reads parquet uses, so they can't see this
+    def drain(schema: StructType, from: Long, until: Long): (Long, Long) = {
+      val before = GraftLogReaderFactory.bytesFetched.sum()
+      val r = new GraftLogReaderFactory(schema, null)
+        .createReader(GraftLogInputPartition(0, from, until, Array(file.toString)))
+      var n = 0L
+      while (r.next()) { r.get(); n += 1 }
+      r.close()
+      (n, GraftLogReaderFactory.bytesFetched.sum() - before)
+    }
+    val keyOnly = StructType(GraftLog.Schema.filter(_.name == "key"))
+
+    val (fullRows, fullBytes) = drain(GraftLog.Schema, 0, 20000)
+    assert(fullRows === 20000)
+    // the counter sees real reads: a full drain fetches ~the whole file
+    val fileLen = new java.io.File(file.toUri.getPath).length()
+    assert(fullBytes * 2 > fileLen, s"counter undercounts: $fullBytes of $fileLen")
+    // COLUMN PRUNING is physical: a key-only projection never reads the
+    // fat value column chunks
+    val (keyRows, keyBytes) = drain(keyOnly, 0, 20000)
+    assert(keyRows === 20000)
+    assert(keyBytes * 5 < fullBytes,
+      s"projection did not cut decode: key-only $keyBytes vs full $fullBytes")
+    // ROW-GROUP SKIPPING is physical: a tail slice of the multi-group
+    // segment reads the slice's groups, not the segment
+    val (tailRows, tailBytes) = drain(GraftLog.Schema, 19900, 20000)
+    assert(tailRows === 100)
+    assert(tailBytes * 5 < fullBytes,
+      s"range filter did not skip row groups: tail $tailBytes vs full $fullBytes")
+    // and the pruned reads stay CORRECT end-to-end through the provider
+    val got = spark.read.format("graftlog").option("path", dir).load()
+      .filter(col("offset") >= 19900).select("key").collect().map(_.getString(0))
+    assert(got.map(_.toLong).sorted.toSeq === (19900L until 20000L))
+  }
+
   test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {
     val dir = writeLog(40, 4) // 10 offsets per partition
     val bad = """{"0":99,"1":0,"2":0,"3":0}"""
