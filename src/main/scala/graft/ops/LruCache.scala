@@ -10,6 +10,14 @@ package graft.ops
   * RPCs — serializing concurrent tasks on them would be worse than the
   * occasional duplicate read a race admits; entries are immutable so a
   * duplicate compute is only wasted work, never wrong).
+  *
+  * CONTRACT for thunks: non-null (a null result reads as a permanent
+  * miss and recomputes forever) and side-effect-free/idempotent over an
+  * IMMUTABLE fact. Do NOT cache lookups whose answer can legitimately
+  * change from false to true (e.g. commit-marker existence before the
+  * commit): a racing duplicate compute could pin the pre-commit answer.
+  * Those need per-key future memoization or a re-check-on-negative
+  * policy ([[graft.ops.EpochCommit.markerExists]]'s shape), not this.
   */
 final class LruCache[K, V <: AnyRef](maxEntries: Int) {
   private val m = new java.util.LinkedHashMap[K, V](64, 0.75f, true) {

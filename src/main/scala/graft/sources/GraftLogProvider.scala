@@ -409,7 +409,7 @@ final class GraftLogScan(path: String, options: Map[String, String],
       val latest = GraftLog.latestOffsets(path, conf)
       GraftLogScan.plan(path, conf,
         latest.map { case (p, _) => p -> 0L }, latest, bounds,
-        options.get("minpartitions").map(_.toInt).getOrElse(1))
+        GraftLogScan.minSplitsOption(options))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLogReaderFactory(required, confBc)
@@ -420,6 +420,22 @@ final class GraftLogScan(path: String, options: Map[String, String],
 }
 
 object GraftLogScan {
+  /** Validated `minPartitions` hint (Kafka-source option name, lower-
+    * cased by [[CaseInsensitiveStringMap]]): a non-numeric or
+    * non-positive value fails loudly AT PLANNING TIME — a silently
+    * ignored `minpartitions=0` would read as "no splitting" and mask a
+    * config typo forever (the Kafka connector rejects it the same way). */
+  private[sources] def minSplitsOption(options: Map[String, String]): Int =
+    options.get("minpartitions").map { s =>
+      val n = try s.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graftlog option minPartitions must be a positive integer, got '$s'")
+      }
+      if (n <= 0) throw new IllegalArgumentException(
+        s"graftlog option minPartitions must be a positive integer, got '$s'")
+      n
+    }.getOrElse(1)
+
   /** assign + seek: one InputPartition per log partition, bounded
     * [start, end) then narrowed by any pushed bounds; partitions with
     * no backlog (or pruned by a pushed partition predicate) plan
@@ -470,8 +486,12 @@ object GraftLogScan {
   /** Split allocation: proportional to backlog (floor, remainder to
     * ascending partitions that can still split — deterministic), every
     * planned partition gets >= 1, no partition splits finer than one
-    * offset per task. A hint, not a contract: tiny backlogs may cap the
-    * total below `minSplits`. */
+    * offset per task. The total NEVER exceeds `minSplits` (nor
+    * Σ backlog): tiny backlogs may cap it below the hint, and when the
+    * per-partition >=1 floors alone overshoot (many near-empty
+    * partitions beside one hot one), the excess is taken back from the
+    * LARGEST allocations so the hot partition gives up parallelism
+    * last. */
   private[sources] def splitCounts(backlogs: Seq[Long], minSplits: Int): Seq[Int] = {
     val n = backlogs.length
     if (n == 0 || minSplits <= n) Seq.fill(n)(1)
@@ -480,11 +500,26 @@ object GraftLogScan {
       if (total <= 0) Seq.fill(n)(1)
       else {
         val raw = backlogs.map(b => math.max(1, math.min(b,
-          math.floor(b * minSplits / total).toLong)).toInt)
+          math.floor(b * minSplits / total).toLong)).toInt).toArray
         var rem = minSplits - raw.sum
-        raw.zip(backlogs).map { case (k, b) =>
-          if (rem > 0 && k < b) { rem -= 1; k + 1 } else k
+        var i = 0
+        while (rem > 0 && i < n) {
+          if (raw(i) < backlogs(i)) { raw(i) += 1; rem -= 1 }
+          i += 1
         }
+        // rem < 0: the max(1, ..) floors overshot the hint — claw the
+        // excess back from the largest allocations (ties to the lowest
+        // index — deterministic), never below 1 per partition
+        while (rem < 0) {
+          var best = -1
+          var j = 0
+          while (j < n) {
+            if (raw(j) > 1 && (best < 0 || raw(j) > raw(best))) best = j
+            j += 1
+          }
+          if (best < 0) rem = 0 else { raw(best) -= 1; rem += 1 }
+        }
+        raw.toSeq
       }
     }
   }
@@ -564,8 +599,17 @@ object GraftLogReaderFactory {
 }
 
 final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
-    confBc: org.apache.spark.sql.graft.ConfBroadcast = null)
+    confBc: org.apache.spark.sql.graft.ConfBroadcast = null,
+    // TEST SEAM: a private counter isolates byte measurements from any
+    // concurrent graftlog reader in the JVM (the global LongAdder is a
+    // process-wide metric). @transient — an executor-side deserialized
+    // factory always falls back to its OWN JVM's per-executor counter.
+    @transient counterOverride: java.util.concurrent.atomic.LongAdder = null)
   extends PartitionReaderFactory {
+  private def counter: java.util.concurrent.atomic.LongAdder =
+    if (counterOverride != null) counterOverride
+    else GraftLogReaderFactory.bytesFetched
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftLogInputPartition]
     val fields = required.fieldNames
@@ -601,7 +645,7 @@ final class GraftLogReaderFactory(required: StructType = GraftLog.Schema,
         else {
           val in = new CountingInputFile(
             HadoopInputFile.fromPath(new Path(gp.files(fileIdx)), conf),
-            GraftLogReaderFactory.bytesFetched)
+            counter)
           reader = new GraftLogReaderFactory.GroupBuilder(
               in, new ProjectedGroupReadSupport(physical))
             .withConf(conf).withFilter(rangeFilter).build()
@@ -743,7 +787,7 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
     GraftLogScan.plan(path, conf,
       start.asInstanceOf[GraftLogOffset].offsets,
       end.asInstanceOf[GraftLogOffset].offsets, bounds,
-      options.get("minpartitions").map(_.toInt).getOrElse(1))
+      GraftLogScan.minSplitsOption(options))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required, confBc)

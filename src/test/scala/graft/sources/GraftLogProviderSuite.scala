@@ -230,15 +230,18 @@ class GraftLogProviderSuite extends SparkSuite {
     // physically-fetched bytes around a direct drain of the connector's
     // OWN read path (the PartitionReader the tasks run); counted at the
     // parquet input stream — Hadoop FS statistics miss the ByteBuffer/
-    // positioned reads parquet uses, so they can't see this
+    // positioned reads parquet uses, so they can't see this. A PRIVATE
+    // counter per drain: deltas of the process-global metric would be
+    // polluted by any concurrent graftlog reader in this JVM (a leaked
+    // streaming query from another suite).
     def drain(schema: StructType, from: Long, until: Long): (Long, Long) = {
-      val before = GraftLogReaderFactory.bytesFetched.sum()
-      val r = new GraftLogReaderFactory(schema, null)
+      val counter = new java.util.concurrent.atomic.LongAdder
+      val r = new GraftLogReaderFactory(schema, null, counter)
         .createReader(GraftLogInputPartition(0, from, until, Array(file.toString)))
       var n = 0L
       while (r.next()) { r.get(); n += 1 }
       r.close()
-      (n, GraftLogReaderFactory.bytesFetched.sum() - before)
+      (n, counter.sum())
     }
     val keyOnly = StructType(GraftLog.Schema.filter(_.name == "key"))
 
@@ -263,6 +266,98 @@ class GraftLogProviderSuite extends SparkSuite {
     val got = spark.read.format("graftlog").option("path", dir).load()
       .filter(col("offset") >= 19900).select("key").collect().map(_.getString(0))
     assert(got.map(_.toLong).sorted.toSeq === (19900L until 20000L))
+  }
+
+  test("splitCounts: proportional, >=1 per partition, never exceeds the hint or the backlog") {
+    import GraftLogScan.splitCounts
+    // hint at or below #partitions: no splitting
+    assert(splitCounts(Seq(10L, 10L), 2) === Seq(1, 1))
+    assert(splitCounts(Seq(10L, 10L), 1) === Seq(1, 1))
+    assert(splitCounts(Nil, 8) === Nil)
+    // even backlogs split evenly
+    assert(splitCounts(Seq(100L, 100L), 4) === Seq(2, 2))
+    // remainder goes to ascending partitions
+    assert(splitCounts(Seq(10L, 10L, 10L), 5) === Seq(2, 2, 1))
+    // the ADVICE counterexample: >=1 floors overshoot the hint — the
+    // excess comes back from the LARGEST allocation, total == hint
+    assert(splitCounts(Seq(100L, 1L, 1L, 1L, 1L), 6) === Seq(2, 1, 1, 1, 1))
+    // tiny backlogs cap below the hint (never finer than 1 offset/task)
+    assert(splitCounts(Seq(2L, 2L), 10) === Seq(2, 2))
+    // skew: the hot partition takes nearly the whole budget
+    val skewed = splitCounts(Seq(1000000L, 10L, 10L), 16)
+    assert(skewed.head >= 13 && skewed.sum <= 16, skewed.toString)
+    // property sweep: sum in [n, max(n, hint)], 1 <= k_i <= max(1, b_i)
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(8)
+      val backlogs = Seq.fill(n)(rnd.nextInt(1000).toLong)
+      val hint = 1 + rnd.nextInt(40)
+      val ks = splitCounts(backlogs, hint)
+      assert(ks.length === n)
+      assert(ks.forall(_ >= 1), s"$backlogs hint=$hint -> $ks")
+      ks.zip(backlogs).foreach { case (k, b) =>
+        assert(k <= math.max(1L, b), s"$backlogs hint=$hint -> $ks")
+      }
+      assert(ks.sum >= n && ks.sum <= math.max(n, hint),
+        s"$backlogs hint=$hint -> $ks (sum ${ks.sum})")
+    }
+  }
+
+  test("minPartitions: sub-ranges tile without loss or duplication; bad values fail loudly") {
+    val dir = writeLog(200, 4) // 50 offsets per partition
+    // plan-level: splitting tiles each partition's [from, until) exactly
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val latest = GraftLog.latestOffsets(dir, conf)
+    val parts = GraftLogScan.plan(dir, conf,
+      latest.map { case (p, _) => p -> 0L }, latest,
+      GraftLogBounds.All, minSplits = 16)
+      .collect { case g: GraftLogInputPartition => g }
+    assert(parts.length === 16, s"planned ${parts.length} tasks")
+    parts.groupBy(_.partition).foreach { case (p, ps) =>
+      val ranges = ps.sortBy(_.from).map(g => (g.from, g.until)).toSeq
+      assert(ranges.head._1 === 0L && ranges.last._2 === 50L,
+        s"partition $p ranges $ranges")
+      ranges.sliding(2).foreach {
+        case Seq((_, u), (f, _)) => assert(u === f, s"partition $p gap/overlap: $ranges")
+        case _ => ()
+      }
+    }
+    // end-to-end: the split batch read equals the unsplit read exactly
+    val unsplit = spark.read.format("graftlog").option("path", dir).load()
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    val split = spark.read.format("graftlog").option("path", dir)
+      .option("minPartitions", "16").load()
+    assert(split.rdd.getNumPartitions === 16,
+      s"expected 16 tasks, got ${split.rdd.getNumPartitions}")
+    val got = split.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === unsplit.toSeq && got.length === 200)
+    // streaming: the same hint fans out micro-batch tasks, rows intact
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val maxTasks = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.format("graftlog").option("path", dir)
+      .option("minPartitions", "12").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        maxTasks.updateAndGet(m => math.max(m, df.rdd.getNumPartitions.toLong))
+        n.addAndGet(df.count()); ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(n.get() === 200, s"streaming split read delivered ${n.get()}")
+    assert(maxTasks.get() === 12, s"streaming fan-out was ${maxTasks.get()} tasks")
+    // invalid hints are planning-time errors, not silent no-ops
+    for (bad <- Seq("abc", "0", "-3")) {
+      val e = intercept[Exception] {
+        spark.read.format("graftlog").option("path", dir)
+          .option("minPartitions", bad).load().collect()
+      }
+      def all(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: all(t.getCause)
+      assert(all(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("must be a positive integer"))), e.toString)
+    }
   }
 
   test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {
