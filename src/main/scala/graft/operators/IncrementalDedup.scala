@@ -64,7 +64,9 @@ object IncrementalDedup {
       val loc = s.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .location.toString
-      t.filter(col("epoch").isin(committedEpochs(s, loc): _*)).drop("epoch")
+      // constant-size range predicate in the common (dense) case — not
+      // an IN-list growing a literal per ingest batch into every plan
+      t.filter(EpochCommit.committedPredicate(s, loc)).drop("epoch")
     }
   }
 
@@ -76,7 +78,8 @@ object IncrementalDedup {
     * verified empirically). The epoch predicate here is an
     * EXECUTION-TIME marker check instead: evaluated per batch, it
     * admits newly committed epochs and keeps torn ones invisible.
-    * `true` verdicts cache per JVM (markers are never deleted); `false`
+    * `true` verdicts cache per JVM (only [[EpochCommit.compact]] ever
+    * deletes markers, and it requires a maintenance window); `false`
     * re-checks, because a torn epoch's NUMBER is reused by the retry.
     * Cost: torn epochs' files are scanned-then-dropped rather than
     * partition-pruned — they are rare and swept, and the bucketed join
@@ -389,6 +392,48 @@ object IncrementalDedup {
       .option("path", path)
       .saveAsTable(table)
     epoch
+  }
+
+  /** Fold the fingerprint catalog's committed epochs into ONE —
+    * [[EpochCommit.compact]] with the catalog's OWN bucketed writer, so
+    * the folded epoch keeps the zero-exchange join contract (same
+    * bucket spec, one file per bucket). Maintenance window required
+    * (see [[EpochCommit.compact]]); returns the folded epoch, or None
+    * when there is nothing to fold. A year of ingest batches collapses
+    * to one epoch: `_epochs` stays a handful of files and every
+    * reader's partition listing shrinks back to one directory. */
+  def compactCatalog(s: SparkSession, path: String, table: String): Option[Long] = {
+    val folded = EpochCommit.compact(s, path,
+      () => committedTable(s, table),
+      (rows, target) => rows
+        .withColumn("epoch", lit(target))
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("epoch")
+        .bucketBy(CatalogBuckets, "fingerprint")
+        .sortBy("fingerprint")
+        .option("path", path)
+        .saveAsTable(table))
+    folded.foreach(_ => s.catalog.refreshTable(table))
+    folded
+  }
+
+  /** [[compactCatalog]] for the band catalog (fuzzy face) — same fold,
+    * band-bucketed writer. */
+  def compactBandCatalog(s: SparkSession, path: String, table: String): Option[Long] = {
+    val folded = EpochCommit.compact(s, path,
+      () => committedTable(s, table),
+      (rows, target) => rows
+        .withColumn("epoch", lit(target))
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("epoch")
+        .bucketBy(CatalogBuckets, "band")
+        .sortBy("band")
+        .option("path", path)
+        .saveAsTable(table))
+    folded.foreach(_ => s.catalog.refreshTable(table))
+    folded
   }
 
   /** Streaming face of the fuzzy contract: each micro-batch runs the

@@ -112,6 +112,20 @@ object IvfIndex {
     epoch
   }
 
+  /** Fold the assigned layout's committed epochs into ONE —
+    * [[graft.ops.EpochCommit.compact]] with the index's own
+    * `epoch`/`cell` partitioned writer, so probes keep their cell-level
+    * partition pruning over a single folded epoch instead of one
+    * directory tree per ingest batch. Maintenance window required (see
+    * [[graft.ops.EpochCommit.compact]]). */
+  def compactIndex(s: SparkSession, path: String): Option[Long] = {
+    val root = s"$path/assigned"
+    graft.ops.EpochCommit.compact(s, root,
+      () => graft.ops.EpochCommit.filterCommitted(s.read.parquet(root), root),
+      (rows, target) => rows.withColumn("epoch", lit(target))
+        .write.mode("append").partitionBy("epoch", "cell").parquet(root))
+  }
+
   private[operators] def loadCentroids(
       s: SparkSession, path: String): Seq[Similarity.Centroid] =
     Similarity.collectCentroids(

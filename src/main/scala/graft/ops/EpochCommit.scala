@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,8 +22,23 @@ import org.apache.spark.sql.functions._
  * (`cell`, buckets) keep their own pruning/bucketing untouched.
  *
  * Single writer per root (the marker namespace is the serialization
- * point — any file-based commit protocol's stance). Cost at 100 TB:
- * two metadata RPCs per epoch, nothing row-proportional.
+ * point — any file-based commit protocol's stance). The protocol keeps
+ * committed epochs a DENSE range, and two scale guards lean on that:
+ *
+ *  - `_epochs/HEAD` records the range's `lo hi` bounds, so
+ *    [[committed]] is a handful of existence probes instead of an
+ *    O(#epochs) directory listing per read, and [[committedPredicate]]
+ *    is a constant-size `epoch BETWEEN lo AND hi` partition filter
+ *    instead of an IN-list that grows a literal per ingest batch
+ *    (thousands of batches = thousands of literals in every reader
+ *    plan).
+ *  - [[compact]] folds the whole committed range into ONE epoch (a
+ *    maintenance op for year-long ingest loops), journaled through
+ *    `_epochs/FOLD` so a crash at any step either aborts or completes
+ *    — never double-counts, never loses rows.
+ *
+ * Cost at 100 TB: two metadata RPCs per epoch append, ~four per
+ * committed-view read, nothing row-proportional.
  */
 object EpochCommit {
 
@@ -31,14 +46,98 @@ object EpochCommit {
     p.getFileSystem(s.sessionState.newHadoopConf())
 
   private def epochsDir(root: String) = new Path(root, "_epochs")
+  private def headPath(root: String) = new Path(epochsDir(root), "HEAD")
+  private def foldPath(root: String) = new Path(epochsDir(root), "FOLD")
+  private def markerPath(root: String, e: Long) =
+    new Path(epochsDir(root), e.toString)
 
-  /** Epochs whose commit marker exists — the readable view of `root`. */
+  // ---- tiny file IO for the HEAD / FOLD control files ----
+  private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+  private def readSmall(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  private def parseLongs(s: String, n: Int): Option[Seq[Long]] = {
+    val parts = s.split("\\s+").toSeq
+    if (parts.length != n || !parts.forall(p => p.nonEmpty && p.forall(_.isDigit)))
+      None
+    else Some(parts.map(_.toLong))
+  }
+
+  /** Epochs whose commit marker exists — the readable view of `root`.
+    * Fast path when the protocol's invariants hold (no fold in flight,
+    * HEAD present): the dense `[lo, hi]` from HEAD, extended by probing
+    * `hi+1, hi+2, …` for markers a crash left uncovered — O(1)
+    * existence RPCs, no listing. Falls back to a full `_epochs` listing
+    * (minus any fold-superseded range) whenever HEAD is absent,
+    * unparseable, or contradicts the markers. */
   def committed(s: SparkSession, root: String): Seq[Long] = {
     val d = epochsDir(root)
     val fs = hadoopFs(s, d)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+    if (!fs.exists(d)) return Seq.empty
+    val fast =
+      if (fs.exists(foldPath(root))) None
+      else readSmall(fs, headPath(root)).flatMap(parseLongs(_, 2)).flatMap {
+        case Seq(lo, hi0) =>
+          // a crash between mark() and the HEAD update lags HEAD by a
+          // marker or two — probe forward (bounded; past the bound the
+          // listing path takes over)
+          var hi = hi0
+          var probes = 0
+          while (probes < 64 && fs.exists(markerPath(root, hi + 1))) {
+            hi += 1; probes += 1
+          }
+          if (probes >= 64 || !fs.exists(markerPath(root, lo)) ||
+              !fs.exists(markerPath(root, hi))) None
+          else Some(lo to hi)
+        case _ => None
+      }
+    fast.getOrElse(listCommitted(fs, root))
+  }
+
+  /** The listing path: marker files minus any fold-superseded range
+    * whose replacement epoch has committed. */
+  private def listCommitted(fs: FileSystem, root: String): Seq[Long] = {
+    val markers = fs.listStatus(epochsDir(root)).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    val folded: Set[Long] =
+      readSmall(fs, foldPath(root)).flatMap(parseLongs(_, 3)) match {
+        // the fold's commit point is its target's marker: once `target`
+        // is marked, [lo, hi] is superseded even though the old markers
+        // are still being deleted
+        case Some(Seq(lo, hi, target)) if markers.contains(target) =>
+          (lo to hi).toSet
+        case _ => Set.empty
+      }
+    markers.filterNot(folded).sorted
+  }
+
+  /** Maintain `_epochs/HEAD` = `lo hi` after a successful mark. Best
+    * effort (a crash here only costs the fast path a probe) and written
+    * ONLY while the committed set is a dense range — a gapped set (an
+    * out-of-protocol marker) deletes HEAD so readers never trust a
+    * range that hides the gap. */
+  private def updateHead(fs: FileSystem, root: String, epoch: Long): Unit = {
+    readSmall(fs, headPath(root)).flatMap(parseLongs(_, 2)) match {
+      case Some(Seq(lo, hi)) if epoch >= lo && epoch <= hi + 1 =>
+        if (epoch == hi + 1) writeSmall(fs, headPath(root), s"$lo ${epoch}")
+      case _ =>
+        val es = listCommitted(fs, root)
+        if (es.nonEmpty && es.last - es.head + 1 == es.length)
+          writeSmall(fs, headPath(root), s"${es.head} ${es.last}")
+        else if (fs.exists(headPath(root))) fs.delete(headPath(root), false)
+    }
   }
 
   /** The commit point: after this returns, `epoch` is visible. */
@@ -46,7 +145,8 @@ object EpochCommit {
     val d = epochsDir(root)
     val fs = hadoopFs(s, d)
     fs.mkdirs(d)
-    fs.create(new Path(d, epoch.toString), true).close()
+    fs.create(markerPath(root, epoch), true).close()
+    updateHead(fs, root, epoch)
   }
 
   /** Delete torn (data present, marker absent) top-level `epoch=` dirs —
@@ -67,8 +167,11 @@ object EpochCommit {
     }
   }
 
-  /** Sweep, then hand out the next epoch number to write under. */
+  /** Sweep, then hand out the next epoch number to write under. Also
+    * finishes (or aborts) any fold a crash left in flight — the
+    * recovery hook every writer passes through. */
   def nextEpoch(s: SparkSession, root: String): Long = {
+    recoverFold(s, root)
     sweepTorn(s, root)
     committed(s, root).lastOption.getOrElse(0L) + 1
   }
@@ -78,19 +181,35 @@ object EpochCommit {
     * [[org.apache.spark.sql.graft.Shim.broadcastConf]]) — the marker
     * namespace layout lives HERE, beside mark/committed/sweepTorn,
     * never re-derived by callers. `true` verdicts cache per JVM
-    * (markers are never deleted); `false` re-checks, because a torn
-    * epoch's number is reused by the retry. */
+    * (bounded LRU; markers are only deleted by [[compact]], which
+    * invalidates them and requires a maintenance window); `false`
+    * re-checks, because a torn epoch's number is reused by the retry. */
   def markerExists(root: String, epoch: Long,
       conf: org.apache.hadoop.conf.Configuration): Boolean =
-    markerCache.contains((root, epoch)) || {
-      val p = new Path(epochsDir(root), epoch.toString)
+    markerCache.get((root, epoch)).isDefined || {
+      val p = markerPath(root, epoch)
       val found = p.getFileSystem(conf).exists(p)
-      if (found) markerCache.put((root, epoch), ())
+      if (found) markerCache.put((root, epoch), java.lang.Boolean.TRUE)
       found
     }
 
+  // bounded: a year-long streaming reader over thousands of epochs must
+  // not grow a map entry per (root, epoch) forever
   private val markerCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
+    new LruCache[(String, Long), java.lang.Boolean](65536)
+
+  /** The committed-epoch partition filter, CONSTANT-SIZE in the common
+    * case: the protocol keeps committed epochs a dense range, so this
+    * is `epoch BETWEEN lo AND hi` — not an IN-list growing one literal
+    * per ingest batch into every reader plan. A gapped set (only ever
+    * out-of-protocol) falls back to the exact IN-list. */
+  def committedPredicate(s: SparkSession, root: String): Column = {
+    val es = committed(s, root)
+    if (es.isEmpty) lit(false)
+    else if (es.last - es.head + 1 == es.length)
+      col("epoch").between(es.head, es.last)
+    else col("epoch").isin(es: _*)
+  }
 
   /** Restrict an epoch-partitioned frame to COMMITTED epochs and drop
     * the protocol column — the only sanctioned read path. The predicate
@@ -100,8 +219,88 @@ object EpochCommit {
     * `IncrementalDedup.committedTable`'s guard. */
   def filterCommitted(df: DataFrame, root: String): DataFrame =
     if (!df.columns.contains("epoch")) df
-    else df.filter(col("epoch").isin(committed(df.sparkSession, root): _*))
-      .drop("epoch")
+    else df.filter(committedPredicate(df.sparkSession, root)).drop("epoch")
+
+  // ---- fold / compaction -------------------------------------------
+
+  /** Fold every committed epoch into ONE — the maintenance op that
+    * keeps `_epochs` and the epoch range small over a year of ingest
+    * batches. MAINTENANCE WINDOW REQUIRED: run as the single writer
+    * with no concurrent readers in OTHER JVMs (their positive
+    * marker-cache entries for the folded epochs go stale; this JVM's
+    * are invalidated here). Crash-safe via the `_epochs/FOLD` journal:
+    *
+    *  1. committed rows are rewritten under the unmarked epoch
+    *     `hi + 1` (torn — invisible),
+    *  2. FOLD records `lo hi target`,
+    *  3. `target`'s marker commits the fold ATOMICALLY — readers'
+    *     listing path drops `[lo, hi]` the moment `target` is marked,
+    *  4. cleanup deletes the old markers and data dirs, rewrites HEAD,
+    *     and removes FOLD (each step idempotent — [[recoverFold]]
+    *     re-runs it after a crash).
+    *
+    * `writeEpoch(rows, target)` must write `rows` under
+    * `root/epoch=<target>` in the layout's own format (bucketed
+    * catalogs pass their bucketed writer; plain parquet layouts can use
+    * [[compactParquet]]). Returns the target epoch, or None when there
+    * is at most one committed epoch (nothing to fold). */
+  def compact(s: SparkSession, root: String,
+      readCommitted: () => DataFrame,
+      writeEpoch: (DataFrame, Long) => Unit): Option[Long] = {
+    recoverFold(s, root)
+    sweepTorn(s, root)
+    val es = committed(s, root)
+    if (es.length <= 1) return None
+    require(es.last - es.head + 1 == es.length,
+      s"gapped committed set ${es.mkString(",")} — fold requires the dense " +
+        "range the protocol maintains")
+    val (lo, hi) = (es.head, es.last)
+    val target = hi + 1
+    writeEpoch(readCommitted(), target)
+    val fs = hadoopFs(s, new Path(root))
+    writeSmall(fs, foldPath(root), s"$lo $hi $target")
+    mark(s, root, target) // the fold's atomic commit point
+    finishFold(s, fs, root, lo, hi, target)
+    Some(target)
+  }
+
+  /** Convenience writer for PLAIN parquet epoch layouts (no bucketing):
+    * lands `rows` as `root/epoch=<target>/…`. */
+  def compactParquet(root: String)(rows: DataFrame, target: Long): Unit =
+    rows.withColumn("epoch", lit(target))
+      .write.mode("append").partitionBy("epoch").parquet(root)
+
+  /** Finish or abort a fold a crash left in flight. Target marked →
+    * the fold committed: re-run the (idempotent) cleanup. Target
+    * unmarked → it never happened: drop the staged data and the
+    * journal. */
+  def recoverFold(s: SparkSession, root: String): Unit = {
+    val fs = hadoopFs(s, new Path(root))
+    readSmall(fs, foldPath(root)).flatMap(parseLongs(_, 3)) match {
+      case Some(Seq(lo, hi, target)) =>
+        if (fs.exists(markerPath(root, target)))
+          finishFold(s, fs, root, lo, hi, target)
+        else {
+          val staged = new Path(root, s"epoch=$target")
+          if (fs.exists(staged)) fs.delete(staged, true)
+          fs.delete(foldPath(root), false)
+        }
+      case _ => ()
+    }
+  }
+
+  private def finishFold(s: SparkSession, fs: FileSystem, root: String,
+      lo: Long, hi: Long, target: Long): Unit = {
+    (lo to hi).foreach { e =>
+      val m = markerPath(root, e)
+      if (fs.exists(m)) fs.delete(m, false)
+      markerCache.remove((root, e))
+      val d = new Path(root, s"epoch=$e")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    writeSmall(fs, headPath(root), s"$target $target")
+    fs.delete(foldPath(root), false)
+  }
 
   /** True iff `root` holds a LEGACY (pre-protocol) layout: data exists
     * — partition directories OR flat data files (an unpartitioned

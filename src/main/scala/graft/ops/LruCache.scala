@@ -40,5 +40,7 @@ final class LruCache[K, V <: AnyRef](maxEntries: Int) {
 
   def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
 
+  def remove(k: K): Unit = m.synchronized { m.remove(k); () }
+
   def size: Int = m.synchronized(m.size())
 }

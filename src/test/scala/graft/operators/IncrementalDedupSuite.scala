@@ -367,6 +367,48 @@ class IncrementalDedupSuite extends SparkSuite {
     }
   }
 
+  test("compacting the catalog folds epochs into one; the join face is unchanged") {
+    val docs = Tables.documents(spark, sfDir)
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fpcat_fold_$pid"
+    val table = "graft_fpcat_fold"
+    try {
+      IncrementalDedup.writeCatalog(
+        docs.filter(col("doc_id") < 100), path, table)
+      val b1 = IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id").between(100, 199)), table)
+      IncrementalDedup.appendCatalog(b1, path, table)
+      val b2 = IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id").between(200, 299)), table)
+      IncrementalDedup.appendCatalog(b2, path, table)
+      val prints = IncrementalDedup.committedTable(spark, table)
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(IncrementalDedup.committedEpochs(spark, path) === Seq(0L, 1L, 2L))
+
+      val folded = IncrementalDedup.compactCatalog(spark, path, table)
+      assert(folded === Some(3L))
+      assert(IncrementalDedup.committedEpochs(spark, path) === Seq(3L))
+      // the fingerprint set is byte-identical through the fold
+      val after = IncrementalDedup.committedTable(spark, table)
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(after === prints)
+      // the join face still fully deduplicates everything already seen
+      assert(IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id") < 300), table).count() === 0)
+      // and the next append continues the dense range past the fold
+      val b3 = IncrementalDedup.dedupAgainstCatalog(
+        docs.filter(col("doc_id").between(300, 349)), table)
+      IncrementalDedup.appendCatalog(b3, path, table)
+      assert(IncrementalDedup.committedEpochs(spark, path) === Seq(3L, 4L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("catalog append is crash-atomic: a torn epoch is invisible and swept on retry") {
     val docs = Tables.documents(spark, sfDir)
     val pid = ProcessHandle.current().pid()

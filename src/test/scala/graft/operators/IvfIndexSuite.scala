@@ -106,6 +106,36 @@ class IvfIndexSuite extends SparkSuite {
     }
   }
 
+  test("compacting the index folds append epochs into one; probes are unchanged") {
+    withIndex { path =>
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      val clone = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      IvfIndex.append(clone, path)
+      val before = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+      val folded = IvfIndex.compactIndex(spark, path)
+      assert(folded === Some(2L))
+      val root = s"$path/assigned"
+      assert(graft.ops.EpochCommit.committed(spark, root) === Seq(2L))
+      assert(!new java.io.File(s"$root/epoch=0").exists())
+      assert(!new java.io.File(s"$root/epoch=1").exists())
+
+      val after = IvfIndex.probe(spark, path, queries, nprobe = 2, topk = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(after === before, "probe results changed through the fold")
+      // appends keep flowing after the fold
+      val clone2 = emb.filter(col("vec_id") === 1)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      IvfIndex.append(clone2, path)
+      assert(graft.ops.EpochCommit.committed(spark, root) === Seq(2L, 3L))
+    }
+  }
+
   test("IVF append is crash-atomic: a torn epoch is invisible to probes, swept on retry") {
     withIndex { path =>
       val emb = Tables.embeddings(spark, sfDir)

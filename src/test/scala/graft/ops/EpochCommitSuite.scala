@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The epoch commit protocol's scale and crash contracts: HEAD keeps
+  * `committed()` listing-free and the reader predicate a constant-size
+  * range however many ingest batches have run; the FOLD journal makes
+  * compaction atomic — a crash at any step aborts or completes, never
+  * double-counts or loses rows. */
+class EpochCommitSuite extends SparkSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("epochs").toString
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def markerNames(root: String): Seq[String] =
+    fs(root).listStatus(new Path(root, "_epochs")).toSeq
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).sorted
+
+  private def readHead(root: String): Option[String] = {
+    val p = new Path(root, "_epochs/HEAD")
+    val f = fs(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(0, n), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def writeControl(root: String, name: String, content: String): Unit = {
+    val f = fs(root)
+    f.mkdirs(new Path(root, "_epochs"))
+    val out = f.create(new Path(root, s"_epochs/$name"), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Seed `root` with plain-parquet epochs 1..n, each committed,
+    * carrying (epoch, id) rows. */
+  private def seed(root: String, n: Int, rowsPerEpoch: Int = 4): Unit = {
+    (1 to n).foreach { e =>
+      spark.range(rowsPerEpoch)
+        .select(lit(e.toLong).as("epoch"),
+          (col("id") + e * 1000L).as("id"))
+        .write.mode("append").partitionBy("epoch").parquet(root)
+      EpochCommit.mark(spark, root, e.toLong)
+    }
+  }
+
+  test("predicate stays a constant-size range across 1000 epochs; HEAD makes committed listing-free") {
+    val root = tmp()
+    (1 to 1000).foreach(e => EpochCommit.mark(spark, root, e.toLong))
+    assert(EpochCommit.committed(spark, root) === (1L to 1000L))
+    assert(readHead(root) === Some("1 1000"))
+
+    val pred = EpochCommit.committedPredicate(spark, root)
+    val s = pred.toString
+    assert(s.length < 200, s"predicate grew with epoch count: ${s.take(300)}")
+    assert(!s.contains("in("), s)
+
+    // a reader plan over a 1000-epoch layout stays constant-size too
+    val dataRoot = tmp()
+    seed(dataRoot, 3)
+    (4 to 1000).foreach(e => EpochCommit.mark(spark, dataRoot, e.toLong))
+    val view = EpochCommit.filterCommitted(
+      spark.read.parquet(dataRoot), dataRoot)
+    assert(view.count() === 12)
+    val plan = view.queryExecution.optimizedPlan.toString
+    assert(plan.length < 4000, s"plan grew with epoch count (${plan.length} chars)")
+
+    // HEAD lagging a crash-window of markers: probes catch up
+    writeControl(root, "HEAD", "1 997")
+    assert(EpochCommit.committed(spark, root) === (1L to 1000L))
+    // corrupt HEAD: falls back to the listing, still correct
+    writeControl(root, "HEAD", "not numbers")
+    assert(EpochCommit.committed(spark, root) === (1L to 1000L))
+  }
+
+  test("a gapped (out-of-protocol) marker set drops HEAD and falls back to the exact IN-list") {
+    val root = tmp()
+    EpochCommit.mark(spark, root, 1L)
+    EpochCommit.mark(spark, root, 3L) // skips 2 — mark() refuses to range over the gap
+    assert(readHead(root) === None)
+    assert(EpochCommit.committed(spark, root) === Seq(1L, 3L))
+    assert(EpochCommit.committedPredicate(spark, root).toString.contains("in("))
+  }
+
+  test("compact folds all committed epochs into one; rows, positions, and controls all land") {
+    val root = tmp()
+    seed(root, 5)
+    val before = spark.read.parquet(root).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    val target = EpochCommit.compact(spark, root,
+      () => EpochCommit.filterCommitted(spark.read.parquet(root), root),
+      EpochCommit.compactParquet(root))
+    assert(target === Some(6L))
+
+    assert(EpochCommit.committed(spark, root) === Seq(6L))
+    assert(markerNames(root) === Seq("6"))
+    assert(readHead(root) === Some("6 6"))
+    assert(!fs(root).exists(new Path(root, "_epochs/FOLD")))
+    (1 to 5).foreach(e =>
+      assert(!fs(root).exists(new Path(root, s"epoch=$e")), s"epoch=$e survived"))
+
+    val after = EpochCommit.filterCommitted(spark.read.parquet(root), root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+
+    // the writer keeps appending past the fold; range stays dense
+    assert(EpochCommit.nextEpoch(spark, root) === 7L)
+    spark.range(2).select(lit(7L).as("epoch"), (col("id") + 7000L).as("id"))
+      .write.mode("append").partitionBy("epoch").parquet(root)
+    EpochCommit.mark(spark, root, 7L)
+    assert(EpochCommit.committed(spark, root) === Seq(6L, 7L))
+    assert(EpochCommit.committedPredicate(spark, root).toString.contains("and("))
+  }
+
+  test("fold crash before the target marker aborts cleanly — staged data dropped, old view intact") {
+    val root = tmp()
+    seed(root, 5)
+    val before = EpochCommit.filterCommitted(spark.read.parquet(root), root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // replay compact's steps 1-2 and crash before the mark
+    EpochCommit.compactParquet(root)(
+      EpochCommit.filterCommitted(spark.read.parquet(root), root), 6L)
+    writeControl(root, "FOLD", "1 5 6")
+
+    // readers NEVER see the staged epoch (target unmarked)
+    assert(EpochCommit.committed(spark, root) === (1L to 5L))
+    val during = EpochCommit.filterCommitted(spark.read.parquet(root), root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(during === before)
+
+    // the next writer pass aborts the fold
+    assert(EpochCommit.nextEpoch(spark, root) === 6L)
+    assert(!fs(root).exists(new Path(root, "epoch=6")), "staged fold data survived")
+    assert(!fs(root).exists(new Path(root, "_epochs/FOLD")))
+    assert(EpochCommit.committed(spark, root) === (1L to 5L))
+  }
+
+  test("fold crash after the target marker completes on recovery — no double count, no loss") {
+    val root = tmp()
+    seed(root, 5)
+    val before = EpochCommit.filterCommitted(spark.read.parquet(root), root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // replay compact's steps 1-3 and crash before cleanup
+    EpochCommit.compactParquet(root)(
+      EpochCommit.filterCommitted(spark.read.parquet(root), root), 6L)
+    writeControl(root, "FOLD", "1 5 6")
+    EpochCommit.mark(spark, root, 6L)
+
+    // the fold committed the instant the target marked: the superseded
+    // range is excluded even though its markers still exist
+    assert(EpochCommit.committed(spark, root) === Seq(6L))
+    val during = EpochCommit.filterCommitted(spark.read.parquet(root), root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(during === before, "fold double-counted or lost rows mid-cleanup")
+
+    EpochCommit.recoverFold(spark, root)
+    assert(markerNames(root) === Seq("6"))
+    assert(readHead(root) === Some("6 6"))
+    assert(!fs(root).exists(new Path(root, "_epochs/FOLD")))
+    val after = EpochCommit.filterCommitted(spark.read.parquet(root), root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+  }
+}
