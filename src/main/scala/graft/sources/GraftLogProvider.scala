@@ -138,6 +138,119 @@ object GraftLog {
     latestOffsets(dir, conf)
   }
 
+  /** EXACTLY-ONCE produce for foreachBatch pipelines — [[append]]
+    * unified with the [[graft.streaming.IdempotentBatchSink]] commit
+    * protocol. foreachBatch is at-least-once: a crash between the
+    * producer's write and the checkpoint commit re-delivers the SAME
+    * batch with the SAME `batchId`, and the bare [[append]]'s
+    * optimistic-sequence check would fail that replay loudly instead of
+    * absorbing it. This face makes the replay a no-op:
+    *
+    *  1. `_producer/<id>.intent` records the per-partition base
+    *     positions BEFORE the first attempt touches the log — every
+    *     replay of `batchId` reuses the FIRST attempt's bases;
+    *  2. rows land only for partitions still AT their base — a
+    *     partition whose position advanced past it already committed
+    *     this batch's segment on a prior attempt (single producer:
+    *     nothing else can move positions), so its rows are dropped,
+    *     never duplicated. Per-partition segments are all-or-nothing
+    *     ([[append]]'s one-file contract), so "advanced" is never a
+    *     torn half;
+    *  3. `_producer/<id>` marks the batch done — a fully-committed
+    *     replay short-circuits on it before touching anything.
+    *
+    * ONE producer per log, and that producer must route every write
+    * through this face (an interleaved bare [[append]] would advance
+    * positions the inference in step 2 attributes to the replayed
+    * batch). Markers older than `batchId - 16` are pruned on commit —
+    * Spark only ever re-delivers the latest unacknowledged batch, so
+    * the window is already generous.
+    *
+    * Returns the end position per partition after the batch. */
+  def appendBatch(df: org.apache.spark.sql.DataFrame, dir: String,
+      batchId: Long): Map[Int, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val producerDir = new Path(dir, "_producer")
+    val fs = producerDir.getFileSystem(conf)
+    val donePath = new Path(producerDir, batchId.toString)
+    if (fs.exists(donePath)) return latestOffsets(dir, conf)
+
+    val intentPath = new Path(producerDir, s"$batchId.intent")
+    val current = latestOffsets(dir, conf)
+    val bases: Map[Int, Long] = readSmall(fs, intentPath) match {
+      case Some(json) => offsetsFromJson(json)
+      case None =>
+        fs.mkdirs(producerDir)
+        writeSmall(fs, intentPath, offsetsToJson(current))
+        current
+    }
+    bases.foreach { case (p, b) =>
+      require(current.getOrElse(p, 0L) >= b,
+        s"log $dir partition $p regressed below the batch $batchId base " +
+          s"($b -> ${current.getOrElse(p, 0L)}) — was the log rewritten " +
+          "underneath the producer?")
+    }
+
+    import spark.implicits._
+    // per-partition state for the batch: the FIRST attempt's base and
+    // whether the partition is still at it (pending). Partitions the
+    // batch introduces (no dir yet, absent from both maps) fall out of
+    // the left-outer join as (base 0, pending) via the coalesces below.
+    val stateDf = (bases.keySet ++ current.keySet).toSeq
+      .map(p => (p, bases.getOrElse(p, 0L),
+        current.getOrElse(p, 0L) == bases.getOrElse(p, 0L)))
+      .toDF("partition", "__base", "__pending")
+    val w = Window.partitionBy("partition").orderBy("key", "value")
+    df.select(coalesce(col("partition").cast("int"), expr(
+          "CAST(assert_true(false, 'null/unparseable partition in append batch') AS INT)"))
+          .as("partition"),
+        col("key"), col("value"))
+      .repartition(col("partition"))
+      .join(broadcast(stateDf), Seq("partition"), "left_outer")
+      .filter(coalesce(col("__pending"), lit(true)))
+      .withColumn("offset",
+        coalesce(col("__base"), lit(0L)) +
+          row_number().over(w).cast("long") - 1)
+      .select("partition", "offset", "key", "value")
+      .write.mode("append").option("maxRecordsPerFile", 0L)
+      .partitionBy("partition").parquet(dir)
+
+    fs.create(donePath, true).close() // the batch's commit point
+    // prune the marker namespace: replays never reach this far back
+    fs.listStatus(producerDir).foreach { st =>
+      val n = st.getPath.getName.stripSuffix(".intent")
+      if (n.forall(_.isDigit) && n.nonEmpty && n.toLong <= batchId - 16)
+        fs.delete(st.getPath, false)
+    }
+    latestOffsets(dir, conf)
+  }
+
+  /** The (DataFrame, batchId) foreachBatch shape over [[appendBatch]] —
+    * plug a streaming query's output straight into the log. */
+  def sink(dir: String): (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (df, id) => { appendBatch(df, dir, id); () }
+
+  private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    }
+
   private[sources] def partitionDirs(dir: String, conf: Configuration): Map[Int, Path] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
