@@ -393,6 +393,32 @@ final case class GraftLogSource(
         org.apache.spark.sql.functions.lit(namespace))
   }
 
+  /** Bounded replay through the connector's OWN offset options instead
+    * of the trait's post-scan predicate: the window becomes
+    * `startingOffsets`/`endingOffsets` at the scan, so planning prunes
+    * pruned-out partitions and out-of-range FILES before any task runs
+    * — the native analogue of the reference's assign+seek replay
+    * (kafka/Consumer.java:199-311). Semantics match the trait exactly
+    * (starting watermarks exclusive, endings inclusive, a partition
+    * absent from the ending contributes nothing — LogSourceBoundsSuite's
+    * contract), pinned by parity in GraftLogSidelineE2ESuite. */
+  override def readBounded(
+      spark: org.apache.spark.sql.SparkSession,
+      starting: graft.model.ConsumerState,
+      ending: Option[graft.model.ConsumerState]): org.apache.spark.sql.DataFrame = {
+    def mine(s: graft.model.ConsumerState): Map[Int, Long] = s.offsets.collect {
+      case (graft.model.ConsumerPartition(ns, p), off) if ns == namespace =>
+        p -> (off + 1) // exclusive watermark -> first-to-read / exclusive end
+    }
+    val r = spark.read.format("graftlog").option("path", dir)
+      .option("startingOffsets", GraftLog.offsetsToJson(mine(starting)))
+    ending.fold(r)(e =>
+        r.option("endingOffsets", GraftLog.offsetsToJson(mine(e))))
+      .load()
+      .withColumn("namespace",
+        org.apache.spark.sql.functions.lit(namespace))
+  }
+
   /** Positions from footer statistics — never a data scan (overrides
     * the trait's read-and-aggregate default). */
   override def currentState(spark: org.apache.spark.sql.SparkSession): graft.model.ConsumerState =
@@ -517,11 +543,31 @@ final class GraftLogScan(path: String, options: Map[String, String],
     s"graftlog(`$path`) PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
+  /** Batch reads honor the Kafka batch-source options: `startingOffsets`
+    * (JSON map of the first offset TO READ per partition, or
+    * "earliest") and `endingOffsets` (JSON map of the EXCLUSIVE end, or
+    * "latest"). A partition absent from an explicit ending contributes
+    * nothing (the bounded-replay stance: the snapshot predates it).
+    * Bounds are applied at PLANNING — pruned partitions/files never
+    * become tasks — which is what makes a sideline replay over the
+    * native log metadata-cost instead of scan-and-filter. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val latest = GraftLog.latestOffsets(path, conf)
-      GraftLogScan.plan(path, conf,
-        latest.map { case (p, _) => p -> 0L }, latest, bounds,
+      val start = options.get("startingoffsets") match {
+        case None | Some("earliest") => latest.map { case (p, _) => p -> 0L }
+        case Some(json) =>
+          val m = GraftLog.offsetsFromJson(json)
+          latest.map { case (p, _) => p -> m.getOrElse(p, 0L) }
+      }
+      val end = options.get("endingoffsets") match {
+        case None | Some("latest") => latest
+        case Some(json) =>
+          GraftLog.offsetsFromJson(json).map { case (p, e) =>
+            p -> math.min(e, latest.getOrElse(p, 0L))
+          }
+      }
+      GraftLogScan.plan(path, conf, start, end, bounds,
         GraftLogScan.minSplitsOption(options))
     }
     override def createReaderFactory(): PartitionReaderFactory =
