@@ -73,6 +73,47 @@ object ParityQueries {
       |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
       |FROM log GROUP BY log_partition ORDER BY log_partition""".stripMargin))
 
+  /** The NATIVE V2 WRITE path (S6's emit face as a Spark sink),
+    * driver-gated end-to-end: a deterministic produce frame goes
+    * through `df.write.format("graftlog")` — clustered distribution,
+    * task-local offset assignment from footer stats, staged-segment
+    * rename commit — and the read-back's assigned offsets must equal
+    * the oracle's row_number reconstruction of the (key, value)
+    * assignment order. */
+  private val logV2Produce = QueryDef(
+    (s, dir) => {
+      val pid = ProcessHandle.current().pid()
+      val slug = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_v2produce_${pid}_$slug"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path)) // a re-run in this process produces afresh
+      graft.Tables.events(s, dir)
+        .selectExpr("cast(user_id % 4 as int) as partition",
+          "cast(-1 as long) as offset",
+          "cast(event_id as string) as key", "event_type as value")
+        .write.format("graftlog").option("path", path)
+        .option("offsets", "assign").mode("append").save()
+      s.read.format("graftlog").option("path", path).load()
+        .filter(col("offset") < 50)
+        .select(col("partition").as("log_partition"),
+          col("offset").as("log_offset"), col("key"), col("value"))
+        .orderBy("log_partition", "log_offset")
+    },
+    // `offset` is a DuckDB reserved word (LIMIT/OFFSET) — log_offset
+    Some("""WITH produced AS (
+      |  SELECT CAST(user_id % 4 AS INT) AS log_partition,
+      |    CAST(row_number() OVER (PARTITION BY user_id % 4
+      |      ORDER BY CAST(event_id AS VARCHAR), event_type) - 1 AS BIGINT)
+      |      AS log_offset,
+      |    CAST(event_id AS VARCHAR) AS key, event_type AS value
+      |  FROM events)
+      |SELECT log_partition, log_offset, key, value FROM produced
+      |WHERE log_offset < 50 ORDER BY log_partition, log_offset""".stripMargin))
+
   /** Reference KeyFilter sideline recipe (F4): tenant skip-list on the
     * firehose. */
   private val fhKeyfilter = QueryDef(
@@ -377,6 +418,7 @@ object ParityQueries {
   val all: Map[String, QueryDef] = Map(
     "fh_keyfilter" -> fhKeyfilter,
     "log_v2_scan" -> logV2Scan,
+    "log_v2_produce" -> logV2Produce,
     "fh_skiplist_anti" -> fhSkiplistAnti,
     "fh_regex" -> fhRegex,
     "fh_chain" -> fhChain,

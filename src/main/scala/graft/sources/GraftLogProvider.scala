@@ -333,6 +333,17 @@ object GraftLog {
     }
   }
 
+  /** ONE partition's end position from footer stats — the task-local
+    * base lookup the V2 writers use (a full [[latestOffsets]] per task
+    * would read every partition's footers for one answer). */
+  private[sources] def partitionEnd(dir: String, p: Int, conf: Configuration): Long = {
+    val d = new Path(dir, s"partition=$p")
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) 0L
+    else fileOffsetRanges(d, conf).foldLeft(-1L)((a, e) =>
+      math.max(a, e.statsMax)) + 1
+  }
+
   /** Per-partition END position (max offset + 1) from parquet FOOTER
     * statistics only — the metadata-cost position lookup. A stats-less
     * row group cannot advance the position (its rows become readable
@@ -438,13 +449,19 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graftlog requires option(\"path\", ...)")))
 }
 
-final class GraftLogTable(path: String) extends Table with SupportsRead {
+final class GraftLogTable(path: String) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftlog(`$path`)"
   override def schema(): StructType = GraftLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, options.asScala.toMap)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftLogWriteBuilder(path, info)
 }
 
 /** Pushdown surface of the connector: COLUMN PRUNING (the projection

@@ -1,0 +1,359 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * NATIVE V2 write path for the partitioned offset log — the emit side
+ * (reference DynamicSpout.java:249-255) at the level Spark models
+ * sinks: `df.write.format("graftlog")` appends a batch,
+ * `df.writeStream.format("graftlog")` is an exactly-once streaming
+ * sink. Both ride [[RequiresDistributionAndOrdering]]: Spark clusters
+ * the input by log partition and sorts it before any writer runs, so
+ * each task owns whole partitions, assigns dense offsets task-locally
+ * (base from parquet FOOTER stats + running rank — no driver round
+ * trip, no global coordination), and emits ONE segment file per
+ * partition per batch ([[GraftLog.append]]'s all-or-nothing unit).
+ *
+ * Commit protocol: tasks stage under `_staging/<queryId>/<epochId>/`
+ * (invisible — underscore-prefixed), the driver RENAMES staged
+ * segments into their partition directories at commit. Streaming
+ * commits are idempotent through the [[GraftLog.appendBatch]] marker
+ * namespace: `_producer/<epochId>.intent` pins the first attempt's
+ * bases, an epoch replay renames only partitions still AT their base
+ * (an advanced one committed on a prior attempt), and
+ * `_producer/<epochId>` short-circuits a fully-committed replay —
+ * the ExactlyOnceSinkSuite orderings, native.
+ *
+ * Offset modes (`option("offsets", ...)`):
+ *  - `assign` — the producer face: the input's `offset` column is
+ *    ignored (pass -1); offsets are assigned base+rank under
+ *    (key, value) ordering, [[GraftLog.append]]'s rule.
+ *  - `provided` (default) — the materialize face: rows carry explicit
+ *    offsets; the writer REQUIRES them dense from each partition's
+ *    current end and fails loudly on a gap or overlap (a silent gap
+ *    would freeze [[GraftLog.latestOffsets]] positions forever).
+ *
+ * Single producer per log (the marker-namespace stance, shared with
+ * the foreachBatch faces). 100 TB shape: commit cost is one rename +
+ * two metadata RPCs per partition touched — nothing row-proportional;
+ * rows stream through task-local parquet writers at full parallelism.
+ */
+final class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo)
+  extends WriteBuilder {
+
+  override def build(): Write = {
+    val cols = info.schema().fieldNames.map(_.toLowerCase)
+    require(Seq("partition", "key", "value").forall(cols.contains),
+      s"graftlog write needs partition/key/value columns, got ${cols.mkString(",")}")
+    val assign = info.options.getOrDefault("offsets", "provided") match {
+      case "assign" => true
+      case "provided" =>
+        require(cols.contains("offset"),
+          "offsets=provided (the default) needs an offset column; " +
+            "pass option(\"offsets\", \"assign\") to have the log assign them")
+        false
+      case other => throw new IllegalArgumentException(
+        s"graftlog option offsets must be 'assign' or 'provided', got '$other'")
+    }
+    new GraftLogWrite(path, info.queryId(), info.schema(), assign)
+  }
+}
+
+final class GraftLogWrite(path: String, queryId: String,
+    schema: StructType, assign: Boolean)
+  extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("partition")))
+
+  /** Within each task: partitions contiguous, rows in offset order —
+    * either the explicit one (provided) or the (key, value) assignment
+    * order ([[GraftLog.append]]'s deterministic intra-batch rule). */
+  override def requiredOrdering(): Array[SortOrder] = {
+    val tail = if (assign) Seq("key", "value") else Seq("offset")
+    ("partition" +: tail).map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+  }
+
+  private def confBc = org.apache.spark.sql.graft.Shim.broadcastConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext,
+    GraftLog.sessionConf())
+
+  override def toBatch: BatchWrite = new GraftLogBatchWrite(
+    path, s"$path/_staging/$queryId/batch", schema, assign, confBc)
+
+  override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(
+    path, s"$path/_staging/$queryId", schema, assign, confBc)
+}
+
+/** (log partition, staged file, base the task read, rows staged). */
+final case class GraftLogCommitMessage(
+    entries: Seq[(Int, String, Long, Long)]) extends WriterCommitMessage
+
+object GraftLogWrite {
+  private[sources] def fs(p: String, conf: Configuration): FileSystem =
+    new Path(p).getFileSystem(conf)
+
+  /** Flatten task messages; a batch's entries must be one-per-partition
+    * (the clustered distribution guarantees it — violation means the
+    * planner broke the contract, fail loudly before corrupting the
+    * log). */
+  private[sources] def entriesOf(
+      messages: Array[WriterCommitMessage]): Seq[(Int, String, Long, Long)] = {
+    val entries = messages.toSeq.collect {
+      case GraftLogCommitMessage(es) => es
+    }.flatten
+    val dup = entries.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dup.isEmpty,
+      s"multiple staged segments for log partition(s) ${dup.mkString(",")} — " +
+        "the clustered write distribution was not honored")
+    entries
+  }
+
+  /** Rename a staged segment into its partition directory. */
+  private[sources] def promote(dir: String, conf: Configuration,
+      p: Int, staged: String): Unit = {
+    val f = fs(dir, conf)
+    val dest = new Path(dir, s"partition=$p/${new Path(staged).getName}")
+    f.mkdirs(dest.getParent)
+    require(f.rename(new Path(staged), dest),
+      s"failed to promote staged segment $staged to $dest")
+  }
+
+  private[sources] def deleteDir(root: String, conf: Configuration): Unit = {
+    val f = fs(root, conf)
+    val p = new Path(root)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** Drop a finished staging dir and any now-empty ancestors up to and
+    * including the `_staging` root (all underscore-invisible — this is
+    * tidiness, not correctness). */
+  private[sources] def cleanupStaging(stagingDir: String, conf: Configuration): Unit = {
+    deleteDir(stagingDir, conf)
+    val f = fs(stagingDir, conf)
+    var p = new Path(stagingDir).getParent
+    var continue = true
+    while (continue && p != null) {
+      val atRoot = p.getName == "_staging"
+      if (f.exists(p) && f.listStatus(p).isEmpty) { f.delete(p, false); () }
+      else continue = false
+      if (atRoot) continue = false
+      p = p.getParent
+    }
+  }
+}
+
+/** Batch append: stage, verify bases unmoved (single-writer sanity),
+  * promote. A crash between promotes tears at a partition boundary —
+  * the same tear [[GraftLog.append]] documents; batch retries go
+  * through [[GraftLog.appendBatch]] or the streaming face when
+  * idempotence is needed. */
+final class GraftLogBatchWrite(dir: String, stagingDir: String,
+    schema: StructType, assign: Boolean,
+    confBc: org.apache.spark.sql.graft.ConfBroadcast)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftLogWriterFactory(dir, stagingDir, schema, assign, confBc)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = confBc.value
+    val entries = GraftLogWrite.entriesOf(messages)
+    val current = GraftLog.latestOffsets(dir, conf)
+    entries.foreach { case (p, _, base, _) =>
+      require(current.getOrElse(p, 0L) == base,
+        s"log $dir partition $p advanced past the staged base $base " +
+          s"(now ${current.getOrElse(p, 0L)}) — concurrent producer?")
+    }
+    entries.foreach { case (p, staged, _, _) =>
+      GraftLogWrite.promote(dir, conf, p, staged)
+    }
+    GraftLogWrite.cleanupStaging(stagingDir, conf)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWrite.cleanupStaging(stagingDir, confBc.value)
+}
+
+/** Streaming sink: the [[GraftLog.appendBatch]] idempotence protocol
+  * at the V2 commit hook — epoch replays skip committed partitions and
+  * a done epoch outright. */
+final class GraftLogStreamingWrite(dir: String, stagingRoot: String,
+    schema: StructType, assign: Boolean,
+    confBc: org.apache.spark.sql.graft.ConfBroadcast)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftLogWriterFactory(dir, stagingRoot, schema, assign, confBc)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = confBc.value
+    val fs = GraftLogWrite.fs(dir, conf)
+    val producerDir = new Path(dir, "_producer")
+    val donePath = new Path(producerDir, epochId.toString)
+    val epochStaging = s"$stagingRoot/$epochId"
+    if (fs.exists(donePath)) { // fully-committed replay
+      GraftLogWrite.cleanupStaging(epochStaging, conf)
+      return
+    }
+    val entries = GraftLogWrite.entriesOf(messages)
+    val current = GraftLog.latestOffsets(dir, conf)
+    val intentPath = new Path(producerDir, s"$epochId.intent")
+    val bases: Map[Int, Long] =
+      if (fs.exists(intentPath)) {
+        val in = fs.open(intentPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        GraftLog.offsetsFromJson(txt.trim)
+      } else {
+        fs.mkdirs(producerDir)
+        val out = fs.create(intentPath, true)
+        try out.write(GraftLog.offsetsToJson(current).getBytes("UTF-8"))
+        finally out.close()
+        current
+      }
+    entries.foreach { case (p, staged, taskBase, _) =>
+      val b = bases.getOrElse(p, 0L)
+      val cur = current.getOrElse(p, 0L)
+      if (cur == b) {
+        // still pending: the task staged from the same footer state
+        require(taskBase == b,
+          s"partition $p staged from base $taskBase but the epoch's " +
+            s"first-attempt base is $b")
+        GraftLogWrite.promote(dir, conf, p, staged)
+      } else {
+        // committed by a previous attempt of this epoch — skip, and the
+        // single-writer invariant says nothing else can have moved it
+        require(cur >= b,
+          s"log $dir partition $p regressed below the epoch $epochId base " +
+            s"($b -> $cur) — was the log rewritten underneath the producer?")
+      }
+    }
+    fs.create(donePath, true).close() // the epoch's commit point
+    // prune the marker namespace past the replay window
+    fs.listStatus(producerDir).foreach { st =>
+      val n = st.getPath.getName.stripSuffix(".intent")
+      if (n.forall(_.isDigit) && n.nonEmpty && n.toLong <= epochId - 16)
+        fs.delete(st.getPath, false)
+    }
+    GraftLogWrite.cleanupStaging(epochStaging, conf)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWrite.cleanupStaging(s"$stagingRoot/$epochId", confBc.value)
+}
+
+/** One factory serves both faces; batch writers stage under
+  * `<staging>/batch`, streaming writers under `<staging>/<epochId>`. */
+final class GraftLogWriterFactory(dir: String, stagingRoot: String,
+    schema: StructType, assign: Boolean,
+    confBc: org.apache.spark.sql.graft.ConfBroadcast)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLogDataWriter(dir, stagingRoot, schema, assign, confBc.value, taskId)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftLogDataWriter(dir, s"$stagingRoot/$epochId", schema, assign,
+      confBc.value, taskId)
+}
+
+/** Task-side writer: input arrives clustered by log partition and
+  * sorted, so partitions are contiguous runs — on each boundary, read
+  * the partition's end position from FOOTER stats, stream rows into
+  * ONE staged parquet segment with dense offsets, and report
+  * (partition, file, base, count) for the driver's commit. */
+final class GraftLogDataWriter(dir: String, stagingDir: String,
+    schema: StructType, assign: Boolean, baseConf: Configuration,
+    taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val partIdx = schema.fieldIndex("partition")
+  private val keyIdx = schema.fieldIndex("key")
+  private val valueIdx = schema.fieldIndex("value")
+  private val offsetIdx = if (assign) -1 else schema.fieldIndex("offset")
+
+  private val segmentSchema = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  required int64 offset;
+      |  optional binary key (UTF8);
+      |  optional binary value (UTF8);
+      |}""".stripMargin)
+  private val groups = new SimpleGroupFactory(segmentSchema)
+
+  private var curPart = Int.MinValue
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private var curFile: String = _
+  private var base = 0L
+  private var next = 0L
+  private var staged = List.empty[(Int, String, Long, Long)]
+
+  private def closeCurrent(): Unit = if (writer != null) {
+    writer.close()
+    staged ::= ((curPart, curFile, base, next - base))
+    writer = null
+  }
+
+  private def open(p: Int): Unit = {
+    closeCurrent()
+    curPart = p
+    base = GraftLog.partitionEnd(dir, p, baseConf)
+    next = base
+    curFile = s"$stagingDir/seg-p$p-t$taskId-${java.util.UUID.randomUUID()}.parquet"
+    // fresh conf per segment: GroupWriteSupport pins the schema on it
+    writer = ExampleParquetWriter.builder(new Path(curFile))
+      .withConf(new Configuration(baseConf))
+      .withType(segmentSchema)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(partIdx), "null partition in graftlog write batch")
+    val p = row.getInt(partIdx)
+    if (p != curPart || writer == null) open(p)
+    val off =
+      if (assign) next
+      else {
+        require(!row.isNullAt(offsetIdx), "null offset with offsets=provided")
+        val o = row.getLong(offsetIdx)
+        require(o == next,
+          s"offset $o breaks density for partition $p (expected $next) — " +
+            "provided offsets must continue each partition's dense sequence")
+        o
+      }
+    val g = groups.newGroup().append("offset", off)
+    if (!row.isNullAt(keyIdx)) g.append("key", row.getUTF8String(keyIdx).toString)
+    if (!row.isNullAt(valueIdx)) g.append("value", row.getUTF8String(valueIdx).toString)
+    writer.write(g)
+    next = off + 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    GraftLogCommitMessage(staged.reverse)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    val f = GraftLogWrite.fs(stagingDir, baseConf)
+    (curFile :: staged.map(_._2)).filter(_ != null).foreach { file =>
+      val p = new Path(file)
+      if (f.exists(p)) f.delete(p, false)
+    }
+  }
+
+  override def close(): Unit = if (writer != null) { writer.close(); writer = null }
+}
