@@ -515,6 +515,64 @@ object Sampling {
       |  MIN(score_fp) AS min_fp, MAX(score_fp) AS max_fp
       |FROM r GROUP BY 1, 2 ORDER BY source, quintile""".stripMargin))
 
+  /** The per-source token budget [[mixDomainCap]] enforces — one
+    * constant shared by the Spark query and its oracle twin (declared
+    * BEFORE the QueryDef: object-init order, a forward reference would
+    * interpolate 0 into the SQL). */
+  private val DomainCapTokens = 1200L
+
+  /** Per-source token-budget cap — the "domain cap" policy of web-scale
+    * curation (RefinedWeb's per-domain limits, Dolma's per-source
+    * budgets): within each source, documents are admitted in QUALITY
+    * order (score_fp DESC, doc_id as the total tie-break — one shared
+    * integer score, [[TextAnalysis.qualityScoreFp]]) until the source's
+    * cumulative token count would cross the budget; the crossing doc
+    * and everything after it are cut (the prefix rule — deterministic,
+    * no knapsack backfill).
+    *
+    * Scale shape: ONE hash exchange on `source`, then per-source
+    * rank + running-sum windows — partition-parallel, no global window,
+    * nothing driver-sized. The cut is a filter on the running sum, so
+    * the corpus streams through exactly once. */
+  private val mixDomainCap = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.qualityRaw(
+          Tables.documents(s, dir).repartition(64))
+        .select(col("source"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          TextAnalysis.qualityScoreFp.as("score_fp"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      scored
+        .withColumn("admit_rank", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= DomainCapTokens)
+        .select("source", "admit_rank", "doc_id", "n_tokens",
+          "cum_tokens", "score_fp")
+        .orderBy("source", "admit_rank")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    ${TextAnalysis.scoreFpSql} AS score_fp
+      |  FROM t),
+      |r AS (
+      |  SELECT source, doc_id, n_tokens, score_fp,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |         ORDER BY score_fp DESC, doc_id) AS BIGINT) AS admit_rank,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |         ORDER BY score_fp DESC, doc_id
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM q)
+      |SELECT source, admit_rank, doc_id, n_tokens, cum_tokens, score_fp
+      |FROM r WHERE cum_tokens <= $DomainCapTokens
+      |ORDER BY source, admit_rank""".stripMargin))
+
   private val mixQualityBuckets = QueryDef(
     (s, dir) => {
       val scored = TextAnalysis.qualityRaw(
@@ -966,6 +1024,7 @@ object Sampling {
     "mix_epochs_materialize" -> mixEpochsMaterialize,
     "chunk_documents" -> chunkDocuments,
     "mix_quality_buckets" -> mixQualityBuckets,
+    "mix_domain_cap" -> mixDomainCap,
     "mix_quality_by_source" -> mixQualityBySource,
     "sample_weighted" -> sampleWeighted,
     "shuffle_corpus" -> shuffleCorpus,
