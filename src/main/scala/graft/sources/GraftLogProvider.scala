@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -287,7 +287,8 @@ object GraftLog {
     * carried stats (only then may PLANNING prune the file — an
     * incomplete envelope must never hide rows). */
   private[sources] final case class FileEnvelope(
-      file: String, statsMin: Long, statsMax: Long, complete: Boolean) {
+      file: String, statsMin: Long, statsMax: Long, complete: Boolean,
+      len: Long = 0L) {
     def overlaps(from: Long, until: Long): Boolean =
       !complete || (statsMax >= from && statsMin < until)
   }
@@ -328,7 +329,7 @@ object GraftLog {
                 // stays usable for positions, pruning is disabled
             }
         }
-        FileEnvelope(f.toString, mn, mx, complete)
+        FileEnvelope(f.toString, mn, mx, complete, st.getLen)
       }
     }
   }
@@ -545,7 +546,8 @@ object GraftLogBounds {
 final class GraftLogScan(path: String, options: Map[String, String],
     required: StructType = GraftLog.Schema,
     bounds: GraftLogBounds = GraftLogBounds.All,
-    pushedDesc: Array[String] = Array.empty) extends Scan {
+    pushedDesc: Array[String] = Array.empty) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
 
   // the DRIVER-side session conf, captured at scan construction; ships
@@ -568,22 +570,72 @@ final class GraftLogScan(path: String, options: Map[String, String],
     * Bounds are applied at PLANNING — pruned partitions/files never
     * become tasks — which is what makes a sideline replay over the
     * native log metadata-cost instead of scan-and-filter. */
+  /** The batch read window from the options (defaults: whole log). */
+  private def batchWindow(latest: Map[Int, Long]): (Map[Int, Long], Map[Int, Long]) = {
+    val start = options.get("startingoffsets") match {
+      case None | Some("earliest") => latest.map { case (p, _) => p -> 0L }
+      case Some(json) =>
+        val m = GraftLog.offsetsFromJson(json)
+        latest.map { case (p, _) => p -> m.getOrElse(p, 0L) }
+    }
+    val end = options.get("endingoffsets") match {
+      case None | Some("latest") => latest
+      case Some(json) =>
+        GraftLog.offsetsFromJson(json).map { case (p, e) =>
+          p -> math.min(e, latest.getOrElse(p, 0L))
+        }
+    }
+    (start, end)
+  }
+
+  /** EXACT row count (offsets are dense — the window width IS the
+    * count) and a byte estimate pro-rated by each overlapping file's
+    * covered offset fraction and the projected-column fraction (decode
+    * pruning makes a narrow projection physically cheaper). Feeding
+    * these to Catalyst is what lets a small log side auto-broadcast in
+    * joins instead of shuffling the big side — at 100 TB the difference
+    * between a dimension probe and a full exchange. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val latest = GraftLog.latestOffsets(path, conf)
+    val (start, end) = batchWindow(latest)
+    val dirs = GraftLog.partitionDirs(path, conf)
+    var rows = 0L
+    var bytes = 0.0
+    end.foreach { case (p, until0) =>
+      val (from, until) = bounds.narrow(start.getOrElse(p, 0L), until0)
+      if (until > from && bounds.keeps(p)) {
+        rows += until - from
+        dirs.get(p).foreach { d =>
+          GraftLog.fileOffsetRanges(d, conf).foreach { e =>
+            if (e.overlaps(from, until)) {
+              val frac =
+                if (!e.complete || e.statsMax < e.statsMin) 1.0
+                else {
+                  val covered = math.min(until - 1, e.statsMax) -
+                    math.max(from, e.statsMin) + 1
+                  covered.toDouble / (e.statsMax - e.statsMin + 1)
+                }
+              bytes += e.len * math.max(0.0, math.min(1.0, frac))
+            }
+          }
+        }
+      }
+    }
+    val colFrac = required.size.toDouble / GraftLog.Schema.size
+    val sizeEst = math.max(1L, (bytes * colFrac).toLong)
+    val nRows = rows
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sizeEst)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(nRows)
+    }
+  }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val latest = GraftLog.latestOffsets(path, conf)
-      val start = options.get("startingoffsets") match {
-        case None | Some("earliest") => latest.map { case (p, _) => p -> 0L }
-        case Some(json) =>
-          val m = GraftLog.offsetsFromJson(json)
-          latest.map { case (p, _) => p -> m.getOrElse(p, 0L) }
-      }
-      val end = options.get("endingoffsets") match {
-        case None | Some("latest") => latest
-        case Some(json) =>
-          GraftLog.offsetsFromJson(json).map { case (p, e) =>
-            p -> math.min(e, latest.getOrElse(p, 0L))
-          }
-      }
+      val (start, end) = batchWindow(latest)
       GraftLogScan.plan(path, conf, start, end, bounds,
         GraftLogScan.minSplitsOption(options))
     }
@@ -886,12 +938,26 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
   private val failOnDataLoss =
     options.getOrElse("failondataloss", "true").toBoolean
 
-  /** Kafka-source convention: maxOffsetsPerTrigger becomes the default
-    * admission limit. */
-  override def getDefaultReadLimit: ReadLimit =
-    options.get("maxoffsetspertrigger")
+  /** Kafka-source convention: `maxOffsetsPerTrigger` caps a batch,
+    * `minOffsetsPerTrigger` defers one until the backlog is worth a
+    * trigger (small-batch suppression for slow logs), with
+    * `maxTriggerDelayMs` bounding how long the gate may hold (default
+    * 15 min — Kafka's maxTriggerDelay). Both set → a composite limit. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val max = options.get("maxoffsetspertrigger")
       .map(n => ReadLimit.maxRows(n.toLong))
-      .getOrElse(ReadLimit.allAvailable())
+    val min = options.get("minoffsetspertrigger").map { n =>
+      val delayMs = options.get("maxtriggerdelayms").map(_.toLong)
+        .getOrElse(15L * 60 * 1000)
+      ReadLimit.minRows(n.toLong, delayMs)
+    }
+    (min, max) match {
+      case (Some(a), Some(b)) => ReadLimit.compositeLimit(Array[ReadLimit](a, b))
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => ReadLimit.allAvailable()
+    }
+  }
 
   override def initialOffset(): Offset = {
     val latest = GraftLog.latestOffsets(path, conf)
@@ -921,23 +987,38 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
+  // when the min-rows gate last let a batch through — the reference
+  // point for maxTriggerDelayMs (the Kafka source's lastTriggerMillis)
+  @volatile private var lastTriggerMs: Long = System.currentTimeMillis()
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftLogOffset].offsets
     val latest = currentEnd()
-    limit match {
-      case _: ReadAllAvailable => GraftLogOffset(latest)
-      case r: ReadMaxRows =>
-        // split the row budget over partition backlogs PROPORTIONALLY
-        // (the Kafka-source rule), remainder to ascending partition ids
-        // — deterministic, and a starved partition always progresses
-        // when the budget allows
-        val backlog = latest.map { case (p, l) =>
-          p -> math.max(0L, l - from.getOrElse(p, 0L))
-        }
-        val total = backlog.values.sum
-        val cap = r.maxRows()
-        if (total <= cap) GraftLogOffset(latest)
-        else {
+    val backlog = latest.map { case (p, l) =>
+      p -> math.max(0L, l - from.getOrElse(p, 0L))
+    }
+    val total = backlog.values.sum
+    val limits = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    // min gate: defer a sub-threshold batch — unless the delay bound
+    // expired, or the query is DRAINING (AvailableNow pins an end and
+    // must reach it; Kafka ignores minOffsets there too)
+    val gateHolds = limits.collectFirst { case m: ReadMinRows => m }.exists { m =>
+      availableNowEnd.isEmpty && total < m.minRows() &&
+        System.currentTimeMillis() - lastTriggerMs < m.maxTriggerDelayMs()
+    }
+    if (gateHolds) GraftLogOffset(from) // no progress = no batch this trigger
+    else {
+      lastTriggerMs = System.currentTimeMillis()
+      limits.collectFirst { case r: ReadMaxRows => r } match {
+        case Some(r) if total > r.maxRows() =>
+          // split the row budget over partition backlogs PROPORTIONALLY
+          // (the Kafka-source rule), remainder to ascending partition
+          // ids — deterministic, and a starved partition always
+          // progresses when the budget allows
+          val cap = r.maxRows()
           val base = backlog.map { case (p, b) => p -> (b * cap / total) }
           var rem = cap - base.values.sum
           val takes = backlog.keys.toSeq.sorted.map { p =>
@@ -947,8 +1028,8 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
           GraftLogOffset(latest.map { case (p, _) =>
             p -> (from.getOrElse(p, 0L) + takes.getOrElse(p, 0L))
           })
-        }
-      case _ => GraftLogOffset(latest) // minRows/composite: take all
+        case _ => GraftLogOffset(latest) // all-available / under the cap
+      }
     }
   }
 

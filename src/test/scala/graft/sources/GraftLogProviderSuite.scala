@@ -360,6 +360,96 @@ class GraftLogProviderSuite extends SparkSuite {
     }
   }
 
+  test("reported statistics: exact row counts, window-scaled bytes, and auto-broadcast in joins") {
+    val dir = writeLog(400, 4) // 100 offsets per partition
+    def stats(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val scan = flattenPlan(df.queryExecution.executedPlan).collectFirst {
+        case b: BatchScanExec => b
+      }.get.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      scan.estimateStatistics()
+    }
+    val full = spark.read.format("graftlog").option("path", dir).load()
+    val s0 = stats(full)
+    assert(s0.numRows.getAsLong === 400L)
+    assert(s0.sizeInBytes.getAsLong > 0L)
+    // a planning-time window shrinks the estimate proportionally
+    val half = spark.read.format("graftlog").option("path", dir)
+      .option("startingOffsets", """{"0":50,"1":50,"2":50,"3":50}""").load()
+    val s1 = stats(half)
+    assert(s1.numRows.getAsLong === 200L)
+    assert(s1.sizeInBytes.getAsLong < s0.sizeInBytes.getAsLong)
+    // Catalyst sees the stats: joining a big frame against the small
+    // log broadcasts the LOG side with no explicit hint
+    val big = spark.range(0, 500000).selectExpr("cast(id % 4 as int) as partition",
+      "id as x")
+    val joined = big.join(full.select("partition", "key"), Seq("partition"))
+    val hasBroadcast = flattenPlan(joined.queryExecution.executedPlan).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(hasBroadcast,
+      "small graftlog side did not auto-broadcast:\n" +
+        joined.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("minOffsetsPerTrigger defers sub-threshold batches until backlog or delay; cap still binds") {
+    val dir = writeLog(40, 4) // backlog 40 < min 100
+    val batches = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    val q = spark.readStream.format("graftlog").option("path", dir)
+      .option("minOffsetsPerTrigger", "100")
+      .option("maxOffsetsPerTrigger", "60")
+      .option("maxTriggerDelayMs", "3600000") // the delay must NOT fire here
+      .load()
+      .writeStream.trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.count()); ()
+      }.start()
+    try {
+      // the gate holds: several trigger cycles, zero row-bearing batches
+      Thread.sleep(2000)
+      import scala.jdk.CollectionConverters._
+      assert(batches.asScala.forall(_ == 0L),
+        s"min gate leaked a sub-threshold batch: ${batches.asScala.filter(_ > 0)}")
+      // grow past the threshold: batches flow, capped at 60 per trigger
+      spark.range(2000, 2070)
+        .selectExpr("cast(id % 4 as int) as partition",
+          "(10 + (id - 2000) div 4) as offset",
+          "cast(id as string) as key", "concat('v', id) as value")
+        .repartition(col("partition"))
+        .write.mode("append").partitionBy("partition").parquet(dir)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (batches.asScala.map(_.toLong).sum < 60 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val sizes = batches.asScala.map(_.toLong).filter(_ > 0)
+      assert(sizes === Seq(60L), s"expected one capped 60-row batch: $sizes")
+      // the 50-row REMAINDER re-arms the gate (Kafka semantics: min is
+      // judged per trigger, and the delay clock reset at the batch)
+      Thread.sleep(1500)
+      val after = batches.asScala.map(_.toLong).filter(_ > 0)
+      assert(after.sum === 60, s"gate did not re-arm on the remainder: $after")
+    } finally q.stop()
+  }
+
+  test("minOffsetsPerTrigger: the maxTriggerDelay bound releases a small backlog") {
+    val dir = writeLog(40, 4)
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.format("graftlog").option("path", dir)
+      .option("minOffsetsPerTrigger", "1000000")
+      .option("maxTriggerDelayMs", "1500")
+      .load()
+      .writeStream.trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        n.addAndGet(df.count()); ()
+      }.start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (n.get() < 40 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(n.get() === 40,
+        s"delay bound did not release the backlog: ${n.get()}")
+    } finally q.stop()
+  }
+
   test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {
     val dir = writeLog(40, 4) // 10 offsets per partition
     val bad = """{"0":99,"1":0,"2":0,"3":0}"""
