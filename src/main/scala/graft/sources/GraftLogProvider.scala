@@ -547,8 +547,37 @@ final class GraftLogScan(path: String, options: Map[String, String],
     required: StructType = GraftLog.Schema,
     bounds: GraftLogBounds = GraftLogBounds.All,
     pushedDesc: Array[String] = Array.empty) extends Scan
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  // RUNTIME partition pruning (the V2 dynamic-partition-pruning hook):
+  // a join whose other side filters `partition` hands the surviving
+  // values here AFTER planning but BEFORE planInputPartitions — whole
+  // partition directories drop out of the scan at execution time, the
+  // log-side analogue of DPP on a partitioned fact table.
+  @volatile private var runtimeParts: Option[Set[Int]] = None
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("partition"))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    filters.foreach {
+      case In("partition", vs) =>
+        val s = vs.collect { case n: java.lang.Number => n.intValue() }.toSet
+        runtimeParts = Some(runtimeParts.fold(s)(_.intersect(s)))
+      case EqualTo("partition", v: java.lang.Number) =>
+        val s = Set(v.intValue())
+        runtimeParts = Some(runtimeParts.fold(s)(_.intersect(s)))
+      case _ => () // unsupported runtime filter: correctness unaffected
+    }
+  }
+  /** Planning-time pushed bounds ∩ runtime-pruned partitions. */
+  private def effectiveBounds: GraftLogBounds = runtimeParts match {
+    case None => bounds
+    case Some(rp) => bounds.copy(partitions =
+      Some(bounds.partitions.fold(rp)(_.intersect(rp))))
+  }
 
   // the DRIVER-side session conf, captured at scan construction; ships
   // to executors as a plain map (spark.hadoop.* / credentials included)
@@ -636,7 +665,7 @@ final class GraftLogScan(path: String, options: Map[String, String],
     override def planInputPartitions(): Array[InputPartition] = {
       val latest = GraftLog.latestOffsets(path, conf)
       val (start, end) = batchWindow(latest)
-      GraftLogScan.plan(path, conf, start, end, bounds,
+      GraftLogScan.plan(path, conf, start, end, effectiveBounds,
         GraftLogScan.minSplitsOption(options))
     }
     override def createReaderFactory(): PartitionReaderFactory =

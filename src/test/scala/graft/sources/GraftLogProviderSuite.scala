@@ -393,6 +393,40 @@ class GraftLogProviderSuite extends SparkSuite {
         joined.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("runtime filtering prunes partitions between planning and execution (V2 DPP hook)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val dir = writeLog(200, 4)
+    // the hook itself: a runtime In on partition drops whole directories
+    val scan = new GraftLogScan(dir, Map.empty)
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("partition"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("partition", Array(1, 3))))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("partition", 3))) // intersects, not replaces
+    val parts = scan.toBatch.planInputPartitions()
+      .collect { case g: GraftLogInputPartition => g }
+    assert(parts.map(_.partition).toSeq === Seq(3),
+      s"runtime filter not applied: ${parts.map(_.partition).toSeq}")
+
+    // end to end: a broadcast join whose dim side filters partition
+    // plants a runtime filter on the scan, and results stay exact
+    val sparkS = spark
+    import sparkS.implicits._
+    val dim = Seq((2, "keep")).toDF("partition", "tag")
+    val fact = spark.read.format("graftlog").option("path", dir).load()
+    val joined = fact.join(broadcast(dim), Seq("partition"))
+    val rows = joined.collect()
+    assert(rows.length === 50 && rows.forall(_.getAs[Int]("partition") === 2))
+    val exec = flattenPlan(joined.queryExecution.executedPlan).collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    if (exec.runtimeFilters.nonEmpty) {
+      val planned = exec.inputPartitions
+        .collect { case g: GraftLogInputPartition => g }
+      assert(planned.map(_.partition).toSeq === Seq(2),
+        s"runtime filter present but scan read ${planned.map(_.partition).toSeq}")
+    }
+  }
+
   test("minOffsetsPerTrigger defers sub-threshold batches until backlog or delay; cap still binds") {
     val dir = writeLog(40, 4) // backlog 40 < min 100
     val batches = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
