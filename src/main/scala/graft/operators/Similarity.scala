@@ -1613,20 +1613,85 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
           col("vec_id_1").as("neighbor_id"), col("sim")))
       topKPerQuery(s, directed, KnnK)
     },
-    Some(s"""WITH $seededAssignSql,
-      |gpairs AS (
-      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-      |         (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS sim
-      |  FROM assigned a JOIN assigned b
-      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-      |granked AS (
-      |  SELECT query_id, neighbor_id, sim,
-      |         row_number() OVER (PARTITION BY query_id
-      |                            ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM gpairs)
+    Some(s"""WITH $knnGraphSqlCtes
       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
       |       ROUND(sim, 4) AS sim
       |FROM granked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin))
+
+  /** The knn CTE chain (assigned → gpairs → granked) — ONE definition
+    * of the graph shared by `knn_graph` and `graph_triangles`, so the
+    * triangle count can never drift from the graph it claims to
+    * measure. */
+  private def knnGraphSqlCtes: String = s"""$seededAssignSql,
+    |gpairs AS (
+    |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    |         (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS sim
+    |  FROM assigned a JOIN assigned b
+    |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    |granked AS (
+    |  SELECT query_id, neighbor_id, sim,
+    |         row_number() OVER (PARTITION BY query_id
+    |                            ORDER BY sim DESC, neighbor_id) AS rank
+    |  FROM gpairs)""".stripMargin
+
+  /** TRIANGLE COUNTING over the MUTUAL k-NN graph — the local-density
+    * metric graph curation reads next to [[ConnectedComponents]]'s
+    * global one (a vector in many triangles sits in a tight semantic
+    * cluster; triangle-free vectors are isolated/noise — SemDeDup-style
+    * neighborhood evidence). Edges are MUTUAL knn pairs (both
+    * directions ranked ≤ k — the standard symmetrization that drops
+    * hub-induced one-way edges); triangles are counted once per
+    * unordered triple via the a<b<c orientation (each undirected edge
+    * stored once as (min, max), so e1(a,b)⋈e2(b,c)⋈e3(a,c) cannot
+    * double-count).
+    *
+    * Shape at 100 TB: the edge list is V·k-bounded (k=[[KnnK]]) — the
+    * triangle join is over EDGES, never vectors; two hash joins on
+    * vertex keys, integer-only output. */
+  private val graphTriangles = QueryDef(
+    (s, dir) => {
+      val knn = knnGraph.fn(s, dir).select("query_id", "neighbor_id")
+      // V·k-bounded edge list, referenced by THREE self-join sides —
+      // checkpoint once or the whole knn chain (cell self-join + top-k)
+      // recomputes per reference (measured 11.2 s -> edge-sized joins)
+      val und = knn
+        .select(least(col("query_id"), col("neighbor_id")).as("a"),
+          greatest(col("query_id"), col("neighbor_id")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .filter(col("n") === 2).select("a", "b")
+        .localCheckpoint(true)
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(col("x").as("v"))
+        .unionAll(tri.select(col("y").as("v")))
+        .unionAll(tri.select(col("z").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("v"))
+        .limit(50)
+        .select(col("v").as("vec_id"), col("n_triangles"))
+    },
+    Some(s"""WITH $knnGraphSqlCtes,
+      |knn AS (SELECT query_id, neighbor_id FROM granked WHERE rank <= $KnnK),
+      |und AS MATERIALIZED (
+      |  SELECT LEAST(query_id, neighbor_id) AS a,
+      |         GREATEST(query_id, neighbor_id) AS b
+      |  FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |verts AS (
+      |  SELECT x AS v FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM verts GROUP BY v
+      |ORDER BY n_triangles DESC, vec_id LIMIT 50""".stripMargin))
 
   // ---- 1-bit sign quantization + Hamming ANN --------------------------
 
@@ -1945,6 +2010,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   val all: Map[String, QueryDef] = Map(
     "knn_graph" -> knnGraph,
+    "graph_triangles" -> graphTriangles,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_range_search" -> annRangeSearch,
     "ann_hamming_topk" -> annHammingTopk,
