@@ -150,8 +150,52 @@ object ConfigDocs {
           s"| ${e.description} |\n")
       }
     }
+    sb.append(connectorSection)
     sb.toString
   }
+
+  /** The V2 connector's DataFrame-reader/writer options — a different
+    * configuration surface than GraftConfig keys (they ride
+    * `option(...)` on the read/write builders), documented in the same
+    * generated file so the suite keeps code and docs in lockstep. */
+  private def connectorSection: String =
+    """
+      |## Native V2 log connector (`format("graftlog")`)
+      |
+      |Reader options (batch `spark.read` and streaming `spark.readStream`):
+      |
+      || Key | Type | Required | Default | Description |
+      || --- | --- | --- | --- | --- |
+      || `path` | String | yes | — | Root of the partitioned log (`partition=<p>/` segment directories). |
+      || `startingOffsets` | String |  | earliest | `earliest`, `latest` (streaming only), or a JSON map `{"0":120,...}` of the first offset TO READ per partition. Streaming: out-of-range starts follow `failOnDataLoss`. Batch: bounds apply at planning. |
+      || `endingOffsets` | String |  | latest | Batch only: `latest` or a JSON map of the EXCLUSIVE end per partition. A partition absent from an explicit map contributes nothing (the bounded-replay stance). |
+      || `maxOffsetsPerTrigger` | Long |  | unlimited | Streaming admission budget per micro-batch, split proportionally over partition backlogs (Kafka-source rule). Honored under `Trigger.AvailableNow` too. |
+      || `minOffsetsPerTrigger` | Long |  | — | Streaming small-batch suppression: defer a trigger while the total backlog is below this, until `maxTriggerDelayMs` expires. Composes with `maxOffsetsPerTrigger`; ignored while `Trigger.AvailableNow` drains (Kafka semantics). |
+      || `maxTriggerDelayMs` | Long |  | 900000 | Upper bound on how long `minOffsetsPerTrigger` may hold a batch back (15 min — Kafka's maxTriggerDelay). |
+      || `failOnDataLoss` | Boolean |  | true | Out-of-range start: fail loudly (true) or clamp to the log end with a warning (false). |
+      || `minPartitions` | Int |  | #log partitions | Read-parallelism hint: partition ranges split into offset sub-ranges proportionally to backlog (never finer than one offset per task; total never exceeds the hint). Non-positive or non-numeric values fail at planning. |
+      |
+      |Writer options (batch `df.write` mode `append`, and `df.writeStream` —
+      |the streaming sink is exactly-once via the `_producer/<epoch>` marker
+      |namespace; one producer per log):
+      |
+      || Key | Type | Required | Default | Description |
+      || --- | --- | --- | --- | --- |
+      || `path` | String | yes | — | Log root to append into. |
+      || `offsets` | String |  | provided | `provided`: rows carry explicit offsets, writer enforces per-partition density from the current end and fails loudly on a gap. `assign`: the `offset` column is ignored (pass -1) and dense offsets are assigned in (key, value) order — `GraftLog.append` semantics. |
+      |
+      |The scan also reports statistics to Catalyst (exact row counts from
+      |offset windows, bytes pro-rated by covered file fraction and projected
+      |columns — small log sides auto-broadcast in joins) and implements the
+      |V2 runtime-filtering hook (a join that filters `partition` prunes whole
+      |partition directories between planning and execution — DPP for the log).
+      |
+      |Maintenance faces (library API, maintenance window required):
+      |`EpochCommit.compact` (+ `IncrementalDedup.compactCatalog` /
+      |`compactBandCatalog`, `IvfIndex.compactIndex`) fold committed epochs
+      |into one; `GraftLog.appendBatch(df, dir, batchId)` / `GraftLog.sink(dir)`
+      |are the foreachBatch-shaped exactly-once producer faces.
+      |""".stripMargin
 
   /** Regenerate docs/CONFIGURATION.md (or args(0)). */
   def main(args: Array[String]): Unit = {

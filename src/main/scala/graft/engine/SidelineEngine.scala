@@ -113,7 +113,7 @@ final class SidelineEngine(val log: LogSource, val store: ControlStore) {
     * the now-closed window with the batch [[sidelineReplay]] — the
     * SURVEY §2.9 SL3 mapping ("flip sideline query to bounded"). */
   def sidelineReplayStream(id: String, spark: SparkSession,
-      source: graft.sources.FileLogSource): DataFrame = {
+      source: graft.sources.LogSource): DataFrame = {
     val p = require2(id)
     require(p.sidelineType == SidelineType.Resume,
       s"sideline $id is ${p.sidelineType.name}, stream replay needs RESUME")

@@ -35,7 +35,7 @@ final case class FileLogSource(
     * join against the per-partition bound table, O(1) expression size
     * (the batch readBounded makes the same switch, and for the same
     * reason — a many-partition snapshot must not build a giant Or). */
-  def readStreamFrom(spark: SparkSession,
+  override def readStreamFrom(spark: SparkSession,
       from: ConsumerState = ConsumerState.empty): DataFrame = {
     val r = spark.readStream.schema(schema)
     val sr = maxFilesPerTrigger.fold(r)(n =>

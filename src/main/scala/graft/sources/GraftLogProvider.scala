@@ -405,6 +405,22 @@ final case class GraftLogSource(
         org.apache.spark.sql.functions.lit(namespace))
   }
 
+  /** Snapshot-bounded replay STREAM (a RESUME's live face): the
+    * exclusive watermarks become the connector's own startingOffsets —
+    * pre-snapshot segments are never planned, not filtered out. */
+  override def readStreamFrom(spark: org.apache.spark.sql.SparkSession,
+      from: graft.model.ConsumerState): org.apache.spark.sql.DataFrame = {
+    val start = from.offsets.collect {
+      case (graft.model.ConsumerPartition(ns, p), off) if ns == namespace =>
+        p -> (off + 1)
+    }
+    val r = spark.readStream.format("graftlog").option("path", dir)
+      .option("startingOffsets", GraftLog.offsetsToJson(start))
+    rate.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString)).load()
+      .withColumn("namespace",
+        org.apache.spark.sql.functions.lit(namespace))
+  }
+
   /** Bounded replay through the connector's OWN offset options instead
     * of the trait's post-scan predicate: the window becomes
     * `startingOffsets`/`endingOffsets` at the scan, so planning prunes

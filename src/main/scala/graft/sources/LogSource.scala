@@ -116,6 +116,16 @@ trait LogSource extends Serializable {
     }
   }
 
+  /** STREAMING scan starting AFTER the watermarks in `from` (exclusive
+    * — the resume-after rule), the stream twin of [[readBounded]]'s
+    * start bound: what a RESUME replay stream reads. Sources that model
+    * streams natively override it (FileLogSource filters the file
+    * stream; GraftLogSource pushes the snapshot into its own
+    * startingOffsets, so pre-snapshot segments are never even planned). */
+  def readStreamFrom(spark: SparkSession, from: ConsumerState): DataFrame =
+    throw new UnsupportedOperationException(
+      s"log source '$namespace' has no snapshot-bounded streaming read")
+
   /** Current high-watermark per partition (reference
    * Consumer.getCurrentState / lag gauges, kafka/Consumer.java:373-426). */
   def currentState(spark: SparkSession): ConsumerState = {
