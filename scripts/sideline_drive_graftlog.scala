@@ -54,10 +54,11 @@ object SidelineDriveGraftlog {
     val engine = SidelineEngine.inMemory(log)
     val coord = new QueryCoordinator(spark)
 
-    // main emit: EXACTLY-ONCE produce into a downstream graftlog; the
-    // original (partition, offset, key) coordinates ride in `value` so
-    // parity can be read back from the downstream log alone
-    var nextBatch = 0L
+    // main emit: EXACTLY-ONCE produce into a downstream graftlog using
+    // the DELIVERED foreachBatch id (a self-made counter would defeat
+    // the replay protocol); the original (partition, offset, key)
+    // coordinates ride in `value` so parity reads back from the
+    // downstream log alone
     def emitted(): Set[(Int, Long, String)] =
       spark.read.format("graftlog").option("path", outDir).load()
         .select("value").as[String].collect()
@@ -66,10 +67,10 @@ object SidelineDriveGraftlog {
 
     val fh = coord.launch("firehose", pool = "firehose") {
       StreamingFirehose.run(log.readStreamFrom(spark), engine,
-        mainSink = (df, _) => {
+        mainSink = (df, batchId) => {
           val batch = df.selectExpr("partition", "cast(-1 as long) as offset",
             "key", "concat_ws(':', partition, offset, key) as value")
-          GraftLog.appendBatch(batch, outDir, { nextBatch += 1; nextBatch })
+          GraftLog.appendBatch(batch, outDir, batchId, producerId = "drive")
           ()
         },
         checkpointLocation = Some(cpDir),

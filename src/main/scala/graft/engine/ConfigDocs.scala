@@ -176,8 +176,9 @@ object ConfigDocs {
       || `minPartitions` | Int |  | #log partitions | Read-parallelism hint: partition ranges split into offset sub-ranges proportionally to backlog (never finer than one offset per task; total never exceeds the hint). Non-positive or non-numeric values fail at planning. |
       |
       |Writer options (batch `df.write` mode `append`, and `df.writeStream` —
-      |the streaming sink is exactly-once via the `_producer/<epoch>` marker
-      |namespace; one producer per log):
+      |the streaming sink is exactly-once via the `_producer/<queryId>/<epoch>`
+      |marker namespace — scoped per pipeline incarnation so a recreated
+      |checkpoint's restarted batchIds cannot collide; one producer per log):
       |
       || Key | Type | Required | Default | Description |
       || --- | --- | --- | --- | --- |
@@ -193,7 +194,8 @@ object ConfigDocs {
       |Maintenance faces (library API, maintenance window required):
       |`EpochCommit.compact` (+ `IncrementalDedup.compactCatalog` /
       |`compactBandCatalog`, `IvfIndex.compactIndex`) fold committed epochs
-      |into one; `GraftLog.appendBatch(df, dir, batchId)` / `GraftLog.sink(dir)`
+      |into one; `GraftLog.appendBatch(df, dir, batchId, producerId)` /
+      |`GraftLog.sink(dir, producerId)`
       |are the foreachBatch-shaped exactly-once producer faces.
       |""".stripMargin
 

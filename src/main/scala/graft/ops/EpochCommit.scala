@@ -140,11 +140,21 @@ object EpochCommit {
     }
   }
 
-  /** The commit point: after this returns, `epoch` is visible. */
+  /** The commit point: after this returns, `epoch` is visible. When the
+    * epoch would GAP the dense range HEAD describes (out-of-protocol),
+    * HEAD is deleted BEFORE the marker is created — otherwise a crash
+    * between the marker landing and updateHead noticing the gap would
+    * leave readers' fast path trusting a range that hides the new
+    * marker. */
   def mark(s: SparkSession, root: String, epoch: Long): Unit = {
     val d = epochsDir(root)
     val fs = hadoopFs(s, d)
     fs.mkdirs(d)
+    readSmall(fs, headPath(root)).flatMap(parseLongs(_, 2)) match {
+      case Some(Seq(lo, hi)) if epoch < lo || epoch > hi + 1 =>
+        fs.delete(headPath(root), false)
+      case _ => ()
+    }
     fs.create(markerPath(root, epoch), true).close()
     updateHead(fs, root, epoch)
   }

@@ -146,9 +146,9 @@ object GraftLog {
     * optimistic-sequence check would fail that replay loudly instead of
     * absorbing it. This face makes the replay a no-op:
     *
-    *  1. `_producer/<id>.intent` records the per-partition base
-    *     positions BEFORE the first attempt touches the log — every
-    *     replay of `batchId` reuses the FIRST attempt's bases;
+    *  1. `_producer/<producerId>/<id>.intent` records the per-partition
+    *     base positions BEFORE the first attempt touches the log —
+    *     every replay of `batchId` reuses the FIRST attempt's bases;
     *  2. rows land only for partitions still AT their base — a
     *     partition whose position advanced past it already committed
     *     this batch's segment on a prior attempt (single producer:
@@ -156,37 +156,36 @@ object GraftLog {
     *     never duplicated. Per-partition segments are all-or-nothing
     *     ([[append]]'s one-file contract), so "advanced" is never a
     *     torn half;
-    *  3. `_producer/<id>` marks the batch done — a fully-committed
-    *     replay short-circuits on it before touching anything.
+    *  3. `_producer/<producerId>/<id>` marks the batch done — a
+    *     fully-committed replay short-circuits on it before touching
+    *     anything.
     *
-    * ONE producer per log, and that producer must route every write
-    * through this face (an interleaved bare [[append]] would advance
-    * positions the inference in step 2 attributes to the replayed
-    * batch). Markers older than `batchId - 16` are pruned on commit —
-    * Spark only ever re-delivers the latest unacknowledged batch, so
-    * the window is already generous.
+    * `producerId` SCOPES the marker namespace to one logical pipeline:
+    * batchIds restart from 0 whenever a checkpoint is recreated, and an
+    * unscoped namespace would make the new run's early batchIds collide
+    * with the old run's surviving done markers — silently dropping
+    * fresh batches as "replays". Use the streaming query's id (what the
+    * V2 sink does), or a new producerId per pipeline incarnation.
+    *
+    * ONE producer per log at a time, and that producer must route every
+    * write through this face (an interleaved bare [[append]] would
+    * advance positions the inference in step 2 attributes to the
+    * replayed batch). Markers older than `batchId - 16` are pruned on
+    * commit — Spark only ever re-delivers the latest unacknowledged
+    * batch, so the window is already generous.
     *
     * Returns the end position per partition after the batch. */
   def appendBatch(df: org.apache.spark.sql.DataFrame, dir: String,
-      batchId: Long): Map[Int, Long] = {
+      batchId: Long, producerId: String = "default"): Map[Int, Long] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    val producerDir = new Path(dir, "_producer")
-    val fs = producerDir.getFileSystem(conf)
-    val donePath = new Path(producerDir, batchId.toString)
-    if (fs.exists(donePath)) return latestOffsets(dir, conf)
+    val markers = new ProducerMarkers(dir, producerId, conf)
+    if (markers.done(batchId)) return latestOffsets(dir, conf)
 
-    val intentPath = new Path(producerDir, s"$batchId.intent")
     val current = latestOffsets(dir, conf)
-    val bases: Map[Int, Long] = readSmall(fs, intentPath) match {
-      case Some(json) => offsetsFromJson(json)
-      case None =>
-        fs.mkdirs(producerDir)
-        writeSmall(fs, intentPath, offsetsToJson(current))
-        current
-    }
+    val bases = markers.basesFor(batchId, current)
     bases.foreach { case (p, b) =>
       require(current.getOrElse(p, 0L) >= b,
         s"log $dir partition $p regressed below the batch $batchId base " +
@@ -218,27 +217,25 @@ object GraftLog {
       .write.mode("append").option("maxRecordsPerFile", 0L)
       .partitionBy("partition").parquet(dir)
 
-    fs.create(donePath, true).close() // the batch's commit point
-    // prune the marker namespace: replays never reach this far back
-    fs.listStatus(producerDir).foreach { st =>
-      val n = st.getPath.getName.stripSuffix(".intent")
-      if (n.forall(_.isDigit) && n.nonEmpty && n.toLong <= batchId - 16)
-        fs.delete(st.getPath, false)
-    }
+    markers.markDone(batchId)
     latestOffsets(dir, conf)
   }
 
   /** The (DataFrame, batchId) foreachBatch shape over [[appendBatch]] —
-    * plug a streaming query's output straight into the log. */
-  def sink(dir: String): (org.apache.spark.sql.DataFrame, Long) => Unit =
-    (df, id) => { appendBatch(df, dir, id); () }
+    * plug a streaming query's output straight into the log. Pass the
+    * query's id (or any per-pipeline token) as `producerId` so a
+    * recreated checkpoint's restarted batchIds cannot collide with an
+    * earlier incarnation's markers. */
+  def sink(dir: String, producerId: String = "default")
+      : (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (df, id) => { appendBatch(df, dir, id, producerId); () }
 
-  private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
+  private[sources] def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
     val out = fs.create(p, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readSmall(fs: FileSystem, p: Path): Option[String] =
+  private[sources] def readSmall(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -372,6 +369,50 @@ object GraftLog {
         case (k, v) => throw new IllegalArgumentException(s"bad offset $k=$v")
       }.toMap
       case other => throw new IllegalArgumentException(s"bad offset json: $other")
+    }
+  }
+}
+
+/** The `_producer/<producerId>/` marker namespace — ONE implementation
+  * of the exactly-once produce protocol's on-disk contract, shared by
+  * [[GraftLog.appendBatch]] and the V2 streaming sink's commit so the
+  * two faces can never drift. `producerId` scopes a logical pipeline:
+  * without it, a recreated checkpoint's restarted batchIds would
+  * collide with a previous incarnation's surviving done markers and
+  * silently drop fresh batches as "replays". */
+private[sources] final class ProducerMarkers(
+    dir: String, producerId: String,
+    conf: org.apache.hadoop.conf.Configuration) {
+  require(producerId.nonEmpty && !producerId.contains('/'),
+    s"producerId must be a non-empty flat token, got '$producerId'")
+  private val scope = new Path(new Path(dir, "_producer"), producerId)
+  private val fs = scope.getFileSystem(conf)
+
+  /** Has `id` fully committed? (The replay short-circuit.) */
+  def done(id: Long): Boolean = fs.exists(new Path(scope, id.toString))
+
+  /** The batch's pinned FIRST-attempt bases: read the intent, or pin
+    * `current` as the intent when this is the first attempt. */
+  def basesFor(id: Long, current: Map[Int, Long]): Map[Int, Long] = {
+    val intent = new Path(scope, s"$id.intent")
+    GraftLog.readSmall(fs, intent) match {
+      case Some(json) => GraftLog.offsetsFromJson(json)
+      case None =>
+        fs.mkdirs(scope)
+        GraftLog.writeSmall(fs, intent, GraftLog.offsetsToJson(current))
+        current
+    }
+  }
+
+  /** Commit the batch, then prune markers past the replay window
+    * (Spark only ever re-delivers the latest unacknowledged batch). */
+  def markDone(id: Long): Unit = {
+    fs.mkdirs(scope)
+    fs.create(new Path(scope, id.toString), true).close()
+    fs.listStatus(scope).foreach { st =>
+      val n = st.getPath.getName.stripSuffix(".intent")
+      if (n.forall(_.isDigit) && n.nonEmpty && n.toLong <= id - 16)
+        fs.delete(st.getPath, false)
     }
   }
 }
@@ -598,6 +639,14 @@ final class GraftLogScan(path: String, options: Map[String, String],
   // the DRIVER-side session conf, captured at scan construction; ships
   // to executors as a plain map (spark.hadoop.* / credentials included)
   private val conf = GraftLog.sessionConf()
+
+  // ONE footer-stats position sweep per scan: Catalyst may call
+  // estimateStatistics several times while optimizing (join reorder,
+  // broadcast decisions) and planInputPartitions once more — each was a
+  // full per-partition listing; a scan is one query, so the snapshot is
+  // also what keeps the stats consistent with the planned tasks
+  @transient private lazy val latestSnapshot: Map[Int, Long] =
+    GraftLog.latestOffsets(path, conf)
   // broadcast ONCE per query (Spark's own sources' shape) — never the
   // whole conf inside every task's serialized closure
   private val confBc = org.apache.spark.sql.graft.Shim.broadcastConf(
@@ -615,19 +664,47 @@ final class GraftLogScan(path: String, options: Map[String, String],
     * Bounds are applied at PLANNING — pruned partitions/files never
     * become tasks — which is what makes a sideline replay over the
     * native log metadata-cost instead of scan-and-filter. */
-  /** The batch read window from the options (defaults: whole log). */
+  /** The batch read window from the options (defaults: whole log).
+    * Out-of-range positions follow `failOnDataLoss` like the streaming
+    * path (kafka/Consumer.java:548-590's recovery): requesting offsets
+    * past a partition's end means the log was truncated or rewritten
+    * under the reader — fail loudly by default, clamp and warn when the
+    * caller opted out. A silent empty window would make a bounded
+    * replay "succeed" while draining nothing. */
   private def batchWindow(latest: Map[Int, Long]): (Map[Int, Long], Map[Int, Long]) = {
+    val failOnDataLoss =
+      options.getOrElse("failondataloss", "true").toBoolean
+    @transient lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    def clampOrFail(which: String, p: Int, o: Long): Long = {
+      val lat = latest.getOrElse(p, 0L)
+      if (o <= lat) o
+      else if (failOnDataLoss) throw new IllegalStateException(
+        s"$which $o out of range for partition $p (latest $lat)")
+      else {
+        log.warn(s"[graftlog] partition $p $which $o out of range; " +
+          s"clamping to $lat")
+        lat
+      }
+    }
     val start = options.get("startingoffsets") match {
       case None | Some("earliest") => latest.map { case (p, _) => p -> 0L }
+      case Some("latest") => throw new IllegalArgumentException(
+        "startingOffsets=latest is streaming-only; a batch read needs " +
+          "'earliest' or an explicit JSON offset map")
       case Some(json) =>
         val m = GraftLog.offsetsFromJson(json)
-        latest.map { case (p, _) => p -> m.getOrElse(p, 0L) }
+        latest.map { case (p, _) =>
+          p -> m.get(p).map(clampOrFail("startingOffsets", p, _)).getOrElse(0L)
+        }
     }
     val end = options.get("endingoffsets") match {
       case None | Some("latest") => latest
+      case Some("earliest") => throw new IllegalArgumentException(
+        "endingOffsets=earliest is not a valid batch bound; use 'latest' " +
+          "or an explicit JSON offset map")
       case Some(json) =>
         GraftLog.offsetsFromJson(json).map { case (p, e) =>
-          p -> math.min(e, latest.getOrElse(p, 0L))
+          p -> clampOrFail("endingOffsets", p, e)
         }
     }
     (start, end)
@@ -641,7 +718,7 @@ final class GraftLogScan(path: String, options: Map[String, String],
     * joins instead of shuffling the big side — at 100 TB the difference
     * between a dimension probe and a full exchange. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val latest = GraftLog.latestOffsets(path, conf)
+    val latest = latestSnapshot
     val (start, end) = batchWindow(latest)
     val dirs = GraftLog.partitionDirs(path, conf)
     var rows = 0L
@@ -679,7 +756,7 @@ final class GraftLogScan(path: String, options: Map[String, String],
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val latest = GraftLog.latestOffsets(path, conf)
+      val latest = latestSnapshot
       val (start, end) = batchWindow(latest)
       GraftLogScan.plan(path, conf, start, end, effectiveBounds,
         GraftLogScan.minSplitsOption(options))

@@ -93,7 +93,7 @@ final class GraftLogWrite(path: String, queryId: String,
     path, s"$path/_staging/$queryId/batch", schema, assign, confBc)
 
   override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(
-    path, s"$path/_staging/$queryId", schema, assign, confBc)
+    path, s"$path/_staging/$queryId", queryId, schema, assign, confBc)
 }
 
 /** (log partition, staged file, base the task read, rows staged). */
@@ -188,9 +188,12 @@ final class GraftLogBatchWrite(dir: String, stagingDir: String,
 
 /** Streaming sink: the [[GraftLog.appendBatch]] idempotence protocol
   * at the V2 commit hook — epoch replays skip committed partitions and
-  * a done epoch outright. */
+  * a done epoch outright. The marker namespace is scoped by the
+  * STREAMING QUERY id (stable across restarts of one checkpoint, fresh
+  * for a recreated one — exactly the producer-incarnation boundary the
+  * [[ProducerMarkers]] scope exists for). */
 final class GraftLogStreamingWrite(dir: String, stagingRoot: String,
-    schema: StructType, assign: Boolean,
+    queryId: String, schema: StructType, assign: Boolean,
     confBc: org.apache.spark.sql.graft.ConfBroadcast)
   extends StreamingWrite {
 
@@ -200,30 +203,15 @@ final class GraftLogStreamingWrite(dir: String, stagingRoot: String,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = confBc.value
-    val fs = GraftLogWrite.fs(dir, conf)
-    val producerDir = new Path(dir, "_producer")
-    val donePath = new Path(producerDir, epochId.toString)
+    val markers = new ProducerMarkers(dir, queryId, conf)
     val epochStaging = s"$stagingRoot/$epochId"
-    if (fs.exists(donePath)) { // fully-committed replay
+    if (markers.done(epochId)) { // fully-committed replay
       GraftLogWrite.cleanupStaging(epochStaging, conf)
       return
     }
     val entries = GraftLogWrite.entriesOf(messages)
     val current = GraftLog.latestOffsets(dir, conf)
-    val intentPath = new Path(producerDir, s"$epochId.intent")
-    val bases: Map[Int, Long] =
-      if (fs.exists(intentPath)) {
-        val in = fs.open(intentPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        GraftLog.offsetsFromJson(txt.trim)
-      } else {
-        fs.mkdirs(producerDir)
-        val out = fs.create(intentPath, true)
-        try out.write(GraftLog.offsetsToJson(current).getBytes("UTF-8"))
-        finally out.close()
-        current
-      }
+    val bases = markers.basesFor(epochId, current)
     entries.foreach { case (p, staged, taskBase, _) =>
       val b = bases.getOrElse(p, 0L)
       val cur = current.getOrElse(p, 0L)
@@ -241,13 +229,7 @@ final class GraftLogStreamingWrite(dir: String, stagingRoot: String,
             s"($b -> $cur) — was the log rewritten underneath the producer?")
       }
     }
-    fs.create(donePath, true).close() // the epoch's commit point
-    // prune the marker namespace past the replay window
-    fs.listStatus(producerDir).foreach { st =>
-      val n = st.getPath.getName.stripSuffix(".intent")
-      if (n.forall(_.isDigit) && n.nonEmpty && n.toLong <= epochId - 16)
-        fs.delete(st.getPath, false)
-    }
+    markers.markDone(epochId) // the epoch's commit point
     GraftLogWrite.cleanupStaging(epochStaging, conf)
   }
 
@@ -281,10 +263,20 @@ final class GraftLogDataWriter(dir: String, stagingDir: String,
     taskId: Long)
   extends DataWriter[InternalRow] {
 
-  private val partIdx = schema.fieldIndex("partition")
-  private val keyIdx = schema.fieldIndex("key")
-  private val valueIdx = schema.fieldIndex("value")
-  private val offsetIdx = if (assign) -1 else schema.fieldIndex("offset")
+  // case-INSENSITIVE resolution: the builder validates names that way
+  // (Spark's own resolution posture), so the writer must match — a
+  // case-sensitive fieldIndex here would pass validation and then blow
+  // up obscurely in every executor
+  private def idx(name: String): Int = {
+    val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    require(i >= 0, s"graftlog write input lacks column '$name' " +
+      s"(schema: ${schema.fieldNames.mkString(",")})")
+    i
+  }
+  private val partIdx = idx("partition")
+  private val keyIdx = idx("key")
+  private val valueIdx = idx("value")
+  private val offsetIdx = if (assign) -1 else idx("offset")
 
   private val segmentSchema = MessageTypeParser.parseMessageType(
     """message spark_schema {

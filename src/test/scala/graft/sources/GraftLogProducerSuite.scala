@@ -63,8 +63,8 @@ class GraftLogProducerSuite extends SparkSuite {
     // simulate the first attempt: intent recorded, then the commit
     // phase tore — partition 0's segment landed, partition 1's did not
     val fs = new Path(dir).getFileSystem(conf())
-    fs.mkdirs(new Path(dir, "_producer"))
-    val out = fs.create(new Path(dir, "_producer/7.intent"), true)
+    fs.mkdirs(new Path(dir, "_producer/default"))
+    val out = fs.create(new Path(dir, "_producer/default/7.intent"), true)
     out.write(GraftLog.offsetsToJson(bases).getBytes("UTF-8")); out.close()
     GraftLog.append(batch.filter(col("partition") === 0), dir)
     assert(GraftLog.latestOffsets(dir, conf()) === Map(0 -> 9L, 1 -> 5L))
@@ -86,10 +86,33 @@ class GraftLogProducerSuite extends SparkSuite {
     rows.groupBy(_._1).foreach { case (p, rs) =>
       assert(rs.map(_._2) === (0L until rs.length.toLong), s"partition $p not dense")
     }
-    assert(fs.exists(new Path(dir, "_producer/7")), "done marker missing")
+    assert(fs.exists(new Path(dir, "_producer/default/7")), "done marker missing")
 
     // and a SECOND replay after full commit is a pure no-op
     assert(GraftLog.appendBatch(batch, dir, batchId = 7L) === after)
+    assert(logRows(dir) === rows)
+  }
+
+  test("producerId scopes markers: a recreated pipeline's restarted batchIds do not collide") {
+    val dir = writeLog(8, 2)
+    val mk = (tag: String) => spark.range(0, 4)
+      .selectExpr("cast(id % 2 as int) as partition",
+        s"concat('k$tag', id) as key", s"concat('$tag', id) as value")
+    // incarnation A commits batch 1, then its checkpoint is lost
+    GraftLog.appendBatch(mk("a"), dir, batchId = 1L, producerId = "runA")
+    // incarnation B restarts batchIds from 1 — with an UNSCOPED
+    // namespace this batch would be skipped as A's replay
+    val after = GraftLog.appendBatch(mk("b"), dir, batchId = 1L, producerId = "runB")
+    assert(after === Map(0 -> 8L, 1 -> 8L), after.toString)
+    val rows = logRows(dir)
+    assert(rows.count(_._3.startsWith("a")) === 4, "incarnation A's rows lost")
+    assert(rows.count(_._3.startsWith("b")) === 4,
+      "incarnation B's batch was dropped as a cross-incarnation 'replay'")
+    val fs = new Path(dir).getFileSystem(conf())
+    assert(fs.exists(new Path(dir, "_producer/runA/1")))
+    assert(fs.exists(new Path(dir, "_producer/runB/1")))
+    // within one incarnation the replay protocol still holds
+    assert(GraftLog.appendBatch(mk("b"), dir, 1L, "runB") === after)
     assert(logRows(dir) === rows)
   }
 

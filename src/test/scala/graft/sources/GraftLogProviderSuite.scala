@@ -484,6 +484,35 @@ class GraftLogProviderSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch out-of-range offsets follow failOnDataLoss; latest/earliest misuse is a clear error") {
+    val dir = writeLog(40, 4) // 10 offsets per partition
+    def all(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: all(t.getCause)
+    def msgHas(t: Throwable, s: String): Boolean =
+      all(t).exists(x => Option(x.getMessage).exists(_.contains(s)))
+    val bad = """{"0":99,"1":0,"2":0,"3":0}"""
+    // a window past the log end means truncation/rewrite — loud by default
+    val e = intercept[Exception] {
+      spark.read.format("graftlog").option("path", dir)
+        .option("startingOffsets", bad).load().collect()
+    }
+    assert(msgHas(e, "out of range"), e.toString)
+    // opt-out clamps: partition 0 contributes nothing, the rest replay
+    val clamped = spark.read.format("graftlog").option("path", dir)
+      .option("startingOffsets", bad).option("failOnDataLoss", "false").load()
+    assert(clamped.count() === 30)
+    val e2 = intercept[Exception] {
+      spark.read.format("graftlog").option("path", dir)
+        .option("startingOffsets", "latest").load().collect()
+    }
+    assert(msgHas(e2, "streaming-only"), e2.toString)
+    val e3 = intercept[Exception] {
+      spark.read.format("graftlog").option("path", dir)
+        .option("endingOffsets", """{"0":99,"1":10,"2":10,"3":10}""").load().collect()
+    }
+    assert(msgHas(e3, "out of range"), e3.toString)
+  }
+
   test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {
     val dir = writeLog(40, 4) // 10 offsets per partition
     val bad = """{"0":99,"1":0,"2":0,"3":0}"""

@@ -148,7 +148,7 @@ class GraftLogWriteSuite extends SparkSuite {
 
     // first attempt: intent pinned at {0:5, 1:5}; partition 0's segment
     // promoted before the crash, partition 1's never staged to done
-    val out = fs.create(new Path(dir, "_producer/7.intent"), true)
+    val out = fs.create(new Path(dir, "_producer/q/7.intent"), true)
     out.write(GraftLog.offsetsToJson(Map(0 -> 5L, 1 -> 5L)).getBytes("UTF-8"))
     out.close()
     val p0first = stage(0, 5, 3, "a")
@@ -157,7 +157,7 @@ class GraftLogWriteSuite extends SparkSuite {
 
     // replay: tasks re-staged from CURRENT footers (p0 from 8 — stale
     // attempt to be skipped; p1 from its untouched base 5)
-    val w = new GraftLogStreamingWrite(dir, s"$dir/_staging/q", null, true, confBc)
+    val w = new GraftLogStreamingWrite(dir, s"$dir/_staging/q", "q", null, true, confBc)
     val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
       Array(GraftLogCommitMessage(Seq(
         (0, stage(0, 8, 3, "b"), 8L, 3L),
@@ -171,7 +171,7 @@ class GraftLogWriteSuite extends SparkSuite {
     assert(rows.count(_._4.startsWith("a")) === 3, "first attempt's promoted rows lost")
     assert(rows.count(_._4.startsWith("b")) === 0, "stale replay segment leaked in")
     assert(rows.count(_._4.startsWith("c")) === 3, "missing partition not completed")
-    assert(fs.exists(new Path(dir, "_producer/7")), "done marker missing")
+    assert(fs.exists(new Path(dir, "_producer/q/7")), "done marker missing")
 
     // a THIRD delivery of the same epoch is a pure no-op
     w.commit(7L, Array(GraftLogCommitMessage(Seq((1, "unused", 8L, 3L)))))
