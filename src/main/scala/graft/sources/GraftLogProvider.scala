@@ -103,8 +103,6 @@ object GraftLog {
     * appended rows on their next `latestOffset` poll. */
   def append(df: org.apache.spark.sql.DataFrame, dir: String,
       expectedBases: Option[Map[Int, Long]] = None): Map[Int, Long] = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val bases = latestOffsets(dir, conf)
@@ -116,8 +114,27 @@ object GraftLog {
           moved.map { case (p, b) => s"$p: expected $b, found ${bases.getOrElse(p, 0L)}" }
             .mkString(", "))
     }
+    writeAssigned(df, dir,
+      bases.map { case (p, b) => p -> (b, true) })
+    latestOffsets(dir, conf)
+  }
+
+  /** THE segment write both producer faces share — [[append]] and
+    * [[appendBatch]] differ only in which partitions are still pending
+    * and where the bases come from, so the null check, the single
+    * exchange, the (key, value) offset window, and the
+    * one-file-per-partition contract live exactly once. `state` maps a
+    * partition to (base, pending); unknown partitions (introduced by
+    * the batch) default to (0, pending). */
+  private def writeAssigned(df: org.apache.spark.sql.DataFrame, dir: String,
+      state: Map[Int, (Long, Boolean)]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
     import spark.implicits._
-    val baseDf = bases.toSeq.toDF("partition", "__base")
+    val stateDf = state.toSeq
+      .map { case (p, (b, pend)) => (p, b, pend) }
+      .toDF("partition", "__base", "__pending")
     val w = Window.partitionBy("partition").orderBy("key", "value")
     // the null check lives INSIDE the used column (coalesce evaluates
     // lazily) — a dropped assert column would be pruned away unexecuted
@@ -128,14 +145,14 @@ object GraftLog {
       // ONE hash exchange on partition satisfies BOTH the window's
       // required distribution and the one-file-per-partition write
       .repartition(col("partition"))
-      .join(broadcast(baseDf), Seq("partition"), "left_outer")
+      .join(broadcast(stateDf), Seq("partition"), "left_outer")
+      .filter(coalesce(col("__pending"), lit(true)))
       .withColumn("offset",
         coalesce(col("__base"), lit(0L)) +
           row_number().over(w).cast("long") - 1)
       .select("partition", "offset", "key", "value")
       .write.mode("append").option("maxRecordsPerFile", 0L)
       .partitionBy("partition").parquet(dir)
-    latestOffsets(dir, conf)
   }
 
   /** EXACTLY-ONCE produce for foreachBatch pipelines — [[append]]
@@ -193,29 +210,15 @@ object GraftLog {
           "underneath the producer?")
     }
 
-    import spark.implicits._
     // per-partition state for the batch: the FIRST attempt's base and
     // whether the partition is still at it (pending). Partitions the
-    // batch introduces (no dir yet, absent from both maps) fall out of
-    // the left-outer join as (base 0, pending) via the coalesces below.
-    val stateDf = (bases.keySet ++ current.keySet).toSeq
-      .map(p => (p, bases.getOrElse(p, 0L),
-        current.getOrElse(p, 0L) == bases.getOrElse(p, 0L)))
-      .toDF("partition", "__base", "__pending")
-    val w = Window.partitionBy("partition").orderBy("key", "value")
-    df.select(coalesce(col("partition").cast("int"), expr(
-          "CAST(assert_true(false, 'null/unparseable partition in append batch') AS INT)"))
-          .as("partition"),
-        col("key"), col("value"))
-      .repartition(col("partition"))
-      .join(broadcast(stateDf), Seq("partition"), "left_outer")
-      .filter(coalesce(col("__pending"), lit(true)))
-      .withColumn("offset",
-        coalesce(col("__base"), lit(0L)) +
-          row_number().over(w).cast("long") - 1)
-      .select("partition", "offset", "key", "value")
-      .write.mode("append").option("maxRecordsPerFile", 0L)
-      .partitionBy("partition").parquet(dir)
+    // batch introduces (absent from both maps) default to (0, pending)
+    // inside writeAssigned's left-outer join.
+    writeAssigned(df, dir,
+      (bases.keySet ++ current.keySet).map { p =>
+        p -> ((bases.getOrElse(p, 0L),
+          current.getOrElse(p, 0L) == bases.getOrElse(p, 0L)))
+      }.toMap)
 
     markers.markDone(batchId)
     latestOffsets(dir, conf)
