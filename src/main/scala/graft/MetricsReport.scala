@@ -237,6 +237,9 @@ object MetricsReport {
     // face over the same staged stream + the measured bypass fraction
     val ingest = StreamBench.runDedupIngest(spark, sfDir)
     val curate = StreamBench.runCurateIngest(spark, sfDir)
+    // 4c. the native connector pair: graftlog MicroBatchStream source →
+    // V2 streaming sink (exactly-once asserted inside the drive)
+    val glog = StreamBench.runGraftLog(spark, sfDir)
 
     val sg = skew.map { case (n, (s, h)) =>
       s"""    "$n": {"salted_pairs": $s, "hot_bands": $h}"""
@@ -302,6 +305,12 @@ object MetricsReport {
          |    "rows_per_sec": ${d0(curate.rowsPerSec)},
          |    "rows": ${curate.rows},
          |    "admitted": ${curate.admitted}
+         |  },
+         |  "stream_graftlog": {
+         |    "rows_per_sec": ${d0(glog.rowsPerSec)},
+         |    "rows": ${glog.rows},
+         |    "batches": ${glog.batches},
+         |    "seconds": ${d2(glog.seconds)}
          |  }
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -67,6 +67,56 @@ object StreamBench {
     Result(total / sec, total, emitted.sum, filtered.sum, batches.sum, sec)
   }
 
+  /** The NATIVE-connector twin of [[run]]: the same ×10 events volume,
+    * but consumed through graftlog's MicroBatchStream (admission via
+    * `maxOffsetsPerTrigger`) and PRODUCED into a second graftlog
+    * through the V2 streaming sink (clustered write, task-local offset
+    * assignment, staged-rename epoch commit) — the end-to-end
+    * source→sink throughput of the connector pair. Exactly-once is
+    * asserted, not assumed: the downstream row count must equal the
+    * upstream's. */
+  def runGraftLog(spark: SparkSession, sfDir: String): Result = {
+    import graft.sources.GraftLog
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val stage = java.nio.file.Files.createTempDirectory("graft-streambench-log").toString
+    val ev = Tables.events(spark, sfDir)
+    val staged = (1 to 10).map(_ => ev).reduce(_ unionAll _)
+      .selectExpr("cast(user_id % 8 as int) as partition",
+        "cast(event_id as string) as key", "event_type as value")
+    val w = Window.partitionBy("partition").orderBy("key", "value")
+    GraftLog.materialize(
+      staged.withColumn("offset", row_number().over(w).cast("long") - 1),
+      s"$stage/in")
+    val n = spark.read.parquet(s"$stage/in").count()
+
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graftlog").option("path", s"$stage/in")
+      .option("maxOffsetsPerTrigger", (n / 4 + 1).toString)
+      .load()
+      .selectExpr("partition", "cast(-1 as long) as offset", "key", "value")
+      .writeStream.format("graftlog")
+      .option("path", s"$stage/out").option("offsets", "assign")
+      .option("checkpointLocation", s"$stage/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .queryName("graft-stream-bench-log").start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val out = spark.read.format("graftlog").option("path", s"$stage/out").load()
+    val outN = out.count()
+    require(outN == n,
+      s"native source→sink loop lost or duplicated rows: $outN of $n")
+    // committed epochs = done markers under the sink's producer scope
+    val pd = new org.apache.hadoop.fs.Path(s"$stage/out/_producer")
+    val fs = pd.getFileSystem(spark.sessionState.newHadoopConf())
+    val batches =
+      if (!fs.exists(pd)) 0L
+      else fs.listStatus(pd).toSeq.filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath).toSeq)
+        .count(st => st.getPath.getName.forall(_.isDigit)).toLong
+    Result(n / sec, n, outN, 0, batches, sec)
+  }
+
   final case class DedupIngestResult(
       plainRowsPerSec: Double, bloomRowsPerSec: Double,
       rows: Long, kept: Long, bypassFraction: Double)
