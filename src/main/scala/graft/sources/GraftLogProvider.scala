@@ -536,12 +536,69 @@ final class GraftLogTable(path: String) extends Table with SupportsRead
 final class GraftLogScanBuilder(path: String, options: Map[String, String])
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   import org.apache.spark.sql.sources._
 
   private var required: StructType = GraftLog.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var residualSeen = false
+  private var pushedAgg: Option[Seq[String]] = None
+  private var limit: Option[Int] = None
+
+  // ---- AGGREGATE pushdown: COUNT/MIN(offset)/MAX(offset) from FOOTER
+  // statistics alone. Offsets are DENSE per partition, so the planned
+  // window width IS the exact row count and the window edges ARE the
+  // exact min/max — a count over a 100 TB log is a metadata sweep, no
+  // task ever reads a data page. Complete pushdown only (no grouping,
+  // no residual data filter — a residual would make the metadata answer
+  // wrong, so those shapes fall back to the normal scan).
+  private def aggKinds(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def offsetRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames().length == 1 && r.fieldNames()(0).equalsIgnoreCase("offset")
+        case _ => false
+      }
+    if (agg.groupByExpressions().nonEmpty) None
+    else {
+      val kinds = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some("count")
+        case m: Min if offsetRef(m.column()) => Some("min_offset")
+        case m: Max if offsetRef(m.column()) => Some("max_offset")
+        case _ => None
+      }
+      if (kinds.nonEmpty && kinds.forall(_.isDefined)) Some(kinds.flatten)
+      else None
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    !residualSeen && aggKinds(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    !residualSeen && {
+      aggKinds(agg) match {
+        case Some(kinds) => pushedAgg = Some(kinds); true
+        case None => false
+      }
+    }
+
+  /** LIMIT pushdown: the planner truncates partition windows once the
+    * cumulative width reaches the limit, so a `LIMIT 10` over a huge
+    * log plans one sliver of one partition. Partial (Spark keeps its
+    * own limit on top — the connector just stops planning rows it
+    * cannot need). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the connector's column order; empty projection (count(*))
@@ -550,18 +607,6 @@ final class GraftLogScanBuilder(path: String, options: Map[String, String])
       if (requiredSchema.isEmpty) StructType(GraftLog.Schema.filter(_.name == "offset"))
       else StructType(GraftLog.Schema.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) = filters.partition {
-      case EqualTo("partition", _: Int) => true
-      case In("partition", vs) => vs.forall(_.isInstanceOf[Int])
-      case GreaterThan("offset", _: Long) | GreaterThanOrEqual("offset", _: Long) => true
-      case LessThan("offset", _: Long) | LessThanOrEqual("offset", _: Long) => true
-      case _ => false
-    }
-    pushed = accepted
-    residual
-  }
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -586,8 +631,26 @@ final class GraftLogScanBuilder(path: String, options: Map[String, String])
     GraftLogBounds(parts, minFrom, maxUntil)
   }
 
-  override def build(): Scan =
-    new GraftLogScan(path, options, required, bounds, pushed.map(_.toString))
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("partition", _: Int) => true
+      case In("partition", vs) => vs.forall(_.isInstanceOf[Int])
+      case GreaterThan("offset", _: Long) | GreaterThanOrEqual("offset", _: Long) => true
+      case LessThan("offset", _: Long) | LessThanOrEqual("offset", _: Long) => true
+      case _ => false
+    }
+    pushed = accepted
+    residualSeen = residual.nonEmpty
+    residual
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(kinds) =>
+      new GraftLogAggScan(path, options, bounds, kinds, pushed.map(_.toString))
+    case None =>
+      new GraftLogScan(path, options, required, bounds, pushed.map(_.toString),
+        limit)
+  }
 }
 
 /** Planning-time narrowing from pushed filters: partition membership +
@@ -606,7 +669,8 @@ object GraftLogBounds {
 final class GraftLogScan(path: String, options: Map[String, String],
     required: StructType = GraftLog.Schema,
     bounds: GraftLogBounds = GraftLogBounds.All,
-    pushedDesc: Array[String] = Array.empty) extends Scan
+    pushedDesc: Array[String] = Array.empty,
+    limitOpt: Option[Int] = None) extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -674,44 +738,8 @@ final class GraftLogScan(path: String, options: Map[String, String],
     * under the reader — fail loudly by default, clamp and warn when the
     * caller opted out. A silent empty window would make a bounded
     * replay "succeed" while draining nothing. */
-  private def batchWindow(latest: Map[Int, Long]): (Map[Int, Long], Map[Int, Long]) = {
-    val failOnDataLoss =
-      options.getOrElse("failondataloss", "true").toBoolean
-    @transient lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    def clampOrFail(which: String, p: Int, o: Long): Long = {
-      val lat = latest.getOrElse(p, 0L)
-      if (o <= lat) o
-      else if (failOnDataLoss) throw new IllegalStateException(
-        s"$which $o out of range for partition $p (latest $lat)")
-      else {
-        log.warn(s"[graftlog] partition $p $which $o out of range; " +
-          s"clamping to $lat")
-        lat
-      }
-    }
-    val start = options.get("startingoffsets") match {
-      case None | Some("earliest") => latest.map { case (p, _) => p -> 0L }
-      case Some("latest") => throw new IllegalArgumentException(
-        "startingOffsets=latest is streaming-only; a batch read needs " +
-          "'earliest' or an explicit JSON offset map")
-      case Some(json) =>
-        val m = GraftLog.offsetsFromJson(json)
-        latest.map { case (p, _) =>
-          p -> m.get(p).map(clampOrFail("startingOffsets", p, _)).getOrElse(0L)
-        }
-    }
-    val end = options.get("endingoffsets") match {
-      case None | Some("latest") => latest
-      case Some("earliest") => throw new IllegalArgumentException(
-        "endingOffsets=earliest is not a valid batch bound; use 'latest' " +
-          "or an explicit JSON offset map")
-      case Some(json) =>
-        GraftLog.offsetsFromJson(json).map { case (p, e) =>
-          p -> clampOrFail("endingOffsets", p, e)
-        }
-    }
-    (start, end)
-  }
+  private def batchWindow(latest: Map[Int, Long]): (Map[Int, Long], Map[Int, Long]) =
+    GraftLogScan.batchWindow(options, latest)
 
   /** EXACT row count (offsets are dense — the window width IS the
     * count) and a byte estimate pro-rated by each overlapping file's
@@ -761,8 +789,9 @@ final class GraftLogScan(path: String, options: Map[String, String],
     override def planInputPartitions(): Array[InputPartition] = {
       val latest = latestSnapshot
       val (start, end) = batchWindow(latest)
-      GraftLogScan.plan(path, conf, start, end, effectiveBounds,
+      val planned = GraftLogScan.plan(path, conf, start, end, effectiveBounds,
         GraftLogScan.minSplitsOption(options))
+      limitOpt.fold(planned)(GraftLogScan.truncateToLimit(planned, _))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLogReaderFactory(required, confBc)
@@ -773,6 +802,75 @@ final class GraftLogScan(path: String, options: Map[String, String],
 }
 
 object GraftLogScan {
+  /** The batch read window from the options (defaults: whole log).
+    * Out-of-range positions follow `failOnDataLoss` like the streaming
+    * path (kafka/Consumer.java:548-590's recovery): requesting offsets
+    * past a partition's end means the log was truncated or rewritten
+    * under the reader — fail loudly by default, clamp and warn when the
+    * caller opted out. A silent empty window would make a bounded
+    * replay "succeed" while draining nothing. Shared by the row scan
+    * and the pushed-aggregate scan. */
+  private[sources] def batchWindow(options: Map[String, String],
+      latest: Map[Int, Long]): (Map[Int, Long], Map[Int, Long]) = {
+    val failOnDataLoss =
+      options.getOrElse("failondataloss", "true").toBoolean
+    lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    def clampOrFail(which: String, p: Int, o: Long): Long = {
+      val lat = latest.getOrElse(p, 0L)
+      if (o <= lat) o
+      else if (failOnDataLoss) throw new IllegalStateException(
+        s"$which $o out of range for partition $p (latest $lat)")
+      else {
+        log.warn(s"[graftlog] partition $p $which $o out of range; " +
+          s"clamping to $lat")
+        lat
+      }
+    }
+    val start = options.get("startingoffsets") match {
+      case None | Some("earliest") => latest.map { case (p, _) => p -> 0L }
+      case Some("latest") => throw new IllegalArgumentException(
+        "startingOffsets=latest is streaming-only; a batch read needs " +
+          "'earliest' or an explicit JSON offset map")
+      case Some(json) =>
+        val m = GraftLog.offsetsFromJson(json)
+        latest.map { case (p, _) =>
+          p -> m.get(p).map(clampOrFail("startingOffsets", p, _)).getOrElse(0L)
+        }
+    }
+    val end = options.get("endingoffsets") match {
+      case None | Some("latest") => latest
+      case Some("earliest") => throw new IllegalArgumentException(
+        "endingOffsets=earliest is not a valid batch bound; use 'latest' " +
+          "or an explicit JSON offset map")
+      case Some(json) =>
+        GraftLog.offsetsFromJson(json).map { case (p, e) =>
+          p -> clampOrFail("endingOffsets", p, e)
+        }
+    }
+    (start, end)
+  }
+
+  /** Truncate planned tasks to a pushed LIMIT: cumulative window widths
+    * up to `n`, the crossing task narrowed, the rest dropped — a
+    * `LIMIT 10` over a huge log plans one sliver of one partition. */
+  private[sources] def truncateToLimit(
+      parts: Array[InputPartition], n: Int): Array[InputPartition] = {
+    var remaining = n.toLong
+    val out = Array.newBuilder[InputPartition]
+    parts.foreach {
+      case g: GraftLogInputPartition if remaining > 0 =>
+        val width = g.until - g.from
+        if (width <= remaining) { out += g; remaining -= width }
+        else {
+          out += GraftLogInputPartition(g.partition, g.from,
+            g.from + remaining, g.files)
+          remaining = 0
+        }
+      case _ => ()
+    }
+    out.result()
+  }
+
   /** Validated `minPartitions` hint (Kafka-source option name, lower-
     * cased by [[CaseInsensitiveStringMap]]): a non-numeric or
     * non-positive value fails loudly AT PLANNING TIME — a silently
@@ -881,6 +979,73 @@ object GraftLogScan {
 final case class GraftLogInputPartition(
     partition: Int, from: Long, until: Long, files: Array[String])
   extends InputPartition
+
+/** COMPLETE-pushdown aggregate scan: COUNT(*) / MIN(offset) /
+  * MAX(offset) answered from footer statistics at PLANNING — offsets
+  * are dense per partition, so the planned window width IS the exact
+  * count and the window edges ARE the exact extrema. The single task
+  * materializes the precomputed row; no data page is ever read. The
+  * builder only routes here when every data filter was pushed exactly
+  * (a residual would falsify the metadata answer) and there is no
+  * grouping. */
+final class GraftLogAggScan(path: String, options: Map[String, String],
+    bounds: GraftLogBounds, kinds: Seq[String],
+    pushedDesc: Array[String]) extends Scan {
+  private val conf = GraftLog.sessionConf()
+
+  override def readSchema(): StructType = StructType(kinds.map {
+    case "count" => StructField("count(*)", LongType, nullable = false)
+    case "min_offset" => StructField("min(offset)", LongType)
+    case other => StructField("max(offset)", LongType)
+  })
+
+  override def description(): String =
+    s"graftlog(`$path`) PushedAggregates: [${kinds.mkString(", ")}], " +
+      s"PushedFilters: [${pushedDesc.mkString(", ")}]"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val latest = GraftLog.latestOffsets(path, conf)
+      val (start, end) = GraftLogScan.batchWindow(options, latest)
+      var count = 0L
+      var mn = Option.empty[Long]
+      var mx = Option.empty[Long]
+      end.foreach { case (p, until0) =>
+        val (from, until) = bounds.narrow(start.getOrElse(p, 0L), until0)
+        if (until > from && bounds.keeps(p)) {
+          count += until - from
+          mn = Some(mn.fold(from)(math.min(_, from)))
+          mx = Some(mx.fold(until - 1)(math.max(_, until - 1)))
+        }
+      }
+      val values: Array[java.lang.Long] = kinds.map {
+        case "count" => java.lang.Long.valueOf(count)
+        case "min_offset" => mn.map(java.lang.Long.valueOf).orNull
+        case _ => mx.map(java.lang.Long.valueOf).orNull
+      }.toArray
+      Array(GraftLogAggResult(values))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftLogAggReaderFactory
+  }
+}
+
+final case class GraftLogAggResult(values: Array[java.lang.Long])
+  extends InputPartition
+
+final class GraftLogAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vs = p.asInstanceOf[GraftLogAggResult].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(vs.map[Any](v =>
+          if (v == null) null else v.longValue()))
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** [[GroupReadSupport]] that prunes the requested read schema BY NAME
   * against each file's OWN schema — decode-level column pruning. Parquet

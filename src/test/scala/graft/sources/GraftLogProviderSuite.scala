@@ -484,6 +484,65 @@ class GraftLogProviderSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("aggregate pushdown: count/min/max answered from footer stats, no data task planned") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = writeLog(200, 4) // 50 offsets per partition
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      flattenPlan(df.queryExecution.executedPlan).collectFirst {
+        case b: BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec"))
+
+    val cnt = spark.read.format("graftlog").option("path", dir).load()
+      .groupBy().count()
+    assert(cnt.collect().head.getLong(0) === 200L)
+    val cntScan = scanOf(cnt)
+    assert(cntScan.scan.description().contains("PushedAggregates"),
+      cntScan.scan.description())
+    // the single planned task carries the PRECOMPUTED answer — no files
+    assert(cntScan.inputPartitions.forall(_.isInstanceOf[GraftLogAggResult]),
+      "aggregate was not answered from metadata")
+
+    val mm = spark.read.format("graftlog").option("path", dir).load()
+      .groupBy().agg(min("offset"), max("offset"), count(lit(1)))
+    val row = mm.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((0L, 49L, 200L)))
+    assert(scanOf(mm).scan.description().contains("PushedAggregates"))
+
+    // pushed partition/offset filters stay exact under the metadata path
+    val filtered = spark.read.format("graftlog").option("path", dir).load()
+      .filter(col("partition") === 2 && col("offset") >= 10).groupBy().count()
+    assert(filtered.collect().head.getLong(0) === 40L)
+    assert(scanOf(filtered).scan.description().contains("PushedAggregates"))
+
+    // a RESIDUAL filter (key) disqualifies the metadata answer — the
+    // normal scan runs and the result is still exact
+    val residual = spark.read.format("graftlog").option("path", dir).load()
+      .filter(col("key") === "7").groupBy().count()
+    assert(residual.collect().head.getLong(0) === 1L)
+    assert(!scanOf(residual).scan.description().contains("PushedAggregates"),
+      "residual-filtered aggregate must not be answered from metadata")
+
+    // grouping is never pushed; per-partition counts stay exact
+    val grouped = spark.read.format("graftlog").option("path", dir).load()
+      .groupBy("partition").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(grouped === Map(0 -> 50L, 1 -> 50L, 2 -> 50L, 3 -> 50L))
+  }
+
+  test("limit pushdown truncates the planned windows to the limit") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = writeLog(200, 4)
+    val df = spark.read.format("graftlog").option("path", dir).load().limit(7)
+    assert(df.collect().length === 7)
+    val scan = flattenPlan(df.queryExecution.executedPlan).collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec"))
+    val widths = scan.inputPartitions
+      .collect { case g: GraftLogInputPartition => g.until - g.from }
+    assert(widths.sum === 7L,
+      s"limit not pushed into planning: widths=${widths.toSeq}")
+  }
+
   test("batch out-of-range offsets follow failOnDataLoss; latest/earliest misuse is a clear error") {
     val dir = writeLog(40, 4) // 10 offsets per partition
     def all(t: Throwable): Seq[Throwable] =
