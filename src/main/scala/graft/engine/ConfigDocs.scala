@@ -190,6 +190,10 @@ object ConfigDocs {
       |columns — small log sides auto-broadcast in joins) and implements the
       |V2 runtime-filtering hook (a join that filters `partition` prunes whole
       |partition directories between planning and execution — DPP for the log).
+      |COUNT(*)/MIN(offset)/MAX(offset) with no grouping and no residual
+      |filter are answered entirely from footer statistics (aggregate
+      |pushdown — no data task planned), and LIMIT truncates the planned
+      |windows.
       |
       |Maintenance faces (library API, maintenance window required):
       |`EpochCommit.compact` (+ `IncrementalDedup.compactCatalog` /
