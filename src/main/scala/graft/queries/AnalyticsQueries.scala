@@ -386,6 +386,52 @@ object AnalyticsQueries {
       |ORDER BY o_custkey""".stripMargin))
 
   /** Aggregation stats incl. exact distinct (§2.4 extension surface). */
+  /** EXACT weighted median per group — the robust central-tendency
+    * aggregate (approxQuantile's exact sibling; cf. the KLL sketch for
+    * the approximate path). Two-level shape: the fact table reduces to
+    * (group, value, weight-sum) FIRST — one map-side-combined groupBy —
+    * and the cumulative-weight window then runs over DISTINCT values
+    * per group, bounded by the value domain, never the fact rows; the
+    * median is the smallest value whose cumulative weight reaches half
+    * the total (ties collapse before the window, so intra-tie row order
+    * can never move the answer). All integer cents — exact across
+    * engines. */
+  private val aggWeightedMedian = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("l_returnflag", "cents")
+        .agg(sum("w").as("pw"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("l_returnflag")
+      t.withColumn("cw", sum("pw").over(cum))
+        .withColumn("tw", sum("pw").over(tot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min("cents").as("median_cents"), max("tw").as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH t AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS cents,
+      |         CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS pw
+      |  FROM t GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, cents, pw,
+      |    CAST(SUM(pw) OVER (PARTITION BY l_returnflag ORDER BY cents
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+      |    CAST(SUM(pw) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      |  FROM g)
+      |SELECT l_returnflag, CAST(MIN(cents) AS BIGINT) AS median_cents,
+      |       CAST(MAX(tw) AS BIGINT) AS total_weight
+      |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val aggEventStats = QueryDef(
     (s, dir) => Tables.events(s, dir)
       .groupBy("event_type")
@@ -462,6 +508,7 @@ object AnalyticsQueries {
     "setop_except" -> setopExcept,
     "setop_intersect" -> setopIntersect,
     "agg_event_stats" -> aggEventStats,
+    "agg_weighted_median" -> aggWeightedMedian,
     "rollup_lineitem" -> rollupLineitem,
     "cube_lineitem" -> cubeLineitem,
     "groupingsets_lineitem" -> groupingSetsLineitem)
