@@ -102,10 +102,17 @@ object StreamBench {
       .queryName("graft-stream-bench-log").start()
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
-    val out = spark.read.format("graftlog").option("path", s"$stage/out").load()
+    // assert through a DATA path, deliberately NOT the connector: a
+    // graftlog count() is answered from footer stats (this round's
+    // aggregate pushdown) and would miss exactly the duplication/loss
+    // this check exists to catch. Distinctness catches a replayed
+    // segment whose offsets overlap.
+    val out = spark.read.parquet(s"$stage/out").selectExpr("partition", "offset")
     val outN = out.count()
-    require(outN == n,
-      s"native source→sink loop lost or duplicated rows: $outN of $n")
+    val outDistinct = out.distinct().count()
+    require(outN == n && outDistinct == n,
+      s"native source→sink loop lost or duplicated rows: " +
+        s"$outN rows / $outDistinct distinct of $n")
     // committed epochs = done markers under the sink's producer scope
     val pd = new org.apache.hadoop.fs.Path(s"$stage/out/_producer")
     val fs = pd.getFileSystem(spark.sessionState.newHadoopConf())

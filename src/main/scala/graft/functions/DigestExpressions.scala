@@ -209,6 +209,25 @@ object GraftDigests {
     () => java.security.MessageDigest.getInstance("MD5"))
   private val Hex = "0123456789abcdef".getBytes
 
+  /** md5 hex of a string on the THREAD-LOCAL digest + hex table — the
+    * per-row keying shape for hot paths (a fresh
+    * `MessageDigest.getInstance` + per-byte formatter would pay a JCA
+    * lookup and 16 Formatter allocations per row). Byte-for-byte equal
+    * to Spark's `md5()` hex output. */
+  def md5Hex(s: String): String = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out, "US-ASCII")
+  }
+
   /** 64-bit SimHash over token occurrences; see [[SimHash64]]. */
   def simhash64(arr: ArrayData): Long = {
     val md = tlMd5.get()

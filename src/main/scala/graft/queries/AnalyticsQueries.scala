@@ -385,7 +385,6 @@ object AnalyticsQueries {
       |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
       |ORDER BY o_custkey""".stripMargin))
 
-  /** Aggregation stats incl. exact distinct (§2.4 extension surface). */
   /** EXACT weighted median per group — the robust central-tendency
     * aggregate (approxQuantile's exact sibling; cf. the KLL sketch for
     * the approximate path). Two-level shape: the fact table reduces to
@@ -399,9 +398,14 @@ object AnalyticsQueries {
   private val aggWeightedMedian = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // ROUND before the cast (the TpchExtraQueries cents precedent):
+      // l_extendedprice is DOUBLE, and 4.35*100 = 434.99999999999994 —
+      // a truncating cast reads 434 while DuckDB's CAST rounds to 435
+      // (measured: 33,423/600,000 rows diverge at sf0.1). Both engines
+      // must round.
       val t = Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
-          (col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
           col("l_quantity").cast("long").as("w"))
         .groupBy("l_returnflag", "cents")
         .agg(sum("w").as("pw"))
@@ -416,7 +420,8 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
     Some("""WITH t AS (
-      |  SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS cents,
+      |  SELECT l_returnflag,
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
       |         CAST(l_quantity AS BIGINT) AS w
       |  FROM lineitem),
       |g AS (
@@ -432,6 +437,7 @@ object AnalyticsQueries {
       |       CAST(MAX(tw) AS BIGINT) AS total_weight
       |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Aggregation stats incl. exact distinct (§2.4 extension surface). */
   private val aggEventStats = QueryDef(
     (s, dir) => Tables.events(s, dir)
       .groupBy("event_type")

@@ -194,8 +194,6 @@ object GraftLog {
     * Returns the end position per partition after the batch. */
   def appendBatch(df: org.apache.spark.sql.DataFrame, dir: String,
       batchId: Long, producerId: String = "default"): Map[Int, Long] = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val markers = new ProducerMarkers(dir, producerId, conf)
@@ -723,21 +721,7 @@ final class GraftLogScan(path: String, options: Map[String, String],
     s"graftlog(`$path`) PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
-  /** Batch reads honor the Kafka batch-source options: `startingOffsets`
-    * (JSON map of the first offset TO READ per partition, or
-    * "earliest") and `endingOffsets` (JSON map of the EXCLUSIVE end, or
-    * "latest"). A partition absent from an explicit ending contributes
-    * nothing (the bounded-replay stance: the snapshot predates it).
-    * Bounds are applied at PLANNING — pruned partitions/files never
-    * become tasks — which is what makes a sideline replay over the
-    * native log metadata-cost instead of scan-and-filter. */
-  /** The batch read window from the options (defaults: whole log).
-    * Out-of-range positions follow `failOnDataLoss` like the streaming
-    * path (kafka/Consumer.java:548-590's recovery): requesting offsets
-    * past a partition's end means the log was truncated or rewritten
-    * under the reader — fail loudly by default, clamp and warn when the
-    * caller opted out. A silent empty window would make a bounded
-    * replay "succeed" while draining nothing. */
+  // window semantics documented once, on GraftLogScan.batchWindow
   private def batchWindow(latest: Map[Int, Long]): (Map[Int, Long], Map[Int, Long]) =
     GraftLogScan.batchWindow(options, latest)
 

@@ -46,21 +46,25 @@ object TransformWithStateOps {
 
   /** Exact ingest dedup on the v2 state API — the
     * [[StatefulOps.dedupExactStream]] contract with a processing-time
-    * TTL instead of an event-time watermark horizon. */
+    * TTL instead of an event-time watermark horizon. Keying runs once
+    * per ingested row: the thread-local digest
+    * ([[graft.functions.GraftDigests.md5Hex]]), never a fresh
+    * `MessageDigest.getInstance` per row. */
   def dedupExactStreamTTL(docs: Dataset[StatefulOps.DocEvent],
       ttl: java.time.Duration): Dataset[StatefulOps.DocEvent] = {
     val sparkS = docs.sparkSession
     import sparkS.implicits._
     firstSeenStream[StatefulOps.DocEvent](docs,
-      d => java.security.MessageDigest.getInstance("MD5")
-        .digest(d.text.getBytes("UTF-8")).map(b => f"$b%02x").mkString,
-      ttl)
+      d => graft.functions.GraftDigests.md5Hex(d.text), ttl)
   }
 
   /** The processor: one boolean state column per key. `handleInputRows`
-    * sees ALL of a key's rows in the batch at once, so the first batch
-    * emits exactly one row per key even when the duplicates arrive
-    * together. */
+    * sees ALL of a key's rows in the batch at once, so a batch emits
+    * exactly one row per key even when duplicates arrive together.
+    * WHICH in-batch duplicate survives is ARBITRARY (`dropDuplicates`
+    * semantics): rows reach the processor in shuffle-fetch order, which
+    * Spark does not fix across runs for multi-partition sources. Across
+    * batches the earlier batch's survivor always wins. */
   private final class FirstSeenProcessor[T](ttl: java.time.Duration)
     extends StatefulProcessor[String, T, T] {
     @transient private var seen: ValueState[Boolean] = _

@@ -38,20 +38,25 @@ class TransformWithStateOpsSuite extends SparkSuite {
       try {
         def got(): Seq[Long] =
           spark.table("tws_dedup").as[DocEvent].collect().map(_.doc_id).sorted.toSeq
-        // batch 1: A, A, B — one A survives, with the FIRST doc_id
+        // batch 1: A, A, B — exactly one A survives. WHICH one is
+        // arbitrary by contract (dropDuplicates semantics); the pinned
+        // ids here are stable only because MemoryStream stages a single
+        // upstream partition, so assert the collapse, not the survivor
         input.addData(
           DocEvent(1L, "alpha", ts("2026-01-01 00:00:00")),
           DocEvent(2L, "alpha", ts("2026-01-01 00:00:01")),
           DocEvent(3L, "beta", ts("2026-01-01 00:00:02")))
         q.processAllAvailable()
-        assert(got() === Seq(1L, 3L), s"got ${got()}")
-        // batch 2: A again (cross-batch state) + C (new)
+        assert(got().length === 2 && got().intersect(Seq(1L, 2L)).length === 1
+            && got().contains(3L), s"got ${got()}")
+        // batch 2: A again (cross-batch state) + C (new) — the earlier
+        // batch's survivor always wins across batches
         input.addData(
           DocEvent(4L, "alpha", ts("2026-01-01 00:01:00")),
           DocEvent(5L, "gamma", ts("2026-01-01 00:01:01")))
         q.processAllAvailable()
-        assert(got() === Seq(1L, 3L, 5L),
-          "cross-batch duplicate leaked or a new key was dropped")
+        assert(got().length === 3 && !got().contains(4L) && got().contains(5L),
+          s"cross-batch duplicate leaked or a new key was dropped: ${got()}")
       } finally q.stop()
     }
   }
