@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * SEGMENT COMPACTION for the graftlog layout — the small-files
+ * maintenance a years-long producer needs: every append lands one
+ * segment file per partition per batch, so a year of micro-batches
+ * leaves thousands of tiny segments whose footer sweeps
+ * ([[GraftLog.latestOffsets]], envelope pruning) and per-task open
+ * costs grow linearly. Compaction rewrites a partition's segments into
+ * ONE file with identical rows and offsets — positions, bounded
+ * replays, and the idempotent-producer bases are all unchanged by
+ * construction.
+ *
+ * MAINTENANCE WINDOW REQUIRED: no concurrent producer (it would append
+ * a segment the journal doesn't cover) and no concurrent readers (the
+ * swap window is not atomic for them; the same stance as
+ * [[graft.ops.EpochCommit.compact]] and any file-layout compaction).
+ * Within the window, a CRASH at any step is recoverable via the
+ * `_staging/compact/JOURNAL` record:
+ *
+ *  1. the merged segment is written under `_staging/compact/`
+ *     (underscore-invisible to every reader),
+ *  2. the journal records (partition, staged file, old files),
+ *  3. old segments are deleted,
+ *  4. the staged segment renames into the partition directory,
+ *  5. the journal is removed.
+ *
+ * [[recover]] — called automatically at the start of every
+ * [[compactSegments]] — finishes a crash after step 2 (staged data is
+ * complete: delete remaining olds, rename) or aborts a crash before it
+ * (journal absent: sweep the invisible staging dir). The only
+ * unrecoverable shape — journal present, staged file missing, old
+ * files partially deleted — cannot arise from this ordering and fails
+ * loudly rather than guessing.
+ */
+object GraftLogMaintenance {
+
+  private def stagingDir(dir: String) = new Path(dir, "_staging/compact")
+  private def journalPath(dir: String) = new Path(stagingDir(dir), "JOURNAL")
+
+  /** Compact every partition with more than `minFiles` segments down to
+    * one. Returns (partition → segments merged) for the partitions
+    * touched. */
+  def compactSegments(spark: SparkSession, dir: String,
+      minFiles: Int = 2): Map[Int, Int] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    recover(spark, dir)
+    if (fs.exists(stagingDir(dir))) { fs.delete(stagingDir(dir), true); () }
+
+    val merged = GraftLog.partitionDirs(dir, conf).toSeq.sortBy(_._1).flatMap {
+      case (p, pdir) =>
+        val files = GraftLog.partFiles(fs, pdir)
+        if (files.size < minFiles) None
+        else {
+          compactOne(spark, dir, fs, conf, p, files)
+          Some(p -> files.size)
+        }
+    }.toMap
+    GraftLogWrite.cleanupStaging(stagingDir(dir).toString, conf)
+    merged
+  }
+
+  private def compactOne(spark: SparkSession, dir: String, fs: FileSystem,
+      conf: Configuration, p: Int, files: Seq[Path]): Unit = {
+    // 1. merged segment, offset-sorted so row-group stats stay tight
+    val tmp = new Path(stagingDir(dir), s"build-p$p")
+    spark.read.parquet(files.map(_.toString): _*)
+      .select("offset", "key", "value")
+      .coalesce(1).sortWithinPartitions("offset")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val built = fs.listStatus(tmp).map(_.getPath)
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .getOrElse(throw new IllegalStateException(s"no staged segment under $tmp"))
+    val staged = new Path(stagingDir(dir),
+      s"compacted-p$p-${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(built, staged), s"failed to stage $built")
+    fs.delete(tmp, true)
+
+    // 2. the journal — the point of no return for THIS partition
+    val journal = (Seq(p.toString, staged.toString) ++ files.map(_.toString))
+      .mkString("\n")
+    GraftLog.writeSmall(fs, journalPath(dir), journal)
+
+    finishSwap(fs, dir, p, staged, files)
+  }
+
+  /** Steps 3-5: idempotent — recovery re-runs it verbatim. */
+  private def finishSwap(fs: FileSystem, dir: String, p: Int,
+      staged: Path, oldFiles: Seq[Path]): Unit = {
+    oldFiles.foreach { f => if (fs.exists(f)) fs.delete(f, false) }
+    val dest = new Path(dir, s"partition=$p/${staged.getName}")
+    if (fs.exists(staged)) {
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(staged, dest), s"failed to promote $staged to $dest")
+    } else require(fs.exists(dest),
+      s"compaction lost the merged segment: neither $staged nor $dest exists")
+    fs.delete(journalPath(dir), false)
+    ()
+  }
+
+  /** Finish or abort a compaction a crash left in flight. */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val jp = journalPath(dir)
+    if (!fs.exists(jp)) return
+    GraftLog.readSmall(fs, jp) match {
+      case Some(txt) =>
+        val lines = txt.split("\n").toSeq
+        require(lines.length >= 2 && lines.head.forall(_.isDigit),
+          s"corrupt compaction journal at $jp: ${txt.take(200)}")
+        val p = lines.head.toInt
+        val staged = new Path(lines(1))
+        val olds = lines.drop(2).map(new Path(_))
+        val dest = new Path(dir, s"partition=$p/${staged.getName}")
+        if (fs.exists(staged) || fs.exists(dest))
+          finishSwap(fs, dir, p, staged, olds) // journal complete: finish
+        else if (olds.forall(fs.exists)) { // staged gone, olds intact: abort
+          fs.delete(jp, false)
+          ()
+        } else throw new IllegalStateException(
+          s"unrecoverable compaction state for partition $p under $dir: " +
+            "merged segment missing and old segments partially deleted")
+      case None => ()
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Segment compaction: many appended segments collapse to one per
+  * partition with rows, offsets, positions, and connector reads all
+  * unchanged; a crash at either side of the journal recovers. */
+class GraftLogMaintenanceSuite extends SparkSuite {
+
+  private def conf() = spark.sessionState.newHadoopConf()
+
+  /** A log grown through 5 producer batches per partition — 5 segment
+    * files each. */
+  private def grownLog(): String = {
+    val dir = Files.createTempDirectory("graftlog-compact").toString
+    GraftLog.materialize(
+      spark.range(0, 20)
+        .selectExpr("cast(id % 2 as int) as partition", "id div 2 as offset",
+          "cast(id as string) as key", "concat('v', id) as value"),
+      dir)
+    (1 to 4).foreach { i =>
+      GraftLog.append(spark.range(i * 100, i * 100 + 8)
+        .selectExpr("cast(id % 2 as int) as partition",
+          "concat('k', id) as key", "concat('v', id) as value"), dir)
+    }
+    dir
+  }
+
+  private def segFiles(dir: String, p: Int): Seq[String] =
+    GraftLog.partFiles(new Path(dir).getFileSystem(conf()),
+      new Path(dir, s"partition=$p")).map(_.toString)
+
+  private def rows(dir: String): Seq[(Int, Long, String, String)] =
+    spark.read.format("graftlog").option("path", dir).load()
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("compaction collapses segments to one per partition; rows and positions unchanged") {
+    val dir = grownLog()
+    val (n0, n1) = (segFiles(dir, 0).size, segFiles(dir, 1).size)
+    assert(n0 >= 5 && n1 >= 5, s"fixture must be many-segment: $n0/$n1")
+    val before = rows(dir)
+    val positions = GraftLog.latestOffsets(dir, conf())
+
+    val merged = GraftLogMaintenance.compactSegments(spark, dir)
+    assert(merged === Map(0 -> n0, 1 -> n1))
+    assert(segFiles(dir, 0).size === 1 && segFiles(dir, 1).size === 1)
+    assert(rows(dir) === before, "compaction changed the log contents")
+    assert(GraftLog.latestOffsets(dir, conf()) === positions)
+    assert(!new java.io.File(s"$dir/_staging").exists(), "staging not swept")
+
+    // idempotent: nothing left to merge
+    assert(GraftLogMaintenance.compactSegments(spark, dir) === Map.empty)
+    // and the producer keeps appending after the fold
+    GraftLog.append(spark.range(0, 4)
+      .selectExpr("cast(id % 2 as int) as partition",
+        "concat('z', id) as key", "concat('z', id) as value"), dir)
+    assert(rows(dir).size === before.size + 4)
+  }
+
+  test("crash AFTER the journal (olds partially deleted) completes on recovery") {
+    val dir = grownLog()
+    val before = rows(dir)
+    val fs = new Path(dir).getFileSystem(conf())
+    // replay compactOne's steps for partition 0 and crash mid-step-3
+    val olds = segFiles(dir, 0)
+    val staged = new Path(dir, "_staging/compact/compacted-p0-crash.parquet")
+    spark.read.parquet(olds: _*).select("offset", "key", "value")
+      .coalesce(1).sortWithinPartitions("offset")
+      .write.parquet(s"$dir/_staging/compact/build")
+    val built = fs.listStatus(new Path(s"$dir/_staging/compact/build"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(built, staged))
+    GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
+      (Seq("0", staged.toString) ++ olds).mkString("\n"))
+    fs.delete(new Path(olds.head), false) // the tear: one old gone, no rename
+
+    GraftLogMaintenance.recover(spark, dir)
+    assert(segFiles(dir, 0).size === 1, "recovery did not finish the swap")
+    assert(rows(dir) === before, "recovery lost or duplicated rows")
+    assert(!fs.exists(new Path(dir, "_staging/compact/JOURNAL")))
+  }
+
+  test("crash BEFORE the journal (staged leftovers only) aborts cleanly") {
+    val dir = grownLog()
+    val before = rows(dir)
+    val fs = new Path(dir).getFileSystem(conf())
+    // staged debris without a journal: the next compaction sweeps it
+    val (n0, n1) = (segFiles(dir, 0).size, segFiles(dir, 1).size)
+    GraftLog.writeSmall(fs,
+      new Path(dir, "_staging/compact/compacted-p0-orphan.parquet"), "junk")
+    val merged = GraftLogMaintenance.compactSegments(spark, dir)
+    assert(merged === Map(0 -> n0, 1 -> n1))
+    assert(rows(dir) === before)
+    assert(!new java.io.File(s"$dir/_staging").exists())
+  }
+}
