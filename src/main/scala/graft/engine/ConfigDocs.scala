@@ -198,7 +198,9 @@ object ConfigDocs {
       |Maintenance faces (library API, maintenance window required):
       |`EpochCommit.compact` (+ `IncrementalDedup.compactCatalog` /
       |`compactBandCatalog`, `IvfIndex.compactIndex`) fold committed epochs
-      |into one; `GraftLog.appendBatch(df, dir, batchId, producerId)` /
+      |into one; `GraftLogMaintenance.compactSegments` merges a log
+      |partition's many per-batch segment files into one (journaled,
+      |positions unchanged); `GraftLog.appendBatch(df, dir, batchId, producerId)` /
       |`GraftLog.sink(dir, producerId)`
       |are the foreachBatch-shaped exactly-once producer faces.
       |""".stripMargin
