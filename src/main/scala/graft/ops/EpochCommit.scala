@@ -103,7 +103,15 @@ object EpochCommit {
           else Some(lo to hi)
         case _ => None
       }
-    fast.getOrElse(listCommitted(fs, root))
+    // A compact that started after the FOLD-absence check above could
+    // have written FOLD and marked its target while we probed — the
+    // probe would then have walked onto the target marker and counted
+    // both the folded epochs and their replacement. One extra existence
+    // RPC closes that window: if FOLD appeared, the fast range is
+    // untrustworthy and the listing path (which subtracts the folded
+    // range) is authoritative.
+    val safe = fast.filter(_ => !fs.exists(foldPath(root)))
+    safe.getOrElse(listCommitted(fs, root))
   }
 
   /** The listing path: marker files minus any fold-superseded range

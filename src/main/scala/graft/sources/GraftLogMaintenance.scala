@@ -81,10 +81,18 @@ object GraftLogMaintenance {
     require(fs.rename(built, staged), s"failed to stage $built")
     fs.delete(tmp, true)
 
-    // 2. the journal — the point of no return for THIS partition
-    val journal = (Seq(p.toString, staged.toString) ++ files.map(_.toString))
-      .mkString("\n")
-    GraftLog.writeSmall(fs, journalPath(dir), journal)
+    // 2. the journal — the point of no return for THIS partition.
+    // Written to a temp name and renamed into place so a crash mid-write
+    // never leaves a partial file AT the journal path; the trailing END
+    // sentinel covers filesystems whose rename is copy+delete — recover
+    // treats a journal without it as a pre-step-2 crash and aborts
+    // (staged and old files are both still intact at that point).
+    val journal = (Seq(p.toString, staged.toString) ++ files.map(_.toString) ++
+      Seq("END")).mkString("\n")
+    val jtmp = new Path(stagingDir(dir), s"JOURNAL.tmp-p$p")
+    GraftLog.writeSmall(fs, jtmp, journal)
+    require(fs.rename(jtmp, journalPath(dir)),
+      s"failed to publish compaction journal for partition $p")
 
     finishSwap(fs, dir, p, staged, files)
   }
@@ -111,7 +119,17 @@ object GraftLogMaintenance {
     if (!fs.exists(jp)) return
     GraftLog.readSmall(fs, jp) match {
       case Some(txt) =>
-        val lines = txt.split("\n").toSeq
+        val all = txt.split("\n").toSeq
+        if (all.isEmpty || all.last != "END") {
+          // Partial journal: the write (or a copy+delete rename) died
+          // mid-record. Nothing has been deleted yet — staged and old
+          // files are both intact — so the safe automatic action is
+          // abort: drop the journal; the staging sweep reclaims the
+          // staged segment.
+          fs.delete(jp, false)
+          return
+        }
+        val lines = all.dropRight(1)
         require(lines.length >= 2 && lines.head.forall(_.isDigit),
           s"corrupt compaction journal at $jp: ${txt.take(200)}")
         val p = lines.head.toInt

@@ -817,6 +817,20 @@ object GraftLogScan {
           "'earliest' or an explicit JSON offset map")
       case Some(json) =>
         val m = GraftLog.offsetsFromJson(json)
+        // Explicit entries for partitions absent from the log mean the
+        // log was truncated or rewritten under the caller — exactly the
+        // silent-empty-window shape this function must fail loudly on.
+        // Route them through the same failOnDataLoss policy as an
+        // out-of-range offset instead of silently dropping them.
+        m.keysIterator.filterNot(latest.contains).foreach { p =>
+          if (failOnDataLoss) throw new IllegalStateException(
+            s"startingOffsets names partition $p which does not exist " +
+              s"in the log (partitions: ${latest.keys.toSeq.sorted.mkString(",")}); " +
+              "the log was truncated or rewritten. Set failOnDataLoss=false " +
+              "to skip vanished partitions.")
+          else log.warn(s"[graftlog] startingOffsets partition $p absent " +
+            "from the log; skipping (failOnDataLoss=false)")
+        }
         latest.map { case (p, _) =>
           p -> m.get(p).map(clampOrFail("startingOffsets", p, _)).getOrElse(0L)
         }

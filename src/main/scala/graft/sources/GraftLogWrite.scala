@@ -42,6 +42,13 @@ import org.apache.spark.sql.types.StructType
  *    offsets; the writer REQUIRES them dense from each partition's
  *    current end and fails loudly on a gap or overlap (a silent gap
  *    would freeze [[GraftLog.latestOffsets]] positions forever).
+ *    STREAMING writers relax the low side only: on an epoch replay a
+ *    partition committed by the prior attempt has already advanced the
+ *    footer end past the replayed rows' offsets, so rows BELOW the
+ *    task's base are skipped as already-durable (they are, verbatim —
+ *    provided offsets are content-addressed by position) and density
+ *    is required from the first new offset. Batch writers stay strict:
+ *    a batch row below the end is caller error, not a replay.
  *
  * Single producer per log (the marker-namespace stance, shared with
  * the foreachBatch faces). 100 TB shape: commit cost is one rename +
@@ -245,12 +252,16 @@ final class GraftLogWriterFactory(dir: String, stagingRoot: String,
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(dir, stagingRoot, schema, assign, confBc.value, taskId)
+    new GraftLogDataWriter(dir, stagingRoot, schema, assign, confBc.value, taskId,
+      tolerateReplayed = false)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftLogDataWriter(dir, s"$stagingRoot/$epochId", schema, assign,
-      confBc.value, taskId)
+      confBc.value, taskId,
+      // provided-mode epoch replays carry offsets the prior attempt
+      // already committed — tolerated (skipped) in streaming only
+      tolerateReplayed = !assign)
 }
 
 /** Task-side writer: input arrives clustered by log partition and
@@ -260,7 +271,7 @@ final class GraftLogWriterFactory(dir: String, stagingRoot: String,
   * (partition, file, base, count) for the driver's commit. */
 final class GraftLogDataWriter(dir: String, stagingDir: String,
     schema: StructType, assign: Boolean, baseConf: Configuration,
-    taskId: Long)
+    taskId: Long, tolerateReplayed: Boolean = false)
   extends DataWriter[InternalRow] {
 
   // case-INSENSITIVE resolution: the builder validates names that way
@@ -295,7 +306,14 @@ final class GraftLogDataWriter(dir: String, stagingDir: String,
 
   private def closeCurrent(): Unit = if (writer != null) {
     writer.close()
-    staged ::= ((curPart, curFile, base, next - base))
+    if (next > base) staged ::= ((curPart, curFile, base, next - base))
+    else {
+      // every row for this partition was a replayed (already-durable)
+      // one — don't stage an empty segment, just drop the file
+      val f = GraftLogWrite.fs(curFile, baseConf)
+      val pth = new Path(curFile)
+      if (f.exists(pth)) { f.delete(pth, false); () }
+    }
     writer = null
   }
 
@@ -321,6 +339,14 @@ final class GraftLogDataWriter(dir: String, stagingDir: String,
       else {
         require(!row.isNullAt(offsetIdx), "null offset with offsets=provided")
         val o = row.getLong(offsetIdx)
+        // Streaming epoch replay: a partition the prior attempt
+        // committed has a footer end PAST these rows' offsets, so the
+        // base this task just read is ahead of them. Those rows are
+        // already durable at exactly these positions — skip them and
+        // require density from the first genuinely-new offset. (Batch
+        // writers keep the strict check: there is no replay protocol
+        // to make a low offset legitimate there.)
+        if (tolerateReplayed && o < base) return
         require(o == next,
           s"offset $o breaks density for partition $p (expected $next) — " +
             "provided offsets must continue each partition's dense sequence")

@@ -76,13 +76,34 @@ class GraftLogMaintenanceSuite extends SparkSuite {
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     assert(fs.rename(built, staged))
     GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
-      (Seq("0", staged.toString) ++ olds).mkString("\n"))
+      (Seq("0", staged.toString) ++ olds ++ Seq("END")).mkString("\n"))
     fs.delete(new Path(olds.head), false) // the tear: one old gone, no rename
 
     GraftLogMaintenance.recover(spark, dir)
     assert(segFiles(dir, 0).size === 1, "recovery did not finish the swap")
     assert(rows(dir) === before, "recovery lost or duplicated rows")
     assert(!fs.exists(new Path(dir, "_staging/compact/JOURNAL")))
+  }
+
+  test("crash MID-journal-write (no END sentinel) aborts; compaction still runs") {
+    // r13-advice defect: a partial journal used to fail recover()'s
+    // corrupt-journal require forever, wedging every future compaction.
+    // A journal without the END sentinel means step 3 never started —
+    // staged and old files are both intact — so recover aborts it.
+    val dir = grownLog()
+    val before = rows(dir)
+    val fs = new Path(dir).getFileSystem(conf())
+    val (n0, n1) = (segFiles(dir, 0).size, segFiles(dir, 1).size)
+    GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
+      "0\n/some/partial/path") // torn mid-write: record truncated, no END
+    GraftLogMaintenance.recover(spark, dir)
+    assert(!fs.exists(new Path(dir, "_staging/compact/JOURNAL")),
+      "partial journal not aborted")
+    assert(rows(dir) === before)
+    // and the wedge is gone: a full compaction now succeeds
+    val merged = GraftLogMaintenance.compactSegments(spark, dir)
+    assert(merged === Map(0 -> n0, 1 -> n1))
+    assert(rows(dir) === before)
   }
 
   test("crash BEFORE the journal (staged leftovers only) aborts cleanly") {

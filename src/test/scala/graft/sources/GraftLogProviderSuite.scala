@@ -570,6 +570,19 @@ class GraftLogProviderSuite extends SparkSuite {
         .option("endingOffsets", """{"0":99,"1":10,"2":10,"3":10}""").load().collect()
     }
     assert(msgHas(e3, "out of range"), e3.toString)
+    // r13-advice: an explicit start for a partition ABSENT from the log
+    // (truncated/rewritten underneath the caller) must not be silently
+    // dropped into an empty window — loud by default, skip on opt-out
+    val vanished = """{"0":0,"1":0,"2":0,"3":0,"9":5}"""
+    val e4 = intercept[Exception] {
+      spark.read.format("graftlog").option("path", dir)
+        .option("startingOffsets", vanished).load().collect()
+    }
+    assert(msgHas(e4, "does not exist"), e4.toString)
+    val skipped = spark.read.format("graftlog").option("path", dir)
+      .option("startingOffsets", vanished)
+      .option("failOnDataLoss", "false").load()
+    assert(skipped.count() === 40)
   }
 
   test("out-of-range start: fails loudly by default, clamps under failOnDataLoss=false") {

@@ -125,6 +125,49 @@ class GraftLogWriteSuite extends SparkSuite {
     assert(logRows(logDir).map(_._3.toLong).sorted === (0L until 60L))
   }
 
+  test("streaming sink with provided offsets survives a crash-after-commit replay") {
+    // The r13-advice defect: in provided mode a replayed epoch's rows
+    // carry offsets BELOW the (already advanced) footer end, and the
+    // task-side density require killed the query before the driver's
+    // skip-committed logic could run. The fix skips already-durable
+    // rows task-side; this drives the exact crash ordering end-to-end.
+    val inDir = Files.createTempDirectory("graftlog-wp-in").toString
+    val cpDir = Files.createTempDirectory("graftlog-wp-cp").toString
+    val logDir = Files.createTempDirectory("graftlog-wp-log").toString
+    val sparkS = spark
+    import sparkS.implicits._
+
+    def launch() = spark.readStream.schema("id LONG").parquet(s"$inDir/d*")
+      .selectExpr("cast(id % 4 as int) as partition", "id div 4 as offset",
+        "cast(id as string) as key", "concat('v', id) as value")
+      .writeStream.format("graftlog")
+      .option("path", logDir) // offsets=provided is the default
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+
+    (0L until 40L).toDF("id").write.parquet(s"$inDir/d0")
+    val q1 = launch(); q1.awaitTermination(60000)
+    assert(logRows(logDir).length === 40)
+
+    // crash-after-sink-commit: done marker landed, checkpoint commit
+    // did not — restart re-executes the epoch with the same offsets
+    val fs = new Path(cpDir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new Path(cpDir, "commits/0"), false),
+      "checkpoint commit marker to delete not found")
+    val q2 = launch(); q2.awaitTermination(60000)
+
+    val rows = logRows(logDir)
+    assert(rows.length === 40, s"provided-mode replay duplicated rows: ${rows.length}")
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2) === (0L until rs.length.toLong), s"partition $p not dense")
+    }
+
+    // the stream keeps flowing after the replayed epoch
+    (40L until 60L).toDF("id").write.parquet(s"$inDir/d1")
+    val q3 = launch(); q3.awaitTermination(60000)
+    assert(logRows(logDir).map(_._3.toLong).sorted === (0L until 60L))
+  }
+
   test("streaming commit: a partially-torn epoch promotes only the missing partitions") {
     val dir = writeLog(10, 2) // partitions 0,1 at base 5
     val conf = spark.sessionState.newHadoopConf()
