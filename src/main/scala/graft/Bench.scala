@@ -78,7 +78,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (loadEnd, jvmsEnd) = loadState()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadavg%.2f,"loadavg_end":$loadEnd%.2f,"other_jvms_start":$otherJvms,"other_jvms_end":$jvmsEnd}""")
+    // The contention verdict goes INTO the record, not just stderr: a
+    // reader of the JSON alone (the round judge) must see whether the
+    // host was quiet when either endpoint was sampled. r13's official
+    // sweep carried 9x host-noise outliers that only the stderr warning
+    // and a later solo re-run exposed.
+    val contended = loadavg > cpuCount / 4.0 || otherJvms > 1 ||
+      loadEnd > cpuCount / 4.0 || jvmsEnd > 1
+    val warn =
+      if (contended)
+        f""","warning":"contended host (loadavg $loadavg%.1f->$loadEnd%.1f, other JVMs $otherJvms->$jvmsEnd): timings inflated, compare against a solo run""""
+      else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadavg%.2f,"loadavg_end":$loadEnd%.2f,"other_jvms_start":$otherJvms,"other_jvms_end":$jvmsEnd,"contended":$contended$warn}""")
     spark.stop()
   }
 }

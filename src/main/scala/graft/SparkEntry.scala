@@ -1,5 +1,5 @@
 package graft
-import graft.operators.{Dedup, EntityResolution, Graph, ImportanceSelection, IncrementalDedup, IvfIndex, LanguageModel, Layout, Multimodal, Profiling, Redaction, Sampling, Search, Similarity, TextAnalysis, Tokenizer, TrainingPipeline}
+import graft.operators.{Dedup, EntityResolution, Graph, ImportanceSelection, IncrementalDedup, IvfIndex, KnnGraphStore, LanguageModel, Layout, Multimodal, Profiling, Redaction, Sampling, Search, Similarity, TextAnalysis, Tokenizer, TrainingPipeline}
 import graft.queries.{AnalyticsQueries, EventTimeQueries, ParityQueries, QueryDef, ScalarQueries, TpchExtraQueries}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
@@ -14,7 +14,8 @@ object SparkEntry {
       ScalarQueries.all ++ TpchExtraQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
       Sampling.all ++ TrainingPipeline.all ++ IncrementalDedup.all ++
-      IvfIndex.all ++ Profiling.all ++ LanguageModel.all ++ Redaction.all ++
+      IvfIndex.all ++ KnnGraphStore.all ++
+      Profiling.all ++ LanguageModel.all ++ Redaction.all ++
       ImportanceSelection.all ++ Search.all ++ Graph.all ++ Layout.all ++
       Tokenizer.all ++ EntityResolution.all
 

@@ -300,44 +300,13 @@ object IvfIndex {
 
   // ---- oracle-gated query over the PERSISTED lifecycle ----------------
 
-  // One index build per testdata dir per JVM (the IncrementalDedup
-  // catalog-fixture pattern): the files are session-independent, so the
-  // memo keys on the dir alone; racing threads may create two holders
-  // but putIfAbsent picks one winner and only its lazy `value` builds. A
-  // failed build leaves the lazy uninitialized (retried next call); a
-  // shutdown hook reclaims the files.
-  private final class LazyIndex(build0: () => String) {
-    lazy val value: String = build0()
-  }
-  private val indexes =
-    scala.collection.concurrent.TrieMap.empty[String, LazyIndex]
-
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(): Unit
-  }
-
-  private def ensureIndexTagged(
-      s: SparkSession, dir: String, tag: String,
-      buildFn: (DataFrame, String) => Unit): String =
-    indexes.getOrElseUpdate(s"$tag:$dir", new LazyIndex(() => {
-      val pid = ProcessHandle.current().pid()
-      val slug = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${pid}_$slug"
-      val f = new java.io.File(path)
-      if (f.exists()) rmTree(f) // stale from a failed earlier attempt
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(f)))
-      buildFn(Tables.embeddings(s, dir), path)
-      path
-    })).value
-
+  // One index build per testdata dir per JVM — the [[FixtureStore]]
+  // memo (the IncrementalDedup catalog-fixture pattern).
   private def ensureIndex(s: SparkSession, dir: String): String =
-    ensureIndexTagged(s, dir, "ivfidx", (e, p) => { build(e, p); () })
+    FixtureStore.ensure("ivfidx", dir)(p => { build(Tables.embeddings(s, dir), p); () })
 
   private def ensurePqIndex(s: SparkSession, dir: String): String =
-    ensureIndexTagged(s, dir, "ivfpqidx", (e, p) => { buildPq(e, p); () })
+    FixtureStore.ensure("ivfpqidx", dir)(p => { buildPq(Tables.embeddings(s, dir), p); () })
 
   /** `ann_ivf_kmeans_topk` through the PERSISTED lifecycle: build the
     * index to storage ONCE (memoized fixture), reload centroids, probe
