@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * SQL CATALOG face of the graftlog connector — logs addressable BY NAME
+ * from pure SQL, no Scala required (the reference's config-first
+ * ergonomics, SpoutConfig.java:70+ / README.md:130-160, at the SQL
+ * layer):
+ *
+ * {{{
+ *   SET spark.sql.catalog.graft=graft.sources.GraftLogCatalog
+ *   SET spark.sql.catalog.graft.root=/data/logs
+ *   CREATE TABLE graft.clicks
+ *   INSERT INTO graft.clicks SELECT partition, offset, key, value ...
+ *   SELECT * FROM graft.clicks WHERE offset >= 100   -- pushed range
+ * }}}
+ *
+ * A table named `a.b.c` in catalog `graft` is the log directory
+ * `<root>/a/b/c`; namespaces are plain subdirectories. Every loaded
+ * table IS the native [[GraftLogTable]], so the whole pushdown surface
+ * (partition pruning, offset ranges, footer-stat aggregates, limit),
+ * the streaming source, and the exactly-once write path work unchanged
+ * through SQL or `spark.table("graft.x")` — the catalog adds NAMING,
+ * not a second code path.
+ *
+ * All schema is fixed ([[GraftLog.Schema]] — a log is positions + bytes,
+ * the reference's message frame): CREATE TABLE accepts an empty or
+ * exactly-matching column list and rejects anything else; ALTER is
+ * unsupported by construction.
+ */
+class GraftLogCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graftlog catalog '$name' needs spark.sql.catalog.$name.root=<logs dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = new Path(root).getFileSystem(GraftLog.sessionConf())
+
+  private def dirOf(ident: Identifier): Path =
+    new Path((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
+
+  /** A directory is a LOG (not a namespace) when it carries at least one
+    * `partition=N` subdirectory or is empty (a just-created log). */
+  private def isLog(p: Path): Boolean = {
+    val entries = fs.listStatus(p)
+    entries.isEmpty || entries.exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("partition="))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((root +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(e => e.isDirectory && !e.getPath.getName.startsWith("_"))
+      .filter(e => isLog(e.getPath))
+      .map(e => Identifier.of(namespace, e.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = fs.exists(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    new GraftLogTable(dir.toString)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graftlog tables are partitioned by the log's own partition column; " +
+        "PARTITIONED BY is not accepted")
+    if (schema.nonEmpty) {
+      val want = GraftLog.Schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+      val got = schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+      require(got.sameElements(want),
+        s"a graftlog table's schema is fixed to ${GraftLog.Schema.simpleString}; " +
+          s"got ${schema.simpleString} (omit the column list)")
+    }
+    fs.mkdirs(dirOf(ident))
+    new GraftLogTable(dirOf(ident).toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftlog tables have a fixed schema; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    fs.exists(dirOf(ident)) && fs.delete(dirOf(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(dirOf(newIdent).getParent)
+    require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
+      s"failed to rename log ${oldIdent} to ${newIdent}")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** The SQL catalog face: logs addressable by name — CREATE / INSERT /
+  * SELECT / SHOW / RENAME / DROP — resolving to the SAME native V2
+  * table as `format("graftlog")`, pushdown surface included. */
+class GraftLogCatalogSuite extends SparkSuite {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graftlog-cat").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  private def seedLog(name: String, n: Int, parts: Int): String = {
+    val dir = s"$root/$name"
+    GraftLog.materialize(
+      spark.range(0, n.toLong)
+        .selectExpr(s"cast(id % $parts as int) as partition",
+          s"id div $parts as offset",
+          "cast(id as string) as key", "concat('v', id) as value"),
+      dir)
+    dir
+  }
+
+  test("SQL round trip: CREATE, INSERT (dense offsets), SELECT with pushed bounds") {
+    root // force catalog registration
+    spark.sql("CREATE TABLE graft.clicks")
+    // two partitions, offsets 0..4 each — INSERT rides the V2 write path
+    spark.sql("""INSERT INTO graft.clicks
+      SELECT cast(id % 2 as int), id div 2, cast(id as string), concat('v', id)
+      FROM range(10)""")
+    assert(spark.sql("SELECT count(*) FROM graft.clicks").head().getLong(0) === 10)
+
+    // a second INSERT must continue each partition's dense sequence
+    spark.sql("""INSERT INTO graft.clicks
+      SELECT cast(id % 2 as int), 5 + id div 2, concat('k', id), concat('w', id)
+      FROM range(4)""")
+    val after = GraftLog.latestOffsets(s"$root/clicks",
+      spark.sessionState.newHadoopConf())
+    assert(after === Map(0 -> 7L, 1 -> 7L), after.toString)
+
+    // offset bounds through SQL: the filter reaches the scan (pushed,
+    // not residual) and the result window is exact
+    val bounded = spark.sql(
+      "SELECT key FROM graft.clicks WHERE offset >= 5 AND partition = 0")
+    assert(bounded.collect().map(_.getString(0)).sorted === Array("k0", "k2"))
+    val scanDesc = bounded.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("graftlog"), scanDesc)
+  }
+
+  test("catalog table content equals the format('graftlog') path") {
+    root
+    seedLog("parity", 40, 4)
+    val viaCatalog = spark.table("graft.parity").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaFormat = spark.read.format("graftlog")
+      .option("path", s"$root/parity").load().collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(viaCatalog === viaFormat)
+    assert(viaCatalog.length === 40)
+    // footer-stat aggregate pushdown works through the catalog name too
+    assert(spark.sql("SELECT min(offset), max(offset) FROM graft.parity")
+      .head().toSeq === Seq(0L, 9L))
+  }
+
+  test("SHOW TABLES, RENAME and DROP manage the log directories") {
+    root
+    seedLog("a_log", 4, 2)
+    spark.sql("CREATE TABLE graft.b_log")
+    val shown = spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("a_log", "b_log").subsetOf(shown), shown.toString)
+
+    // the RENAME target resolves inside the source's catalog — a
+    // `graft.`-qualified target would be read as a NAMESPACE named graft
+    spark.sql("ALTER TABLE graft.a_log RENAME TO c_log")
+    assert(spark.table("graft.c_log").count() === 4)
+    assert(!new java.io.File(s"$root/a_log").exists())
+
+    spark.sql("DROP TABLE graft.b_log")
+    assert(!new java.io.File(s"$root/b_log").exists())
+    val e = intercept[Exception](spark.table("graft.does_not_exist").collect())
+    assert(e.getMessage.toLowerCase.contains("table"), e.toString)
+  }
+
+  test("streaming reads and writes work against catalog names") {
+    root
+    seedLog("stream_src", 20, 2)
+    val cp = Files.createTempDirectory("graftlog-cat-cp").toString
+    spark.sql("CREATE TABLE graft.stream_dst")
+    val q = spark.readStream.table("graft.stream_src")
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.stream_dst")
+    q.awaitTermination(60000)
+    val copied = spark.table("graft.stream_dst").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(3))).sortBy(t => (t._1, t._2))
+    assert(copied.length === 20, s"streamed copy has ${copied.length} rows")
+    copied.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).toSeq === (0L until rs.length.toLong), s"partition $p not dense")
+    }
+  }
+
+  test("fixed schema: mismatched CREATE columns and ALTER are rejected") {
+    root
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE graft.bad (wrong INT, shape STRING)"))
+    assert(e.getMessage.contains("fixed"), e.toString)
+    seedLog("immutable", 2, 1)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.immutable ADD COLUMN extra INT"))
+    assert(e2.getMessage.toLowerCase.contains("not supported"), e2.toString)
+  }
+}
