@@ -152,6 +152,16 @@ object MetricsReport {
       .withColumnRenamed("label", "dl")
       .join(ccLocal.labels.withColumnRenamed("label", "ll"), "id")
       .filter(col("dl") =!= col("ll")).count()
+    // same cross-check for the star-contraction path (r14): both
+    // distributed algorithms must agree with the exact union-find
+    // label-for-label on the real pair graph
+    val ccStar = graft.operators.ConnectedComponents.run(
+      docsV, "doc_id", ccEdges, "a", "b", localEdgeThreshold = 0,
+      algorithm = "star")
+    val ccStarDisagree = ccStar.labels
+      .withColumnRenamed("label", "sl")
+      .join(ccLocal.labels.withColumnRenamed("label", "ll"), "id")
+      .filter(col("sl") =!= col("ll")).count()
     ccEdges.unpersist(blocking = false)
 
     // 3c. per-query memory/shuffle/spill footprint (r9 ask #5): the ten
@@ -272,6 +282,7 @@ object MetricsReport {
          |  },
          |  "dedup_clusters": {"documents": $nDocs, "clusters": $nClusters, "converged": $ccConverged, "cc_iterations": $ccIterations},
          |  "cc_distributed": {"iterations": ${ccDist.iterations}, "converged": ${ccDist.converged}, "disagreements_vs_unionfind": $ccDisagree},
+         |  "cc_star": {"iterations": ${ccStar.iterations}, "converged": ${ccStar.converged}, "disagreements_vs_unionfind": $ccStarDisagree},
          |  "skew_guard": {
          |$sg
          |  },

@@ -90,6 +90,41 @@ object ConnectedComponents {
         coalesce(col("__lk_label"), col("label")).as("label"))
   }
 
+  /** One ALTERNATING star round (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", the two-star algorithm): large-star hangs
+    * every node's LARGER neighbors onto its neighborhood minimum,
+    * small-star re-hangs the smaller ones, and the composition contracts
+    * any graph toward per-component stars centered on the min id in
+    * O(log) rounds — geometrically, because each round SHRINKS the edge
+    * set it hands the next one (propagation's per-round work stays
+    * edge-proportional for the whole run; contraction's decays). Input
+    * and output are canonical big→small directed edges, no self-loops.
+    * Exposed for the suite's shuffle/payload asserts. */
+  private[operators] def starRound(canon: DataFrame): DataFrame = {
+    // large-star over the SYMMETRIC neighborhood of the current edges:
+    // m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v ∈ Γ(u), v > u.
+    // Every output edge points big→small (v > u ≥ m(u)).
+    val nbrs = canon.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(canon.select(col("dst").as("u"), col("src").as("v")))
+    // m = min(Γ(u) ∪ {u}): the ∪{u} half folds in AFTER the aggregate —
+    // u is the grouping key, so the shuffle carries (u, partial-min)
+    // and nothing else (suite-pinned two-longs payload)
+    val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val large = nbrs.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+    // small-star over the now-directed edges: per node u (src side), its
+    // neighbors are all SMALLER; m(u) = min of them; re-hang every
+    // neighbor (and u itself) on m(u).
+    val mins2 = large.groupBy("src").agg(min("dst").as("m"))
+    val rehung = large.join(mins2, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .unionByName(mins2.select(col("src"), col("m").as("dst")))
+    rehung.filter(col("src") =!= col("dst")).distinct()
+  }
+
   /** Default for `localEdgeThreshold` (deduped UNDIRECTED edges): 2M.
     * The local path collects the symmetrized list — 4M (long, long)
     * rows, a few hundred MB of transient boxed Rows during the collect
@@ -110,6 +145,17 @@ object ConnectedComponents {
    *                 the pointer-jump joins in — shallow components, the
    *                 overwhelmingly common case, converge without ever
    *                 paying the extra label-table join
+   * @param algorithm distributed resolution strategy past the local
+   *                 gate: `"propagate"` (default) is the min-label loop
+   *                 above — cheapest per round, right for the shallow
+   *                 template families that dominate real corpora;
+   *                 `"star"` is alternating large-star/small-star
+   *                 contraction ([[starRound]]) — per-round cost DECAYS
+   *                 as the graph contracts, the safe choice for
+   *                 adversarial/deep pair graphs (long duplicate chains
+   *                 from scraped near-identical page series), converging
+   *                 in O(log) rounds on a path without ever carrying the
+   *                 full edge set through all of them
    * @param localEdgeThreshold deduped-edge count at or below which the
    *                 component resolution runs as a DRIVER-SIDE union-find
    *                 over the collected (metadata-sized) edge list instead
@@ -131,8 +177,11 @@ object ConnectedComponents {
       dstCol: String,
       maxIters: Int = 25,
       shortcutAfter: Int = 5,
-      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): Result = {
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold,
+      algorithm: String = "propagate"): Result = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(algorithm == "propagate" || algorithm == "star",
+      s"algorithm must be 'propagate' or 'star', got '$algorithm'")
     val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // Symmetrize + dedup once; partition by src so every iteration's join
     // reads this one cached exchange. distinct() also drops repeated pairs
@@ -154,6 +203,11 @@ object ConnectedComponents {
     val symCount = sym.count()
     if (localEdgeThreshold > 0 && symCount <= 2 * localEdgeThreshold) {
       val result = runLocal(vertexIds, sym)
+      sym.unpersist(blocking = false)
+      return result
+    }
+    if (algorithm == "star") {
+      val result = runStar(vertexIds, sym, maxIters)
       sym.unpersist(blocking = false)
       return result
     }
@@ -205,6 +259,52 @@ object ConnectedComponents {
     }
     // cut the non-vertex endpoints (seeded only for convergence soundness)
     Result(labels.join(vertexIds, Seq("id"), "left_semi"), iters, converged)
+  }
+
+  /** The star-contraction loop: alternate [[starRound]] until the edge
+    * set is stable. Convergence is the (row count, edge-hash sum) pair —
+    * rounds both shrink and rewrite edges, so neither count nor a plain
+    * value sum is monotone alone; the xxhash64 sum makes an unchanged
+    * pair a collision-improbable fixpoint certificate, computed by the
+    * same one driver action that materializes the round's checkpoint.
+    * At the fixpoint every component is a star on its min id, so labels
+    * fall out of the edge set directly: src rows label to their (unique)
+    * dst, centers and isolated vertices label themselves. On a maxIters
+    * bail-out the partial labels are still a refinement (every canonical
+    * edge points big→small within one true component). */
+  private def runStar(
+      vertexIds: DataFrame, sym: DataFrame, maxIters: Int): Result = {
+    def edgeStats(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def same(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)): Boolean =
+      a._1 == b._1 && java.util.Objects.compare(
+        a._2, b._2, java.util.Comparator.nullsFirst(
+          java.util.Comparator.naturalOrder[java.math.BigDecimal]())) == 0
+
+    var canon = sym.filter(col("src") > col("dst")).localCheckpoint(false)
+    var prev = edgeStats(canon)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      canon = starRound(canon).localCheckpoint(false)
+      iters += 1
+      val s = edgeStats(canon)
+      converged = same(s, prev)
+      prev = s
+    }
+    if (!converged) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"star contraction did not converge in $maxIters rounds; " +
+          "labels are a refinement (over-segmented), not final components")
+    }
+    val labels = vertexIds
+      .join(canon.groupBy("src").agg(min("dst").as("label"))
+        .withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    Result(labels, iters, converged)
   }
 
   /** Metadata-sized graphs: exact min-id union-find on the driver over

@@ -210,6 +210,79 @@ class ConnectedComponentsSuite extends SparkSuite {
     assert(empty.converged && empty.labels.count() === 0L)
   }
 
+  private def runStar(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 25): ConnectedComponents.Result =
+    ConnectedComponents.run(vertices, "doc_id", edges, "a", "b",
+      maxIters = maxIters, localEdgeThreshold = 0, algorithm = "star")
+
+  test("star contraction: a 10k-node path converges in O(log) rounds") {
+    // the adversarial shape for propagation: diameter = n. Alternating
+    // large-star/small-star contracts it geometrically — and each round
+    // hands the next a SMALLER edge set, so the log rounds get cheaper
+    // as they go (the property propagation lacks).
+    val n = 10000
+    val chain = (0L until n.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
+    val r = runStar(verticesDf(n), edgesDf(chain))
+    assert(r.converged, s"10k path did not converge in ${r.iterations} rounds")
+    assert(r.iterations <= 16,
+      s"expected ~log2(10000) rounds, got ${r.iterations}")
+    assert(labelsMap(r.labels).values.forall(_ == 0L))
+  }
+
+  test("star contraction matches union-find on a seeded random graph") {
+    val n = 200
+    val rnd = new scala.util.Random(1234)
+    val edges = Seq.fill(240)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val dup = edges ++ edges.take(40).map(_.swap)
+    val r = runStar(verticesDf(n), edgesDf(dup))
+    assert(r.converged)
+    assert(labelsMap(r.labels) === unionFind(n, edges))
+  }
+
+  test("star contraction: non-vertex conduction, empty inputs, maxIters refinement") {
+    val vertices = { import spark.implicits._; Seq(7L, 57L, 93L).toDF("doc_id") }
+    val viaNonVertex = edgesDf(Seq((57L, 40L), (40L, 30L), (30L, 7L), (93L, 93L)))
+    val r = runStar(vertices, viaNonVertex)
+    assert(r.converged)
+    assert(labelsMap(r.labels) === Map(7L -> 7L, 57L -> 7L, 93L -> 93L))
+
+    val empty = runStar(verticesDf(3), edgesDf(Seq.empty))
+    assert(empty.converged && empty.iterations === 1)
+    assert(labelsMap(empty.labels) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+
+    // a 40-hop chain cannot finish in 2 rounds; the bail-out labels are
+    // still a refinement (labels never cross components, never exceed id)
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val partial = runStar(verticesDf(40), edgesDf(chain), maxIters = 2)
+    assert(!partial.converged && partial.iterations === 2)
+    labelsMap(partial.labels).foreach { case (id, lbl) =>
+      assert(lbl <= id && lbl >= 0L)
+    }
+  }
+
+  test("star round: every shuffled row is two longs (the 100 TB payload contract)") {
+    val n = 300
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = edgesDf(edges)
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val round = ConnectedComponents.starRound(canon)
+    round.collect()
+    val ex = flattenPlan(round.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(ex.nonEmpty)
+    ex.foreach { e =>
+      val out = e.child.output
+      assert(out.size === 2 &&
+        out.forall(_.dataType == org.apache.spark.sql.types.LongType),
+        out.mkString(","))
+    }
+  }
+
   test("pointer jumping: a 60-hop chain converges within default maxIters") {
     // plain propagation needs 59 rounds (> default maxIters); once the
     // adaptive shortcut engages, reach doubles per round
