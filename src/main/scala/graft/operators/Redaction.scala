@@ -52,8 +52,22 @@ object Redaction {
     RedactionRule("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
     RedactionRule("number", "[0-9]+", "[NUM]"))
 
-  /** The redacted text: the full rule chain folded over `text`. */
-  def redactColumn(text: Column, rules: Seq[RedactionRule] = DefaultRules): Column =
+  /** The redacted text: the full rule chain over `text`, as the ONE
+    * native chain expression (one automaton pass per rule, one string
+    * conversion total — see [[graft.functions.RegexpRedactChain]]). */
+  def redactColumn(text: Column, rules: Seq[RedactionRule] = DefaultRules): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.functions.RegexpRedactChain(
+      Shim.expression(text), rules.map(r => (r.name, r.pattern, r.replacement))))
+      .getField("redacted")
+  }
+
+  /** The composable `regexp_replace` fold of the same chain — the
+    * definitional form [[redactColumn]] must stay byte-identical to
+    * (RedactExpressionsSuite pins it); also the shape the DuckDB twin
+    * [[redactSql]] mirrors clause-for-clause. */
+  private[graft] def redactColumnComposable(
+      text: Column, rules: Seq[RedactionRule] = DefaultRules): Column =
     rules.foldLeft(text)((c, r) => regexp_replace(c, lit(r.pattern), lit(r.replacement)))
 
   /** DuckDB twin of [[redactColumn]]: the same chain folded over a SQL
@@ -64,16 +78,24 @@ object Redaction {
       s"regexp_replace($c, '${r.pattern}', '${r.replacement}', 'g')")
 
   /** `df` plus `<out>` (redacted text) and one `n_<rule>` count column
-    * per rule — counts taken on the text state the rule actually saw. */
+    * per rule — counts taken on the text state the rule actually saw.
+    * Runs the chain through [[graft.functions.RegexpRedactChain]]: one
+    * native expression, one automaton pass per rule that replaces and
+    * counts together (the composable regexp_replace/regexp_count fold —
+    * kept as [[redactColumn]] and pinned equal by the suite — walks the
+    * text once per expression instead). */
   def redactWithCounts(
       df: DataFrame, textCol: String, out: String,
       rules: Seq[RedactionRule] = DefaultRules): DataFrame = {
-    val (result, counts) = rules.foldLeft((col(textCol), Seq.empty[Column])) {
-      case ((c, acc), r) =>
-        (regexp_replace(c, lit(r.pattern), lit(r.replacement)),
-          acc :+ regexp_count(c, lit(r.pattern)).as(s"n_${r.name}"))
-    }
-    df.select(df.columns.map(col).toSeq ++ counts :+ result.as(out): _*)
+    import org.apache.spark.sql.graft.Shim
+    val packed = Shim.column(graft.functions.RegexpRedactChain(
+      Shim.expression(col(textCol)),
+      rules.map(r => (r.name, r.pattern, r.replacement))))
+    df.withColumn("__redact_packed", packed)
+      .select(df.columns.map(col).toSeq ++
+        rules.map(r =>
+          col("__redact_packed").getField(s"n_${r.name}").as(s"n_${r.name}")) :+
+        col("__redact_packed").getField("redacted").as(out): _*)
   }
 
   // ---- oracle-gated demonstration query -------------------------------
