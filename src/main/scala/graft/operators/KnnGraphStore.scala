@@ -102,6 +102,48 @@ object KnnGraphStore {
     (s, dir) => edgesOf(s, dir).orderBy("query_id", "rank"),
     Similarity.all("knn_graph").oracle)
 
+  /** CONNECTED COMPONENTS over the persisted mutual-kNN graph — the
+    * SemDeDup-style semantic cluster relation (each component is one
+    * tight embedding neighborhood; `component` = min vec_id reachable
+    * through mutual-kNN edges, `component_size` the neighborhood mass a
+    * curation policy thresholds on). Consumes the store (edge-join
+    * cost) and resolves through STAR CONTRACTION
+    * ([[ConnectedComponents.starRound]], gate forced off) — with the
+    * DuckDB twin walking the identical graph's transitive closure via a
+    * recursive CTE, this row gates store + star path + symmetrization
+    * together. */
+  private val knnComponents = QueryDef(
+    (s, dir) => {
+      val und = mutualEdges(edgesOf(s, dir).select("query_id", "neighbor_id"))
+      val cc = ConnectedComponents.run(
+        graft.Tables.embeddings(s, dir).select("vec_id"), "vec_id",
+        und, "a", "b", localEdgeThreshold = 0, algorithm = "star")
+      cc.labels
+        .select(col("id").as("vec_id"), col("label").as("component"))
+        .withColumn("component_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("component")))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE ${Similarity.knnGraphSqlCtes},
+      |knn AS (SELECT query_id, neighbor_id FROM granked
+      |        WHERE rank <= ${Similarity.KnnK}),
+      |und AS MATERIALIZED (
+      |  SELECT LEAST(query_id, neighbor_id) AS a,
+      |         GREATEST(query_id, neighbor_id) AS b
+      |  FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+      |gedges AS (SELECT a AS src, b AS dst FROM und UNION
+      |           SELECT b AS src, a AS dst FROM und),
+      |walk(id, lbl) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN gedges e ON e.src = w.id),
+      |glabels AS (SELECT id AS vec_id, MIN(lbl) AS component
+      |            FROM walk GROUP BY id)
+      |SELECT vec_id, component,
+      |       COUNT(*) OVER (PARTITION BY component) AS component_size
+      |FROM glabels ORDER BY vec_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
-    "knn_graph_persisted" -> knnGraphPersisted)
+    "knn_graph_persisted" -> knnGraphPersisted,
+    "knn_components" -> knnComponents)
 }

@@ -1576,7 +1576,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   // ---- k-NN graph -----------------------------------------------------
 
-  private val KnnK = 5
+  private[operators] val KnnK = 5
 
   /** k-NN GRAPH over the corpus — every vector's [[KnnK]] nearest
     * same-cell neighbors, the input relation for graph-based curation
@@ -1622,7 +1622,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * of the graph shared by `knn_graph` and `graph_triangles`, so the
     * triangle count can never drift from the graph it claims to
     * measure. */
-  private def knnGraphSqlCtes: String = s"""$seededAssignSql,
+  private[operators] def knnGraphSqlCtes: String = s"""$seededAssignSql,
     |gpairs AS (
     |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
     |         (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS sim
