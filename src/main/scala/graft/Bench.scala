@@ -80,11 +80,13 @@ object Bench {
     val (loadEnd, jvmsEnd) = loadState()
     // The contention verdict goes INTO the record, not just stderr: a
     // reader of the JSON alone (the round judge) must see whether the
-    // host was quiet when either endpoint was sampled. r13's official
-    // sweep carried 9x host-noise outliers that only the stderr warning
-    // and a later solo re-run exposed.
-    val contended = loadavg > cpuCount / 4.0 || otherJvms > 1 ||
-      loadEnd > cpuCount / 4.0 || jvmsEnd > 1
+    // host was quiet. r13's official sweep carried 9x host-noise
+    // outliers that only the stderr warning and a later solo re-run
+    // exposed. The verdict reads the START loadavg plus the other-JVM
+    // count at BOTH endpoints — the end loadavg is dominated by this
+    // run's own local[32] burst and would self-flag every sweep (it
+    // stays in the record as data, not as a verdict input).
+    val contended = loadavg > cpuCount / 4.0 || otherJvms > 1 || jvmsEnd > 1
     val warn =
       if (contended)
         f""","warning":"contended host (loadavg $loadavg%.1f->$loadEnd%.1f, other JVMs $otherJvms->$jvmsEnd): timings inflated, compare against a solo run""""
