@@ -107,17 +107,19 @@ object KnnGraphStore {
     * tight embedding neighborhood; `component` = min vec_id reachable
     * through mutual-kNN edges, `component_size` the neighborhood mass a
     * curation policy thresholds on). Consumes the store (edge-join
-    * cost) and resolves through STAR CONTRACTION
-    * ([[ConnectedComponents.starRound]], gate forced off) — with the
-    * DuckDB twin walking the identical graph's transitive closure via a
-    * recursive CTE, this row gates store + star path + symmetrization
-    * together. */
+    * cost) and resolves in the PRODUCTION configuration: union-find
+    * gate on (metadata-sized graphs — this SF — collapse to the exact
+    * driver resolution), star contraction past it at scale; the star
+    * path itself is oracle-forced by `dedup_clusters_star`. The DuckDB
+    * twin walks the identical graph's transitive closure via a
+    * recursive CTE, gating store + mutual symmetrization + component
+    * semantics. */
   private val knnComponents = QueryDef(
     (s, dir) => {
       val und = mutualEdges(edgesOf(s, dir).select("query_id", "neighbor_id"))
       val cc = ConnectedComponents.run(
         graft.Tables.embeddings(s, dir).select("vec_id"), "vec_id",
-        und, "a", "b", localEdgeThreshold = 0, algorithm = "star")
+        und, "a", "b", algorithm = "star")
       cc.labels
         .select(col("id").as("vec_id"), col("label").as("component"))
         .withColumn("component_size", count(lit(1)).over(
