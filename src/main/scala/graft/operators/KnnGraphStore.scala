@@ -44,9 +44,14 @@ object KnnGraphStore {
     * cell-bucketed self-join + bounded top-k documented on the inline
     * `knn_graph` — then a V·k-row partitioned write. */
   def build(s: SparkSession, dir: String, path: String): Unit = {
-    Similarity.all("knn_graph").fn(s, dir)
+    // the UNSORTED ranked edges — identical rows to `knn_graph`, minus
+    // its presentation sort (a corpus-wide range exchange a partitioned
+    // write would pay for nothing); one bucket-clustering exchange
+    // instead, so each task writes exactly its own bucket directories
+    Similarity.knnRankedEdges(s, dir, sorted = false)
       .withColumn("bucket", pmod(col("query_id"), lit(NumBuckets.toLong)))
       .withColumn("epoch", lit(0L))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("epoch", "bucket")
       .parquet(s"$path/edges")
     graft.ops.EpochCommit.mark(s, s"$path/edges", 0L)

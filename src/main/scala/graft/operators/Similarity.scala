@@ -50,11 +50,12 @@ object Similarity {
     * Ordering (score DESC, id ASC) matches the oracle's window exactly,
     * so the row_number() SQL formulation stays the oracle. */
   private[operators] def topKPerQuery(
-      s: SparkSession, scored: DataFrame, k: Int = TopK): DataFrame = {
+      s: SparkSession, scored: DataFrame, k: Int = TopK,
+      presentationSort: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.functions.{Scored, TopKAggregator}
     val topk = new TopKAggregator(k).toColumn.name("topk")
-    scored.select(col("query_id"), col("neighbor_id"), col("sim"))
+    val flat = scored.select(col("query_id"), col("neighbor_id"), col("sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, id, sim) => Scored(id, sim) }
@@ -64,7 +65,10 @@ object Similarity {
       }
       .toDF("query_id", "rank", "neighbor_id", "sim")
       .withColumn("sim", round(col("sim"), 4))
-      .orderBy("query_id", "rank")
+    // presentationSort=false for WRITERS (the persisted kNN store): a
+    // partitioned write needs no global order, and the sort would be a
+    // corpus-wide range exchange paid for nothing
+    if (presentationSort) flat.orderBy("query_id", "rank") else flat
   }
 
   private val annCosineTopk = QueryDef(
@@ -1598,21 +1602,28 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * directed self-join. Per-node top-k runs through the bounded
     * [[graft.functions.TopKAggregator]] — ≤k rows shuffle per (map
     * partition, node), never a per-node window funnel. */
+  /** The ranked kNN edge computation — `knn_graph`'s body, exposed so
+    * [[KnnGraphStore.build]] can write the identical edges WITHOUT the
+    * presentation sort (a partitioned store write needs no global
+    * order). */
+  private[operators] def knnRankedEdges(
+      s: SparkSession, dir: String, sorted: Boolean = true): DataFrame = {
+    val banded = seededAssigned(s, dir)
+      .select(col("vec_id"), col("cell").as("band"), col("embedding"), col("nrm"))
+      .repartition(col("band"))
+    val sims = SkewGuard.pairs(banded, "vec_id")
+      .withColumn("sim", dotCol("embedding_1", "embedding_2") /
+        (col("nrm_1") * col("nrm_2")))
+    val directed = sims
+      .select(col("vec_id_1").as("query_id"), col("vec_id_2").as("neighbor_id"),
+        col("sim"))
+      .unionAll(sims.select(col("vec_id_2").as("query_id"),
+        col("vec_id_1").as("neighbor_id"), col("sim")))
+    topKPerQuery(s, directed, KnnK, presentationSort = sorted)
+  }
+
   private val knnGraph = QueryDef(
-    (s, dir) => {
-      val banded = seededAssigned(s, dir)
-        .select(col("vec_id"), col("cell").as("band"), col("embedding"), col("nrm"))
-        .repartition(col("band"))
-      val sims = SkewGuard.pairs(banded, "vec_id")
-        .withColumn("sim", dotCol("embedding_1", "embedding_2") /
-          (col("nrm_1") * col("nrm_2")))
-      val directed = sims
-        .select(col("vec_id_1").as("query_id"), col("vec_id_2").as("neighbor_id"),
-          col("sim"))
-        .unionAll(sims.select(col("vec_id_2").as("query_id"),
-          col("vec_id_1").as("neighbor_id"), col("sim")))
-      topKPerQuery(s, directed, KnnK)
-    },
+    (s, dir) => knnRankedEdges(s, dir),
     Some(s"""WITH $knnGraphSqlCtes
       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
       |       ROUND(sim, 4) AS sim
