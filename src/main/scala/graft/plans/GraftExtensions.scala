@@ -52,6 +52,22 @@ object GraftExtensions {
       s"$what must be an INT literal, got $other")
   }
 
+  /** A foldable ARRAY<STRING> argument (e.g. `array('a','b')`),
+    * constant-evaluated at function-resolution time — redaction rules
+    * are plan constants, never per-row data. */
+  private def stringArrayLit(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.types.StringType
+    require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == StringType,
+      s"$what must be a foldable ARRAY<STRING>, got $e")
+    val a = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until a.numElements()).map { i =>
+      require(!a.isNullAt(i), s"$what must not contain nulls")
+      a.getUTF8String(i).toString
+    }
+  }
+
   private[plans] val descriptors: Seq[Descriptor] = Seq(
     binary("cosine_similarity", classOf[CosineSimilarity], CosineSimilarity.apply),
     binary("dot_double", classOf[ArrayDotDouble], ArrayDotDouble.apply),
@@ -65,6 +81,28 @@ object GraftExtensions {
           s"srp_band_codes expects (embedding, rowsPerBand, nBands), got ${args.length} args")
         SrpBandCodes(args.head,
           intLit(args(1), "rowsPerBand"), intLit(args(2), "nBands"))
+      }),
+    // regexp_redact_chain(text) — the default PII chain; or
+    // regexp_redact_chain(text, names, patterns, replacements) with
+    // three equal-length ARRAY<STRING> literals (rules are plan data)
+    (FunctionIdentifier("regexp_redact_chain"),
+      new ExpressionInfo(classOf[graft.functions.RegexpRedactChain].getName,
+        "regexp_redact_chain"),
+      (args: Seq[Expression]) => args.length match {
+        case 1 => graft.functions.RegexpRedactChain(args.head,
+          graft.operators.Redaction.DefaultRules
+            .map(r => (r.name, r.pattern, r.replacement)))
+        case 4 =>
+          val names = stringArrayLit(args(1), "rule names")
+          val pats = stringArrayLit(args(2), "rule patterns")
+          val reps = stringArrayLit(args(3), "rule replacements")
+          require(names.length == pats.length && pats.length == reps.length &&
+            names.nonEmpty,
+            "regexp_redact_chain needs three equal-length, non-empty rule arrays")
+          graft.functions.RegexpRedactChain(args.head,
+            names.indices.map(i => (names(i), pats(i), reps(i))))
+        case n => throw new IllegalArgumentException(
+          s"regexp_redact_chain expects (text) or (text, names, patterns, replacements), got $n args")
       }))
 
   /** Register on an already-built session (tests, notebooks). */

@@ -60,6 +60,22 @@ class RedactExpressionsSuite extends SparkSuite {
     assert(got(5)._1 === null && got(5)._2 === -1, "null text must stay null")
   }
 
+  test("SQL registration: default chain and custom rule arrays") {
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT regexp_redact_chain('mail a@b.co num 42') AS r").head()
+      .getStruct(0)
+    assert(row.getAs[String]("redacted") === "mail [EMAIL] num [NUM]")
+    assert(row.getAs[Int]("n_email") === 1 && row.getAs[Int]("n_number") === 1)
+    val custom = spark.sql(
+      """SELECT regexp_redact_chain('x7y', array('digit'), array('[0-9]+'),
+        |array('#')).redacted AS r""".stripMargin).head().getString(0)
+    assert(custom === "x#y")
+    val err = intercept[Exception](spark.sql(
+      "SELECT regexp_redact_chain('a', array('x'), array('['), array('!'))").head())
+    assert(err.getMessage != null)
+  }
+
   test("the chain expression appears ONCE in the optimized plan (no per-field recompute)") {
     // range-backed input — a literal local relation would be folded away
     val base = spark.range(0, 10).selectExpr("concat('a', id, '@b.co ', id) as txt")
