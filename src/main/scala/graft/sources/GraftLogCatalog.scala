@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * exactly-matching column list and rejects anything else; ALTER is
  * unsupported by construction.
  */
-class GraftLogCatalog extends TableCatalog {
+class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -108,5 +108,59 @@ class GraftLogCatalog extends TableCatalog {
     fs.mkdirs(dirOf(newIdent).getParent)
     require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
       s"failed to rename log ${oldIdent} to ${newIdent}")
+  }
+
+  // ---- namespaces = plain subdirectories (SHOW/CREATE/DROP NAMESPACE) ---
+
+  private def nsPath(ns: Array[String]): Path =
+    new Path((root +: ns.toSeq).mkString("/"))
+
+  /** Child directories that are NOT logs (and not underscore-internal)
+    * are namespaces. */
+  private def childNamespaces(ns: Array[String]): Seq[String] = {
+    val dir = nsPath(ns)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(dir).toSeq
+      .filter(e => e.isDirectory && !e.getPath.getName.startsWith("_"))
+      .filterNot(e => isLog(e.getPath))
+      .map(_.getPath.getName)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    childNamespaces(Array.empty).map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    childNamespaces(namespace).map(n => namespace :+ n).toArray
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace)) && !isLog(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(
+      SupportsNamespaces.PROP_LOCATION, nsPath(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graftlog namespaces are plain directories; ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val dir = nsPath(namespace)
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs.delete(dir, true)
   }
 }

@@ -109,6 +109,23 @@ class GraftLogCatalogSuite extends SparkSuite {
     }
   }
 
+  test("namespaces: CREATE/SHOW/USE/DROP map to subdirectories; logs live inside them") {
+    root
+    spark.sql("CREATE NAMESPACE graft.team_a")
+    seedLog("team_a/events", 4, 2)
+    val ns = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).toSet
+    assert(ns.contains("team_a"), ns.toString)
+    val tables = spark.sql("SHOW TABLES IN graft.team_a").collect()
+      .map(_.getString(1)).toSet
+    assert(tables === Set("events"))
+    assert(spark.table("graft.team_a.events").count() === 4)
+    // non-empty namespace refuses a plain drop, cascades on request
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE graft.team_a"))
+    assert(e.getMessage.toLowerCase.contains("empty"), e.toString)
+    spark.sql("DROP NAMESPACE graft.team_a CASCADE")
+    assert(!new java.io.File(s"$root/team_a").exists())
+  }
+
   test("fixed schema: mismatched CREATE columns and ALTER are rejected") {
     root
     val e = intercept[Exception](
