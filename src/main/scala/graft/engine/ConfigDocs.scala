@@ -172,7 +172,7 @@ object ConfigDocs {
       || `maxOffsetsPerTrigger` | Long |  | unlimited | Streaming admission budget per micro-batch, split proportionally over partition backlogs (Kafka-source rule). Honored under `Trigger.AvailableNow` too. |
       || `minOffsetsPerTrigger` | Long |  | — | Streaming small-batch suppression: defer a trigger while the total backlog is below this, until `maxTriggerDelayMs` expires. Composes with `maxOffsetsPerTrigger`; ignored while `Trigger.AvailableNow` drains (Kafka semantics). |
       || `maxTriggerDelayMs` | Long |  | 900000 | Upper bound on how long `minOffsetsPerTrigger` may hold a batch back (15 min — Kafka's maxTriggerDelay). |
-      || `failOnDataLoss` | Boolean |  | true | Out-of-range start: fail loudly (true) or clamp to the log end with a warning (false). |
+      || `failOnDataLoss` | Boolean |  | true | Out-of-range start: fail loudly (true) or clamp to the log end with a warning (false). Also governs an explicit starting offset naming a partition ABSENT from the log (a truncated/rewritten log): fail loudly, or skip the vanished partition with a warning. |
       || `minPartitions` | Int |  | #log partitions | Read-parallelism hint: partition ranges split into offset sub-ranges proportionally to backlog (never finer than one offset per task; total never exceeds the hint). Non-positive or non-numeric values fail at planning. |
       |
       |Writer options (batch `df.write` mode `append`, and `df.writeStream` —
@@ -183,7 +183,7 @@ object ConfigDocs {
       || Key | Type | Required | Default | Description |
       || --- | --- | --- | --- | --- |
       || `path` | String | yes | — | Log root to append into. |
-      || `offsets` | String |  | provided | `provided`: rows carry explicit offsets, writer enforces per-partition density from the current end and fails loudly on a gap. `assign`: the `offset` column is ignored (pass -1) and dense offsets are assigned in (key, value) order — `GraftLog.append` semantics. |
+      || `offsets` | String |  | provided | `provided`: rows carry explicit offsets, writer enforces per-partition density from the current end and fails loudly on a gap (STREAMING epoch replays relax the low side only: rows below the advanced footer end are already durable at those positions and are skipped). `assign`: the `offset` column is ignored (pass -1) and dense offsets are assigned in (key, value) order — `GraftLog.append` semantics. |
       |
       |The scan also reports statistics to Catalyst (exact row counts from
       |offset windows, bytes pro-rated by covered file fraction and projected
@@ -203,6 +203,25 @@ object ConfigDocs {
       |positions unchanged); `GraftLog.appendBatch(df, dir, batchId, producerId)` /
       |`GraftLog.sink(dir, producerId)`
       |are the foreachBatch-shaped exactly-once producer faces.
+      |
+      |### SQL catalog (`graft.sources.GraftLogCatalog`)
+      |
+      |Logs addressable by name from pure SQL — set once per session:
+      |
+      || Key | Type | Required | Default | Description |
+      || --- | --- | --- | --- | --- |
+      || `spark.sql.catalog.<cat>` | String | yes | — | `graft.sources.GraftLogCatalog` — registers catalog `<cat>`. |
+      || `spark.sql.catalog.<cat>.root` | String | yes | — | Directory holding the logs; a table named `a.b.c` is the log at `<root>/a/b/c`, namespaces are subdirectories. |
+      |
+      |Supported SQL: `CREATE TABLE <cat>.<log>` (schema fixed to the log
+      |frame — omit the column list), `INSERT INTO` (the V2 write path,
+      |dense-offset enforcement included), `SELECT` (full pushdown:
+      |partition pruning, offset ranges, footer-stat aggregates, limit),
+      |`SHOW TABLES/NAMESPACES`, `ALTER TABLE ... RENAME TO <bare name>`,
+      |`DROP TABLE`, `CREATE/DROP NAMESPACE [CASCADE]`; plus
+      |`spark.readStream.table` and `df.writeStream.toTable` for the
+      |streaming faces. ALTER TABLE/NAMESPACE mutations are rejected —
+      |a log's schema is the message frame.
       |""".stripMargin
 
   /** Regenerate docs/CONFIGURATION.md (or args(0)). */
