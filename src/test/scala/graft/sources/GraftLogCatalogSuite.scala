@@ -109,6 +109,33 @@ class GraftLogCatalogSuite extends SparkSuite {
     }
   }
 
+  test("pushdown through the catalog path: partition pruning + offset windows at PLANNING") {
+    root
+    seedLog("pushdown", 40, 4) // 10 offsets per partition
+    val df = spark.sql(
+      "SELECT key FROM graft.pushdown WHERE partition = 2 AND offset >= 5")
+    df.collect()
+    val scan = flattenPlan(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no V2 batch scan through the catalog name"))
+    val parts = scan.inputPartitions.collect { case g: GraftLogInputPartition => g }
+    assert(parts.length === 1, s"partition predicate did not prune planning: ${parts.toSeq}")
+    assert(parts.head.partition === 2 && parts.head.from === 5L && parts.head.until === 10L,
+      s"offset range not planned: ${parts.head}")
+    // footer-stat aggregate pushdown plans NO data task through SQL names
+    val agg = spark.sql("SELECT count(*) FROM graft.pushdown")
+    assert(agg.head().getLong(0) === 40L)
+    val aggScan = flattenPlan(agg.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no V2 scan in the aggregate plan"))
+    // a pushed aggregate plans ONE metadata partition carrying the
+    // footer-stat answer — and no offset-window data task
+    assert(!aggScan.inputPartitions.exists(_.isInstanceOf[GraftLogInputPartition]),
+      s"count through the catalog planned data tasks: ${aggScan.inputPartitions.toSeq}")
+    assert(aggScan.inputPartitions.exists(_.getClass.getSimpleName == "GraftLogAggResult"),
+      "count was not answered from footer statistics")
+  }
+
   test("namespaces: CREATE/SHOW/USE/DROP map to subdirectories; logs live inside them") {
     root
     spark.sql("CREATE NAMESPACE graft.team_a")
