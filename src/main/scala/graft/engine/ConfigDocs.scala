@@ -222,6 +222,16 @@ object ConfigDocs {
       |`spark.readStream.table` and `df.writeStream.toTable` for the
       |streaming faces. ALTER TABLE/NAMESPACE mutations are rejected —
       |a log's schema is the message frame.
+      |
+      |Stored procedures (`CALL <cat>.system.<proc>(...)` — the
+      |maintenance/observability faces without Scala; same maintenance
+      |window contract as the library calls they wrap):
+      |
+      || Procedure | Args | Returns | Description |
+      || --- | --- | --- | --- |
+      || `committed_offsets` | `table` | (partition, next_offset) | Per-partition positions from parquet footer statistics — no data scan. |
+      || `compact_segments` | `table`, `min_files` (default 2) | (partition, merged_segments) | Merge a partition's per-batch segment files into one (journaled, offsets unchanged). |
+      || `recover_compaction` | `table` | (recovered) | Finish or abort a compaction a crash left in flight. |
       |""".stripMargin
 
   /** Regenerate docs/CONFIGURATION.md (or args(0)). */

@@ -34,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * exactly-matching column list and rejects anything else; ALTER is
  * unsupported by construction.
  */
-class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
+class GraftLogCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -108,6 +109,30 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(dirOf(newIdent).getParent)
     require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
       s"failed to rename log ${oldIdent} to ${newIdent}")
+  }
+
+  // ---- stored procedures (`CALL <cat>.system.<proc>(...)`) -------------
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftLogProcedures.Names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graftlog procedures live under the 'system' namespace " +
+        s"(CALL $catalogName.system.<proc>), got ${ident}")
+    GraftLogProcedures.load(ident.name(), { table =>
+      val parts = table.split("\\.").toSeq
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"bad table name '$table'")
+      val dir = dirOf(Identifier.of(parts.init.toArray, parts.last))
+      require(fs.exists(dir), s"no such log: $table (at $dir)")
+      dir.toString
+    })
   }
 
   // ---- namespaces = plain subdirectories (SHOW/CREATE/DROP NAMESPACE) ---

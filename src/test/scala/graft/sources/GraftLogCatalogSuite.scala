@@ -153,6 +153,42 @@ class GraftLogCatalogSuite extends SparkSuite {
     assert(!new java.io.File(s"$root/team_a").exists())
   }
 
+  test("stored procedures: committed_offsets, compact_segments, recover via CALL") {
+    root
+    // a log grown by several appends: multiple segment files/partition
+    spark.sql("CREATE TABLE graft.maint")
+    for (w <- 0 until 3)
+      spark.sql(s"""INSERT INTO graft.maint
+        SELECT cast(id % 2 as int), ${w * 5} + id div 2, cast(id as string),
+               concat('w$w-', id) FROM range(10)""")
+
+    val offsets = spark.sql(
+      "CALL graft.system.committed_offsets(`table` => 'maint')").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(offsets === Map(0 -> 15L, 1 -> 15L), offsets.toString)
+
+    def segs(p: Int) = Option(new java.io.File(s"$root/maint/partition=$p")
+      .listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(segs(0) === 3 && segs(1) === 3)
+    val before = spark.table("graft.maint").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(3))).sortBy(t => (t._1, t._2)).toSeq
+
+    val merged = spark.sql(
+      "CALL graft.system.compact_segments(`table` => 'maint')").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged === Map(0 -> 3, 1 -> 3), merged.toString)
+    assert(segs(0) === 1 && segs(1) === 1, "segments not compacted to one")
+    val after = spark.table("graft.maint").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(after === before, "compaction changed rows or offsets")
+
+    assert(spark.sql("CALL graft.system.recover_compaction(`table` => 'maint')")
+      .head().getString(0) === "ok")
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.committed_offsets(`table` => 'nope')").collect())
+    assert(e.getMessage.contains("no such log"), e.toString)
+  }
+
   test("fixed schema: mismatched CREATE columns and ALTER are rejected") {
     root
     val e = intercept[Exception](
