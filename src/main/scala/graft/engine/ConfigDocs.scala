@@ -220,8 +220,12 @@ object ConfigDocs {
       |`SHOW TABLES/NAMESPACES`, `ALTER TABLE ... RENAME TO <bare name>`,
       |`DROP TABLE`, `CREATE/DROP NAMESPACE [CASCADE]`; plus
       |`spark.readStream.table` and `df.writeStream.toTable` for the
-      |streaming faces. ALTER TABLE/NAMESPACE mutations are rejected —
-      |a log's schema is the message frame.
+      |streaming faces; `TRUNCATE TABLE` is the explicit ops reset
+      |(segments, producer markers and staging removed — the next
+      |append restarts every partition at offset 0, and consumers of
+      |the old incarnation fail loudly under `failOnDataLoss`).
+      |ALTER TABLE/NAMESPACE mutations are rejected — a log's schema is
+      |the message frame.
       |
       |Stored procedures (`CALL <cat>.system.<proc>(...)` — the
       |maintenance/observability faces without Scala; same maintenance

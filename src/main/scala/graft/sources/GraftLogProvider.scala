@@ -509,8 +509,30 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
 }
 
 final class GraftLogTable(path: String) extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def name(): String = s"graftlog(`$path`)"
+
+  /** `TRUNCATE TABLE` — the explicit ops reset: every partition's
+    * segments, the producer marker namespace, and any staging debris
+    * are removed; the next append starts every partition at offset 0.
+    * Live consumers of the old incarnation then fail their next batch
+    * under `failOnDataLoss` (their committed positions are past the
+    * new log end) — the loud outcome a rewound log must produce. */
+  override def truncateTable(): Boolean = {
+    val conf = GraftLog.sessionConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return true
+    fs.listStatus(root)
+      .filter { e =>
+        val n = e.getPath.getName
+        e.isDirectory && (n.startsWith("partition=") ||
+          n == "_producer" || n == "_staging")
+      }
+      .foreach(e => fs.delete(e.getPath, true))
+    true
+  }
   override def schema(): StructType = GraftLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

@@ -189,6 +189,21 @@ class GraftLogCatalogSuite extends SparkSuite {
     assert(e.getMessage.contains("no such log"), e.toString)
   }
 
+  test("TRUNCATE TABLE resets the log; the next append restarts at offset 0") {
+    root
+    seedLog("trunc", 20, 2)
+    assert(spark.table("graft.trunc").count() === 20)
+    spark.sql("TRUNCATE TABLE graft.trunc")
+    assert(spark.table("graft.trunc").count() === 0)
+    spark.sql("""INSERT INTO graft.trunc
+      SELECT cast(id % 2 as int), id div 2, cast(id as string), concat('n', id)
+      FROM range(4)""")
+    val rows = spark.table("graft.trunc").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(rows === Seq((0, 0L), (0, 1L), (1, 0L), (1, 1L)),
+      s"post-truncate offsets did not restart at 0: $rows")
+  }
+
   test("fixed schema: mismatched CREATE columns and ALTER are rejected") {
     root
     val e = intercept[Exception](
