@@ -53,8 +53,18 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
   private def dirOf(ident: Identifier): Path =
     new Path((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
 
-  /** A directory is a LOG (not a namespace) when it carries at least one
-    * `partition=N` subdirectory or is empty (a just-created log). */
+  /** Directory classification. A directory with `partition=N` children
+    * is DEFINITELY a log; one with other (non-underscore) children is
+    * definitely a namespace; an EMPTY directory is structurally
+    * ambiguous — a just-created log and a just-created namespace look
+    * identical — so it counts as BOTH (listed by SHOW TABLES and SHOW
+    * NAMESPACES alike) until content disambiguates it. Each side's
+    * predicate therefore excludes only the CONFIRMED other kind. */
+  private def hasPartitionDirs(p: Path): Boolean =
+    fs.listStatus(p).exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("partition="))
+
+  /** Usable as a log: empty, or carrying partition dirs. */
   private def isLog(p: Path): Boolean = {
     val entries = fs.listStatus(p)
     entries.isEmpty || entries.exists(e =>
@@ -140,14 +150,15 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
   private def nsPath(ns: Array[String]): Path =
     new Path((root +: ns.toSeq).mkString("/"))
 
-  /** Child directories that are NOT logs (and not underscore-internal)
-    * are namespaces. */
+  /** Child directories that are not CONFIRMED logs (and not
+    * underscore-internal) are namespaces — empty directories included
+    * (see the classification note on [[hasPartitionDirs]]). */
   private def childNamespaces(ns: Array[String]): Seq[String] = {
     val dir = nsPath(ns)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(ns)
     fs.listStatus(dir).toSeq
       .filter(e => e.isDirectory && !e.getPath.getName.startsWith("_"))
-      .filterNot(e => isLog(e.getPath))
+      .filterNot(e => hasPartitionDirs(e.getPath))
       .map(_.getPath.getName)
   }
 
@@ -159,7 +170,7 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty ||
-      (fs.exists(nsPath(namespace)) && !isLog(nsPath(namespace)))
+      (fs.exists(nsPath(namespace)) && !hasPartitionDirs(nsPath(namespace)))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] = {

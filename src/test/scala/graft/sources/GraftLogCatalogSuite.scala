@@ -139,6 +139,11 @@ class GraftLogCatalogSuite extends SparkSuite {
   test("namespaces: CREATE/SHOW/USE/DROP map to subdirectories; logs live inside them") {
     root
     spark.sql("CREATE NAMESPACE graft.team_a")
+    // a just-created (still empty) namespace must ALREADY be visible —
+    // the empty-directory ambiguity resolves as "both" until content
+    // disambiguates (the r14 self-review defect)
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet.contains("team_a"))
     seedLog("team_a/events", 4, 2)
     val ns = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).toSet
     assert(ns.contains("team_a"), ns.toString)
