@@ -73,6 +73,33 @@ object ParityQueries {
       |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
       |FROM log GROUP BY log_partition ORDER BY log_partition""".stripMargin))
 
+  /** `log_v2_scan` through the SQL CATALOG face (S12): the same V2 log
+    * addressed BY NAME — a `GraftLogCatalog` registered over the log's
+    * parent directory, the identical per-partition rollup issued as
+    * pure SQL against `<cat>.<log>` — gated by the logCte twin
+    * VERBATIM. What `log_v2_scan` proves for the DataFrame path this
+    * row proves for the SQL path: same table implementation, same
+    * pushdown, catalog naming only. */
+  private val logV2Sql = QueryDef(
+    (s, dir) => {
+      val path = ensureV2Log(s, dir)
+      val slash = path.lastIndexOf('/')
+      val (root, logName) = (path.substring(0, slash), path.substring(slash + 1))
+      // one catalog per log root — the name keys on the log's slug so
+      // concurrent suites over different testdata dirs never collide
+      // on a cached catalog instance with a stale root
+      val cat = "graftsql_" + logName.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftLogCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT `partition` AS log_partition,
+        CAST(COUNT(*) AS LONG) AS n_records,
+        MIN(`offset`) AS min_offset, MAX(`offset`) AS max_offset,
+        COUNT(DISTINCT key) AS n_keys
+        FROM $cat.`$logName`
+        GROUP BY `partition` ORDER BY log_partition""")
+    },
+    logV2Scan.oracle)
+
   /** The NATIVE V2 WRITE path (S6's emit face as a Spark sink),
     * driver-gated end-to-end: a deterministic produce frame goes
     * through `df.write.format("graftlog")` — clustered distribution,
@@ -418,6 +445,7 @@ object ParityQueries {
   val all: Map[String, QueryDef] = Map(
     "fh_keyfilter" -> fhKeyfilter,
     "log_v2_scan" -> logV2Scan,
+    "log_v2_sql" -> logV2Sql,
     "log_v2_produce" -> logV2Produce,
     "fh_skiplist_anti" -> fhSkiplistAnti,
     "fh_regex" -> fhRegex,
