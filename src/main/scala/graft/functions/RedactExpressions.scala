@@ -37,6 +37,16 @@ final case class RegexpRedactChain(
   extends UnaryExpression {
 
   require(rules.nonEmpty, "regexp_redact_chain needs at least one rule")
+  // Replacements are appended LITERALLY (no $1 group references, no \
+  // escapes) — redaction tokens by design. The composable
+  // regexp_replace fold and the DuckDB twin would both interpret those
+  // metacharacters, so a rule carrying them would silently diverge
+  // from its oracle; fail at construction instead.
+  rules.foreach { case (n, _, repl) =>
+    require(!repl.contains("$") && !repl.contains("\\"),
+      s"rule '$n': replacement '$repl' contains $$ or \\ — replacements " +
+        "are literal tokens (group references are not supported)")
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -111,10 +111,15 @@ object ConnectedComponents {
     // and nothing else (suite-pinned two-longs payload)
     val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // Lazy checkpoint: `large` feeds BOTH the small-star aggregate and
+    // the re-hang join below — without a materialization boundary the
+    // whole large-star subtree (union + two shuffles) would execute
+    // twice per round (the Dedup edge-union precedent).
     val large = nbrs.filter(col("v") > col("u"))
       .join(mins, "u")
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()
+      .localCheckpoint(false)
     // small-star over the now-directed edges: per node u (src side), its
     // neighbors are all SMALLER; m(u) = min of them; re-hang every
     // neighbor (and u itself) on m(u).

@@ -69,7 +69,8 @@ object KnnGraphStore {
     * (suite-counted), never the full edge list. */
   def neighbors(s: SparkSession, path: String, nodes: Seq[Long]): DataFrame = {
     require(nodes.nonEmpty, "no probe nodes")
-    val buckets = nodes.map(_ % NumBuckets).distinct
+    // floorMod: must match the build's pmod on any id sign
+    val buckets = nodes.map(n => java.lang.Math.floorMod(n, NumBuckets.toLong)).distinct
     graft.ops.EpochCommit
       .filterCommitted(s.read.parquet(s"$path/edges"), s"$path/edges")
       .filter(col("bucket").isin(buckets: _*))

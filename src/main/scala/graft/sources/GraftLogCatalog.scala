@@ -64,10 +64,13 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     fs.listStatus(p).exists(e =>
       e.isDirectory && e.getPath.getName.startsWith("partition="))
 
-  /** Usable as a log: empty, or carrying partition dirs. */
+  /** Usable as a log: empty (underscore-internal entries — epoch/
+    * producer/staging metadata — don't count), or carrying partition
+    * dirs. */
   private def isLog(p: Path): Boolean = {
-    val entries = fs.listStatus(p)
-    entries.isEmpty || entries.exists(e =>
+    val visible = fs.listStatus(p)
+      .filterNot(_.getPath.getName.startsWith("_"))
+    visible.isEmpty || visible.exists(e =>
       e.isDirectory && e.getPath.getName.startsWith("partition="))
   }
 
@@ -85,7 +88,9 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    // a CONFIRMED namespace (non-empty, no partition dirs) is not a
+    // table — reading it would silently return an empty log
+    if (!fs.exists(dir) || !isLog(dir)) throw new NoSuchTableException(ident)
     new GraftLogTable(dir.toString)
   }
 
