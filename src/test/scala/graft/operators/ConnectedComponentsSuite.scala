@@ -240,6 +240,33 @@ class ConnectedComponentsSuite extends SparkSuite {
     assert(labelsMap(r.labels) === unionFind(n, edges))
   }
 
+  test("star contraction property sweep: 20 seeded graph shapes match union-find") {
+    // paths, stars, cycles, dense blobs, sparse dust — every seed a
+    // different mix; each must converge to exactly the union-find labels
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(60)
+      val shape = seed % 4
+      val edges: Seq[(Long, Long)] = shape match {
+        case 0 => // path chunks
+          (0L until n.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
+            .filterNot(_ => rnd.nextInt(5) == 0)
+        case 1 => // star + noise
+          (1L until n.toLong).map(i => (0L, i)).filter(_ => rnd.nextBoolean()) ++
+            Seq.fill(10)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        case 2 => // cycles
+          (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+        case _ => // random sparse
+          Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      }
+      val clean = edges.filter { case (a, b) => a != b }
+      val r = runStar(verticesDf(n), edgesDf(clean))
+      assert(r.converged, s"seed $seed (shape $shape, n=$n) did not converge")
+      assert(labelsMap(r.labels) === unionFind(n, clean),
+        s"seed $seed (shape $shape, n=$n) labels diverged from union-find")
+    }
+  }
+
   test("star contraction: non-vertex conduction, empty inputs, maxIters refinement") {
     val vertices = { import spark.implicits._; Seq(7L, 57L, 93L).toDF("doc_id") }
     val viaNonVertex = edgesDf(Seq((57L, 40L), (40L, 30L), (30L, 7L), (93L, 93L)))
