@@ -11,18 +11,64 @@ object Bench {
     * contended host inflates results 3-6x (the r2 driver reading was 4x
     * a solo run of the same build), so the load state is recorded next
     * to the numbers and a loud warning goes to stderr when the host is
-    * not quiet. */
+    * not quiet. Ancestor JVMs (the sbt process that forked this run —
+    * `run / fork := true`) are excluded: they are part of THIS
+    * invocation, not foreign load, and counting them made every
+    * sbt-driven sweep read "1 other JVM" regardless of host state. */
   private def loadState(): (Double, Int) = {
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
-    val self = ProcessHandle.current().pid()
+    val lineage = Iterator.iterate(Option(ProcessHandle.current())) {
+      _.flatMap(h => Option(h.parent().orElse(null)))
+    }.takeWhile(_.isDefined).take(16).flatten.map(_.pid()).toSet
     val otherJvms = ProcessHandle.allProcesses().iterator().asScala.count { p =>
-      p.pid() != self &&
+      !lineage.contains(p.pid()) &&
         p.info().command().map[Boolean](_.contains("java")).orElse(false)
     }
     (loadavg, otherJvms)
+  }
+
+  /** Per-query trailing solo record, read from the newest
+    * BENCH_SOLO_r*.json next to the working directory (or the file named
+    * by SPARK_GRAFT_SOLO_BASELINE). Used only as a noise tripwire: a
+    * query whose min-of-2 exceeds 3x its trailing solo time gets extra
+    * reruns, because that magnitude of delta is host contention, not a
+    * code change (r13 and r14 both carried 9-29x in-sweep outliers that
+    * a later solo run put back at 1x). */
+  private def soloBaseline(): Map[String, Double] = {
+    import java.nio.file.{Files, Paths}
+    val explicit = sys.env.get("SPARK_GRAFT_SOLO_BASELINE").map(Paths.get(_))
+    val candidate = explicit.orElse {
+      val dir = Paths.get(".")
+      val rx = """BENCH_SOLO_r(\d+)\.json""".r
+      try Files.list(dir).iterator().asScala
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case rx(n) => Some((n.toInt, p)); case _ => None
+          }
+        }.toSeq.sortBy(-_._1).headOption.map(_._2)
+      catch { case _: Exception => None }
+    }
+    candidate.filter(Files.exists(_)).map { path =>
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val root = JsonMethods.parse(Files.readString(path))
+        (root \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] baseline $path unreadable: ${e.getMessage}")
+        Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
   }
 
   def main(args: Array[String]): Unit = {
@@ -34,7 +80,12 @@ object Bench {
     val cpuCount = scala.util.Try(cpus.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val (loadavg, otherJvms) = loadState()
-    if (loadavg > cpuCount / 4.0 || otherJvms > 1)
+    // Threshold per the r14 judge: a start loadavg above 0.15 x cores or
+    // ANY foreign JVM means the sweep is contended. (r14's official sweep
+    // started at loadavg 7.5 — under the old cores/4 bar — and carried a
+    // 29x outlier.)
+    def hot(l: Double, j: Int): Boolean = l > 0.15 * cpuCount || j > 0
+    if (hot(loadavg, otherJvms))
       System.err.println(f"[bench] WARNING: contended host (loadavg=$loadavg%.1f, " +
         s"other JVMs=$otherJvms) — numbers will NOT reflect this build; rerun solo")
     val spark = Tables.configure(SparkSession.builder()
@@ -71,8 +122,27 @@ object Bench {
     }
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    val baseline = soloBaseline()
+    if (baseline.nonEmpty)
+      System.err.println(s"[bench] rerun tripwire armed: ${baseline.size} trailing solo times")
+    // Per-query contention defense: min-of-2 as before, then if the min
+    // still exceeds 3x the trailing solo record, the burst likely spanned
+    // both passes — take up to 2 extra runs. Reruns are annotated in the
+    // JSON so a reader can tell a defended number from a clean one.
+    val reruns = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val suspects = scala.collection.mutable.ListBuffer[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      var best = math.min(once(name, fn), once(name, fn))
+      baseline.get(name).filter(_ > 0).foreach { solo =>
+        var extra = 0
+        while (best > 3 * solo && extra < 2) {
+          extra += 1
+          best = math.min(best, once(name, fn))
+        }
+        if (extra > 0) reruns(name) = extra
+        if (best > 3 * solo) suspects += name
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -86,12 +156,22 @@ object Bench {
     // count at BOTH endpoints — the end loadavg is dominated by this
     // run's own local[32] burst and would self-flag every sweep (it
     // stays in the record as data, not as a verdict input).
-    val contended = loadavg > cpuCount / 4.0 || otherJvms > 1 || jvmsEnd > 1
+    // Any query that stayed >3x its trailing solo record even after
+    // reruns is itself evidence of contention (or a real regression —
+    // either way the sweep is not a trustworthy absolute record).
+    val contended = hot(loadavg, otherJvms) || jvmsEnd > 0 || suspects.nonEmpty
     val warn =
       if (contended)
-        f""","warning":"contended host (loadavg $loadavg%.1f->$loadEnd%.1f, other JVMs $otherJvms->$jvmsEnd): timings inflated, compare against a solo run""""
+        f""","warning":"contended host (loadavg $loadavg%.1f->$loadEnd%.1f, other JVMs $otherJvms->$jvmsEnd, unresolved >3x-vs-solo: ${suspects.size}): timings inflated, compare against a solo run""""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadavg%.2f,"loadavg_end":$loadEnd%.2f,"other_jvms_start":$otherJvms,"other_jvms_end":$jvmsEnd,"contended":$contended$warn}""")
+    val rerunJson =
+      if (reruns.isEmpty) ""
+      else reruns.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","reruns":{""", ",", "}")
+    val suspectJson =
+      if (suspects.isEmpty) ""
+      else suspects.map("\"" + _ + "\"").mkString(""","suspect":[""", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadavg%.2f,"loadavg_end":$loadEnd%.2f,"other_jvms_start":$otherJvms,"other_jvms_end":$jvmsEnd,"contended":$contended$rerunJson$suspectJson$warn}""")
     spark.stop()
   }
 }
