@@ -60,8 +60,12 @@ object GraftExtensions {
     require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
       e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == StringType,
       s"$what must be a foldable ARRAY<STRING>, got $e")
-    val a = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val evaluated = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    // A foldable NULL of array type (CAST(NULL AS ARRAY<STRING>)) passes
+    // the type check but evaluates to null — fail with the same message
+    // instead of an NPE on numElements().
+    require(evaluated != null, s"$what must be a foldable ARRAY<STRING>, got $e")
+    val a = evaluated.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     (0 until a.numElements()).map { i =>
       require(!a.isNullAt(i), s"$what must not contain nulls")
       a.getUTF8String(i).toString

@@ -84,7 +84,12 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean = fs.exists(dirOf(ident))
+  /** Same classification as [[loadTable]]: a CONFIRMED namespace is not
+    * a table, so exists/drop can never treat (or delete) one as a log. */
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    fs.exists(dir) && isLog(dir)
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
@@ -97,6 +102,13 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // tableExists is false for a confirmed NAMESPACE at the path — but
+    // creating a table over one would alias a namespace directory as a
+    // log. Any existing non-log directory blocks creation.
+    if (fs.exists(dirOf(ident)))
+      throw new IllegalArgumentException(
+        s"cannot create table ${ident}: a namespace already occupies " +
+          s"${dirOf(ident)}")
     require(partitions.isEmpty,
       "graftlog tables are partitioned by the log's own partition column; " +
         "PARTITIONED BY is not accepted")
@@ -115,12 +127,23 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException(
       "graftlog tables have a fixed schema; ALTER TABLE is not supported")
 
+  /** Recursive delete only after the [[isLog]] check (via
+    * [[tableExists]]): a direct API call with an identifier that is
+    * actually a confirmed namespace must NOT delete the subtree of logs
+    * under it — it reports "no such table" (false) instead. */
   override def dropTable(ident: Identifier): Boolean =
-    fs.exists(dirOf(ident)) && fs.delete(dirOf(ident), true)
+    tableExists(ident) && fs.delete(dirOf(ident), true)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    // A confirmed namespace at the target passes the tableExists check
+    // but fs.rename into an existing directory would NEST the log inside
+    // it instead of replacing — any existing target path blocks rename.
+    if (fs.exists(dirOf(newIdent)))
+      throw new IllegalArgumentException(
+        s"cannot rename to ${newIdent}: a namespace already occupies " +
+          s"${dirOf(newIdent)}")
     fs.mkdirs(dirOf(newIdent).getParent)
     require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
       s"failed to rename log ${oldIdent} to ${newIdent}")
@@ -188,6 +211,13 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       metadata: java.util.Map[String, String]): Unit = {
     if (namespaceExists(namespace) && namespace.nonEmpty)
       throw new NamespaceAlreadyExistsException(namespace)
+    // A confirmed LOG at the target path makes namespaceExists false, so
+    // without this check the call would silently "succeed" (mkdirs
+    // no-op) over what listTables reports as a table.
+    if (fs.exists(nsPath(namespace)) && hasPartitionDirs(nsPath(namespace)))
+      throw new IllegalArgumentException(
+        s"cannot create namespace ${namespace.mkString(".")}: a graftlog " +
+          s"table already occupies ${nsPath(namespace)}")
     fs.mkdirs(nsPath(namespace))
     ()
   }

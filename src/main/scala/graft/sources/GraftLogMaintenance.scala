@@ -121,11 +121,41 @@ object GraftLogMaintenance {
       case Some(txt) =>
         val all = txt.split("\n").toSeq
         if (all.isEmpty || all.last != "END") {
-          // Partial journal: the write (or a copy+delete rename) died
-          // mid-record. Nothing has been deleted yet — staged and old
-          // files are both intact — so the safe automatic action is
-          // abort: drop the journal; the staging sweep reclaims the
-          // staged segment.
+          // No END sentinel. Two possible writers: (a) this format,
+          // crashed mid-write (only reachable on a copy+delete rename
+          // filesystem — the temp+rename publish keeps partials off this
+          // path otherwise), where nothing has been deleted and abort is
+          // safe; (b) the pre-sentinel journal format, which is COMPLETE
+          // without END and may have already run part of finishSwap —
+          // aborting that one would sweep the staged segment while some
+          // old segments are already deleted, losing the partition.
+          // Disambiguate by state: if the journal parses and its merged
+          // segment still exists (staged or already promoted), finishing
+          // is the only safe action; if the merged segment is gone but
+          // every old segment survives, nothing was swapped — abort; any
+          // other state is unrecognizable and must fail loudly rather
+          // than silently delete the journal.
+          val lines = all.filter(_.nonEmpty)
+          val legacyParses =
+            lines.length >= 2 && lines.head.nonEmpty && lines.head.forall(_.isDigit)
+          if (legacyParses) {
+            val p = lines.head.toInt
+            val staged = new Path(lines(1))
+            val dest = new Path(dir, s"partition=$p/${staged.getName}")
+            val olds = lines.drop(2).map(new Path(_))
+            if (fs.exists(staged) || fs.exists(dest)) {
+              finishSwap(fs, dir, p, staged, olds)
+              return
+            }
+            if (olds.forall(fs.exists)) { fs.delete(jp, false); return }
+            throw new IllegalStateException(
+              s"unrecognized compaction journal at $jp (no END sentinel, " +
+                s"merged segment missing, old segments partially deleted) — " +
+                s"refusing to auto-recover partition $p under $dir")
+          }
+          // Does not parse as any journal format: a mid-write partial;
+          // staged and old files are both intact, so abort — drop the
+          // journal and let the staging sweep reclaim the staged segment.
           fs.delete(jp, false)
           return
         }

@@ -524,13 +524,22 @@ final class GraftLogTable(path: String) extends Table with SupportsRead
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return true
-    fs.listStatus(root)
+    val targets = fs.listStatus(root)
       .filter { e =>
         val n = e.getPath.getName
         e.isDirectory && (n.startsWith("partition=") ||
           n == "_producer" || n == "_staging")
       }
-      .foreach(e => fs.delete(e.getPath, true))
+    // A partially failed delete must NOT report success: a surviving
+    // partition dir means the next append resumes from its footer end
+    // instead of offset 0, silently un-truncating the log.
+    val survivors = targets.filter { e =>
+      !fs.delete(e.getPath, true) && fs.exists(e.getPath)
+    }
+    if (survivors.nonEmpty)
+      throw new IllegalStateException(
+        s"TRUNCATE left ${survivors.length} entr${if (survivors.length == 1) "y" else "ies"} " +
+          s"under $path: ${survivors.map(_.getPath.getName).mkString(", ")}")
     true
   }
   override def schema(): StructType = GraftLog.Schema

@@ -74,6 +74,18 @@ class RedactExpressionsSuite extends SparkSuite {
     val err = intercept[Exception](spark.sql(
       "SELECT regexp_redact_chain('a', array('x'), array('['), array('!'))").head())
     assert(err.getMessage != null)
+    // a foldable NULL array passes the type check but evaluates to null —
+    // must fail with the foldable-ARRAY<STRING> message, not an NPE
+    // (r14-advice defect)
+    val nullArr = intercept[Exception](spark.sql(
+      """SELECT regexp_redact_chain('a', CAST(NULL AS ARRAY<STRING>),
+        |array('x'), array('!'))""".stripMargin).head())
+    val root = Iterator.iterate(nullArr: Throwable)(_.getCause)
+      .takeWhile(_ != null).toSeq.last
+    assert(!root.isInstanceOf[NullPointerException], root.toString)
+    assert(Iterator.iterate(nullArr: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("foldable ARRAY<STRING>"))),
+      nullArr.toString)
   }
 
   test("the chain expression appears ONCE in the optimized plan (no per-field recompute)") {

@@ -209,6 +209,47 @@ class GraftLogCatalogSuite extends SparkSuite {
       s"post-truncate offsets did not restart at 0: $rows")
   }
 
+  test("table/namespace asymmetry: the table path never deletes or aliases a namespace") {
+    // r14-advice defects: tableExists was true for ANY directory and
+    // dropTable deleted whatever it was given, so DROP TABLE on a
+    // confirmed namespace recursively deleted every log under it;
+    // createNamespace over a confirmed log silently "succeeded".
+    root
+    spark.sql("CREATE NAMESPACE graft.guard_ns")
+    seedLog("guard_ns/inner", 4, 2) // confirms guard_ns as a namespace
+
+    // DROP TABLE on the namespace: rejected through SQL resolution…
+    val e = intercept[Exception](spark.sql("DROP TABLE graft.guard_ns"))
+    assert(e.getMessage.toLowerCase.contains("table"), e.toString)
+    // …and through the direct TableCatalog API (no loadTable shield)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftLogCatalog]
+    val nsIdent = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "guard_ns")
+    assert(!cat.tableExists(nsIdent), "a confirmed namespace is not a table")
+    assert(!cat.dropTable(nsIdent), "dropTable must refuse a namespace")
+    assert(new java.io.File(s"$root/guard_ns/inner").exists(),
+      "the namespace's logs must survive every table-path drop attempt")
+
+    // CREATE TABLE over the namespace path: rejected
+    val e2 = intercept[Exception](spark.sql("CREATE TABLE graft.guard_ns"))
+    assert(e2.getMessage.toLowerCase.contains("occupies"), e2.toString)
+
+    // CREATE NAMESPACE over a confirmed log: rejected, not a silent no-op
+    seedLog("guard_log", 4, 2)
+    val e3 = intercept[Exception](spark.sql("CREATE NAMESPACE graft.guard_log"))
+    assert(e3.getMessage.toLowerCase.contains("occupies"), e3.toString)
+
+    // RENAME onto the namespace path: rejected (fs.rename would NEST the
+    // log inside the existing directory, not replace it)
+    seedLog("guard_src", 4, 2)
+    val e4 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.guard_src RENAME TO guard_ns"))
+    assert(e4.getMessage.toLowerCase.contains("occupies"), e4.toString)
+    assert(new java.io.File(s"$root/guard_src").exists())
+    assert(spark.table("graft.guard_ns.inner").count() === 4)
+  }
+
   test("fixed schema: mismatched CREATE columns and ALTER are rejected") {
     root
     val e = intercept[Exception](

@@ -106,6 +106,48 @@ class GraftLogMaintenanceSuite extends SparkSuite {
     assert(rows(dir) === before)
   }
 
+  test("legacy no-END journal mid-finishSwap completes instead of aborting") {
+    // r14-advice defect: the END-sentinel check classified EVERY
+    // sentinel-less journal as a pre-step-2 crash and deleted it — but a
+    // journal written by the pre-sentinel format is complete without END
+    // and may already have deleted old segments; aborting it swept the
+    // staged merge and lost the partition. With the merged segment still
+    // present, recovery must finish the swap.
+    val dir = grownLog()
+    val before = rows(dir)
+    val fs = new Path(dir).getFileSystem(conf())
+    val olds = segFiles(dir, 0)
+    val staged = new Path(dir, "_staging/compact/compacted-p0-legacy.parquet")
+    spark.read.parquet(olds: _*).select("offset", "key", "value")
+      .coalesce(1).sortWithinPartitions("offset")
+      .write.parquet(s"$dir/_staging/compact/build")
+    val built = fs.listStatus(new Path(s"$dir/_staging/compact/build"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(built, staged))
+    // the legacy journal format: no trailing END line
+    GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
+      (Seq("0", staged.toString) ++ olds).mkString("\n"))
+    fs.delete(new Path(olds.head), false) // finishSwap already started
+
+    GraftLogMaintenance.recover(spark, dir)
+    assert(segFiles(dir, 0).size === 1, "legacy journal was not finished")
+    assert(rows(dir) === before, "legacy recovery lost or duplicated rows")
+    assert(!fs.exists(new Path(dir, "_staging/compact/JOURNAL")))
+  }
+
+  test("no-END journal with merged segment gone and olds partially deleted fails loudly") {
+    val dir = grownLog()
+    val fs = new Path(dir).getFileSystem(conf())
+    val olds = segFiles(dir, 0)
+    GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
+      (Seq("0", s"$dir/_staging/compact/gone.parquet") ++ olds).mkString("\n"))
+    fs.delete(new Path(olds.head), false)
+    val e = intercept[IllegalStateException](GraftLogMaintenance.recover(spark, dir))
+    assert(e.getMessage.contains("refusing to auto-recover"), e.toString)
+    assert(fs.exists(new Path(dir, "_staging/compact/JOURNAL")),
+      "an unrecognized journal must be left in place for manual recovery")
+  }
+
   test("crash BEFORE the journal (staged leftovers only) aborts cleanly") {
     val dir = grownLog()
     val before = rows(dir)
