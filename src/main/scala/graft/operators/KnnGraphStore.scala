@@ -42,26 +42,55 @@ object KnnGraphStore {
   /** Compute the ranked kNN edges for `dir`'s corpus and persist them
     * as the partitioned edge layout. One kNN-chain execution — the
     * cell-bucketed self-join + bounded top-k documented on the inline
-    * `knn_graph` — then a V·k-row partitioned write. */
+    * `knn_graph` — then a V·k-row partitioned write. Alias of
+    * [[refresh]]: the initial build IS the first refresh. */
   def build(s: SparkSession, dir: String, path: String): Unit = {
+    refresh(s, dir, path); ()
+  }
+
+  /** REFRESH the store from `dir`'s current corpus: the whole edge list
+    * is recomputed under the next epoch and committing its marker
+    * atomically swaps every reader from epoch n to n+1 (kNN edges can't
+    * be incrementally appended — new nodes change OLD nodes' top-k, so
+    * the refresh unit is the complete artifact; supersede semantics,
+    * not [[IvfIndex.append]]'s union semantics). A torn refresh (data
+    * written, marker absent) is invisible to readers and swept by the
+    * next refresh's [[graft.ops.EpochCommit.nextEpoch]]. Superseded
+    * epochs stay on disk until [[expire]]. Returns the epoch written. */
+  def refresh(s: SparkSession, dir: String, path: String): Long = {
+    val root = s"$path/edges"
+    val epoch = graft.ops.EpochCommit.nextEpoch(s, root)
     // the UNSORTED ranked edges — identical rows to `knn_graph`, minus
     // its presentation sort (a corpus-wide range exchange a partitioned
     // write would pay for nothing); one bucket-clustering exchange
     // instead, so each task writes exactly its own bucket directories
     Similarity.knnRankedEdges(s, dir, sorted = false)
       .withColumn("bucket", pmod(col("query_id"), lit(NumBuckets.toLong)))
-      .withColumn("epoch", lit(0L))
+      .withColumn("epoch", lit(epoch))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("epoch", "bucket")
-      .parquet(s"$path/edges")
-    graft.ops.EpochCommit.mark(s, s"$path/edges", 0L)
+      .write.mode("append").partitionBy("epoch", "bucket")
+      .parquet(root)
+    graft.ops.EpochCommit.mark(s, root, epoch)
+    epoch
   }
 
-  /** The committed edge list — (query_id, rank, neighbor_id, sim),
-    * unordered (consumers impose their own order). */
+  /** Drop superseded epochs (every committed epoch below the latest) —
+    * the maintenance face of the refresh lifecycle. Maintenance window
+    * like EpochCommit.compact: no concurrent readers in other JVMs.
+    * Returns the epochs removed. */
+  def expire(s: SparkSession, path: String): Seq[Long] =
+    graft.ops.EpochCommit.latest(s, s"$path/edges") match {
+      case Some(live) => graft.ops.EpochCommit.expireBelow(s, s"$path/edges", live)
+      case None => Seq.empty
+    }
+
+  /** The LATEST committed edge list — (query_id, rank, neighbor_id,
+    * sim), unordered (consumers impose their own order). Supersede
+    * semantics: exactly one epoch serves reads; a committed refresh
+    * swaps it atomically. */
   def edges(s: SparkSession, path: String): DataFrame =
     graft.ops.EpochCommit
-      .filterCommitted(s.read.parquet(s"$path/edges"), s"$path/edges")
+      .filterLatest(s.read.parquet(s"$path/edges"), s"$path/edges")
       .select("query_id", "rank", "neighbor_id", "sim")
 
   /** Point probe: the stored neighbors of `nodes`, read through bucket
@@ -72,7 +101,7 @@ object KnnGraphStore {
     // floorMod: must match the build's pmod on any id sign
     val buckets = nodes.map(n => java.lang.Math.floorMod(n, NumBuckets.toLong)).distinct
     graft.ops.EpochCommit
-      .filterCommitted(s.read.parquet(s"$path/edges"), s"$path/edges")
+      .filterLatest(s.read.parquet(s"$path/edges"), s"$path/edges")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("query_id").isin(nodes: _*))
       .select("query_id", "rank", "neighbor_id", "sim")

@@ -239,6 +239,57 @@ object EpochCommit {
     if (!df.columns.contains("epoch")) df
     else df.filter(committedPredicate(df.sparkSession, root)).drop("epoch")
 
+  // ---- supersede semantics (whole-artifact epochs) ------------------
+
+  /** The newest committed epoch — the read point for SUPERSEDE-semantics
+    * stores, where each epoch is a COMPLETE artifact replacing its
+    * predecessors rather than an increment to union with them (a kNN
+    * graph: new nodes change old nodes' top-k, so the refresh unit is
+    * the whole edge list). */
+  def latest(s: SparkSession, root: String): Option[Long] =
+    committed(s, root).lastOption
+
+  /** Restrict an epoch-partitioned frame to the LATEST committed epoch —
+    * the supersede-semantics read path ([[filterCommitted]]'s union is
+    * wrong there: it would serve every superseded artifact at once).
+    * Marking epoch n+1 atomically swaps every reader from n to n+1; a
+    * torn refresh (data, no marker) stays invisible. Legacy layouts
+    * (no epoch column) pass through untouched. */
+  def filterLatest(df: DataFrame, root: String): DataFrame =
+    if (!df.columns.contains("epoch")) df
+    else latest(df.sparkSession, root) match {
+      case Some(e) => df.filter(col("epoch") === e).drop("epoch")
+      case None => df.filter(lit(false)).drop("epoch")
+    }
+
+  /** Expire SUPERSEDED epochs: delete every committed epoch below
+    * `keep` — marker first, then data, so a crash in between leaves a
+    * torn (unmarked) epoch [[sweepTorn]] reclaims rather than a marked
+    * epoch with no data. The survivors stay a dense range, so HEAD is
+    * rewritten to it (or dropped if the state is unexpectedly gapped).
+    * Same maintenance-window caveat as [[compact]]: other JVMs'
+    * positive marker-cache entries for expired epochs go stale.
+    * Returns the epochs removed. */
+  def expireBelow(s: SparkSession, root: String, keep: Long): Seq[Long] = {
+    val fs = hadoopFs(s, new Path(root))
+    if (!fs.exists(epochsDir(root))) return Seq.empty
+    val expired = committed(s, root).filter(_ < keep)
+    expired.foreach { e =>
+      val m = markerPath(root, e)
+      if (fs.exists(m)) fs.delete(m, false)
+      markerCache.remove((root, e))
+      val d = new Path(root, s"epoch=$e")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    if (expired.nonEmpty) {
+      val remaining = listCommitted(fs, root)
+      if (remaining.nonEmpty && remaining.last - remaining.head + 1 == remaining.length)
+        writeSmall(fs, headPath(root), s"${remaining.head} ${remaining.last}")
+      else if (fs.exists(headPath(root))) fs.delete(headPath(root), false)
+    }
+    expired
+  }
+
   // ---- fold / compaction -------------------------------------------
 
   /** Fold every committed epoch into ONE — the maintenance op that

@@ -68,12 +68,64 @@ class KnnGraphStoreSuite extends SparkSuite {
     try {
       KnnGraphStore.build(spark, sfDir, path)
       // simulate the crash ordering: data landed, marker did not
-      val marker = new java.io.File(s"$path/edges/_epochs/0")
+      val marker = new java.io.File(s"$path/edges/_epochs/1")
       assert(marker.exists(), "expected epoch marker after build")
       assert(marker.delete())
       assert(KnnGraphStore.edges(spark, path).count() === 0L,
         "uncommitted epoch leaked into the edge view")
     } finally rm(new java.io.File(path))
+  }
+
+  test("refresh supersedes atomically: torn refresh invisible, swap on commit, expire drops old epochs") {
+    val pid = ProcessHandle.current().pid()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_knng_refresh_$pid"
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val path = s"$base/store"
+    // a SMALLER corpus for the initial build (vec_id < half) — the
+    // refresh from the full corpus then visibly changes the edge list
+    val smallDir = s"$base/small"
+    val full = graft.Tables.embeddings(spark, sfDir)
+    val cut = full.agg(expr("percentile_approx(vec_id, 0.5)")).head().getLong(0)
+    full.filter(col("vec_id") < cut).write.parquet(s"$smallDir/embeddings.parquet")
+    try {
+      KnnGraphStore.build(spark, smallDir, path)
+      val first = rows(KnnGraphStore.edges(spark, path))
+      assert(first.nonEmpty && first.forall(_._1 < cut))
+
+      // torn refresh: the full-corpus epoch lands but its marker doesn't
+      val torn = KnnGraphStore.refresh(spark, sfDir, path)
+      assert(new java.io.File(s"$path/edges/_epochs/$torn").delete())
+      assert(rows(KnnGraphStore.edges(spark, path)) === first,
+        "a torn refresh changed the reader view before its marker")
+
+      // committed refresh: readers swap to the NEW artifact — supersede,
+      // not union (the old epoch's rows must not be served alongside)
+      val e2 = KnnGraphStore.refresh(spark, sfDir, path)
+      val second = rows(KnnGraphStore.edges(spark, path))
+      assert(second === rows(Similarity.all("knn_graph").fn(spark, sfDir)),
+        "post-refresh view must equal the full corpus' inline knn_graph")
+      assert(second.exists(_._1 >= cut), "refresh did not pick up new nodes")
+      assert(first.length < second.length)
+
+      // both epochs' data on disk until expiry; only the latest served
+      val epochDirs = new java.io.File(s"$path/edges").listFiles()
+        .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+      assert(epochDirs.size === 2, s"expected 2 committed epoch dirs, got $epochDirs")
+
+      val expired = KnnGraphStore.expire(spark, path)
+      assert(expired.nonEmpty && expired.forall(_ < e2), expired.toString)
+      val after = new java.io.File(s"$path/edges").listFiles()
+        .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+      assert(after === Set(s"epoch=$e2"), after.toString)
+      assert(rows(KnnGraphStore.edges(spark, path)) === second,
+        "expiry changed the served artifact")
+      // and a point probe still prunes + answers from the live epoch
+      assert(KnnGraphStore.neighbors(spark, path, Seq(second.head._1))
+        .count() > 0)
+    } finally rm(new java.io.File(base))
   }
 
   test("mutualEdges keeps only pairs ranked by BOTH endpoints, once each") {
