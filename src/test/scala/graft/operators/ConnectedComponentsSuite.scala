@@ -288,6 +288,35 @@ class ConnectedComponentsSuite extends SparkSuite {
     }
   }
 
+  test("star contraction forced bail-out is a refinement of the TRUE components") {
+    // Two interleaved deep chains (even ids / odd ids) — two true
+    // components whose node ranges overlap completely, so any label that
+    // leaks across components is visible as a parity mismatch. A 2-round
+    // cap cannot converge 40-hop chains; the contract on the bail-out
+    // (ConnectedComponents.runStar's warn path) is REFINEMENT: every
+    // label is a real node of the SAME true component, never above the
+    // node's id, and the label relation only over-segments (nodes
+    // sharing a partial label always share a true component — the
+    // converse may not hold yet).
+    val n = 80
+    val evens = (0L until n.toLong by 2).sliding(2).map(s => (s(0), s(1))).toSeq
+    val odds = (1L until n.toLong by 2).sliding(2).map(s => (s(0), s(1))).toSeq
+    val truth = unionFind(n, evens ++ odds)
+    val partial = runStar(verticesDf(n), edgesDf(evens ++ odds), maxIters = 2)
+    assert(!partial.converged && partial.iterations === 2)
+    val lm = labelsMap(partial.labels)
+    assert(lm.keySet === (0L until n.toLong).toSet, "a bail-out must still label every vertex")
+    lm.foreach { case (id, lbl) =>
+      assert(lbl >= 0L && lbl < n.toLong, s"label $lbl of node $id is not a real node")
+      assert(lbl <= id, s"label $lbl exceeds node id $id")
+      assert(truth(lbl) === truth(id),
+        s"label $lbl crossed true components for node $id (bail-out must only over-segment)")
+    }
+    // and the refinement tightens to the exact answer when the cap lifts
+    val full = runStar(verticesDf(n), edgesDf(evens ++ odds))
+    assert(full.converged && labelsMap(full.labels) === truth)
+  }
+
   test("star round: every shuffled row is two longs (the 100 TB payload contract)") {
     val n = 300
     val rnd = new scala.util.Random(5)
