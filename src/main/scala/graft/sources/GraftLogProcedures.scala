@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -26,11 +26,22 @@ import org.apache.spark.unsafe.types.UTF8String
  * ([[GraftLogMaintenance]]); `committed_offsets` answers from parquet
  * footer statistics only — the metadata-cost position lookup, now one
  * `CALL` away from any SQL client.
+ *
+ * The OPERATOR-STORE layer (every [[graft.ops.EpochCommit]]-governed
+ * parquet store: IVF `assigned`/`codes`, the kNN graph's `edges`, the
+ * incremental-dedup catalogs) gets its own observability/maintenance
+ * pair, addressed by PATH (stores live outside the catalog's log root):
+ *
+ * {{{
+ *   CALL graft.system.store_stats(path => '/indexes/knng')
+ *   CALL graft.system.expire_epochs(path => '/indexes/knng/edges')
+ * }}}
  */
 private[sources] object GraftLogProcedures {
 
   val Names: Seq[String] =
-    Seq("committed_offsets", "compact_segments", "recover_compaction")
+    Seq("committed_offsets", "compact_segments", "recover_compaction",
+      "store_stats", "expire_epochs")
 
   /** Rows returned driver-side: every procedure's output here is
     * metadata-sized (per-partition summaries), the `LocalScan` shape. */
@@ -60,6 +71,10 @@ private[sources] object GraftLogProcedures {
     def dirOf(input: InternalRow): String = {
       require(!input.isNullAt(0), "table must not be null")
       dirFor(input.getUTF8String(0).toString)
+    }
+    def pathOf(input: InternalRow): String = {
+      require(!input.isNullAt(0), "path must not be null")
+      input.getUTF8String(0).toString
     }
     procName match {
       case "committed_offsets" =>
@@ -112,8 +127,110 @@ private[sources] object GraftLogProcedures {
             ))).iterator()
           }
         }
+      case "store_stats" =>
+        new Proc("store_stats", Array(pathParam)) {
+          override def description(): String =
+            "per-epoch file counts/bytes of every EpochCommit-governed face " +
+              "under a store path (committed, torn, and latest flags; metadata only)"
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val spark = SparkSession.active
+            val root = pathOf(input)
+            val fs = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val schema = new StructType()
+              .add("face", StringType).add("epoch", LongType)
+              .add("committed", BooleanType).add("latest", BooleanType)
+              .add("files", IntegerType).add("bytes", LongType)
+            val rows = epochFaces(fs, root).sorted.flatMap { face =>
+              val faceRoot = if (face.isEmpty) root else s"$root/$face"
+              val committed = graft.ops.EpochCommit.committed(spark, faceRoot).toSet
+              val live = if (committed.isEmpty) -1L else committed.max
+              val epochDirs = fs.listStatus(new org.apache.hadoop.fs.Path(faceRoot))
+                .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+                .map(st => st.getPath.getName.stripPrefix("epoch=") -> st.getPath)
+                .collect { case (n, p) if n.nonEmpty && n.forall(_.isDigit) => n.toLong -> p }
+              // torn epochs have a data dir and no marker; a committed
+              // epoch could briefly have a marker and no dir mid-expiry —
+              // surface both sides of the union
+              val all = (epochDirs.map(_._1).toSet ++ committed).toSeq.sorted
+              val dirOfEpoch = epochDirs.toMap
+              all.map { e =>
+                val (files, bytes) = dirOfEpoch.get(e) match {
+                  case Some(d) =>
+                    var (nf, nb) = (0, 0L)
+                    val it = fs.listFiles(d, true)
+                    while (it.hasNext) { val f = it.next(); nf += 1; nb += f.getLen }
+                    (nf, nb)
+                  case None => (0, 0L)
+                }
+                new GenericInternalRow(Array[Any](UTF8String.fromString(face), e,
+                  committed.contains(e), e == live, files, bytes)): InternalRow
+              }
+            }
+            java.util.List.of[Scan](
+              new ResultScan(schema, rows.toArray)).iterator()
+          }
+        }
+      case "expire_epochs" =>
+        new Proc("expire_epochs", Array(pathParam)) {
+          override def description(): String =
+            "drop SUPERSEDED epochs (all committed below the latest) of one " +
+              "supersede-semantics epoch root, e.g. a kNN graph's edges face " +
+              "(NEVER a union-semantics store - its history IS the data; " +
+              "maintenance window required)"
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val spark = SparkSession.active
+            val root = pathOf(input)
+            val fs = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            require(fs.exists(new org.apache.hadoop.fs.Path(root, "_epochs")),
+              s"$root is not an epoch-committed store root (no _epochs); " +
+                "pass the face itself, e.g. '<store>/edges'")
+            val expired = graft.ops.EpochCommit.latest(spark, root) match {
+              case Some(live) => graft.ops.EpochCommit.expireBelow(spark, root, live)
+              case None => Seq.empty[Long]
+            }
+            val schema = new StructType().add("expired_epoch", LongType)
+            val rows = expired.map(e =>
+              new GenericInternalRow(Array[Any](e)): InternalRow)
+            java.util.List.of[Scan](
+              new ResultScan(schema, rows.toArray)).iterator()
+          }
+        }
       case other => throw new IllegalArgumentException(
         s"unknown graftlog procedure '$other' (have: ${Names.mkString(", ")})")
     }
+  }
+
+  private def pathParam: ProcedureParameter =
+    ProcedureParameter.in("path", StringType)
+      .comment("absolute store path (operator stores live outside the catalog root)")
+      .build()
+
+  /** Epoch-committed faces under `root`: relative paths of every
+    * directory holding an `_epochs` marker namespace, the root itself
+    * included (as `''`). Bounded walk — store layouts nest at most
+    * `<store>/<face>` — and metadata-only. */
+  private def epochFaces(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, maxDepth: Int = 3): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    require(fs.exists(rootPath), s"no such store path: $root")
+    def walk(p: org.apache.hadoop.fs.Path, rel: String, depth: Int): Seq[String] = {
+      val entries = fs.listStatus(p)
+      val here =
+        if (entries.exists(e => e.isDirectory && e.getPath.getName == "_epochs"))
+          Seq(rel)
+        else Seq.empty
+      val below =
+        if (depth >= maxDepth) Seq.empty
+        else entries.toSeq
+          .filter(e => e.isDirectory && !e.getPath.getName.startsWith("_") &&
+            !e.getPath.getName.contains("="))
+          .flatMap(e => walk(e.getPath,
+            if (rel.isEmpty) e.getPath.getName else s"$rel/${e.getPath.getName}",
+            depth + 1))
+      here ++ below
+    }
+    walk(rootPath, "", 0)
   }
 }

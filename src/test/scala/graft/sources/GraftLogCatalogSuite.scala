@@ -194,6 +194,43 @@ class GraftLogCatalogSuite extends SparkSuite {
     assert(e.getMessage.contains("no such log"), e.toString)
   }
 
+  test("store_stats and expire_epochs observe/maintain epoch stores from SQL") {
+    root
+    import org.apache.spark.sql.functions.lit
+    val store = Files.createTempDirectory("graft-store-proc").toString
+    val face = s"$store/edges"
+    // two committed epochs + one torn (data, no marker)
+    for (e <- Seq(1L, 2L)) {
+      spark.range(4 * e).withColumn("epoch", lit(e))
+        .write.mode("append").partitionBy("epoch").parquet(face)
+      graft.ops.EpochCommit.mark(spark, face, e)
+    }
+    spark.range(2).withColumn("epoch", lit(3L))
+      .write.mode("append").partitionBy("epoch").parquet(face)
+
+    val stats = spark.sql(s"CALL graft.system.store_stats(path => '$store')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getInt(4), r.getLong(5)))
+    assert(stats.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      Seq(("edges", 1L, true, false), ("edges", 2L, true, true),
+        ("edges", 3L, false, false)), stats.mkString(", "))
+    assert(stats.forall(t => t._5 > 0 && t._6 > 0L), "every epoch dir has files+bytes")
+
+    // expiry drops only SUPERSEDED committed epochs; the torn dir stays
+    // for the writer's sweep, the latest keeps serving
+    val expired = spark.sql(s"CALL graft.system.expire_epochs(path => '$face')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(expired === Seq(1L))
+    val after = spark.sql(s"CALL graft.system.store_stats(path => '$store')")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    assert(after === Seq((2L, true, true), (3L, false, false)), after.mkString(", "))
+
+    // a path without an _epochs namespace is rejected loudly
+    val e = intercept[Exception](
+      spark.sql(s"CALL graft.system.expire_epochs(path => '$store')").collect())
+    assert(e.getMessage.contains("_epochs"), e.toString)
+  }
+
   test("TRUNCATE TABLE resets the log; the next append restarts at offset 0") {
     root
     seedLog("trunc", 20, 2)
