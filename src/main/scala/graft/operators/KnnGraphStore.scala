@@ -137,6 +137,33 @@ object KnnGraphStore {
     (s, dir) => edgesOf(s, dir).orderBy("query_id", "rank"),
     Similarity.all("knn_graph").oracle)
 
+  /** `knn_graph` through the REFRESH lifecycle — the store is built
+    * from a HALF corpus (vec_id below the median), refreshed from the
+    * full corpus, superseded epochs expired, then read back. The oracle
+    * is the inline `knn_graph` twin VERBATIM over the FULL corpus, so a
+    * green row proves the supersede semantics end-to-end: the committed
+    * refresh serves exactly the new artifact (any half-corpus edge
+    * leaking into the view — union where supersede is required — or
+    * any stale-epoch survival after expiry breaks the hash match).
+    * Build + refresh + expire are memoized per JVM ([[FixtureStore]]);
+    * the read pays probe cost only. */
+  private val knnGraphRefreshed = QueryDef(
+    (s, dir) => {
+      val path = FixtureStore.ensure("knngrefresh", dir) { p =>
+        val full = graft.Tables.embeddings(s, dir)
+        val cut = full.agg(expr("percentile_approx(vec_id, 0.5)"))
+          .head().getLong(0)
+        full.filter(col("vec_id") < cut)
+          .write.parquet(s"$p/half/embeddings.parquet")
+        build(s, s"$p/half", s"$p/store")
+        refresh(s, dir, s"$p/store")
+        expire(s, s"$p/store")
+        ()
+      }
+      edges(s, s"$path/store").orderBy("query_id", "rank")
+    },
+    Similarity.all("knn_graph").oracle)
+
   /** CONNECTED COMPONENTS over the persisted mutual-kNN graph — the
     * SemDeDup-style semantic cluster relation (each component is one
     * tight embedding neighborhood; `component` = min vec_id reachable
@@ -182,5 +209,6 @@ object KnnGraphStore {
 
   val all: Map[String, QueryDef] = Map(
     "knn_graph_persisted" -> knnGraphPersisted,
+    "knn_graph_refreshed" -> knnGraphRefreshed,
     "knn_components" -> knnComponents)
 }

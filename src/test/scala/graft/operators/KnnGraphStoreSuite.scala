@@ -114,6 +114,19 @@ class KnnGraphStoreSuite extends SparkSuite {
       val epochDirs = new java.io.File(s"$path/edges").listFiles()
         .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
       assert(epochDirs.size === 2, s"expected 2 committed epoch dirs, got $epochDirs")
+      // a point probe with BOTH epochs on disk still lists exactly one
+      // (epoch, bucket) partition — the latest-epoch filter prunes like
+      // the bucket filter does
+      val probe = KnnGraphStore.neighbors(spark, path, Seq(second.head._1))
+      val scans = flattenPlan(probe.queryExecution.executedPlan).collect {
+        case sc: FileSourceScanExec => sc
+      }
+      assert(scans.nonEmpty)
+      scans.foreach { sc =>
+        val parts = sc.relation.location.listFiles(sc.partitionFilters, sc.dataFilters)
+        assert(parts.length <= 1,
+          s"probe over 2 epochs read ${parts.length} partitions, expected 1")
+      }
 
       val expired = KnnGraphStore.expire(spark, path)
       assert(expired.nonEmpty && expired.forall(_ < e2), expired.toString)

@@ -174,4 +174,62 @@ class EpochCommitSuite extends SparkSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(after === before)
   }
+
+  test("supersede lifecycle crash sweep: every crash point serves one whole artifact; a new writer always recovers") {
+    // The refresh protocol is a step script: write epoch 1 (torn), mark
+    // 1, write epoch 2, mark 2, then expiry's internal order (marker
+    // delete, data delete). A crash = stopping after step k. For EVERY
+    // prefix the latest-committed view must be one COMPLETE artifact —
+    // the newest MARKED epoch's rows exactly, never a mix, never a torn
+    // epoch — and a recovering writer (nextEpoch → write → mark) must
+    // land a clean next epoch with the torn debris swept.
+    def writeData(root: String, e: Long): Unit =
+      spark.range(5)
+        .select(lit(e).as("epoch"), (col("id") + e * 100L).as("id"))
+        .write.mode("append").partitionBy("epoch").parquet(root)
+    def view(root: String): Set[Long] = {
+      val hasData = fs(root).listStatus(new Path(root))
+        .exists(_.getPath.getName.startsWith("epoch="))
+      if (!hasData) Set.empty // nothing written yet: no schema to infer
+      else EpochCommit.filterLatest(spark.read.parquet(root), root)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    def artifact(e: Long): Set[Long] = (0L until 5L).map(_ + e * 100L).toSet
+
+    val steps: Seq[(String, String => Unit, Option[Long])] = Seq(
+      ("write e1", root => writeData(root, 1L), None),
+      ("mark e1", root => EpochCommit.mark(spark, root, 1L), Some(1L)),
+      ("write e2", root => writeData(root, 2L), Some(1L)),
+      ("mark e2", root => EpochCommit.mark(spark, root, 2L), Some(2L)),
+      ("expire: marker1 gone", root =>
+        { fs(root).delete(new Path(root, "_epochs/1"), false); () }, Some(2L)),
+      ("expire: data1 gone", root =>
+        { fs(root).delete(new Path(root, "epoch=1"), true); () }, Some(2L)),
+      ("expire: complete", root =>
+        { EpochCommit.expireBelow(spark, root, 2L); () }, Some(2L)))
+
+    for (k <- 0 to steps.length) {
+      val root = tmp()
+      steps.take(k).foreach { case (_, step, _) => step(root) }
+      val expected = steps.take(k).flatMap(_._3).lastOption
+      val at = s"crash after ${if (k == 0) "nothing" else steps(k - 1)._1}"
+      assert(view(root) === expected.map(artifact).getOrElse(Set.empty),
+        s"$at: view is not the newest whole artifact")
+
+      // writer recovery: the next refresh sweeps debris and swaps clean
+      val e = EpochCommit.nextEpoch(spark, root)
+      assert(expected.forall(_ < e), s"$at: nextEpoch $e reused a committed epoch")
+      writeData(root, e)
+      EpochCommit.mark(spark, root, e)
+      assert(view(root) === artifact(e), s"$at: recovery epoch $e not served")
+      // on-disk epoch dirs are only committed ones (torn debris swept by
+      // nextEpoch; superseded ones may legitimately remain until expiry)
+      val dirs = fs(root).listStatus(new Path(root)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong).toSet
+      val committed = EpochCommit.committed(spark, root).toSet
+      assert(dirs.subsetOf(committed),
+        s"$at: torn debris survived recovery: dirs=$dirs committed=$committed")
+    }
+  }
 }
