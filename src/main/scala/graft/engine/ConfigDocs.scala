@@ -236,6 +236,9 @@ object ConfigDocs {
       || `committed_offsets` | `table` | (partition, next_offset) | Per-partition positions from parquet footer statistics — no data scan. |
       || `compact_segments` | `table`, `min_files` (default 2) | (partition, merged_segments) | Merge a partition's per-batch segment files into one (journaled, offsets unchanged). |
       || `recover_compaction` | `table` | (recovered) | Finish or abort a compaction a crash left in flight. |
+      || `store_stats` | `path` | (face, epoch, committed, latest, files, bytes) | Per-epoch file counts/bytes of every EpochCommit-governed face under an operator-store path (IVF `assigned`/`codes`, kNN `edges`, dedup catalogs) — committed, torn, and latest flags, metadata only. |
+      || `expire_epochs` | `path` | (expired_epoch) | Drop SUPERSEDED epochs (committed below the latest) of one supersede-semantics epoch root, e.g. a kNN graph's `edges` face. Never point it at a union-semantics store — there the history IS the data; use EpochCommit.compact instead. |
+      || `sweep_torn` | `path` | (swept_epoch) | Delete torn (data without marker) epoch dirs of one epoch root — crash leftovers already invisible to readers; safe under any store semantics. |
       |""".stripMargin
 
   /** Regenerate docs/CONFIGURATION.md (or args(0)). */

@@ -169,20 +169,23 @@ object EpochCommit {
 
   /** Delete torn (data present, marker absent) top-level `epoch=` dirs —
     * crash leftovers. Invisible to readers either way; sweeping keeps a
-    * retry from double-writing into the reused epoch number. */
-  def sweepTorn(s: SparkSession, root: String): Unit = {
+    * retry from double-writing into the reused epoch number. Returns
+    * the epoch numbers swept. */
+  def sweepTorn(s: SparkSession, root: String): Seq[Long] = {
     val rootPath = new Path(root)
     val fs = hadoopFs(s, rootPath)
-    if (!fs.exists(rootPath)) return
+    if (!fs.exists(rootPath)) return Seq.empty
     val live = committed(s, root).toSet
-    fs.listStatus(rootPath).foreach { st =>
+    fs.listStatus(rootPath).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("epoch=")) {
         val e = n.stripPrefix("epoch=")
-        if (e.forall(_.isDigit) && !live.contains(e.toLong))
+        if (e.nonEmpty && e.forall(_.isDigit) && !live.contains(e.toLong)) {
           fs.delete(st.getPath, true)
-      }
-    }
+          Some(e.toLong)
+        } else None
+      } else None
+    }.sorted
   }
 
   /** Sweep, then hand out the next epoch number to write under. Also

@@ -41,7 +41,7 @@ private[sources] object GraftLogProcedures {
 
   val Names: Seq[String] =
     Seq("committed_offsets", "compact_segments", "recover_compaction",
-      "store_stats", "expire_epochs")
+      "store_stats", "expire_epochs", "sweep_torn")
 
   /** Rows returned driver-side: every procedure's output here is
     * metadata-sized (per-partition summaries), the `LocalScan` shape. */
@@ -195,6 +195,26 @@ private[sources] object GraftLogProcedures {
               new GenericInternalRow(Array[Any](e)): InternalRow)
             java.util.List.of[Scan](
               new ResultScan(schema, rows.toArray)).iterator()
+          }
+        }
+      case "sweep_torn" =>
+        new Proc("sweep_torn", Array(pathParam)) {
+          override def description(): String =
+            "delete torn (data without marker) epoch dirs of one epoch root - " +
+              "crash leftovers invisible to readers; safe under any semantics"
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val spark = SparkSession.active
+            val root = pathOf(input)
+            val fs = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            require(fs.exists(new org.apache.hadoop.fs.Path(root, "_epochs")),
+              s"$root is not an epoch-committed store root (no _epochs); " +
+                "pass the face itself, e.g. '<store>/edges'")
+            val swept = graft.ops.EpochCommit.sweepTorn(spark, root)
+            val schema = new StructType().add("swept_epoch", LongType)
+            java.util.List.of[Scan](new ResultScan(schema,
+              swept.map(e => new GenericInternalRow(Array[Any](e)): InternalRow)
+                .toArray)).iterator()
           }
         }
       case other => throw new IllegalArgumentException(

@@ -225,10 +225,21 @@ class GraftLogCatalogSuite extends SparkSuite {
       .collect().map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSeq
     assert(after === Seq((2L, true, true), (3L, false, false)), after.mkString(", "))
 
+    // sweep_torn reclaims the torn dir (and only it)
+    val swept = spark.sql(s"CALL graft.system.sweep_torn(path => '$face')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(swept === Seq(3L))
+    val finalStats = spark.sql(s"CALL graft.system.store_stats(path => '$store')")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    assert(finalStats === Seq((2L, true, true)), finalStats.mkString(", "))
+
     // a path without an _epochs namespace is rejected loudly
     val e = intercept[Exception](
       spark.sql(s"CALL graft.system.expire_epochs(path => '$store')").collect())
     assert(e.getMessage.contains("_epochs"), e.toString)
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL graft.system.sweep_torn(path => '$store')").collect())
+    assert(e2.getMessage.contains("_epochs"), e2.toString)
   }
 
   test("TRUNCATE TABLE resets the log; the next append restarts at offset 0") {
