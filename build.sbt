@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: in local[32] the driver IS the executor — 32 task
+  // threads inside one heap. At 8g the heavy cached/checkpointed
+  // queries (dedup_clusters) ran bimodal 9->25 s from GC storms; at 16g
+  // they are stable at ~10 s (measured r15, same host, same load).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
