@@ -99,9 +99,25 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     new GraftLogTable(dir.toString)
   }
 
+  /** No ancestor of a table/namespace path may be a CONFIRMED log:
+    * mkdirs through one would nest foreign directories inside a log's
+    * partition layout (and a later DROP of the log would silently
+    * delete them). Missing ancestors are fine — they become namespaces
+    * implicitly, the documented CREATE behavior. */
+  private def requireAncestorsNotLogs(parts: Seq[String]): Unit = {
+    parts.inits.toSeq.reverse.drop(1).dropRight(1).foreach { prefix =>
+      val dir = new Path((root +: prefix).mkString("/"))
+      if (fs.exists(dir) && hasPartitionDirs(dir))
+        throw new IllegalArgumentException(
+          s"${prefix.mkString(".")} is a graftlog table, not a namespace — " +
+            s"cannot create ${parts.mkString(".")} inside it")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    requireAncestorsNotLogs(ident.namespace().toSeq :+ ident.name())
     // tableExists is false for a confirmed NAMESPACE at the path — but
     // creating a table over one would alias a namespace directory as a
     // log. Any existing non-log directory blocks creation.
@@ -144,6 +160,15 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"cannot rename to ${newIdent}: a namespace already occupies " +
           s"${dirOf(newIdent)}")
+    requireAncestorsNotLogs(newIdent.namespace().toSeq :+ newIdent.name())
+    // a target inside the source's own subtree would make fs.rename
+    // move a directory into itself (raw IOException on local FS,
+    // rename=false on HDFS) — reject it as the nonsense it is
+    val oldParts = oldIdent.namespace().toSeq :+ oldIdent.name()
+    val newParts = newIdent.namespace().toSeq :+ newIdent.name()
+    if (newParts.startsWith(oldParts))
+      throw new IllegalArgumentException(
+        s"cannot rename ${oldIdent} into its own subtree ${newIdent}")
     fs.mkdirs(dirOf(newIdent).getParent)
     require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
       s"failed to rename log ${oldIdent} to ${newIdent}")
@@ -218,6 +243,7 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"cannot create namespace ${namespace.mkString(".")}: a graftlog " +
           s"table already occupies ${nsPath(namespace)}")
+    requireAncestorsNotLogs(namespace.toSeq)
     fs.mkdirs(nsPath(namespace))
     ()
   }
