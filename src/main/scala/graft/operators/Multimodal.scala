@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
  * (JDK-built-in, no new dependency) for true dimensions and container
  * format. Non-image payloads (the synthetic testdata uses document text
  * as a stand-in byte stream) fall back to deterministic stub arithmetic,
- * so oracles stay engine-checkable. Audio/video codecs are absent from
- * the JDK, so frame sampling remains stubbed arithmetic. Everything
- * around the decoder is the real Spark shape for multimodal corpora at
+ * so oracles stay engine-checkable. The decode step is REAL for audio
+ * too — [[AudioDecoder]] runs RIFF/WAVE PCM through `javax.sound.sampled`
+ * (also JDK-built-in). VIDEO codecs are absent from the JDK, so frame
+ * sampling remains stubbed arithmetic. Everything
+ * around the decoders is the real Spark shape for multimodal corpora at
  * 100 TB:
  *  - payloads live in a BINARY column next to a metadata struct (the
  *    parquet layout used for image/audio shards);
@@ -185,6 +187,111 @@ object Multimodal {
       .mapPartitions(_.grouped(MediaDecoder.BatchSize).flatMap(_.map(one)))
   }
 
+  final case class AudioFeatures(doc_id: Long, n_bytes: Int, format: String,
+      sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
+      duration_ms: Long, rms_x1000: Long, peak_x1000: Long)
+
+  /** The audio decoder: REAL for WAV/PCM — `javax.sound.sampled` is
+    * JDK-built-in (no external codec needed for RIFF/WAVE containers
+    * carrying PCM), so the decode step is genuine where the image half's
+    * `javax.imageio` precedent applies: magic-byte sniff first (a 100 TB
+    * corpus mustn't pay a codec attempt per non-audio row), then header
+    * + sample decode for true rate/channels/frames and integer-exact
+    * RMS/peak energy (sum of squared 16-bit samples in a Long — no
+    * float accumulation order to disagree about). Non-audio payloads
+    * (the synthetic fixtures' text bytes) take deterministic stub
+    * arithmetic, keeping the DuckDB oracle engine-checkable; WAV
+    * encodings other than 16-bit signed PCM degrade to the stub too
+    * (compressed WAV is out of JDK scope). */
+  object AudioDecoder {
+
+    /** RIFF....WAVE container magic. */
+    def sniffAudio(p: Array[Byte]): Option[String] =
+      if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E') Some("wav")
+      else None
+
+    final case class Pcm(sampleRate: Int, channels: Int, bits: Int,
+        nFrames: Long, rmsX1000: Long, peakX1000: Long)
+
+    /** Decode a WAV payload's 16-bit signed PCM stream. None for
+      * non-WAV, corrupt, or non-16-bit-PCM payloads — one bad row must
+      * degrade to the stub, never fail the partition. */
+    private[operators] def readWav(p: Array[Byte]): Option[Pcm] =
+      sniffAudio(p).flatMap { _ =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p))
+          try {
+            val fmt = ais.getFormat
+            val ok = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16
+            if (!ok) None
+            else {
+              val bytes = ais.readAllBytes()
+              val nSamples = bytes.length / 2
+              var i = 0
+              var sumSq = 0L
+              var peak = 0L
+              while (i + 1 < bytes.length) {
+                // WAV PCM is little-endian
+                val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+                sumSq += s * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 2
+              }
+              val frames = nSamples / math.max(1, fmt.getChannels)
+              val rms =
+                if (nSamples == 0) 0L
+                else math.round(math.sqrt(sumSq.toDouble / nSamples) * 1000.0 / 32768.0)
+              Some(Pcm(fmt.getSampleRate.toInt, fmt.getChannels, 16,
+                frames, rms, math.round(peak * 1000.0 / 32768.0)))
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+    /** Stub arithmetic for non-audio payloads — ONE definition, mirrored
+      * clause-for-clause by the `multimodal_audio` DuckDB twin. */
+    private[operators] def stubAudio(docId: Long, n: Int): AudioFeatures = {
+      val rate = 8000 + (n % 3) * 4000
+      val frames = n.toLong / 4 + 1
+      AudioFeatures(docId, n, "raw",
+        sample_rate = rate, channels = 1 + n % 2, bits = 16,
+        n_frames = frames, duration_ms = frames * 1000 / rate,
+        rms_x1000 = (n.toLong * 37) % 1000,
+        peak_x1000 = (n.toLong * 53) % 1000)
+    }
+
+    def decode(batch: Seq[BinaryDoc]): Seq[AudioFeatures] = batch.map { d =>
+      val n = d.payload.length
+      readWav(d.payload) match {
+        case Some(pcm) =>
+          AudioFeatures(d.doc_id, n, "wav", pcm.sampleRate, pcm.channels,
+            pcm.bits, pcm.nFrames,
+            if (pcm.sampleRate <= 0) 0L else pcm.nFrames * 1000 / pcm.sampleRate,
+            pcm.rmsX1000, pcm.peakX1000)
+        case None => stubAudio(d.doc_id, n)
+      }
+    }
+  }
+
+  /** Batched partition-local audio feature extraction — the same
+    * mapPartitions call shape as [[extractFeatures]]. */
+  def extractAudio(spark: SparkSession, binaryDocs: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    binaryDocs
+      .select(col("doc_id"), col("payload"),
+        col("meta.lang").as("lang"), col("meta.source").as("source"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(MediaDecoder.BatchSize).flatMap(AudioDecoder.decode)
+      }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Frame sampling: treat the payload as a clip of n_bytes/1000 + 1
@@ -253,8 +360,29 @@ object Multimodal {
       |  md5(payload_md5 || ':' || CAST(unnest(range(0, n_frames, 5)) AS VARCHAR)) AS frame_md5
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** The audio pipeline's verifiable query: the fixtures' text payloads
+    * all take the stub path (no RIFF magic), so the DuckDB twin mirrors
+    * [[AudioDecoder.stubAudio]] clause-for-clause; the REAL WAV/PCM
+    * decode is suite-gated against synthesized PCM with analytically
+    * known energy (MultimodalSuite). */
+  private val multimodalAudio = QueryDef(
+    (s, dir) => extractAudio(s, toBinary(Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id"),
+    Some("""WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n FROM documents)
+      |SELECT doc_id, n AS n_bytes, 'raw' AS format,
+      |  CAST(8000 + (n % 3) * 4000 AS INT) AS sample_rate,
+      |  CAST(1 + n % 2 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST(n // 4 + 1 AS BIGINT) AS n_frames,
+      |  CAST((n // 4 + 1) * 1000 // (8000 + (n % 3) * 4000) AS BIGINT) AS duration_ms,
+      |  CAST((n * 37) % 1000 AS BIGINT) AS rms_x1000,
+      |  CAST((n * 53) % 1000 AS BIGINT) AS peak_x1000
+      |FROM b ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
-    "multimodal_frame_sample" -> multimodalFrameSample)
+    "multimodal_frame_sample" -> multimodalFrameSample,
+    "multimodal_audio" -> multimodalAudio)
 }

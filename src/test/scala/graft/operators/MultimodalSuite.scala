@@ -99,6 +99,76 @@ class MultimodalSuite extends SparkSuite {
     assert(out(3L).thumb_png === null)
   }
 
+  /** A real RIFF/WAVE payload: 16-bit signed PCM sine at `amp` of full
+    * scale, written through the JDK's own WAV encoder. */
+  private def realWav(rate: Int, channels: Int, nFrames: Int,
+      amp: Double): Array[Byte] = {
+    val samples = new Array[Byte](nFrames * channels * 2)
+    for (i <- 0 until nFrames; c <- 0 until channels) {
+      val v = math.round(amp * 32767.0 *
+        math.sin(2 * math.Pi * 440.0 * i / rate)).toInt
+      val off = (i * channels + c) * 2
+      samples(off) = (v & 0xff).toByte // little-endian
+      samples(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decodes through javax.sound: true rate/frames + analytic energy") {
+    // a 0.5-amplitude sine has RMS 0.5/sqrt(2) ~ 0.354 and peak ~ 0.5 of
+    // full scale — the decode must recover both from the samples, not
+    // from arithmetic on byte length
+    val wav = realWav(rate = 16000, channels = 1, nFrames = 16000, amp = 0.5)
+    assert(Multimodal.AudioDecoder.sniffAudio(wav) === Some("wav"))
+    val Seq(f) = Multimodal.AudioDecoder.decode(
+      Seq(Multimodal.BinaryDoc(1L, wav, "en", "aud"))).toList
+    assert(f.format === "wav")
+    assert((f.sample_rate, f.channels, f.bits) === ((16000, 1, 16)))
+    assert(f.n_frames === 16000L && f.duration_ms === 1000L)
+    assert(math.abs(f.rms_x1000 - 354L) <= 2, s"rms ${f.rms_x1000}")
+    assert(math.abs(f.peak_x1000 - 500L) <= 2, s"peak ${f.peak_x1000}")
+
+    // stereo: frames are per-channel sample PAIRS
+    val st = realWav(rate = 8000, channels = 2, nFrames = 4000, amp = 0.25)
+    val Seq(g) = Multimodal.AudioDecoder.decode(
+      Seq(Multimodal.BinaryDoc(2L, st, "en", "aud"))).toList
+    assert((g.channels, g.n_frames, g.duration_ms) === ((2, 4000L, 500L)))
+    assert(math.abs(g.rms_x1000 - 177L) <= 2, s"stereo rms ${g.rms_x1000}")
+  }
+
+  test("real audio decode runs executor-side through the batched pipeline; non-audio stubs") {
+    import org.apache.spark.sql.functions._
+    val wav = realWav(rate = 16000, channels = 1, nFrames = 8000, amp = 0.5)
+    val txt = "not audio at all".getBytes("UTF-8")
+    val df = { import spark.implicits._
+      Seq((1L, wav, "en", "aud", 0), (2L, txt, "en", "doc", txt.length))
+        .toDF("doc_id", "payload", "lang", "source", "n_chars")
+        .select(col("doc_id"), col("payload"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+    }
+    val out = Multimodal.extractAudio(spark, df)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).format === "wav" && out(1L).n_frames === 8000L)
+    // the text payload takes the stub path, matching stubAudio exactly
+    val stub = Multimodal.AudioDecoder.stubAudio(2L, txt.length)
+    assert(out(2L) === stub)
+  }
+
+  test("corrupt RIFF header degrades to the audio stub instead of failing the batch") {
+    val corrupt = "RIFFxxxxWAVE".getBytes("UTF-8") ++ Array.fill[Byte](40)(0x17)
+    assert(Multimodal.AudioDecoder.sniffAudio(corrupt) === Some("wav"))
+    val Seq(f) = Multimodal.AudioDecoder.decode(
+      Seq(Multimodal.BinaryDoc(9L, corrupt, "en", "aud"))).toList
+    assert(f === Multimodal.AudioDecoder.stubAudio(9L, corrupt.length))
+  }
+
   test("corrupt image header degrades to the stub instead of failing the batch") {
     // valid PNG magic, garbage body — ImageIO returns null/throws
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
