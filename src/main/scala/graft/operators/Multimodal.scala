@@ -212,13 +212,15 @@ object Multimodal {
         p(11) == 'E') Some("wav")
       else None
 
+    final case class WavFormat(sampleRate: Int, channels: Int)
     final case class Pcm(sampleRate: Int, channels: Int, bits: Int,
         nFrames: Long, rmsX1000: Long, peakX1000: Long)
 
-    /** Decode a WAV payload's 16-bit signed PCM stream. None for
-      * non-WAV, corrupt, or non-16-bit-PCM payloads — one bad row must
-      * degrade to the stub, never fail the partition. */
-    private[operators] def readWav(p: Array[Byte]): Option[Pcm] =
+    /** Decode a WAV payload's 16-bit signed PCM stream into samples.
+      * None for non-WAV, corrupt, or non-16-bit-PCM payloads — one bad
+      * row must degrade to the stub, never fail the partition. */
+    private[operators] def readWavSamples(
+        p: Array[Byte]): Option[(WavFormat, Array[Short])] =
       sniffAudio(p).flatMap { _ =>
         try {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -231,27 +233,37 @@ object Multimodal {
             if (!ok) None
             else {
               val bytes = ais.readAllBytes()
-              val nSamples = bytes.length / 2
+              val samples = new Array[Short](bytes.length / 2)
               var i = 0
-              var sumSq = 0L
-              var peak = 0L
               while (i + 1 < bytes.length) {
                 // WAV PCM is little-endian
-                val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
-                sumSq += s * s
-                val a = math.abs(s)
-                if (a > peak) peak = a
+                samples(i / 2) = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
                 i += 2
               }
-              val frames = nSamples / math.max(1, fmt.getChannels)
-              val rms =
-                if (nSamples == 0) 0L
-                else math.round(math.sqrt(sumSq.toDouble / nSamples) * 1000.0 / 32768.0)
-              Some(Pcm(fmt.getSampleRate.toInt, fmt.getChannels, 16,
-                frames, rms, math.round(peak * 1000.0 / 32768.0)))
+              Some((WavFormat(fmt.getSampleRate.toInt, fmt.getChannels), samples))
             }
           } finally ais.close()
         } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+    private[operators] def readWav(p: Array[Byte]): Option[Pcm] =
+      readWavSamples(p).map { case (fmt, samples) =>
+        var i = 0
+        var sumSq = 0L
+        var peak = 0L
+        while (i < samples.length) {
+          val s = samples(i).toLong
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val frames = samples.length.toLong / math.max(1, fmt.channels)
+        val rms =
+          if (samples.isEmpty) 0L
+          else math.round(math.sqrt(sumSq.toDouble / samples.length) * 1000.0 / 32768.0)
+        Pcm(fmt.sampleRate, fmt.channels, 16, frames, rms,
+          math.round(peak * 1000.0 / 32768.0))
       }
 
     /** Stub arithmetic for non-audio payloads — ONE definition, mirrored
@@ -277,6 +289,70 @@ object Multimodal {
         case None => stubAudio(d.doc_id, n)
       }
     }
+  }
+
+  final case class AudioWindow(doc_id: Long, window_idx: Int,
+      n_frames: Long, rms_x1000: Long)
+
+  /** Windowed segment energies — the audio analogue of frame sampling
+    * (fixed-length analysis windows are what downstream audio-embedding
+    * and VAD stages consume). REAL for WAV/PCM: the decoded frame
+    * stream splits into [[AudioWindower.WindowFrames]]-frame windows
+    * (short final window kept) with per-window integer-exact RMS; the
+    * stub path treats the payload as [[AudioDecoder.stubAudio]]'s frame
+    * count split into [[AudioWindower.StubWindowFrames]]-frame windows
+    * with deterministic arithmetic the DuckDB twin mirrors. Row
+    * explosion happens executor-side, bounded by the window length,
+    * never on the driver. */
+  object AudioWindower {
+    val WindowFrames = 2048
+    val StubWindowFrames = 256L
+
+    def windows(d: BinaryDoc): Seq[AudioWindow] =
+      AudioDecoder.readWavSamples(d.payload) match {
+        case Some((fmt, samples)) =>
+          val ch = math.max(1, fmt.channels)
+          val perWindow = WindowFrames * ch
+          val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+          var idx = 0
+          var off = 0
+          while (off < samples.length) {
+            val len = math.min(perWindow, samples.length - off)
+            var i = 0
+            var sumSq = 0L
+            while (i < len) {
+              val s = samples(off + i).toLong; sumSq += s * s; i += 1
+            }
+            val rms = math.round(
+              math.sqrt(sumSq.toDouble / len) * 1000.0 / 32768.0)
+            out += AudioWindow(d.doc_id, idx, len.toLong / ch, rms)
+            idx += 1
+            off += len
+          }
+          out.toSeq
+        case None =>
+          val n = d.payload.length
+          val total = n.toLong / 4 + 1
+          (0L until total by StubWindowFrames).map { start =>
+            AudioWindow(d.doc_id, (start / StubWindowFrames).toInt,
+              math.min(StubWindowFrames, total - start),
+              (n.toLong * 37 + (start / StubWindowFrames) * 101) % 1000)
+          }
+      }
+  }
+
+  /** Batched windowed-energy extraction over the binary column. */
+  def extractAudioWindows(spark: SparkSession,
+      binaryDocs: DataFrame): Dataset[AudioWindow] = {
+    import spark.implicits._
+    binaryDocs
+      .select(col("doc_id"), col("payload"),
+        col("meta.lang").as("lang"), col("meta.source").as("source"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(MediaDecoder.BatchSize)
+          .flatMap(_.flatMap(AudioWindower.windows))
+      }
   }
 
   /** Batched partition-local audio feature extraction — the same
@@ -380,9 +456,26 @@ object Multimodal {
       |  CAST((n * 53) % 1000 AS BIGINT) AS peak_x1000
       |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** Windowed audio energies through the batched pipeline; fixtures all
+    * take the stub split (mirrored by the twin), the real per-window
+    * PCM RMS is suite-gated against a two-tone signal whose windows
+    * have different analytic energies. */
+  private val multimodalAudioWindows = QueryDef(
+    (s, dir) => extractAudioWindows(s, toBinary(Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id", "window_idx"),
+    Some("""WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n FROM documents),
+      |f AS (SELECT doc_id, n, CAST(n // 4 + 1 AS BIGINT) AS total FROM b)
+      |SELECT doc_id,
+      |  CAST(unnest(range(0, total, 256)) // 256 AS INT) AS window_idx,
+      |  CAST(LEAST(256, total - unnest(range(0, total, 256))) AS BIGINT) AS n_frames,
+      |  CAST((n * 37 + (unnest(range(0, total, 256)) // 256) * 101) % 1000 AS BIGINT) AS rms_x1000
+      |FROM f ORDER BY doc_id, window_idx""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frame_sample" -> multimodalFrameSample,
-    "multimodal_audio" -> multimodalAudio)
+    "multimodal_audio" -> multimodalAudio,
+    "multimodal_audio_windows" -> multimodalAudioWindows)
 }

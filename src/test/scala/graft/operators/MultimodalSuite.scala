@@ -161,6 +161,48 @@ class MultimodalSuite extends SparkSuite {
     assert(out(2L) === stub)
   }
 
+  test("windowed audio energies localize: a two-tone signal splits by window") {
+    // 8192 frames at amp 0.25 then 8192 at amp 0.5 — with 2048-frame
+    // windows, windows 0-3 must read ~177 and windows 4-7 ~354: the RMS
+    // comes from THAT window's samples, not a whole-file aggregate
+    val rate = 16000
+    val half = 8192
+    val samples = new Array[Byte](2 * half * 2)
+    for (i <- 0 until 2 * half) {
+      val amp = if (i < half) 0.25 else 0.5
+      val v = math.round(amp * 32767.0 *
+        math.sin(2 * math.Pi * 440.0 * i / rate)).toInt
+      samples(i * 2) = (v & 0xff).toByte
+      samples(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, (2 * half).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val ws = Multimodal.AudioWindower.windows(
+      Multimodal.BinaryDoc(5L, wav, "en", "aud")).sortBy(_.window_idx)
+    assert(ws.length === 8 && ws.forall(_.n_frames === 2048L))
+    ws.take(4).foreach(w => assert(math.abs(w.rms_x1000 - 177L) <= 2,
+      s"window ${w.window_idx}: ${w.rms_x1000}"))
+    ws.drop(4).foreach(w => assert(math.abs(w.rms_x1000 - 354L) <= 2,
+      s"window ${w.window_idx}: ${w.rms_x1000}"))
+
+    // non-audio payload splits by the stub arithmetic, matching it exactly
+    val txt = Array.fill[Byte](4100)('x')
+    val stub = Multimodal.AudioWindower.windows(
+      Multimodal.BinaryDoc(6L, txt, "en", "doc"))
+    val total = 4100L / 4 + 1 // 1026 frames -> windows of 256: 4x256 + 2
+    assert(stub.map(_.n_frames) === Seq(256L, 256L, 256L, 256L, 2L))
+    stub.zipWithIndex.foreach { case (w, i) =>
+      assert(w.rms_x1000 === (4100L * 37 + i * 101) % 1000)
+    }
+    assert(stub.map(_.n_frames).sum === total)
+  }
+
   test("corrupt RIFF header degrades to the audio stub instead of failing the batch") {
     val corrupt = "RIFFxxxxWAVE".getBytes("UTF-8") ++ Array.fill[Byte](40)(0x17)
     assert(Multimodal.AudioDecoder.sniffAudio(corrupt) === Some("wav"))
