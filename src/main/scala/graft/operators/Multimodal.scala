@@ -355,6 +355,102 @@ object Multimodal {
       }
   }
 
+  final case class ResampledAudio(doc_id: Long, src_rate: Int,
+      src_channels: Int, src_frames: Long, dst_rate: Int, dst_frames: Long,
+      wav: Array[Byte])
+
+  /** Resample to 16 kHz MONO — the canonical audio-ingest prep (what
+    * speech/audio-embedding models consume), the audio mirror of
+    * [[resizeImages]]: decode, channel-average to mono (integer),
+    * linear-interpolate to the target rate with EXACT integer
+    * arithmetic (`pos = j·srcRate/dstRate` kept as quotient+remainder —
+    * no float phase accumulator to drift or to round differently across
+    * platforms), re-encode as a real RIFF/WAVE payload via the JDK
+    * encoder. Non-audio payloads carry stub metadata and a null
+    * payload, keeping the oracle row engine-checkable. */
+  object AudioResampler {
+    val TargetRate = 16000
+
+    private[operators] def mono(samples: Array[Short], ch: Int): Array[Short] =
+      if (ch <= 1) samples
+      else {
+        val n = samples.length / ch
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0L
+          var c = 0
+          while (c < ch) { acc += samples(i * ch + c); c += 1 }
+          out(i) = (acc / ch).toShort
+          i += 1
+        }
+        out
+      }
+
+    private[operators] def interpolate(src: Array[Short], srcRate: Int,
+        dstRate: Int): Array[Short] = {
+      if (srcRate == dstRate || src.isEmpty) return src
+      val dstFrames = (src.length.toLong * dstRate / srcRate).toInt
+      val out = new Array[Short](dstFrames)
+      var j = 0
+      while (j < dstFrames) {
+        val num = j.toLong * srcRate // source position = num / dstRate
+        val idx = (num / dstRate).toInt
+        val rem = num % dstRate
+        val a = src(math.min(idx, src.length - 1)).toLong
+        val b = src(math.min(idx + 1, src.length - 1)).toLong
+        out(j) = (a + (b - a) * rem / dstRate).toShort
+        j += 1
+      }
+      out
+    }
+
+    private[operators] def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(i * 2) = (samples(i) & 0xff).toByte
+        bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def resample(d: BinaryDoc): ResampledAudio =
+      AudioDecoder.readWavSamples(d.payload) match {
+        case Some((fmt, samples)) =>
+          val m = mono(samples, fmt.channels)
+          val out = interpolate(m, fmt.sampleRate, TargetRate)
+          ResampledAudio(d.doc_id, fmt.sampleRate, fmt.channels,
+            m.length.toLong, TargetRate, out.length.toLong,
+            encodeWav(out, TargetRate))
+        case None =>
+          val stub = AudioDecoder.stubAudio(d.doc_id, d.payload.length)
+          ResampledAudio(d.doc_id, stub.sample_rate, stub.channels,
+            stub.n_frames, TargetRate,
+            stub.n_frames * TargetRate / stub.sample_rate, null)
+      }
+  }
+
+  /** Batched resample stage over the binary column. */
+  def resampleAudio(spark: SparkSession,
+      binaryDocs: DataFrame): Dataset[ResampledAudio] = {
+    import spark.implicits._
+    binaryDocs
+      .select(col("doc_id"), col("payload"),
+        col("meta.lang").as("lang"), col("meta.source").as("source"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(MediaDecoder.BatchSize).flatMap(_.map(AudioResampler.resample))
+      }
+  }
+
   /** Batched partition-local audio feature extraction — the same
     * mapPartitions call shape as [[extractFeatures]]. */
   def extractAudio(spark: SparkSession, binaryDocs: DataFrame): Dataset[AudioFeatures] = {
@@ -472,10 +568,28 @@ object Multimodal {
       |  CAST((n * 37 + (unnest(range(0, total, 256)) // 256) * 101) % 1000 AS BIGINT) AS rms_x1000
       |FROM f ORDER BY doc_id, window_idx""".stripMargin))
 
+  /** Resample metadata through the batched pipeline (payload column
+    * dropped for the oracle — fixtures are non-audio, so payloads are
+    * null and the metadata is the stub arithmetic the twin mirrors; the
+    * REAL 16 kHz mono round trip is suite-gated). */
+  private val multimodalAudioResample = QueryDef(
+    (s, dir) => resampleAudio(s, toBinary(Tables.documents(s, dir)))
+      .toDF().drop("wav").orderBy("doc_id"),
+    Some("""WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n FROM documents)
+      |SELECT doc_id,
+      |  CAST(8000 + (n % 3) * 4000 AS INT) AS src_rate,
+      |  CAST(1 + n % 2 AS INT) AS src_channels,
+      |  CAST(n // 4 + 1 AS BIGINT) AS src_frames,
+      |  CAST(16000 AS INT) AS dst_rate,
+      |  CAST((n // 4 + 1) * 16000 // (8000 + (n % 3) * 4000) AS BIGINT) AS dst_frames
+      |FROM b ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "multimodal_audio" -> multimodalAudio,
-    "multimodal_audio_windows" -> multimodalAudioWindows)
+    "multimodal_audio_windows" -> multimodalAudioWindows,
+    "multimodal_audio_resample" -> multimodalAudioResample)
 }

@@ -203,6 +203,41 @@ class MultimodalSuite extends SparkSuite {
     assert(stub.map(_.n_frames).sum === total)
   }
 
+  test("resample to 16 kHz mono: real round trip preserves duration and energy") {
+    // 8 kHz mono, 1 s of 440 Hz at amp 0.5 — upsampling to 16 kHz must
+    // double the frame count, keep the duration, and preserve RMS (the
+    // tone sits far below both Nyquist limits)
+    val up = Multimodal.AudioResampler.resample(
+      Multimodal.BinaryDoc(1L, realWav(8000, 1, 8000, 0.5), "en", "aud"))
+    assert((up.src_rate, up.src_channels, up.src_frames) === ((8000, 1, 8000L)))
+    assert((up.dst_rate, up.dst_frames) === ((16000, 16000L)))
+    val Seq(f) = Multimodal.AudioDecoder.decode(
+      Seq(Multimodal.BinaryDoc(1L, up.wav, "en", "aud"))).toList
+    assert((f.format, f.sample_rate, f.channels) === (("wav", 16000, 1)))
+    assert(f.n_frames === 16000L && f.duration_ms === 1000L)
+    assert(math.abs(f.rms_x1000 - 354L) <= 3, s"rms after upsample: ${f.rms_x1000}")
+
+    // 44.1 kHz stereo downsamples to mono 16 kHz with the exact
+    // integer frame count and preserved energy
+    val down = Multimodal.AudioResampler.resample(
+      Multimodal.BinaryDoc(2L, realWav(44100, 2, 44100, 0.5), "en", "aud"))
+    assert((down.src_channels, down.src_frames) === ((2, 44100L)))
+    assert(down.dst_frames === 44100L * 16000 / 44100)
+    val Seq(g) = Multimodal.AudioDecoder.decode(
+      Seq(Multimodal.BinaryDoc(2L, down.wav, "en", "aud"))).toList
+    assert((g.sample_rate, g.channels, g.duration_ms) === ((16000, 1, 1000L)))
+    assert(math.abs(g.rms_x1000 - 354L) <= 3, s"rms after downsample: ${g.rms_x1000}")
+
+    // non-audio payload: stub metadata, null payload, arithmetic exact
+    val txt = Array.fill[Byte](997)('q')
+    val stub = Multimodal.AudioResampler.resample(
+      Multimodal.BinaryDoc(3L, txt, "en", "doc"))
+    val sf = Multimodal.AudioDecoder.stubAudio(3L, 997)
+    assert(stub.wav === null)
+    assert((stub.src_rate, stub.src_frames) === ((sf.sample_rate, sf.n_frames)))
+    assert(stub.dst_frames === sf.n_frames * 16000 / sf.sample_rate)
+  }
+
   test("corrupt RIFF header degrades to the audio stub instead of failing the batch") {
     val corrupt = "RIFFxxxxWAVE".getBytes("UTF-8") ++ Array.fill[Byte](40)(0x17)
     assert(Multimodal.AudioDecoder.sniffAudio(corrupt) === Some("wav"))
