@@ -93,6 +93,60 @@ class GraftLogProducerSuite extends SparkSuite {
     assert(logRows(dir) === rows)
   }
 
+  test("randomized replay/tear sequences stay exactly-once (producer fuzz)") {
+    // Compose the scripted crash orderings at random: clean commits,
+    // torn first attempts (intent recorded, a random partition subset's
+    // segments landed) completed by replay, and replays of arbitrary
+    // OLD batchIds interleaved mid-stream. Whatever the sequence, every
+    // batch's rows land EXACTLY once, (partition, offset) stays unique,
+    // and every partition stays dense.
+    val rnd = new scala.util.Random(59L)
+    val dir = writeLog(6, 2)
+    val fs = new Path(dir).getFileSystem(conf())
+    val expected = scala.collection.mutable.ArrayBuffer.empty[String]
+    expected ++= logRows(dir).map(_._3)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    for (i <- 0 until 12) {
+      val k = 4 + rnd.nextInt(5)
+      val parts = 2 + (if (rnd.nextInt(4) == 0) 1 else 0) // partition 2 appears sometimes
+      val batch = spark.range(0, k.toLong)
+        .selectExpr(s"cast(id % $parts as int) as partition",
+          s"concat('b$i-', id) as key", s"concat('b$i-', id) as value")
+      batches += batch
+
+      if (rnd.nextInt(10) < 3) {
+        // torn first attempt: intent + a random (possibly empty) subset
+        // of partitions already committed, then the replay completes it
+        val bases = GraftLog.latestOffsets(dir, conf())
+        fs.mkdirs(new Path(dir, "_producer/default"))
+        val out = fs.create(new Path(dir, s"_producer/default/$i.intent"), true)
+        out.write(GraftLog.offsetsToJson(bases).getBytes("UTF-8")); out.close()
+        val subset = (0 until parts).filter(_ => rnd.nextBoolean())
+        if (subset.nonEmpty)
+          GraftLog.append(batch.filter(col("partition").isin(subset.map(Int.box): _*)), dir)
+      }
+      GraftLog.appendBatch(batch, dir, batchId = i.toLong)
+      expected ++= (0 until k).map(j => s"b$i-$j")
+
+      if (i > 0 && rnd.nextInt(10) < 4) {
+        // replay a random OLD batchId with its original frame: no-op
+        val old = rnd.nextInt(i)
+        GraftLog.appendBatch(batches(old), dir, batchId = old.toLong)
+      }
+
+      val rows = logRows(dir)
+      assert(rows.map(_._3).sorted === expected.sorted.toSeq,
+        s"iter $i: rows diverged from the exactly-once model")
+      assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length,
+        s"iter $i: duplicate (partition, offset)")
+      rows.groupBy(_._1).foreach { case (p, rs) =>
+        assert(rs.map(_._2) === (0L until rs.length.toLong),
+          s"iter $i: partition $p not dense")
+      }
+    }
+  }
+
   test("producerId scopes markers: a recreated pipeline's restarted batchIds do not collide") {
     val dir = writeLog(8, 2)
     val mk = (tag: String) => spark.range(0, 4)
