@@ -43,13 +43,16 @@ object Bench {
     val candidate = explicit.orElse {
       val dir = Paths.get(".")
       val rx = """BENCH_SOLO_r(\d+)\.json""".r
-      try Files.list(dir).iterator().asScala
-        .flatMap { p =>
-          p.getFileName.toString match {
-            case rx(n) => Some((n.toInt, p)); case _ => None
-          }
-        }.toSeq.sortBy(-_._1).headOption.map(_._2)
-      catch { case _: Exception => None }
+      try {
+        val listing = Files.list(dir) // requires close — directory handle
+        try listing.iterator().asScala
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case rx(n) => Some((n.toInt, p)); case _ => None
+            }
+          }.toSeq.sortBy(-_._1).headOption.map(_._2)
+        finally listing.close()
+      } catch { case _: Exception => None }
     }
     candidate.filter(Files.exists(_)).map { path =>
       try {

@@ -146,9 +146,22 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
   /** Recursive delete only after the [[isLog]] check (via
     * [[tableExists]]): a direct API call with an identifier that is
     * actually a confirmed namespace must NOT delete the subtree of logs
-    * under it — it reports "no such table" (false) instead. */
+    * under it — it reports "no such table" (false) instead. A FAILED
+    * delete of a confirmed table is a different thing entirely:
+    * returning false there surfaces as NoSuchTableException in Spark's
+    * DropTableExec while the log (or part of it) survives on disk —
+    * that must fail loudly, naming what survived, like truncateTable. */
   override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && fs.delete(dirOf(ident), true)
+    tableExists(ident) && {
+      val dir = dirOf(ident)
+      val deleted = fs.delete(dir, true)
+      if (!deleted && fs.exists(dir))
+        throw new IllegalStateException(
+          s"DROP TABLE $ident failed to delete $dir — the log still " +
+            "exists on disk (undeletable entries?); refusing to report " +
+            "it as dropped or missing")
+      deleted || !fs.exists(dir)
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

@@ -144,8 +144,42 @@ object GraftLogMaintenance {
             val dest = new Path(dir, s"partition=$p/${staged.getName}")
             val olds = lines.drop(2).map(new Path(_))
             if (fs.exists(staged) || fs.exists(dest)) {
-              finishSwap(fs, dir, p, staged, olds)
-              return
+              // Before trusting a sentinel-less journal's olds list,
+              // prove it is COMPLETE: a genuine legacy journal always
+              // lists every part file of partition p (compactOne passes
+              // all of them), while a current-format journal truncated
+              // mid-publish (crash during a copy+delete rename) parses
+              // identically but with olds cut short. Finishing the
+              // truncated one would promote the merged segment (all
+              // rows) while the unlisted old segments survive —
+              // duplicating every unlisted row with no trace. Any live
+              // part file of partition p that is neither the dest name
+              // nor in olds proves truncation.
+              val pdir = new Path(dir, s"partition=$p")
+              val listed = olds.map(_.getName).toSet + dest.getName
+              val extras =
+                if (fs.exists(pdir))
+                  GraftLog.partFiles(fs, pdir).map(_.getName)
+                    .filterNot(listed.contains)
+                else Seq.empty
+              if (extras.isEmpty) {
+                finishSwap(fs, dir, p, staged, olds)
+                return
+              }
+              if (fs.exists(staged)) {
+                // Truncation happened mid-journal-publish, BEFORE
+                // finishSwap: staging precedes the journal and nothing
+                // has been deleted yet, so aborting is safe — drop the
+                // journal; the staging sweep reclaims the merged file.
+                fs.delete(jp, false)
+                return
+              }
+              throw new IllegalStateException(
+                s"unrecognized compaction journal at $jp (no END " +
+                  s"sentinel; partition $p has part files not listed as " +
+                  s"olds: ${extras.mkString(", ")}; merged segment " +
+                  "already promoted) — refusing to auto-recover " +
+                  s"partition $p under $dir")
             }
             if (olds.forall(fs.exists)) { fs.delete(jp, false); return }
             throw new IllegalStateException(

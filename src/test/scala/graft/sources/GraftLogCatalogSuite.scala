@@ -5,6 +5,17 @@ import org.apache.spark.sql.streaming.Trigger
 
 import java.nio.file.Files
 
+/** Local filesystem whose recursive delete FAILS (returns false,
+  * deletes nothing) on any path containing "undeletable" — the
+  * HDFS-undeletable-entry shape, injectable under a root that ignores
+  * permission bits. */
+class FlakyDeleteFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flakydel"
+  override def getUri: java.net.URI = java.net.URI.create("flakydel:///")
+  override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean =
+    if (p.toString.contains("undeletable")) false else super.delete(p, recursive)
+}
+
 /** The SQL catalog face: logs addressable by name — CREATE / INSERT /
   * SELECT / SHOW / RENAME / DROP — resolving to the SAME native V2
   * table as `format("graftlog")`, pushdown surface included. */
@@ -296,6 +307,38 @@ class GraftLogCatalogSuite extends SparkSuite {
     assert(e4.getMessage.toLowerCase.contains("occupies"), e4.toString)
     assert(new java.io.File(s"$root/guard_src").exists())
     assert(spark.table("graft.guard_ns.inner").count() === 4)
+  }
+
+  test("dropTable on a confirmed table whose delete FAILS throws loudly, never false") {
+    // r15-verdict defect: `tableExists(ident) && fs.delete(dir, true)`
+    // conflated a failed recursive delete with not-a-table — Spark's
+    // DropTableExec surfaces the false as NoSuchTableException while
+    // the log (or part of it) survives on disk. Same failure family as
+    // the truncateTable fix: a survived delete must be LOUD. Root runs
+    // ignore file permissions, so the failure is injected through a
+    // filesystem scheme whose delete() returns false on marked paths.
+    root
+    spark.conf.set("fs.flakydel.impl", classOf[FlakyDeleteFileSystem].getName)
+    spark.conf.set("fs.flakydel.impl.disable.cache", "true")
+    val base = Files.createTempDirectory("graftlog-flaky").toString
+    val cat = new GraftLogCatalog
+    cat.initialize("flaky", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", s"flakydel:$base")))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "undeletable_log")
+    // an empty directory classifies as a (just-created) table
+    assert(new java.io.File(s"$base/undeletable_log").mkdirs())
+    assert(cat.tableExists(ident))
+    val e = intercept[IllegalStateException](cat.dropTable(ident))
+    assert(e.getMessage.contains("still exists"), e.toString)
+    assert(new java.io.File(s"$base/undeletable_log").exists(),
+      "the log must survive intact when the loud path fires")
+    // a deletable sibling still drops cleanly through the same fs
+    val ok = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "normal_log")
+    assert(new java.io.File(s"$base/normal_log").mkdirs())
+    assert(cat.dropTable(ok))
+    assert(!new java.io.File(s"$base/normal_log").exists())
   }
 
   test("fixed schema: mismatched CREATE columns and ALTER are rejected") {

@@ -19,10 +19,13 @@ import java.nio.file.Files
  * code destroyed (legacy journal + partially deleted olds) is inside
  * the sweep.
  *
- * Deliberately NOT injected: a truncated journal AT the journal path.
- * The temp+rename publish keeps partial records off that path on
- * rename-atomic filesystems; the scripted suite pins the abort/fail
- * behavior for the copy+delete-rename case separately.
+ * Also injected (r16): a truncated journal AT the journal path — the
+ * copy+delete-rename crash shape — cut at a RANDOM byte of the full
+ * current-format record, with the staged segment still present (the
+ * only state that ordering can produce). Recovery must never finish a
+ * swap off an incomplete olds list (that duplicates every unlisted
+ * row); the completeness proof is that a genuine legacy journal lists
+ * every part file of the partition.
  */
 class GraftLogMaintenanceFuzzSuite extends SparkSuite {
 
@@ -78,7 +81,7 @@ class GraftLogMaintenanceFuzzSuite extends SparkSuite {
       val p = rnd.nextInt(2)
 
       // draw a crash state the protocol can actually produce
-      val scenario = rnd.nextInt(6)
+      val scenario = rnd.nextInt(7)
       val desc = new StringBuilder(s"iter $iter p$p scenario $scenario")
       scenario match {
         case 0 => // staged debris, crash before the journal
@@ -87,6 +90,16 @@ class GraftLogMaintenanceFuzzSuite extends SparkSuite {
           val (staged, olds) = stage(dir, p)
           GraftLog.writeSmall(fs, new Path(dir, s"_staging/compact/JOURNAL.tmp-p$p"),
             (Seq(p.toString, staged.toString) ++ olds.take(1)).mkString("\n"))
+        case 2 => // TRUNCATED journal at the journal path (copy+delete-
+          // rename crash mid-publish): random byte cut of the full
+          // record, staged present, nothing deleted yet
+          val (staged, olds) = stage(dir, p)
+          val full = (Seq(p.toString, staged.toString) ++ olds :+ "END")
+            .mkString("\n")
+          val cut = 1 + rnd.nextInt(full.length - 1)
+          GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
+            full.take(cut))
+          desc ++= s" cut=$cut/${full.length}"
         case _ => // journal published (current or legacy), crash inside finishSwap
           val (staged, olds) = stage(dir, p)
           val legacy = rnd.nextBoolean()

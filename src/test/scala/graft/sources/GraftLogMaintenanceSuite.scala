@@ -135,6 +135,69 @@ class GraftLogMaintenanceSuite extends SparkSuite {
     assert(!fs.exists(new Path(dir, "_staging/compact/JOURNAL")))
   }
 
+  test("TRUNCATED current-format journal with staged segment present aborts (no dup rows)") {
+    // r15-advice defect: on a copy+delete-rename filesystem a crash
+    // mid-publish can leave a truncated CURRENT-format journal (olds
+    // cut short, END gone) that parses as legacy. The old recovery ran
+    // finishSwap with the incomplete olds list — promoting the merged
+    // segment (ALL rows) while the unlisted old segments survived,
+    // silently duplicating every unlisted (partition, offset) row. At
+    // that point staging has happened but nothing is deleted, so the
+    // only safe action is abort; the incomplete olds list is provable
+    // because a genuine legacy journal lists EVERY part file of p.
+    val dir = grownLog()
+    val before = rows(dir)
+    val fs = new Path(dir).getFileSystem(conf())
+    val olds = segFiles(dir, 0)
+    assert(olds.size >= 3)
+    val staged = new Path(dir, "_staging/compact/compacted-p0-torn.parquet")
+    spark.read.parquet(olds: _*).select("offset", "key", "value")
+      .coalesce(1).sortWithinPartitions("offset")
+      .write.parquet(s"$dir/_staging/compact/build")
+    val built = fs.listStatus(new Path(s"$dir/_staging/compact/build"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(built, staged))
+    // current-format journal truncated after the first old: no END, and
+    // olds.tail never made it onto disk at the journal path
+    GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
+      (Seq("0", staged.toString) :+ olds.head).mkString("\n"))
+
+    GraftLogMaintenance.recover(spark, dir)
+    assert(!fs.exists(new Path(dir, "_staging/compact/JOURNAL")),
+      "truncated journal not aborted")
+    assert(segFiles(dir, 0).toSet === olds.toSet,
+      "abort must leave every old segment in place and promote nothing")
+    assert(rows(dir) === before, "truncated-journal recovery changed the log")
+    // the abandoned compaction re-runs cleanly afterwards
+    val n1 = segFiles(dir, 1).size
+    val merged = GraftLogMaintenance.compactSegments(spark, dir)
+    assert(merged === Map(0 -> olds.size, 1 -> n1))
+    assert(rows(dir) === before)
+  }
+
+  test("no-END journal with unlisted part files and staged gone fails loudly") {
+    // Same truncation proof, but the merged segment is neither staged
+    // nor absent — it was already promoted (dest exists) while part
+    // files outside the olds list survive. No single action is safe:
+    // deleting extras could drop rows, aborting leaves duplicates.
+    val dir = grownLog()
+    val fs = new Path(dir).getFileSystem(conf())
+    val olds = segFiles(dir, 0)
+    val dest = new Path(dir, "partition=0/compacted-p0-promoted.parquet")
+    spark.read.parquet(olds.head).write.parquet(s"$dir/_staging/compact/build")
+    val built = fs.listStatus(new Path(s"$dir/_staging/compact/build"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(built, dest))
+    GraftLog.writeSmall(fs, new Path(dir, "_staging/compact/JOURNAL"),
+      (Seq("0", s"$dir/_staging/compact/${dest.getName}") :+ olds.head)
+        .mkString("\n"))
+    val e = intercept[IllegalStateException](
+      GraftLogMaintenance.recover(spark, dir))
+    assert(e.getMessage.contains("not listed as olds"), e.toString)
+    assert(fs.exists(new Path(dir, "_staging/compact/JOURNAL")),
+      "an unrecognized journal must be left in place for manual recovery")
+  }
+
   test("no-END journal with merged segment gone and olds partially deleted fails loudly") {
     val dir = grownLog()
     val fs = new Path(dir).getFileSystem(conf())
