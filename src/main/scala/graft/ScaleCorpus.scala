@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * FIT-AND-SAMPLE corpus synthesizer for the scaling sweep: the driver
+ * ships test data only up to sf0.1, so proving the ×10 scaling story
+ * empirically needs a same-shape corpus at 10× the rows. Rather than
+ * invent new distributions (which would make the ×10 ratio
+ * incomparable), every generation parameter is FITTED from the source
+ * corpus — word frequencies, language/source mixes, words-per-doc
+ * range, the exact-duplicate rate, embedding dimension / label count /
+ * cluster tilt — and rows are drawn deterministically from a per-row
+ * seeded RNG (`id`-mixed, order- and partition-independent), so the
+ * 1× synthetic twin both validates the generator against the real
+ * sf0.1 numbers and anchors the ×10 ratio.
+ *
+ * Only the three tables the heavy measured family reads are emitted:
+ * `documents` (dedup/pipeline), `embeddings` (kNN/cosine),
+ * `customer` (entity resolution). The 10× corpus is written as ~10
+ * files so per-task scan row counts match the 1× layout (at 100 TB the
+ * scan is many splits either way; every measured operator repartitions
+ * right after the scan).
+ */
+object ScaleCorpus extends Serializable {
+
+  /** SplitMix64 — one 64-bit mix gives every row an independent stream. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  final case class DocFit(words: Array[String], cum: Array[Double],
+      langs: Array[String], langCum: Array[Double], nSources: Int,
+      minWords: Int, maxWords: Int, dupEvery: Long, rows: Long)
+
+  final case class EmbFit(dim: Int, labels: Int, alpha: Double, rows: Long)
+
+  def fitDocuments(spark: SparkSession, srcDir: String): DocFit = {
+    val docs = Tables.documents(spark, srcDir)
+    val wordRows = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy("w").collect()
+    val words = wordRows.map(_.getString(0))
+    val counts = wordRows.map(_.getLong(1).toDouble)
+    val total = counts.sum
+    val cum = counts.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val langRows = docs.groupBy("lang").count().orderBy("lang").collect()
+    val langs = langRows.map(_.getString(0))
+    val lc = langRows.map(_.getLong(1).toDouble)
+    val langCum = lc.scanLeft(0.0)(_ + _).tail.map(_ / lc.sum)
+    val Seq(rows, distinctTexts, nSources, minW, maxW) = docs
+      .agg(count(lit(1)), countDistinct(col("text")),
+        countDistinct(col("source")),
+        min(size(split(col("text"), " "))),
+        max(size(split(col("text"), " "))))
+      .head().toSeq.map(_.toString.toLong).toSeq
+    val dups = rows - distinctTexts
+    val dupEvery = if (dups <= 0) Long.MaxValue else math.max(2L, rows / dups)
+    DocFit(words, cum, langs, langCum, nSources.toInt,
+      minW.toInt, maxW.toInt, dupEvery, rows)
+  }
+
+  def fitEmbeddings(spark: SparkSession, srcDir: String): EmbFit = {
+    val emb = Tables.embeddings(spark, srcDir)
+    val rows = emb.count()
+    val labels = emb.agg(countDistinct(col("label"))).head().getLong(0).toInt
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // cluster tilt: mean cosine of a vector to its label centroid (the
+    // source vectors are unit-norm, so the dot IS the cosine)
+    val withC = emb.groupBy("label")
+      .agg(array((0 until dim).map(i =>
+        avg(col("embedding").getItem(i))): _*).as("c"))
+    val alpha = emb.join(broadcast(withC), "label")
+      .select(
+        (aggregate(zip_with(col("embedding"), col("c"), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x) /
+          sqrt(aggregate(transform(col("c"), x => x * x),
+            lit(0.0d), (acc, x) => acc + x))).as("cos"))
+      .agg(avg("cos")).head().getDouble(0)
+    EmbFit(dim, labels, alpha, rows)
+  }
+
+  private def sampleIdx(cum: Array[Double], u: Double): Int = {
+    val i = java.util.Arrays.binarySearch(cum, u)
+    val k = if (i >= 0) i else -i - 1
+    math.min(k, cum.length - 1)
+  }
+
+  def generateDocuments(spark: SparkSession, fit: DocFit, factor: Int,
+      seed: Long, out: String): Unit = {
+    import spark.implicits._
+    val n = fit.rows * factor
+    val f = fit
+    def textFor(id: Long): String = {
+      val r = new java.util.SplittableRandom(mix64(seed ^ mix64(id)))
+      val nw = f.minWords + r.nextInt(f.maxWords - f.minWords + 1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nw) {
+        if (i > 0) sb.append(' ')
+        sb.append(f.words(sampleIdx(f.cum, r.nextDouble())))
+        i += 1
+      }
+      sb.toString
+    }
+    spark.range(0, n, 1, 8 * factor).map { boxed =>
+      val id: Long = boxed
+      // planted exact duplicates at the fitted rate: the dup row
+      // REGENERATES its neighbor's text (deterministic), never reads it
+      val src = if (f.dupEvery != Long.MaxValue &&
+        id % f.dupEvery == f.dupEvery - 1 && id > 0) id - 1 else id
+      val text = textFor(src)
+      val r = new java.util.SplittableRandom(mix64(seed ^ mix64(id) ^ 0x5CA1EL))
+      val lang = f.langs(sampleIdx(f.langCum, r.nextDouble()))
+      (id, text, lang, s"src${(id % f.nSources).toInt}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(factor)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def generateEmbeddings(spark: SparkSession, fit: EmbFit, factor: Int,
+      seed: Long, out: String): Unit = {
+    import spark.implicits._
+    val n = fit.rows * factor
+    val f = fit
+    val centers: Array[Array[Double]] = {
+      val r = new java.util.SplittableRandom(mix64(seed ^ 0xCE27E85L))
+      Array.fill(f.labels) {
+        val v = Array.fill(f.dim)(r.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / norm)
+      }
+    }
+    spark.range(0, n, 1, 8 * factor).map { boxed =>
+      val id: Long = boxed
+      val r = new java.util.SplittableRandom(mix64(seed ^ mix64(id) ^ 0xE3BL))
+      val label = r.nextInt(f.labels)
+      val c = centers(label)
+      val g = Array.fill(f.dim)(r.nextGaussian())
+      val gn = math.sqrt(g.map(x => x * x).sum)
+      val v = Array.tabulate(f.dim)(i => f.alpha * c(i) + g(i) / gn)
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(x => (x / vn).toFloat), label)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(factor)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  def generateCustomer(spark: SparkSession, srcDir: String, factor: Int,
+      seed: Long, out: String): Unit = {
+    import spark.implicits._
+    val src = Tables.customer(spark, srcDir)
+    val rows = src.count()
+    val segments = src.select("c_mktsegment").distinct()
+      .orderBy("c_mktsegment").collect().map(_.getString(0))
+    val nations = src.agg(max(col("c_nationkey"))).head().getInt(0) + 1
+    spark.range(0, rows * factor, 1, 8 * factor).map { boxed =>
+      val id: Long = boxed
+      val r = new java.util.SplittableRandom(mix64(seed ^ mix64(id) ^ 0xC057L))
+      (id, f"Customer#$id%09d", r.nextInt(nations),
+        math.rint(r.nextDouble(-999.99, 9999.99) * 100) / 100,
+        segments(r.nextInt(segments.length)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(factor)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Generate the three-table corpus at `factor`× the source rows under
+    * `outDir` (idempotent overwrite; fully seed-deterministic). */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int, seed: Long = 2016L): Unit = {
+    val docFit = fitDocuments(spark, srcDir)
+    val embFit = fitEmbeddings(spark, srcDir)
+    generateDocuments(spark, docFit, factor, seed, s"$outDir/documents.parquet")
+    generateEmbeddings(spark, embFit, factor, seed, s"$outDir/embeddings.parquet")
+    generateCustomer(spark, srcDir, factor, seed, s"$outDir/customer.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_scale/x10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, outDir, factor)
+    println(s"generated ${factor}x corpus from $srcDir at $outDir")
+    spark.stop()
+  }
+}

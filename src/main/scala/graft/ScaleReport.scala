@@ -1,0 +1,198 @@
+package graft
+
+import graft.metrics.{ResourceStats, StageMetricsProbe, TaskMetricsProbe}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * EMPIRICAL scaling sweep (r16): every "scale-correct" adjudication of
+ * the heavy operator family so far rests on plan reading; this artifact
+ * measures the curve instead. The seven most expensive queries run at
+ * the real sf0.1 corpus, a fitted synthetic 1× twin, and the same
+ * generator's 10× corpus ([[ScaleCorpus]]); each point records wall
+ * (min of 2 — artifact/codegen warm-up excluded), shuffle bytes, spill,
+ * peak task memory, and task count, plus the ×10/×1 ratios the claim
+ * lives on: wall and shuffle growing ≲ linearly in rows, zero spill,
+ * peak task memory flat (it is partition-sized, not data-sized).
+ *
+ * Also attributes `pipeline_curate_full`'s fixed job latency PER STAGE
+ * ([[StageMetricsProbe]]) — the per-stage wall/task/shuffle table that
+ * replaces the "fixed overhead across ~11 stages" inference.
+ */
+object ScaleReport {
+
+  val HeavyFamily: Seq[String] = Seq("dedup_clusters", "dedup_clusters_star",
+    "pipeline_curate_full", "knn_graph", "dedup_containment",
+    "match_entities", "dedup_embedding_cosine")
+
+  val ScaleBase: String = "/tmp/graft_scale"
+  val Seed = 2016L
+
+  /** Generate the fitted synthetic corpora if absent (deterministic —
+    * a present directory is always the same bytes). */
+  def ensureCorpora(spark: SparkSession, realDir: String): (String, String) = {
+    val x1 = s"$ScaleBase/x1"
+    val x10 = s"$ScaleBase/x10"
+    def missing(d: String) =
+      !new java.io.File(s"$d/customer.parquet").exists()
+    if (missing(x1)) ScaleCorpus.generate(spark, realDir, x1, 1, Seed)
+    if (missing(x10)) ScaleCorpus.generate(spark, realDir, x10, 10, Seed)
+    (x1, x10)
+  }
+
+  private def runLabeled(spark: SparkSession, probe: TaskMetricsProbe,
+      q: String, dir: String, label: String): (Double, ResourceStats) = {
+    spark.sparkContext.setJobGroup(label, s"scale probe: $label",
+      interruptOnCancel = false)
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(q)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    finally spark.sparkContext.clearJobGroup()
+    val wall = (System.nanoTime() - t0) / 1e9
+    probe.quiesce(sc = spark.sparkContext)
+    val st = probe.snapshot(label).getOrElse(
+      throw new IllegalStateException(s"no task metrics for '$label'"))
+    require(st.tasks > 0, s"zero tasks attributed to '$label'")
+    (wall, st)
+  }
+
+  private def d2(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+
+  private def pointJson(wall: Double, r: ResourceStats): String =
+    s"""{"wall_sec": ${d2(wall)}, """ +
+      s""""shuffle_write_bytes": ${r.shuffleWriteBytes}, """ +
+      s""""shuffle_read_bytes": ${r.shuffleReadBytes}, """ +
+      s""""spill_bytes": ${r.memSpillBytes + r.diskSpillBytes}, """ +
+      s""""peak_task_memory_bytes": ${r.peakTaskMemory}, """ +
+      s""""input_bytes": ${r.inputBytes}, "tasks": ${r.tasks}}"""
+
+  /** The scaling table as a JSON object body (no surrounding key). */
+  def scalingJson(spark: SparkSession, realDir: String): String = {
+    val (x1, x10) = ensureCorpora(spark, realDir)
+    val probe = new TaskMetricsProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      val scales = Seq("sf0_1" -> realDir, "x1" -> x1, "x10" -> x10)
+      val rows = HeavyFamily.map { q =>
+        val per = scales.map { case (tag, dir) =>
+          // min of 2: run 1 pays one-time artifact builds (FixtureStore)
+          // and codegen; run 2 is the steady state the ratio compares
+          val runs = (1 to 2).map(i =>
+            runLabeled(spark, probe, q, dir, s"$q@$tag#$i"))
+          tag -> runs.minBy(_._1)
+        }
+        val byTag = per.toMap
+        val (w1, r1) = byTag("x1")
+        val (w10, r10) = byTag("x10")
+        val shuffleRatio =
+          if (r1.shuffleWriteBytes == 0) 0.0
+          else r10.shuffleWriteBytes.toDouble / r1.shuffleWriteBytes
+        val body = per.map { case (tag, (w, r)) =>
+          s"""      "$tag": ${pointJson(w, r)}"""
+        }.mkString(",\n")
+        s"""    "$q": {
+           |$body,
+           |      "wall_ratio_10x": ${d2(w10 / w1)},
+           |      "shuffle_ratio_10x": ${d2(shuffleRatio)},
+           |      "peak_mem_ratio_10x": ${d2(
+          r10.peakTaskMemory.toDouble / math.max(1L, r1.peakTaskMemory))}
+           |    }""".stripMargin
+      }
+      s"""{
+         |  "corpus": {"x1": "$x1", "x10": "$x10", "seed": $Seed,
+         |    "generator": "ScaleCorpus fit-and-sample from $realDir"},
+         |  "queries": {
+         |${rows.mkString(",\n")}
+         |  }
+         |}""".stripMargin
+    } finally spark.sparkContext.removeSparkListener(probe)
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+
+  /** Per-stage attribution of `pipeline_curate_full` at `dir`. */
+  def pipelineStagesJson(spark: SparkSession, dir: String): String =
+    stagesJson(spark, "pipeline_curate_full", dir)
+
+  /** Per-stage attribution of any registered query at `dir`. */
+  def stagesJson(spark: SparkSession, q: String, dir: String): String = {
+    val stageProbe = new StageMetricsProbe
+    val taskProbe = new TaskMetricsProbe // reuse its quiesce
+    spark.sparkContext.addSparkListener(stageProbe)
+    spark.sparkContext.addSparkListener(taskProbe)
+    try {
+      // warm run unlabeled (codegen/artifacts), measured run labeled
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val label = s"$q@stages"
+      spark.sparkContext.setJobGroup(label, label, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      taskProbe.quiesce(sc = spark.sparkContext)
+      val st = stageProbe.stages(label)
+      require(st.nonEmpty, s"no stages attributed to $q")
+      val wallSum = st.map(_.wallMs).sum.toDouble
+      val top = st.maxBy(_.wallMs)
+      val rows = st.map { s =>
+        s"""    {"stage_id": ${s.stageId}, "wall_ms": ${s.wallMs}, """ +
+          s""""tasks": ${s.tasks}, "shuffle_read_bytes": ${s.shuffleReadBytes}, """ +
+          s""""shuffle_write_bytes": ${s.shuffleWriteBytes}, """ +
+          s""""input_bytes": ${s.inputBytes}, "spill_bytes": ${s.spillBytes}, """ +
+          s""""name": "${esc(s.name)}"}"""
+      }.mkString(",\n")
+      s"""{
+         |  "query": "$q",
+         |  "sf_dir": "$dir",
+         |  "wall_sec": ${d2(wall)},
+         |  "stage_count": ${st.size},
+         |  "top_stage_id": ${top.stageId},
+         |  "top_stage_share_of_stage_walls": ${d2(top.wallMs / wallSum)},
+         |  "stages": [
+         |$rows
+         |  ]
+         |}""".stripMargin
+    } finally {
+      spark.sparkContext.removeSparkListener(stageProbe)
+      spark.sparkContext.removeSparkListener(taskProbe)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // profile mode: `runMain graft.ScaleReport --stages <query> <dir>`
+    if (args.headOption.contains("--stages")) {
+      val spark = Tables.configure(SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false")).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      println(stagesJson(spark, args(1), args(2)))
+      spark.stop()
+      return
+    }
+    val round = args.headOption.getOrElse("16")
+    val outPath = args.lift(1).getOrElse(s"METRICS_SCALE_r$round.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json =
+      s"""{
+         |  "round": $round,
+         |  "sf_dir": "$sfDir",
+         |  "scaling": ${scalingJson(spark, sfDir)},
+         |  "pipeline_stages": ${pipelineStagesJson(spark, sfDir)}
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

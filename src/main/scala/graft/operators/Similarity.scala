@@ -334,6 +334,31 @@ object Similarity {
 
   private[operators] val NumCentroids = 8
 
+  /** DATA-DEPENDENT nlist for the SEEDED coarse quantizer (the
+    * [[seededAssignedOf]] family: semantic dedup, centroid tails, the
+    * kNN graph): cell count grows linearly with the corpus at
+    * ~[[AdaptiveCellTarget]] rows per cell — the SemDeDup "nlist ∝ N"
+    * knob made real (the r16 ×10 sweep measured 27× shuffle growth on
+    * `knn_graph` with the fixed 8: within-cell pair work is quadratic
+    * in occupancy, so occupancy must stay constant as N grows). Floored
+    * at [[NumCentroids]] (the value every ≤2k-row oracle/bench corpus
+    * resolves to, so the small-SF gates are unchanged) and capped where
+    * the centroid LITERALS stop being plan-sized — past the cap the
+    * assignment should move to a broadcast-join quantizer (documented,
+    * not needed at measured scales). Both engines derive it from the
+    * same `count(*)`, so the DuckDB twins stay in lockstep by
+    * construction. */
+  private[operators] val AdaptiveCellTarget = 250L
+  private[operators] val AdaptiveCellCap = 4096L
+  private[operators] def adaptiveNlist(n: Long): Long =
+    math.min(AdaptiveCellCap, math.max(NumCentroids.toLong, n / AdaptiveCellTarget))
+
+  /** The SQL-side twin of [[adaptiveNlist]] over the `embeddings`
+    * table (DuckDB `//` floors like Spark's `div` on non-negatives). */
+  private def adaptiveNlistSql: String =
+    s"(SELECT LEAST($AdaptiveCellCap, GREATEST($NumCentroids, " +
+      s"count(*) // $AdaptiveCellTarget)) FROM embeddings)"
+
   /** Nearest-centroid as ONE per-row HOF fold over the (tiny, literal)
     * centroid array (r2 verdict #1): replaces the broadcast-cross-join +
     * `row_number` window, which blew the corpus up ×nlist through a
@@ -1417,10 +1442,10 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * of an all-pairs sweep. Cross-cell duplicates are the banded
     * [[dedupEmbeddingCosine]] family's job.
     *
-    * Scale shape: nlist grows with the corpus (the paper runs 50k
-    * clusters; here the seeded 8 stand in, same knob as the IVF queries),
-    * so cell population — and with it the within-cell candidate mass —
-    * stays bounded independent of N. The assignment is the zero-shuffle
+    * Scale shape: nlist grows with the corpus ([[adaptiveNlist]] —
+    * linear in N at ~250 rows/cell, floored at the seeded 8 the small-SF
+    * oracles resolve to), so cell population — and with it the
+    * within-cell candidate mass — stays bounded independent of N. The assignment is the zero-shuffle
     * literal-centroid fold; only (vec_id, cell, csim) rides the cell
     * exchange (embeddings re-fetched per candidate side via shuffle-hash
     * joins, the [[embeddingCosinePairs]] shape); a boilerplate-hot cell
@@ -1432,7 +1457,10 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private[operators] def seededAssignedOf(emb0: DataFrame): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
-    val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
+    // nlist ∝ N (see adaptiveNlist): the count is one columnar action,
+    // metadata-cheap next to the cell exchange it right-sizes
+    val nlist = adaptiveNlist(emb.count())
+    val cents = collectCentroids(emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))
     assignCellsWithSim(emb, cents)
@@ -1442,7 +1470,9 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     seededAssignedOf(Tables.embeddings(s, dir).repartition(64))
 
   /** DuckDB twin of [[seededAssigned]]: CTEs ending in
-    * `assigned(vec_id, cell, csim, embedding, nrm)`. */
+    * `assigned(vec_id, cell, csim, embedding, nrm)`. The centroid count
+    * is the SQL [[adaptiveNlistSql]] twin of [[adaptiveNlist]] — same
+    * `count(*)`-derived value on both engines. */
   private def seededAssignSql: String =
     s"""e AS (
       |  SELECT vec_id, embedding,
@@ -1450,7 +1480,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |  FROM embeddings),
       |cents AS (
       |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
-      |  WHERE vec_id < $NumCentroids),
+      |  WHERE vec_id < $adaptiveNlistSql),
       |assigned AS (
       |  SELECT vec_id, cell, csim, embedding, nrm FROM (
       |    SELECT e.vec_id, c.cent_id AS cell,
@@ -1590,8 +1620,9 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     *
     * Cell-bucketed by the seeded coarse quantizer ([[seededAssignedOf]]
     * — the shared quantizer contract), so candidate mass per node is its
-    * cell population: nlist ∝ N bounds it at scale (the SemDeDup
-    * stance), and cross-cell edges are the banded family's job.
+    * cell population: nlist ∝ N ([[adaptiveNlist]]) bounds it at scale
+    * (the SemDeDup stance), and cross-cell edges are the banded
+    * family's job.
     *
     * Shape at 100 TB: ONE cell-partitioned exchange read by both join
     * sides (ReusedExchange), hot cells triangle-salted by [[SkewGuard]]

@@ -113,8 +113,20 @@ object SkewGuard {
       .repartition(col("band"))
     val ann = banded.join(hot, Seq("band"), "left")
 
-    // (3) cold: the pre-guard plan, verbatim.
+    // Pair-stage parallelism FLOOR (the EntityResolution.pairParallelism
+    // lesson, re-measured by the r16 ×10 sweep): the pair joins' cost is
+    // quadratic in band occupancy while their INPUT bytes are tiny, so
+    // AQE's byte-based coalescing squeezes the exchange (16 tasks were
+    // observed carrying 94M candidate pairs — 4.5 GB of sort spill on a
+    // zero-spill plan). An explicit count makes the exchange
+    // REPARTITION_BY_NUM, which AQE never coalesces; 4× cores scales
+    // with the cluster. ONE repartition below the suffixed projections
+    // keeps the two join sides reading the SAME exchange (ReusedExchange).
+    val pairP = 4 * banded.sparkSession.sparkContext.defaultParallelism
+
+    // (3) cold: the pre-guard plan, at the explicit pair parallelism.
     val cold = ann.filter(col(N).isNull).drop(N)
+      .repartition(pairP, col("band"))
     val coldPairs = suffixed(cold, "_1")
       .join(suffixed(cold, "_2").hint("shuffle_hash"), Seq("band"))
       .filter(col(idCol + "_1") < col(idCol + "_2"))
@@ -128,6 +140,7 @@ object SkewGuard {
       .withColumn(Cell, explode(transform(
         sequence(lit(0), col(NSalt) - 1),
         k => least(col(Grp), k) * col(NSalt) + greatest(col(Grp), k))))
+      .repartition(pairP, col("band"), col(Cell))
     val hotA = suffixed(hotBase, "_1").withColumnRenamed(Grp, G1)
     val hotB = suffixed(hotBase, "_2").withColumnRenamed(Grp, G2)
       .drop(NSalt)

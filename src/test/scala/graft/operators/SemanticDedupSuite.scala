@@ -66,4 +66,44 @@ class SemanticDedupSuite extends SparkSuite {
     // kept rows carry their true cell assignment
     kept.foreach { case (id, cell) => assert(cellOf(id) == cell) }
   }
+
+  test("adaptive nlist: cells grow with the corpus; assignment stays the argmax") {
+    // formula boundaries (floor at 8, linear at 250/cell, cap at 4096)
+    assert(Similarity.adaptiveNlist(0) == 8)
+    assert(Similarity.adaptiveNlist(2000) == 8)
+    assert(Similarity.adaptiveNlist(2249) == 8)
+    assert(Similarity.adaptiveNlist(2250) == 9)
+    assert(Similarity.adaptiveNlist(20000) == 80)
+    assert(Similarity.adaptiveNlist(1L << 40) == 4096)
+
+    // a 3000-row corpus must get 12 cells, and every row's cell must be
+    // the argmax over exactly those 12 seeded centroids (strict-improve
+    // fold = lowest cent_id on ties, the oracle's ORDER BY)
+    import spark.implicits._
+    val n = 3000
+    val rows = (0 until n).map { i =>
+      val r = new java.util.SplittableRandom(i * 0x9E3779B97F4A7C15L + 7)
+      (i.toLong, Array.fill(16)(r.nextDouble(-1.0, 1.0).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val assigned = Similarity.seededAssignedOf(emb)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned.values.max == 11 && assigned.values.min == 0,
+      s"3000 rows must spread over cells 0..11, got ${assigned.values.toSet}")
+
+    val cents = rows.take(12).map { case (_, v) =>
+      val arr = v.map(_.toDouble).toArray
+      (arr, math.sqrt(arr.map(x => x * x).sum))
+    }
+    rows.foreach { case (id, v) =>
+      val x = v.map(_.toDouble).toArray
+      val nrm = math.sqrt(x.map(a => a * a).sum)
+      val best = cents.zipWithIndex.minBy { case ((c, cn), i) =>
+        (-x.zip(c).map(p => p._1 * p._2).sum / (nrm * cn), i)
+      }._2
+      assert(assigned(id) == best.toLong,
+        s"vec $id assigned cell ${assigned(id)}, argmax is $best")
+    }
+  }
 }
