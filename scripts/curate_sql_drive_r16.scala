@@ -85,9 +85,10 @@ object SqlCurateDrive {
     println(s"SQLDRIVE cosine over ${sim.length} labels ok")
 
     // ---- 3. MAINTAIN: CALL procedures + TRUNCATE ----
+    // positions are next-write positions: their sum IS the row count
     val off = sql("CALL graft.system.committed_offsets(`table` => 'curated')")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    assert(off.values.sum + off.size == curN,
+    assert(off.values.sum == curN,
       s"committed offsets $off disagree with $curN rows")
     println(s"SQLDRIVE committed_offsets: $off")
 

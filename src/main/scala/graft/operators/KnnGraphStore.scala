@@ -74,13 +74,21 @@ object KnnGraphStore {
     epoch
   }
 
-  /** Drop superseded epochs (every committed epoch below the latest) —
-    * the maintenance face of the refresh lifecycle. Maintenance window
-    * like EpochCommit.compact: no concurrent readers in other JVMs.
+  /** Drop superseded epochs — the maintenance face of the refresh
+    * lifecycle. `grace` is the snapshot-retention rule every table
+    * format ends up with (the r16 concurrency soak measured why): an
+    * expire that deletes everything below the live epoch can yank files
+    * out from under a reader whose plan resolved just before a refresh
+    * committed. `grace = 1` keeps the previous epoch too, which
+    * protects any reader no staler than one refresh cycle; `grace = 0`
+    * (the default, unchanged semantics) requires no concurrent readers
+    * — a racing reader fails LOUDLY (missing-file error), never reads
+    * silently-wrong rows (EpochConcurrencySoakSuite pins both modes).
     * Returns the epochs removed. */
-  def expire(s: SparkSession, path: String): Seq[Long] =
+  def expire(s: SparkSession, path: String, grace: Int = 0): Seq[Long] =
     graft.ops.EpochCommit.latest(s, s"$path/edges") match {
-      case Some(live) => graft.ops.EpochCommit.expireBelow(s, s"$path/edges", live)
+      case Some(live) =>
+        graft.ops.EpochCommit.expireBelow(s, s"$path/edges", live - grace)
       case None => Seq.empty
     }
 
@@ -89,8 +97,7 @@ object KnnGraphStore {
     * semantics: exactly one epoch serves reads; a committed refresh
     * swaps it atomically. */
   def edges(s: SparkSession, path: String): DataFrame =
-    graft.ops.EpochCommit
-      .filterLatest(s.read.parquet(s"$path/edges"), s"$path/edges")
+    graft.ops.EpochCommit.latestTable(s, s"$path/edges")
       .select("query_id", "rank", "neighbor_id", "sim")
 
   /** Point probe: the stored neighbors of `nodes`, read through bucket
@@ -100,8 +107,7 @@ object KnnGraphStore {
     require(nodes.nonEmpty, "no probe nodes")
     // floorMod: must match the build's pmod on any id sign
     val buckets = nodes.map(n => java.lang.Math.floorMod(n, NumBuckets.toLong)).distinct
-    graft.ops.EpochCommit
-      .filterLatest(s.read.parquet(s"$path/edges"), s"$path/edges")
+    graft.ops.EpochCommit.latestTable(s, s"$path/edges")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("query_id").isin(nodes: _*))
       .select("query_id", "rank", "neighbor_id", "sim")

@@ -258,6 +258,121 @@ object EpochCommit {
     * Marking epoch n+1 atomically swaps every reader from n to n+1; a
     * torn refresh (data, no marker) stays invisible. Legacy layouts
     * (no epoch column) pass through untouched. */
+  /** Marker-FIRST table constructions. The one-liner
+    * `filterLatest(s.read.parquet(root), root)` has a (vanishingly
+    * narrow, but real) mid-commit window: `read.parquet` LISTS files
+    * before the filter resolves markers, so a listing that catches half
+    * an epoch's just-renaming files followed by that epoch's marker
+    * landing before marker-resolution would serve a PARTIAL epoch.
+    * Resolving the committed set BEFORE the listing closes it: a marked
+    * epoch is fully renamed before any listing that can also see its
+    * marker (write-then-mark ordering), and an unmarked epoch is
+    * filtered out however much of it was listed. Prefer these faces
+    * whenever constructing the frame yourself. */
+  /** Frame over EXACTLY the given epochs' directories (basePath keeps
+    * the partition columns). Confining the listing AND the schema
+    * inference to the pinned dirs is the second half of the
+    * marker-first story: `read.parquet(root)` reads footers of every
+    * listed file at construction time, so even a correctly-pinned read
+    * could crash on ANOTHER epoch's file mid-delete (measured by the
+    * r16 soak — the failure was in construction, not the scan). */
+  private def epochDirsTable(s: SparkSession, root: String,
+      es: Seq[Long]): DataFrame =
+    s.read.option("basePath", root)
+      .parquet(es.map(e => s"$root/epoch=$e"): _*)
+      .drop("epoch")
+
+  /** Frame for a root with NO committed epochs: empty for epoch
+    * layouts, pass-through for legacy (pre-protocol) layouts. */
+  private def uncommittedTable(s: SparkSession, root: String): DataFrame = {
+    val df = s.read.parquet(root)
+    if (df.columns.contains("epoch")) df.filter(lit(false)).drop("epoch")
+    else df
+  }
+
+  def latestTable(s: SparkSession, root: String): DataFrame =
+    latest(s, root) match { // markers resolved BEFORE any listing
+      case Some(e) => epochDirsTable(s, root, Seq(e))
+      case None => uncommittedTable(s, root)
+    }
+
+  /** [[filterCommitted]] with marker-first construction — see
+    * [[latestTable]]. */
+  def committedTable(s: SparkSession, root: String): DataFrame = {
+    val es = committed(s, root) // before any listing
+    if (es.isEmpty) uncommittedTable(s, root)
+    else epochDirsTable(s, root, es)
+  }
+
+  /** True for the failure shape a maintenance delete leaves under a
+    * racing scan: missing files/paths at read time. */
+  private def isMissingFileError(t: Throwable): Boolean = {
+    val msgHit = Option(t.getMessage).exists(m =>
+      m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
+        m.contains("does not exist"))
+    msgHit || (t.getCause != null && isMissingFileError(t.getCause))
+  }
+
+  /** Eager VALIDATING read of the latest artifact — the MVCC reader
+    * pattern for maintenance racing reads, pinned by the r16
+    * concurrency soak: PIN the live epoch (markers before listing),
+    * run the caller's eager read over it, then VERIFY the pinned
+    * marker survived. An expire/compact that deleted the pinned epoch
+    * mid-read is detected two ways — the scan fails on missing files,
+    * or (a listing racing the recursive delete can serve a silent
+    * SUBSET) the post-read marker check fails — and either way the
+    * read retries against the new live epoch. Exhausting retries
+    * fails loudly. The lazy faces ([[latestTable]]/[[filterLatest]])
+    * remain correct whenever maintenance holds the documented window
+    * or retention covers reader staleness; this face is for readers
+    * that must survive UNGRACED maintenance. */
+  def latestSnapshot[T](s: SparkSession, root: String, retries: Int = 3)(
+      f: DataFrame => T): T = {
+    var attempt = 0
+    while (attempt <= retries) {
+      try {
+        val pinned = latest(s, root) // markers BEFORE any listing
+        val frame = pinned match {
+          case Some(e) => epochDirsTable(s, root, Seq(e))
+          case None => uncommittedTable(s, root)
+        }
+        val out = f(frame)
+        if (pinned.forall(e => committed(s, root).contains(e))) return out
+        // pinned epoch expired mid-read: `out` may be a silent subset
+      } catch {
+        case t: Throwable if isMissingFileError(t) && attempt < retries => ()
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"latestSnapshot($root): the live epoch was superseded and expired " +
+        s"under the reader $retries times in a row")
+  }
+
+  /** [[latestSnapshot]]'s union-face sibling: pins the committed SET and
+    * retries if any pinned epoch's marker vanished mid-read. */
+  def committedSnapshot[T](s: SparkSession, root: String, retries: Int = 3)(
+      f: DataFrame => T): T = {
+    var attempt = 0
+    while (attempt <= retries) {
+      try {
+        val pinnedSet = committed(s, root) // markers BEFORE any listing
+        val frame =
+          if (pinnedSet.isEmpty) uncommittedTable(s, root)
+          else epochDirsTable(s, root, pinnedSet)
+        val out = f(frame)
+        val now = committed(s, root).toSet
+        if (pinnedSet.forall(now.contains)) return out
+      } catch {
+        case t: Throwable if isMissingFileError(t) && attempt < retries => ()
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"committedSnapshot($root): pinned epochs kept expiring under the " +
+        s"reader $retries times in a row")
+  }
+
   def filterLatest(df: DataFrame, root: String): DataFrame =
     if (!df.columns.contains("epoch")) df
     else latest(df.sparkSession, root) match {
@@ -270,8 +385,18 @@ object EpochCommit {
     * torn (unmarked) epoch [[sweepTorn]] reclaims rather than a marked
     * epoch with no data. The survivors stay a dense range, so HEAD is
     * rewritten to it (or dropped if the state is unexpectedly gapped).
-    * Same maintenance-window caveat as [[compact]]: other JVMs'
-    * positive marker-cache entries for expired epochs go stale.
+    *
+    * READER CONTRACT (measured by the r16 concurrency soak, not
+    * assumed): deleting VISIBLE epochs races any reader whose plan
+    * resolved before the delete — same-JVM included — exactly the
+    * snapshot-expiry race of every table format. A racing reader fails
+    * LOUDLY (missing-file read error); it never sees silently-wrong
+    * rows (a partially-deleted epoch kills the scan, it can't serve a
+    * subset). To run expiry under live readers, pass `keep = latest−g`
+    * (retention: readers staler than g refresh cycles are out of
+    * contract — the [[graft.operators.KnnGraphStore.expire]] `grace`
+    * knob). Other JVMs' positive marker-cache entries for expired
+    * epochs additionally go stale, as with [[compact]].
     * Returns the epochs removed. */
   def expireBelow(s: SparkSession, root: String, keep: Long): Seq[Long] = {
     val fs = hadoopFs(s, new Path(root))
