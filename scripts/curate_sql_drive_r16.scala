@@ -31,9 +31,17 @@ object SqlCurateDrive {
       SELECT cast(doc_id % 4 AS int), doc_id div 4,
              cast(doc_id AS string), text
       FROM corpus""")
+    // two PII-bearing rows (SQL VALUES ride the same V2 write path,
+    // offsets continuing each partition's dense sequence) so the
+    // redaction stage provably fires on this clean fixture corpus
+    sql("""INSERT INTO graft.raw_docs VALUES
+      (0, 125, 'pii-1', 'please contact alice@example.com about the corpus
+drop and keep this sentence long enough to clear the twelve token gate'),
+      (1, 125, 'pii-2', 'the on call pager is 01-555-123-4567 and the box
+sits at 10.2.3.4 which is definitely enough tokens for the quality gate')""")
     val rawN = one("SELECT count(*) FROM graft.raw_docs")
     val srcN = one("SELECT count(*) FROM corpus")
-    assert(rawN == srcN, s"ingest lost rows: $rawN vs $srcN")
+    assert(rawN == srcN + 2, s"ingest lost rows: $rawN vs $srcN + 2")
     println(s"SQLDRIVE ingested $rawN rows into graft.raw_docs")
 
     // ---- 2. CURATE: kernel functions from pure SQL ----
@@ -41,7 +49,7 @@ object SqlCurateDrive {
     sql("""CREATE TEMPORARY VIEW curated_rows AS
       WITH redacted AS (
         SELECT partition, offset, key,
-               regexp_redact_chain(value) AS value
+               regexp_redact_chain(value).redacted AS value
         FROM graft.raw_docs),
       gated AS (
         SELECT *, size(split(value, ' ')) AS n_tokens
@@ -68,8 +76,10 @@ object SqlCurateDrive {
       FROM curated_rows""")
     val curN = one("SELECT count(*) FROM graft.curated")
     assert(curN > 0 && curN <= rawN, s"curation produced $curN of $rawN")
-    val redactedN = one(
-      "SELECT count(*) FROM graft.curated WHERE value LIKE '%[%]%'")
+    val redactedN = one("""SELECT count(*) FROM graft.curated
+      WHERE value LIKE '%[EMAIL]%' OR value LIKE '%[PHONE]%'
+         OR value LIKE '%[IP]%' OR value LIKE '%[NUM]%'""")
+    assert(redactedN >= 2, s"the injected PII rows were not redacted ($redactedN)")
     println(s"SQLDRIVE curated $curN rows ($redactedN carrying redactions)")
 
     // cosine_similarity: the SQL face of the vector kernel on the
@@ -115,7 +125,7 @@ object SqlCurateDrive {
     val afterN = one("SELECT count(*) FROM graft.curated")
     assert(afterN == grownN, s"compaction changed row count: $afterN vs $grownN")
     assert(sql("CALL graft.system.recover_compaction(`table` => 'curated')")
-      .collect()(0).getBoolean(0) == false, "unexpected in-flight recovery")
+      .collect()(0).getString(0) == "ok", "recovery CALL did not return ok")
 
     // retire the raw staging log
     sql("TRUNCATE TABLE graft.raw_docs")
