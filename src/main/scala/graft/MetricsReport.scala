@@ -251,6 +251,17 @@ object MetricsReport {
     // V2 streaming sink (exactly-once asserted inside the drive)
     val glog = StreamBench.runGraftLog(spark, sfDir)
 
+    // 5. (r16) the empirical scaling table — the heavy family at the
+    // real corpus, a fitted 1× synthetic twin, and the same generator's
+    // 10× corpus, plus per-stage attribution of pipeline_curate_full.
+    // SPARK_GRAFT_SKIP_SCALE=1 skips the ~15-minute sweep for quick
+    // artifact iterations; the tracked per-round artifact includes it.
+    val skipScale = sys.env.get("SPARK_GRAFT_SKIP_SCALE").contains("1")
+    val scaleJson =
+      if (skipScale) "null" else ScaleReport.scalingJson(spark, sfDir)
+    val stagesJson =
+      if (skipScale) "null" else ScaleReport.pipelineStagesJson(spark, sfDir)
+
     val sg = skew.map { case (n, (s, h)) =>
       s"""    "$n": {"salted_pairs": $s, "hot_bands": $h}"""
     }.mkString(",\n")
@@ -322,7 +333,9 @@ object MetricsReport {
          |    "rows": ${glog.rows},
          |    "batches": ${glog.batches},
          |    "seconds": ${d2(glog.seconds)}
-         |  }
+         |  },
+         |  "scaling": $scaleJson,
+         |  "pipeline_stages": $stagesJson
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))

@@ -79,21 +79,27 @@ object ScaleReport {
           // and codegen; run 2 is the steady state the ratio compares
           val runs = (1 to 2).map(i =>
             runLabeled(spark, probe, q, dir, s"$q@$tag#$i"))
-          tag -> runs.minBy(_._1)
+          // output size is the yardstick superlinear walls are judged
+          // against: an operator whose TRUE pair mass is quadratic in
+          // this corpus (e.g. cosine pairs at a low threshold) is
+          // linear-in-output even when it is superlinear-in-input
+          val outRows = SparkEntry.queries(q)(spark, dir).count()
+          (tag, runs.minBy(_._1), outRows)
         }
-        val byTag = per.toMap
-        val (w1, r1) = byTag("x1")
-        val (w10, r10) = byTag("x10")
+        val byTag = per.map(t => t._1 -> ((t._2, t._3))).toMap
+        val ((w1, r1), o1) = byTag("x1")
+        val ((w10, r10), o10) = byTag("x10")
         val shuffleRatio =
           if (r1.shuffleWriteBytes == 0) 0.0
           else r10.shuffleWriteBytes.toDouble / r1.shuffleWriteBytes
-        val body = per.map { case (tag, (w, r)) =>
-          s"""      "$tag": ${pointJson(w, r)}"""
+        val body = per.map { case (tag, (w, r), o) =>
+          s"""      "$tag": ${pointJson(w, r).dropRight(1)}, "output_rows": $o}"""
         }.mkString(",\n")
         s"""    "$q": {
            |$body,
            |      "wall_ratio_10x": ${d2(w10 / w1)},
            |      "shuffle_ratio_10x": ${d2(shuffleRatio)},
+           |      "output_ratio_10x": ${d2(o10.toDouble / math.max(1L, o1))},
            |      "peak_mem_ratio_10x": ${d2(
           r10.peakTaskMemory.toDouble / math.max(1L, r1.peakTaskMemory))}
            |    }""".stripMargin
