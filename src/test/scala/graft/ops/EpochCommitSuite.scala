@@ -54,6 +54,70 @@ class EpochCommitSuite extends SparkSuite {
     }
   }
 
+  test("marker-first tables list ONLY the pinned epochs' directories") {
+    // the r16 soak lesson: read.parquet(root) reads footers of every
+    // listed file at CONSTRUCTION, so a face that lists superseded
+    // epochs is exposed to their deletion even when its filter is
+    // correct — the fix is a listing scoped to the pinned dirs
+    val root = tmp()
+    seed(root, 3)
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      flattenPlan(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    val latestPaths = scanPaths(EpochCommit.latestTable(spark, root))
+    assert(latestPaths.forall(_.endsWith("epoch=3")) && latestPaths.nonEmpty,
+      s"latestTable listed beyond the pinned epoch: $latestPaths")
+    val unionPaths = scanPaths(EpochCommit.committedTable(spark, root))
+    assert(unionPaths.map(_.split("epoch=").last).sorted == Seq("1", "2", "3"),
+      s"committedTable must list exactly the committed epochs: $unionPaths")
+    // contents match the lazy faces
+    assert(EpochCommit.latestTable(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet === (3000L until 3004L).toSet)
+    assert(EpochCommit.committedTable(spark, root).count() === 12)
+  }
+
+  test("latestSnapshot retries when its pinned epoch is expired mid-read") {
+    val root = tmp()
+    seed(root, 2)
+    var calls = 0
+    val got = EpochCommit.latestSnapshot(spark, root) { frame =>
+      calls += 1
+      val out = frame.select("id").collect().map(_.getLong(0)).toSet
+      if (calls == 1) {
+        // a maintenance cycle lands ENTIRELY inside the read: epoch 3
+        // commits and everything below it expires — the pinned epoch 2
+        // is gone, so `out` must be treated as suspect and retried
+        spark.range(4).select(lit(3L).as("epoch"), (col("id") + 3000L).as("id"))
+          .write.mode("append").partitionBy("epoch").parquet(root)
+        EpochCommit.mark(spark, root, 3L)
+        EpochCommit.expireBelow(spark, root, 3L)
+      }
+      out
+    }
+    assert(calls === 2, s"validation must force exactly one retry, saw $calls")
+    assert(got === (3000L until 3004L).toSet,
+      s"the retry must serve the NEW latest epoch, got $got")
+  }
+
+  test("committedSnapshot fails loudly when pinned epochs keep expiring") {
+    val root = tmp()
+    seed(root, 2)
+    var next = 3L
+    val e = intercept[IllegalStateException] {
+      EpochCommit.committedSnapshot(spark, root, retries = 1) { frame =>
+        frame.count() // eager read, then invalidate the pinned set
+        spark.range(1).select(lit(next).as("epoch"), (col("id") + next * 1000L).as("id"))
+          .write.mode("append").partitionBy("epoch").parquet(root)
+        EpochCommit.mark(spark, root, next)
+        EpochCommit.expireBelow(spark, root, next)
+        next += 1
+      }
+    }
+    assert(e.getMessage.contains("kept expiring"), e.toString)
+  }
+
   test("predicate stays a constant-size range across 1000 epochs; HEAD makes committed listing-free") {
     val root = tmp()
     (1 to 1000).foreach(e => EpochCommit.mark(spark, root, e.toLong))
