@@ -58,11 +58,15 @@ object ScaleReport {
   private def d2(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
 
+  // mem and disk spill reported SEPARATELY: memoryBytesSpilled counts
+  // the inflated in-memory footprint released (typically ~10× the disk
+  // bytes) — judging "zero spill" on the combined number overstates it
   private def pointJson(wall: Double, r: ResourceStats): String =
     s"""{"wall_sec": ${d2(wall)}, """ +
       s""""shuffle_write_bytes": ${r.shuffleWriteBytes}, """ +
       s""""shuffle_read_bytes": ${r.shuffleReadBytes}, """ +
-      s""""spill_bytes": ${r.memSpillBytes + r.diskSpillBytes}, """ +
+      s""""mem_spill_bytes": ${r.memSpillBytes}, """ +
+      s""""disk_spill_bytes": ${r.diskSpillBytes}, """ +
       s""""peak_task_memory_bytes": ${r.peakTaskMemory}, """ +
       s""""input_bytes": ${r.inputBytes}, "tasks": ${r.tasks}}"""
 

@@ -292,7 +292,14 @@ object Similarity {
         col("embedding"), DedupRowsPerBand, DedupBands)).as("band"))
       .repartition(col("band"))
     // hot bands (boilerplate-dense SRP cells) triangle-salted by
-    // SkewGuard; cold bands keep the shuffle-hash self-join
+    // SkewGuard; cold bands keep the shuffle-hash self-join. The
+    // distinct deliberately stays at the DEFAULT exchange: Spark plans
+    // a PARTIAL aggregate above the 128-task pair stages (local dedup
+    // before the shuffle), which beats a wider explicit repartition by
+    // 3× at the ×10 corpus (measured r16: the explicit form loses the
+    // partial combine and ships the raw candidate mass) — the final
+    // stage's sort buffers spilling under quadratic pair mass is the
+    // cheaper trade, and the spill is memory-accounting-dominated.
     val cand = SkewGuard.pairs(bands, "vec_id")
       .select(col("vec_id_1").as("vec_id_keeper"),
         col("vec_id_2").as("vec_id_dropped"))

@@ -69,6 +69,15 @@ object SkewGuard {
     * this many times, whatever the bucket size. */
   val DefaultMaxSalt = 64
 
+  /** The explicit parallelism for pair-mass stages — the pair joins
+    * inside [[pairs]], and the caller-side stages that CONSUME raw
+    * candidate pairs (their distincts and verify fetches run at
+    * `spark.sql.shuffle.partitions` otherwise, which re-funnels the
+    * quadratic mass the join just spread out). Cluster-derived, so it
+    * scales with executors, not with a config constant. */
+  def pairParallelism(s: org.apache.spark.sql.SparkSession): Int =
+    4 * s.sparkContext.defaultParallelism
+
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private val N = "__sg_n"
@@ -122,7 +131,7 @@ object SkewGuard {
     // REPARTITION_BY_NUM, which AQE never coalesces; 4× cores scales
     // with the cluster. ONE repartition below the suffixed projections
     // keeps the two join sides reading the SAME exchange (ReusedExchange).
-    val pairP = 4 * banded.sparkSession.sparkContext.defaultParallelism
+    val pairP = pairParallelism(banded.sparkSession)
 
     // (3) cold: the pre-guard plan, at the explicit pair parallelism.
     val cold = ann.filter(col(N).isNull).drop(N)
