@@ -349,22 +349,22 @@ object Similarity {
     * `knn_graph` with the fixed 8: within-cell pair work is quadratic
     * in occupancy, so occupancy must stay constant as N grows). Floored
     * at [[NumCentroids]] (the value every ≤2k-row oracle/bench corpus
-    * resolves to, so the small-SF gates are unchanged) and capped where
-    * the centroid LITERALS stop being plan-sized — past the cap the
-    * assignment should move to a broadcast-join quantizer (documented,
-    * not needed at measured scales). Both engines derive it from the
-    * same `count(*)`, so the DuckDB twins stay in lockstep by
-    * construction. */
+    * resolves to, so the small-SF gates are unchanged) and UNCAPPED:
+    * past [[LiteralCentroidMax]] centroids the assignment switches from
+    * the literal fold to the broadcast-join quantizer face
+    * ([[assignCellsWithSimBcast]]), so occupancy stays ~constant at any
+    * N instead of re-opening quadratic cells at N/4096 (the r16 ceiling).
+    * Both engines derive nlist from the same `count(*)`, so the DuckDB
+    * twins stay in lockstep by construction. */
   private[operators] val AdaptiveCellTarget = 250L
-  private[operators] val AdaptiveCellCap = 4096L
   private[operators] def adaptiveNlist(n: Long): Long =
-    math.min(AdaptiveCellCap, math.max(NumCentroids.toLong, n / AdaptiveCellTarget))
+    math.max(NumCentroids.toLong, n / AdaptiveCellTarget)
 
   /** The SQL-side twin of [[adaptiveNlist]] over the `embeddings`
     * table (DuckDB `//` floors like Spark's `div` on non-negatives). */
   private def adaptiveNlistSql: String =
-    s"(SELECT LEAST($AdaptiveCellCap, GREATEST($NumCentroids, " +
-      s"count(*) // $AdaptiveCellTarget)) FROM embeddings)"
+    s"(SELECT GREATEST($NumCentroids, " +
+      s"count(*) // $AdaptiveCellTarget) FROM embeddings)"
 
   /** Nearest-centroid as ONE per-row HOF fold over the (tiny, literal)
     * centroid array (r2 verdict #1): replaces the broadcast-cross-join +
@@ -429,6 +429,46 @@ object Similarity {
 
   private[operators] def assignCells(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
     assignCellsWithSim(emb, cents).drop("csim")
+
+  /** Centroid literals stop being plan-sized past this many entries —
+    * beyond it the seeded quantizer switches to the broadcast-join face
+    * ([[assignCellsWithSimBcast]]). 4096 × 64-dim doubles ≈ 2 MB of
+    * literal per plan fragment is the measured comfort ceiling. */
+  private[operators] val LiteralCentroidMax = 4096L
+
+  /** The BROADCAST-JOIN quantizer face: identical assignment to
+    * [[assignCellsWithSim]] — same [[nearestCentroid]] fold, same
+    * ascending-cent_id tie-break, bit-identical csim — but the centroid
+    * array arrives as ONE broadcast row instead of a plan literal, so
+    * nlist can grow ∝ N past [[LiteralCentroidMax]] without the plan
+    * (and every task's deserialized copy of it) growing with the corpus.
+    * `sort_array` over the unique-cent_id structs reproduces the
+    * driver-side `.sortBy(_.cent_id)` exactly (struct ordering is
+    * lexicographic and cent_id leads), and float→double widening via
+    * `cast` is the same exact conversion [[collectCentroids]] applies —
+    * so the fold reads the same values in the same order on both faces
+    * (the `SeededQuantizerFaceSuite` pin). The corpus itself still never
+    * shuffles: the centroid aggregation exchanges nlist rows, and the
+    * join is a broadcast nested loop against a single row. */
+  private[operators] def assignCellsWithSimBcast(
+      emb: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(sort_array(collect_list(struct(
+      col("cent_id"), col("cvec"), col("cnrm")))).as("cents_arr"))
+    emb.crossJoin(broadcast(packed))
+      .withColumn("best",
+        nearestCentroid(col("cents_arr"), col("embedding"), col("nrm")))
+      .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
+        col("best").getField("csim").as("csim"), col("embedding"), col("nrm"))
+  }
+
+  /** The seeded centroid RELATION (first `nlist` vectors, double-widened)
+    * — the broadcast face's input; same rows [[collectCentroids]] would
+    * collect for the literal face. */
+  private[operators] def seededCentsDf(emb: DataFrame, nlist: Long): DataFrame =
+    emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"),
+        col("nrm").as("cnrm"))
 
   /** Exact driver-side replica of the [[nearestCentroid]] fold for one
     * query vector: same left-associated double accumulation, same strict
@@ -1461,20 +1501,43 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   /** Seeded coarse-quantizer assignment of the whole corpus —
     * (vec_id, cell, csim, embedding, nrm) — shared by the semantic-dedup
     * and centroid-tails queries so the quantizer contract can't diverge. */
-  private[operators] def seededAssignedOf(emb0: DataFrame): DataFrame = {
+  private[operators] def seededAssignedOf(
+      emb0: DataFrame, precount: Option[Long] = None): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
-    // nlist ∝ N (see adaptiveNlist): the count is one columnar action,
-    // metadata-cheap next to the cell exchange it right-sizes
-    val nlist = adaptiveNlist(emb.count())
-    val cents = collectCentroids(emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
-        col("nrm").as("cnrm")))
-    assignCellsWithSim(emb, cents)
+    // nlist ∝ N (see adaptiveNlist): callers with a (session, dir) pass
+    // the memoized corpus count ([[embeddingsCountFor]]) so constructing
+    // a cell-family query never pays a fresh count action (the r16
+    // regression: plan dumps and ScaleReport's output_rows re-build each
+    // ran one extra full-corpus count)
+    val nlist = adaptiveNlist(precount.getOrElse(emb.count()))
+    if (nlist <= LiteralCentroidMax) {
+      val cents = collectCentroids(emb.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm")))
+      assignCellsWithSim(emb, cents)
+    } else assignCellsWithSimBcast(emb, seededCentsDf(emb, nlist))
+  }
+
+  /** Corpus row count, ONE action per (session, dir) — [[adaptiveNlist]]
+    * sizing is metadata, and every cell-family construction over the
+    * same corpus reuses it. Same lazy-holder/putIfAbsent shape as
+    * [[pqBooksMemo]]; stopped-session keys sweep on lookup. */
+  private final class LazyCount(build: () => Long) {
+    lazy val value: Long = build()
+  }
+  private val corpusCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyCount]
+  private[operators] def embeddingsCountFor(s: SparkSession, dir: String): Long = {
+    corpusCountMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(corpusCountMemo.remove)
+    corpusCountMemo.getOrElseUpdate((s, dir),
+      new LazyCount(() => Tables.embeddings(s, dir).count())).value
   }
 
   private def seededAssigned(s: SparkSession, dir: String): DataFrame =
-    seededAssignedOf(Tables.embeddings(s, dir).repartition(64))
+    seededAssignedOf(Tables.embeddings(s, dir).repartition(64),
+      Some(embeddingsCountFor(s, dir)))
 
   /** DuckDB twin of [[seededAssigned]]: CTEs ending in
     * `assigned(vec_id, cell, csim, embedding, nrm)`. The centroid count
@@ -1504,8 +1567,9 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * id, since SkewGuard's pairs are id-ordered). One column `vec_id`,
     * distinct. Shared by `dedup_semantic` and the curation pipeline's
     * semantic stage so the prune rule can't desync. */
-  private[operators] def semanticDropped(emb0: DataFrame): DataFrame =
-    semanticDropped(emb0, seededAssignedOf(emb0))
+  private[operators] def semanticDropped(
+      emb0: DataFrame, precount: Option[Long] = None): DataFrame =
+    semanticDropped(emb0, seededAssignedOf(emb0, precount))
 
   /** As above with a precomputed [[seededAssignedOf]] frame, so a caller
     * that also consumes the assignment pays the centroid collect once. */
@@ -1542,7 +1606,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private val dedupSemantic = QueryDef(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir).repartition(64)
-      val assigned = seededAssignedOf(emb)
+      val assigned = seededAssignedOf(emb, Some(embeddingsCountFor(s, dir)))
       assigned
         .join(semanticDropped(emb, assigned), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"))

@@ -159,7 +159,8 @@ object TrainingPipeline {
     * shuffles only (vec_id, cell, csim) within cells. Nothing in the
     * chain materializes the corpus more than its operator already does. */
   def curateFull(docs: DataFrame, embeddings: DataFrame, benchmark: DataFrame,
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
+      cfg: CurationConfig = CurationConfig(),
+      embCount: Option[Long] = None): DataFrame = {
     val trainable = docs
       .filter(col("doc_id").isNotNull)
       .join(benchmark.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -195,7 +196,7 @@ object TrainingPipeline {
       .filter(col("lang") =!= "en" || TextAnalysis.gopherPassCol)
       .drop(TextAnalysis.gopherSignalCols: _*)
     val keepers = dedupKeepers(battered)
-    val semDropped = Similarity.semanticDropped(embeddings)
+    val semDropped = Similarity.semanticDropped(embeddings, embCount)
       .withColumnRenamed("vec_id", "doc_id")
     val sem = keepers.join(semDropped, Seq("doc_id"), "left_anti")
     val clean = decontaminate(sem, benchmark)
@@ -372,7 +373,8 @@ object TrainingPipeline {
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
       val bench = docs.filter(col("doc_id") % 97 === 0)
-      curateFull(docs, Tables.embeddings(s, dir).repartition(64), bench)
+      curateFull(docs, Tables.embeddings(s, dir).repartition(64), bench,
+        embCount = Some(Similarity.embeddingsCountFor(s, dir)))
         .orderBy("doc_id")
     },
     Some(s"""WITH corpus AS (

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/**
+ * The two faces of the seeded coarse quantizer must be the SAME
+ * quantizer: the literal-fold face (`assignCellsWithSim`, nlist ≤
+ * `LiteralCentroidMax`) and the broadcast-join face
+ * (`assignCellsWithSimBcast`, past it) run the identical
+ * `nearestCentroid` fold over the identical cent_id-ascending centroid
+ * sequence, so every row's (cell, csim) must match BIT-FOR-BIT — the
+ * r16 `AdaptiveCellCap` ceiling is lifted only if switching faces can
+ * never move a vector between cells.
+ *
+ * Also pins the switch itself (past the literal ceiling the plan is a
+ * broadcast join, below it a literal fold with no join) and the scale
+ * property the switch exists for: occupancy stays ~constant as the
+ * corpus grows, because nlist grows with it.
+ */
+class SeededQuantizerFaceSuite extends SparkSuite {
+
+  test("literal fold ≡ broadcast join, cell-for-cell and csim-bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(Similarity.dotCol("embedding", "embedding")))
+    val nlist = Similarity.adaptiveNlist(emb.count())
+    val lit = Similarity.assignCellsWithSim(emb,
+        Similarity.collectCentroids(emb.filter(col("vec_id") < nlist)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+            col("nrm").as("cnrm"))))
+      .select("vec_id", "cell", "csim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val bc = Similarity.assignCellsWithSimBcast(emb,
+        Similarity.seededCentsDf(emb, nlist))
+      .select("vec_id", "cell", "csim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(lit.length == bc.length && lit.length > 0)
+    lit.zip(bc).foreach { case (l, b) =>
+      assert(l._1 == b._1 && l._2 == b._2, s"cell mismatch: $l vs $b")
+      // bit-identity, not tolerance: same fold, same order, same widening
+      assert(java.lang.Double.doubleToRawLongBits(l._3) ==
+        java.lang.Double.doubleToRawLongBits(b._3), s"csim bits: $l vs $b")
+    }
+  }
+
+  test("past LiteralCentroidMax the assignment plans a broadcast join; below it, none") {
+    import spark.implicits._
+    val tiny = (0L until 64L).map { i =>
+      val r = new java.util.SplittableRandom(i)
+      (i, Array.fill(4)(r.nextDouble(-1.0, 1.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // precount far past the ceiling forces the broadcast face even on a
+    // tiny frame — the switch is by nlist, not by actual rows
+    val past = Similarity.seededAssignedOf(tiny,
+      Some((Similarity.LiteralCentroidMax + 1) * Similarity.AdaptiveCellTarget))
+    assert(past.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val below = Similarity.seededAssignedOf(tiny, Some(64L))
+    assert(!below.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"))
+  }
+
+  test("broadcast face: occupancy stays ~constant as the corpus grows") {
+    import spark.implicits._
+    def corpus(n: Long) = spark.range(0, n, 1, 16).map { id =>
+      val r = new java.util.SplittableRandom(id * 0x9E3779B97F4A7C15L + 11)
+      (id, Array.fill(2)(r.nextDouble(-1.0, 1.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(Similarity.dotCol("embedding", "embedding")))
+    def occupancy(n: Long): (Double, Long) = {
+      val nlist = Similarity.adaptiveNlist(n)
+      val sizes = Similarity.assignCellsWithSimBcast(corpus(n),
+          Similarity.seededCentsDf(corpus(n), nlist))
+        .groupBy("cell").agg(count(lit(1)).as("c"))
+        .select("c").collect().map(_.getLong(0))
+      (n.toDouble / sizes.length, sizes.max)
+    }
+    val (mean1, max1) = occupancy(30000L)
+    val (mean4, max4) = occupancy(120000L)
+    // mean occupancy is pinned by construction (AdaptiveCellTarget);
+    // the claim under test is that a 4x corpus does NOT grow cells
+    assert(math.abs(mean1 - Similarity.AdaptiveCellTarget) < 1.0, s"mean1=$mean1")
+    assert(math.abs(mean4 - Similarity.AdaptiveCellTarget) < 1.0, s"mean4=$mean4")
+    assert(max4 < 2.5 * max1, s"max occupancy grew: $max1 -> $max4")
+  }
+}

@@ -68,13 +68,15 @@ class SemanticDedupSuite extends SparkSuite {
   }
 
   test("adaptive nlist: cells grow with the corpus; assignment stays the argmax") {
-    // formula boundaries (floor at 8, linear at 250/cell, cap at 4096)
+    // formula boundaries (floor at 8, linear at 250/cell, UNCAPPED —
+    // past LiteralCentroidMax the broadcast-join face takes over)
     assert(Similarity.adaptiveNlist(0) == 8)
     assert(Similarity.adaptiveNlist(2000) == 8)
     assert(Similarity.adaptiveNlist(2249) == 8)
     assert(Similarity.adaptiveNlist(2250) == 9)
     assert(Similarity.adaptiveNlist(20000) == 80)
-    assert(Similarity.adaptiveNlist(1L << 40) == 4096)
+    assert(Similarity.adaptiveNlist(1L << 40) == (1L << 40) / 250)
+    assert(Similarity.adaptiveNlist(1L << 40) > Similarity.LiteralCentroidMax)
 
     // a 3000-row corpus must get 12 cells, and every row's cell must be
     // the argmax over exactly those 12 seeded centroids (strict-improve
