@@ -305,19 +305,38 @@ object EpochCommit {
   }
 
   /** True for the failure shape a maintenance delete leaves under a
-    * racing scan: missing files/paths at read time. */
-  private def isMissingFileError(t: Throwable): Boolean = {
-    val msgHit = Option(t.getMessage).exists(m =>
-      m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
-        m.contains("does not exist"))
-    msgHit || (t.getCause != null && isMissingFileError(t.getCause))
+    * racing scan: a missing FILE (task-time `FileNotFoundException`,
+    * Spark's FAILED_READ_FILE.FILE_NOT_EXIST) or a missing pinned
+    * EPOCH directory. A missing path withOUT an `epoch=` segment — a
+    * permanently absent root — is NOT the race shape and must
+    * propagate immediately instead of burning the retry budget
+    * (`AnalysisException: Path does not exist` on the root matched the
+    * old broad substring). The cause-chain walk is depth-bounded:
+    * wrapped exceptions can be cyclic beyond the self-cause case
+    * `getCause` already nulls out. */
+  private[ops] def isMissingFileError(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = Option(cur.getMessage).getOrElse("")
+      if (m.contains("FILE_NOT_EXIST")) return true
+      if ((m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) &&
+        m.contains("epoch=")) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Eager VALIDATING read of the latest artifact — the MVCC reader
     * pattern for maintenance racing reads, pinned by the r16
     * concurrency soak: PIN the live epoch (markers before listing),
-    * run the caller's eager read over it, then VERIFY the pinned
-    * marker survived. An expire/compact that deleted the pinned epoch
+    * MATERIALIZE it (localCheckpoint — enforced, not a doc-comment
+    * contract: the callback receives a checkpoint-backed frame, so a
+    * lazy caller cannot carry an unvalidated file read out of the
+    * retry loop), run the caller's read over it, then VERIFY the
+    * pinned marker survived. An expire/compact that deleted the pinned epoch
     * mid-read is detected two ways — the scan fails on missing files,
     * or (a listing racing the recursive delete can serve a silent
     * SUBSET) the post-read marker check fails — and either way the
@@ -332,15 +351,24 @@ object EpochCommit {
     while (attempt <= retries) {
       try {
         val pinned = latest(s, root) // markers BEFORE any listing
-        val frame = pinned match {
+        val constructed = pinned match {
           case Some(e) => epochDirsTable(s, root, Seq(e))
           case None => uncommittedTable(s, root)
         }
+        // EAGER by construction: the checkpoint is the file-reading
+        // action the post-read validation guards, so a caller whose f
+        // returns a LAZY frame cannot escape the retry loop with an
+        // unvalidated read — whatever f returns is checkpoint-backed,
+        // never re-reads the (possibly since-expired) files
+        val frame = constructed.localCheckpoint()
         val out = f(frame)
         if (pinned.forall(e => committed(s, root).contains(e))) return out
         // pinned epoch expired mid-read: `out` may be a silent subset
       } catch {
-        case t: Throwable if isMissingFileError(t) && attempt < retries => ()
+        case t: Throwable if isMissingFileError(t) =>
+          if (attempt >= retries) throw new IllegalStateException(
+            s"latestSnapshot($root): the pinned epoch kept vanishing under " +
+              s"the reader; gave up after ${retries + 1} attempts", t)
       }
       attempt += 1
     }
@@ -357,14 +385,19 @@ object EpochCommit {
     while (attempt <= retries) {
       try {
         val pinnedSet = committed(s, root) // markers BEFORE any listing
-        val frame =
+        val constructed =
           if (pinnedSet.isEmpty) uncommittedTable(s, root)
           else epochDirsTable(s, root, pinnedSet)
+        // eager for the same reason as [[latestSnapshot]]
+        val frame = constructed.localCheckpoint()
         val out = f(frame)
         val now = committed(s, root).toSet
         if (pinnedSet.forall(now.contains)) return out
       } catch {
-        case t: Throwable if isMissingFileError(t) && attempt < retries => ()
+        case t: Throwable if isMissingFileError(t) =>
+          if (attempt >= retries) throw new IllegalStateException(
+            s"committedSnapshot($root): pinned epochs kept vanishing under " +
+              s"the reader; gave up after ${retries + 1} attempts", t)
       }
       attempt += 1
     }

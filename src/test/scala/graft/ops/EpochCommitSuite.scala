@@ -101,6 +101,53 @@ class EpochCommitSuite extends SparkSuite {
       s"the retry must serve the NEW latest epoch, got $got")
   }
 
+  test("snapshot faces: a lazy callback cannot escape the MVCC guarantee") {
+    // f returns the frame UNmaterialized-by-the-caller; the face must
+    // have materialized it anyway (localCheckpoint), so collecting the
+    // result AFTER maintenance deleted every file still serves the
+    // pinned rows instead of failing or reading the new epoch
+    val root = tmp()
+    seed(root, 2)
+    val lazyFrame = EpochCommit.latestSnapshot(spark, root)(df => df.select("id"))
+    spark.range(4).select(lit(3L).as("epoch"), (col("id") + 3000L).as("id"))
+      .write.mode("append").partitionBy("epoch").parquet(root)
+    EpochCommit.mark(spark, root, 3L)
+    EpochCommit.expireBelow(spark, root, 3L)
+    assert(lazyFrame.collect().map(_.getLong(0)).toSet === (2000L until 2004L).toSet,
+      "the returned frame must be checkpoint-backed, not a live file read")
+  }
+
+  test("snapshot faces: a persistent missing-file error on the last attempt is wrapped loudly") {
+    val root = tmp()
+    seed(root, 2)
+    // marker survives but the data directory is gone on EVERY attempt —
+    // the final retry must surface the contextual IllegalStateException,
+    // not the raw scan error
+    fs(root).delete(new Path(root, "epoch=2"), true)
+    val e = intercept[IllegalStateException] {
+      EpochCommit.latestSnapshot(spark, root, retries = 1)(_.count())
+    }
+    assert(e.getMessage.contains(root) && e.getMessage.contains("2 attempts"),
+      e.getMessage)
+    assert(e.getCause != null, "the raw scan error must ride along as the cause")
+  }
+
+  test("isMissingFileError: epoch-scoped races retry, a missing ROOT does not") {
+    assert(EpochCommit.isMissingFileError(new java.io.FileNotFoundException("f")))
+    assert(EpochCommit.isMissingFileError(
+      new RuntimeException("[PATH_NOT_FOUND] Path does not exist: /x/epoch=3")))
+    assert(!EpochCommit.isMissingFileError(
+      new RuntimeException("[PATH_NOT_FOUND] Path does not exist: /gone/root")),
+      "a permanently missing root is not the expiry race")
+    assert(EpochCommit.isMissingFileError(new RuntimeException("outer",
+      new java.io.FileNotFoundException("inner"))))
+    // depth-bounded cause walk terminates on a cycle
+    val a = new RuntimeException("a")
+    val b = new RuntimeException("b", a)
+    a.initCause(b)
+    assert(!EpochCommit.isMissingFileError(b))
+  }
+
   test("committedSnapshot fails loudly when pinned epochs keep expiring") {
     val root = tmp()
     seed(root, 2)
