@@ -70,47 +70,91 @@ object ScaleReport {
       s""""peak_task_memory_bytes": ${r.peakTaskMemory}, """ +
       s""""input_bytes": ${r.inputBytes}, "tasks": ${r.tasks}}"""
 
+  /** Generate the Heaps-law documents corpora if absent — the
+    * growing-vocabulary face the containment-dedup scaling claim is
+    * judged on ([[ScaleCorpus.fitHeaps]]). */
+  def ensureHeaps(spark: SparkSession, realDir: String): (String, String) = {
+    val hx1 = s"$ScaleBase/hx1"
+    val hx10 = s"$ScaleBase/hx10"
+    def missing(d: String) =
+      !new java.io.File(s"$d/documents.parquet").exists()
+    if (missing(hx1)) ScaleCorpus.generateHeaps(spark, realDir, hx1, 1, Seed)
+    if (missing(hx10)) ScaleCorpus.generateHeaps(spark, realDir, hx10, 10, Seed)
+    (hx1, hx10)
+  }
+
+  /** One query's sweep row: min-of-2 walls + resources per scale point,
+    * plus the hi/lo ratios the scaling claim lives on. */
+  private def queryRow(spark: SparkSession, probe: TaskMetricsProbe,
+      q: String, rowName: String, scales: Seq[(String, String)],
+      loTag: String, hiTag: String): String = {
+    val per = scales.map { case (tag, dir) =>
+      // min of 2: run 1 pays one-time artifact builds (FixtureStore)
+      // and codegen; run 2 is the steady state the ratio compares
+      val runs = (1 to 2).map(i =>
+        runLabeled(spark, probe, q, dir, s"$rowName@$tag#$i"))
+      // output size is the yardstick superlinear walls are judged
+      // against: an operator whose TRUE pair mass is quadratic in
+      // this corpus (e.g. cosine pairs at a low threshold) is
+      // linear-in-output even when it is superlinear-in-input
+      val outRows = SparkEntry.queries(q)(spark, dir).count()
+      (tag, runs.minBy(_._1), outRows)
+    }
+    val byTag = per.map(t => t._1 -> ((t._2, t._3))).toMap
+    val ((w1, r1), o1) = byTag(loTag)
+    val ((w10, r10), o10) = byTag(hiTag)
+    val shuffleRatio =
+      if (r1.shuffleWriteBytes == 0) 0.0
+      else r10.shuffleWriteBytes.toDouble / r1.shuffleWriteBytes
+    val body = per.map { case (tag, (w, r), o) =>
+      s"""      "$tag": ${pointJson(w, r).dropRight(1)}, "output_rows": $o}"""
+    }.mkString(",\n")
+    s"""    "$rowName": {
+       |$body,
+       |      "wall_ratio_10x": ${d2(w10 / w1)},
+       |      "shuffle_ratio_10x": ${d2(shuffleRatio)},
+       |      "output_ratio_10x": ${d2(o10.toDouble / math.max(1L, o1))},
+       |      "peak_mem_ratio_10x": ${d2(
+      r10.peakTaskMemory.toDouble / math.max(1L, r1.peakTaskMemory))}
+       |    }""".stripMargin
+  }
+
+  /** Containment candidate CENSUS per corpus: how many rows leave each
+    * pruning stage ([[graft.operators.Dedup.containmentFrames]]) — the
+    * artifact the r17 filter work is judged against. */
+  private def censusJson(spark: SparkSession,
+      dirs: Seq[(String, String)]): String =
+    dirs.map { case (tag, dir) =>
+      val fr = graft.operators.Dedup.containmentFrames(spark, dir)
+      s"""    "$tag": {"cand_rows": ${fr.candRows.count()}, """ +
+        s""""pairs": ${fr.pairs.count()}, """ +
+        s""""screen_survivors": ${fr.screened.count()}, """ +
+        s""""output_pairs": ${fr.result.count()}}"""
+    }.mkString(",\n")
+
   /** The scaling table as a JSON object body (no surrounding key). */
   def scalingJson(spark: SparkSession, realDir: String): String = {
     val (x1, x10) = ensureCorpora(spark, realDir)
+    val (hx1, hx10) = ensureHeaps(spark, realDir)
     val probe = new TaskMetricsProbe
     spark.sparkContext.addSparkListener(probe)
     try {
       val scales = Seq("sf0_1" -> realDir, "x1" -> x1, "x10" -> x10)
-      val rows = HeavyFamily.map { q =>
-        val per = scales.map { case (tag, dir) =>
-          // min of 2: run 1 pays one-time artifact builds (FixtureStore)
-          // and codegen; run 2 is the steady state the ratio compares
-          val runs = (1 to 2).map(i =>
-            runLabeled(spark, probe, q, dir, s"$q@$tag#$i"))
-          // output size is the yardstick superlinear walls are judged
-          // against: an operator whose TRUE pair mass is quadratic in
-          // this corpus (e.g. cosine pairs at a low threshold) is
-          // linear-in-output even when it is superlinear-in-input
-          val outRows = SparkEntry.queries(q)(spark, dir).count()
-          (tag, runs.minBy(_._1), outRows)
-        }
-        val byTag = per.map(t => t._1 -> ((t._2, t._3))).toMap
-        val ((w1, r1), o1) = byTag("x1")
-        val ((w10, r10), o10) = byTag("x10")
-        val shuffleRatio =
-          if (r1.shuffleWriteBytes == 0) 0.0
-          else r10.shuffleWriteBytes.toDouble / r1.shuffleWriteBytes
-        val body = per.map { case (tag, (w, r), o) =>
-          s"""      "$tag": ${pointJson(w, r).dropRight(1)}, "output_rows": $o}"""
-        }.mkString(",\n")
-        s"""    "$q": {
-           |$body,
-           |      "wall_ratio_10x": ${d2(w10 / w1)},
-           |      "shuffle_ratio_10x": ${d2(shuffleRatio)},
-           |      "output_ratio_10x": ${d2(o10.toDouble / math.max(1L, o1))},
-           |      "peak_mem_ratio_10x": ${d2(
-          r10.peakTaskMemory.toDouble / math.max(1L, r1.peakTaskMemory))}
-           |    }""".stripMargin
-      }
+      val rows = HeavyFamily.map(q =>
+        queryRow(spark, probe, q, q, scales, "x1", "x10")) :+
+        // containment on the GROWING-vocabulary corpus: the claim is
+        // linear wall/shuffle here; the bounded-vocab twin above is the
+        // adversarial worst case (candidates Θ(N²/V) by construction)
+        queryRow(spark, probe, "dedup_containment", "dedup_containment_heaps",
+          Seq("hx1" -> hx1, "hx10" -> hx10), "hx1", "hx10")
       s"""{
-         |  "corpus": {"x1": "$x1", "x10": "$x10", "seed": $Seed,
+         |  "corpus": {"x1": "$x1", "x10": "$x10",
+         |    "hx1": "$hx1", "hx10": "$hx10", "seed": $Seed,
          |    "generator": "ScaleCorpus fit-and-sample from $realDir"},
+         |  "containment_census": {
+         |${censusJson(spark, Seq("x1" -> x1, "x10" -> x10,
+             "hx1" -> hx1, "hx10" -> hx10))}
+         |  },
          |  "queries": {
          |${rows.mkString(",\n")}
          |  }
@@ -146,7 +190,9 @@ object ScaleReport {
       taskProbe.quiesce(sc = spark.sparkContext)
       val st = stageProbe.stages(label)
       require(st.nonEmpty, s"no stages attributed to $q")
-      val wallSum = st.map(_.wallMs).sum.toDouble
+      // tiny corpora can report every stage at 0 ms — a 0/0 share would
+      // emit NaN and make the artifact unparseable
+      val wallSum = math.max(1.0, st.map(_.wallMs).sum.toDouble)
       val top = st.maxBy(_.wallMs)
       val rows = st.map { s =>
         s"""    {"stage_id": ${s.stageId}, "wall_ms": ${s.wallMs}, """ +
