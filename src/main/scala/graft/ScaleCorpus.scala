@@ -136,36 +136,38 @@ object ScaleCorpus extends Serializable {
 
   /** Documents with a HEAPS-LAW (growing) vocabulary: same row count,
     * doc-length range, language/source mix and planted-duplicate rate
-    * as the fitted generator, but tokens drawn Zipf(1/β) over a vocab
-    * sized with 2× headroom past the corpus's expected Heaps point, so
-    * realized vocabulary grows ≈ T^β across the whole generated range
-    * instead of saturating like the 31-word source. */
+    * as the fitted generator, but each token at (approximate) global
+    * corpus position g draws UNIFORMLY from the first ⌈K·g^β⌉ word ids
+    * — realized vocabulary grows ∝ T^β by construction, with no
+    * distribution head. (A Zipf(1/β) head was tried first and rejected
+    * by measurement: at β≈0.5 the exponent forces a degenerate head —
+    * one word ≈ 60% of tokens — whose hot shingles made ~4% of ALL doc
+    * pairs genuine 0.8-containment pairs, quadratic OUTPUT that no
+    * engine work can make linear. Real text's containment pairs are
+    * rare; the uniform-over-growing-vocab draw keeps them so while
+    * preserving the vocabulary-growth property under test.) Global
+    * position is approximated as id×avgWords — the draws stay per-row
+    * deterministic and order-independent, and the approximation only
+    * jitters WHEN a word id becomes drawable, not the growth rate. */
   def generateDocumentsHeaps(spark: SparkSession, fit: DocFit, hfit: HeapsFit,
       factor: Int, seed: Long, out: String): Unit = {
     import spark.implicits._
     val n = fit.rows * factor
     val avgWords = (fit.minWords + fit.maxWords) / 2.0
-    val totalTokens = n * avgWords
-    val vmax = math.max(1000,
-      math.ceil(2.0 * hfit.k * math.pow(totalTokens, hfit.beta)).toInt)
-    val zipfS = 1.0 / hfit.beta
-    val cumLocal = {
-      val w = Array.tabulate(vmax)(i => math.pow(i + 1.0, -zipfS))
-      val tot = w.sum
-      w.scanLeft(0.0)(_ + _).tail.map(_ / tot)
-    }
-    // the cum array grows with the TARGET corpus (~4 MB at ×10) —
-    // broadcast it instead of riding every task closure
-    val cum = spark.sparkContext.broadcast(cumLocal)
     val f = fit
+    val beta = hfit.beta
+    val k = hfit.k
     def textFor(id: Long): String = {
       val r = new java.util.SplittableRandom(mix64(seed ^ mix64(id) ^ 0x4EA95L))
       val nw = f.minWords + r.nextInt(f.maxWords - f.minWords + 1)
+      val base = id.toDouble * avgWords
       val sb = new StringBuilder
       var i = 0
       while (i < nw) {
         if (i > 0) sb.append(' ')
-        sb.append("hw").append(sampleIdx(cum.value, r.nextDouble()))
+        val drawable = math.max(4L,
+          math.ceil(k * math.pow(base + i + 1.0, beta)).toLong)
+        sb.append("hw").append(r.nextLong(drawable))
         i += 1
       }
       sb.toString

@@ -218,6 +218,109 @@ object ScaleReport {
     }
   }
 
+  // ---- cross-round scaling regression gate (r17) ----------------------
+
+  /** A ×10 ratio counts as REGRESSED past this factor vs the prior
+    * round's recorded ratio. */
+  val RegressionFactor = 1.5
+
+  final case class RatioDelta(query: String, metric: String,
+      prior: Double, current: Double) {
+    def degraded: Boolean =
+      prior > 0 && current > prior * RegressionFactor
+  }
+
+  /** Pure comparison core of the gate — unit-tested against synthetic
+    * regressions. `prior` is empty for queries/metrics the baseline
+    * round didn't record (new rows never flag). */
+  def ratioDeltas(prior: Map[String, Map[String, Double]],
+      current: Map[String, Map[String, Double]]): Seq[RatioDelta] =
+    for {
+      (q, cur) <- current.toSeq.sortBy(_._1)
+      metric <- Seq("wall_ratio_10x", "shuffle_ratio_10x")
+      c <- cur.get(metric).toSeq
+    } yield RatioDelta(q, metric,
+      prior.getOrElse(q, Map.empty).getOrElse(metric, -1.0), c)
+
+  /** Extract `scaling.queries.<q>.<*_ratio_10x>` from a METRICS (or
+    * standalone ScaleReport) JSON artifact. */
+  def scalingRatiosOf(json: String): Map[String, Map[String, Double]] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val queries =
+      if (root.has("scaling")) root.path("scaling").path("queries")
+      else root.path("queries")
+    if (!queries.isObject) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+    queries.properties().forEach { e =>
+      val ratios = scala.collection.mutable.Map.empty[String, Double]
+      e.getValue.properties().forEach { f =>
+        if (f.getKey.endsWith("_ratio_10x") && f.getValue.isNumber)
+          ratios(f.getKey) = f.getValue.asDouble()
+      }
+      out(e.getKey) = ratios.toMap
+    }
+    out.toMap
+  }
+
+  /** Newest prior-round METRICS artifact in `cwd` carrying a scaling
+    * table (the Bench solo-baseline discovery pattern). */
+  def priorScalingBaseline(cwd: String, currentRound: Int)
+      : Option[(String, Map[String, Map[String, Double]])] = {
+    val dir = new java.io.File(cwd)
+    val cand = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName)
+      .flatMap { n =>
+        "^METRICS_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+          .map(m => (m.group(1).toInt, n))
+      }
+      .filter(_._1 < currentRound).sortBy(-_._1)
+    cand.view.map { case (_, name) =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cwd, name)), "UTF-8")
+      name -> scalingRatiosOf(text)
+    }.find(_._2.nonEmpty)
+  }
+
+  /** The gate's JSON section + loud stderr flagging. With
+    * SPARK_GRAFT_SCALE_GATE=strict a regression THROWS instead of
+    * flagging, for use as a hard CI gate. */
+  def regressionGateJson(cwd: String, currentRound: Int,
+      currentScalingJson: String): String = {
+    val current = scalingRatiosOf(currentScalingJson)
+    priorScalingBaseline(cwd, currentRound) match {
+      case None =>
+        """{"baseline": null, "deltas": {}, "regressions": [], "ok": true}"""
+      case Some((name, prior)) =>
+        val deltas = ratioDeltas(prior, current)
+        val regressed = deltas.filter(_.degraded)
+        regressed.foreach(d => System.err.println(
+          s"SCALING REGRESSION: ${d.query} ${d.metric} " +
+            s"${d2(d.prior)} -> ${d2(d.current)} (> ${RegressionFactor}x)"))
+        if (regressed.nonEmpty &&
+          sys.env.get("SPARK_GRAFT_SCALE_GATE").contains("strict"))
+          throw new IllegalStateException(
+            s"scaling regression gate: ${regressed.map(_.query).distinct.mkString(", ")}")
+        val body = deltas.groupBy(_.query).toSeq.sortBy(_._1).map {
+          case (q, ds) =>
+            val ms = ds.map(d =>
+              s""""${d.metric}": {"prior": ${d2(d.prior)}, """ +
+                s""""current": ${d2(d.current)}, "degraded": ${d.degraded}}""")
+            s"""    "$q": {${ms.mkString(", ")}}"""
+        }.mkString(",\n")
+        val regNames = regressed
+          .map(d => s""""${d.query}/${d.metric}"""").mkString(", ")
+        s"""{
+           |  "baseline": "$name",
+           |  "factor": $RegressionFactor,
+           |  "deltas": {
+           |$body
+           |  },
+           |  "regressions": [$regNames],
+           |  "ok": ${regressed.isEmpty}
+           |}""".stripMargin
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // profile mode: `runMain graft.ScaleReport --stages <query> <dir>`
     if (args.headOption.contains("--stages")) {
@@ -239,11 +342,14 @@ object ScaleReport {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val scaling = scalingJson(spark, sfDir)
     val json =
       s"""{
          |  "round": $round,
          |  "sf_dir": "$sfDir",
-         |  "scaling": ${scalingJson(spark, sfDir)},
+         |  "scaling": $scaling,
+         |  "scaling_regression_gate": ${
+        regressionGateJson(".", round.toIntOption.getOrElse(0), scaling)},
          |  "pipeline_stages": ${pipelineStagesJson(spark, sfDir)}
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

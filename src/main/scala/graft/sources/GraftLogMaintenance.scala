@@ -42,6 +42,49 @@ object GraftLogMaintenance {
   private def stagingDir(dir: String) = new Path(dir, "_staging/compact")
   private def journalPath(dir: String) = new Path(stagingDir(dir), "JOURNAL")
 
+  // ---- the maintenance SEQLOCK (r17) ---------------------------------
+  // The compaction swap and TRUNCATE delete visible segment files, so a
+  // reader whose LISTING lands inside the window can assemble a silent
+  // SUBSET (olds gone, merged not yet renamed in) — the exact failure
+  // class the r16 epoch soak measured for EpochCommit, re-found here by
+  // the catalog soak. Markers can't fix it (segments have none), so the
+  // log carries a classic seqlock at `_maint/SEQ`: every maintenance op
+  // that mutates VISIBLE files holds it odd for the duration; reader
+  // listings ([[GraftLog.validatedListing]]) re-read it after listing
+  // and retry/fail LOUDLY on odd-or-changed. A crash mid-maintenance
+  // leaves the seq odd — readers stay loud (never silently wrong) until
+  // `recover_compaction` settles the state and evens it. `_maint` is
+  // deliberately outside `_staging` so TRUNCATE (which deletes staging)
+  // keeps the counter monotone across incarnations.
+
+  private def seqPath(dir: String) = new Path(dir, "_maint/SEQ")
+
+  private[sources] def maintenanceSeq(fs: FileSystem, dir: String): Long =
+    GraftLog.readSmall(fs, seqPath(dir))
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+
+  private def writeSeq(fs: FileSystem, dir: String, v: Long): Unit = {
+    val tmp = new Path(dir, s"_maint/SEQ.tmp")
+    GraftLog.writeSmall(fs, tmp, v.toString)
+    fs.delete(seqPath(dir), false)
+    require(fs.rename(tmp, seqPath(dir)),
+      s"failed to publish maintenance seq $v under $dir")
+  }
+
+  /** Mark maintenance in progress (seq → odd). Idempotent: an already-
+    * odd seq (a crashed or enclosing maintenance) is kept, so recovery
+    * and truncate re-runs can proceed. */
+  private[sources] def beginMaintenance(fs: FileSystem, dir: String): Unit = {
+    val n = maintenanceSeq(fs, dir)
+    if (n % 2 == 0) writeSeq(fs, dir, n + 1)
+  }
+
+  /** Mark maintenance settled (seq → even). */
+  private[sources] def endMaintenance(fs: FileSystem, dir: String): Unit = {
+    val n = maintenanceSeq(fs, dir)
+    if (n % 2 == 1) writeSeq(fs, dir, n + 1)
+  }
+
   /** Compact every partition with more than `minFiles` segments down to
     * one. Returns (partition → segments merged) for the partitions
     * touched. */
@@ -52,16 +95,21 @@ object GraftLogMaintenance {
     recover(spark, dir)
     if (fs.exists(stagingDir(dir))) { fs.delete(stagingDir(dir), true); () }
 
-    val merged = GraftLog.partitionDirs(dir, conf).toSeq.sortBy(_._1).flatMap {
+    val work = GraftLog.partitionDirs(dir, conf).toSeq.sortBy(_._1).flatMap {
       case (p, pdir) =>
         val files = GraftLog.partFiles(fs, pdir)
-        if (files.size < minFiles) None
-        else {
-          compactOne(spark, dir, fs, conf, p, files)
-          Some(p -> files.size)
-        }
+        if (files.size < minFiles) None else Some((p, files))
+    }
+    if (work.isEmpty) return Map.empty
+    // seqlock held odd across every visible mutation; a crash leaves it
+    // odd (readers loud) until recover() settles the state
+    beginMaintenance(fs, dir)
+    val merged = work.map { case (p, files) =>
+      compactOne(spark, dir, fs, conf, p, files)
+      p -> files.size
     }.toMap
     GraftLogWrite.cleanupStaging(stagingDir(dir).toString, conf)
+    endMaintenance(fs, dir)
     merged
   }
 
@@ -111,12 +159,28 @@ object GraftLogMaintenance {
     ()
   }
 
-  /** Finish or abort a compaction a crash left in flight. */
+  /** Finish or abort a compaction a crash left in flight, then settle
+    * the maintenance seqlock (readers go loud while it is odd; an
+    * unrecoverable state throws and LEAVES it odd — the log stays
+    * loudly unreadable rather than silently wrong). */
   def recover(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
     val jp = journalPath(dir)
-    if (!fs.exists(jp)) return
+    val hasJournal = fs.exists(jp)
+    if (!hasJournal) {
+      // crashed before the journal (or a failed TRUNCATE re-run already
+      // cleaned up): no visible swap can be in flight — settle the lock
+      endMaintenance(fs, dir)
+      return
+    }
+    beginMaintenance(fs, dir)
+    recoverJournal(spark, fs, dir, jp)
+    endMaintenance(fs, dir)
+  }
+
+  private def recoverJournal(spark: SparkSession, fs: FileSystem,
+      dir: String, jp: Path): Unit = {
     GraftLog.readSmall(fs, jp) match {
       case Some(txt) =>
         val all = txt.split("\n").toSeq

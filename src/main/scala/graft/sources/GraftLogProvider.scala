@@ -349,11 +349,43 @@ object GraftLog {
     * once any stats-bearing group covers their range); stats are always
     * present for Spark-written segments. */
   private[sources] def latestOffsets(dir: String, conf: Configuration): Map[Int, Long] =
-    partitionDirs(dir, conf).map { case (p, d) =>
-      val maxOff = fileOffsetRanges(d, conf)
-        .foldLeft(-1L)((acc, e) => math.max(acc, e.statsMax))
-      p -> (maxOff + 1)
+    validatedListing(dir, conf, "latestOffsets") {
+      partitionDirs(dir, conf).map { case (p, d) =>
+        val maxOff = fileOffsetRanges(d, conf)
+          .foldLeft(-1L)((acc, e) => math.max(acc, e.statsMax))
+        p -> (maxOff + 1)
+      }
     }
+
+  /** Run a LISTING-dependent read under the maintenance seqlock (see
+    * [[GraftLogMaintenance]]): the compaction swap and TRUNCATE delete
+    * visible files, so a listing that lands inside their window can
+    * assemble a silent SUBSET — missing files only fail loudly when a
+    * pre-window listing reads a post-window state, not the other way
+    * around. Re-reading the seq after the body and retrying on
+    * odd-or-changed makes every accepted listing provably outside any
+    * maintenance window; exhausting retries fails loudly (the contract
+    * is loud-or-valid, never silent). Cost: two tiny metadata reads per
+    * listing — noise next to the footer sweeps the listing feeds. */
+  private[sources] def validatedListing[T](dir: String, conf: Configuration,
+      what: String)(body: => T): T = {
+    val fs = new Path(dir).getFileSystem(conf)
+    var attempt = 0
+    while (attempt < 4) {
+      val s0 = GraftLogMaintenance.maintenanceSeq(fs, dir)
+      if (s0 % 2 == 0) {
+        val out = body
+        if (GraftLogMaintenance.maintenanceSeq(fs, dir) == s0) return out
+      }
+      attempt += 1
+      if (attempt < 4) Thread.sleep(25L * attempt)
+    }
+    throw new IllegalStateException(
+      s"graftlog $what at $dir kept racing log maintenance " +
+        s"(compaction/TRUNCATE held or churned the _maint/SEQ lock " +
+        s"$attempt times) — run CALL <catalog>.system.recover_compaction " +
+        "if a maintenance crash left the lock held")
+  }
 
   // ---- offset JSON (sorted keys — byte-stable for the checkpoint) ----
   private[sources] def offsetsToJson(m: Map[Int, Long]): String =
@@ -530,6 +562,11 @@ final class GraftLogTable(path: String) extends Table with SupportsRead
         e.isDirectory && (n.startsWith("partition=") ||
           n == "_producer" || n == "_staging")
       }
+    if (targets.isEmpty) return true
+    // maintenance seqlock: racing readers go loud-or-valid instead of
+    // assembling a partially-deleted (gapped) incarnation; a failed
+    // truncate leaves it odd until the re-run or recover settles it
+    GraftLogMaintenance.beginMaintenance(fs, path)
     // A partially failed delete must NOT report success: a surviving
     // partition dir means the next append resumes from its footer end
     // instead of offset 0, silently un-truncating the log.
@@ -540,6 +577,7 @@ final class GraftLogTable(path: String) extends Table with SupportsRead
       throw new IllegalStateException(
         s"TRUNCATE left ${survivors.length} entr${if (survivors.length == 1) "y" else "ies"} " +
           s"under $path: ${survivors.map(_.getPath.getName).mkString(", ")}")
+    GraftLogMaintenance.endMaintenance(fs, path)
     true
   }
   override def schema(): StructType = GraftLog.Schema
@@ -935,14 +973,19 @@ object GraftLogScan {
       start: Map[Int, Long], end: Map[Int, Long],
       bounds: GraftLogBounds = GraftLogBounds.All,
       minSplits: Int = 1): Array[InputPartition] = {
-    val dirs = GraftLog.partitionDirs(path, conf)
-    val base = end.toSeq.sortBy(_._1).flatMap { case (p, until0) =>
-      val (from, until) = bounds.narrow(start.getOrElse(p, 0L), until0)
-      if (until <= from || !bounds.keeps(p)) None
-      else dirs.get(p).flatMap { d =>
-        val envs = GraftLog.fileOffsetRanges(d, conf)
-          .filter(_.overlaps(from, until))
-        if (envs.isEmpty) None else Some((p, from, until, envs))
+    // listing + footer sweep under the maintenance seqlock: a plan
+    // assembled inside a compaction swap or TRUNCATE window would
+    // silently drop rows (see validatedListing)
+    val base = GraftLog.validatedListing(path, conf, "scan planning") {
+      val dirs = GraftLog.partitionDirs(path, conf)
+      end.toSeq.sortBy(_._1).flatMap { case (p, until0) =>
+        val (from, until) = bounds.narrow(start.getOrElse(p, 0L), until0)
+        if (until <= from || !bounds.keeps(p)) None
+        else dirs.get(p).flatMap { d =>
+          val envs = GraftLog.fileOffsetRanges(d, conf)
+            .filter(_.overlaps(from, until))
+          if (envs.isEmpty) None else Some((p, from, until, envs))
+        }
       }
     }
     val splits = splitCounts(base.map(t => t._3 - t._2), minSplits)

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The cross-round scaling regression gate (r17): the ×10 ratios exist
+ * per round in METRICS_r*.json — this machinery compares them so the
+ * next superlinear regression is caught by the artifact itself. Pins:
+ * the pure comparison core fires on a synthetic >1.5× degradation and
+ * only then, the artifact parser reads real METRICS shapes, and the
+ * end-to-end gate flags (degraded + ok:false) against a baseline file.
+ */
+class ScaleGateSuite extends AnyFunSuite {
+
+  private def metrics(wall: Double, shuffle: Double): String =
+    s"""{"round": 16, "scaling": {"queries": {
+       |  "knn_graph": {"x1": {"wall_sec": 1.0}, "wall_ratio_10x": $wall,
+       |    "shuffle_ratio_10x": $shuffle, "output_ratio_10x": 10.0}
+       |}}}""".stripMargin
+
+  test("ratioDeltas: degraded iff a ratio grew past RegressionFactor") {
+    val prior = Map("q" -> Map("wall_ratio_10x" -> 4.0, "shuffle_ratio_10x" -> 10.0))
+    def current(w: Double, s: Double) =
+      Map("q" -> Map("wall_ratio_10x" -> w, "shuffle_ratio_10x" -> s))
+    // 1.5x exactly is NOT a regression; just past it is
+    assert(!ScaleReport.ratioDeltas(prior, current(6.0, 15.0)).exists(_.degraded))
+    assert(ScaleReport.ratioDeltas(prior, current(6.1, 15.0))
+      .filter(_.degraded).map(_.metric) == Seq("wall_ratio_10x"))
+    assert(ScaleReport.ratioDeltas(prior, current(4.0, 15.1))
+      .filter(_.degraded).map(_.metric) == Seq("shuffle_ratio_10x"))
+    // an IMPROVED ratio never flags
+    assert(!ScaleReport.ratioDeltas(prior, current(1.0, 1.0)).exists(_.degraded))
+    // a query the baseline never recorded never flags
+    assert(!ScaleReport.ratioDeltas(Map.empty, current(99.0, 99.0))
+      .exists(_.degraded))
+  }
+
+  test("scalingRatiosOf parses METRICS and standalone ScaleReport shapes") {
+    val fromMetrics = ScaleReport.scalingRatiosOf(metrics(4.7, 9.8))
+    assert(fromMetrics("knn_graph") ==
+      Map("wall_ratio_10x" -> 4.7, "shuffle_ratio_10x" -> 9.8,
+        "output_ratio_10x" -> 10.0))
+    val standalone = ScaleReport.scalingRatiosOf(
+      """{"queries": {"q": {"wall_ratio_10x": 2.0}}}""")
+    assert(standalone("q") == Map("wall_ratio_10x" -> 2.0))
+    assert(ScaleReport.scalingRatiosOf("""{"scaling": null}""").isEmpty)
+  }
+
+  test("end-to-end: the gate flags a synthetic regression against a baseline file") {
+    val dir = java.nio.file.Files.createTempDirectory("gate")
+    java.nio.file.Files.write(dir.resolve("METRICS_r16.json"),
+      metrics(4.7, 9.8).getBytes("UTF-8"))
+    // current round regressed wall 4.7 -> 9.0 (>1.5x)
+    val flagged = ScaleReport.regressionGateJson(dir.toString, 17,
+      metrics(9.0, 9.8))
+    assert(flagged.contains(""""ok": false"""), flagged)
+    assert(flagged.contains("knn_graph/wall_ratio_10x"), flagged)
+    assert(flagged.contains(""""baseline": "METRICS_r16.json""""), flagged)
+    // within budget: ok, no regressions listed
+    val clean = ScaleReport.regressionGateJson(dir.toString, 17,
+      metrics(5.0, 9.0))
+    assert(clean.contains(""""ok": true""") &&
+      clean.contains(""""regressions": []"""), clean)
+    // no prior artifact: gate is a no-op, never an error
+    val empty = java.nio.file.Files.createTempDirectory("gate2")
+    val none = ScaleReport.regressionGateJson(empty.toString, 17,
+      metrics(9.0, 9.8))
+    assert(none.contains(""""baseline": null"""), none)
+  }
+}
