@@ -15,20 +15,7 @@ object Bench {
     * `run / fork := true`) are excluded: they are part of THIS
     * invocation, not foreign load, and counting them made every
     * sbt-driven sweep read "1 other JVM" regardless of host state. */
-  private def loadState(): (Double, Int) = {
-    val loadavg =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Exception => -1.0 }
-    val lineage = Iterator.iterate(Option(ProcessHandle.current())) {
-      _.flatMap(h => Option(h.parent().orElse(null)))
-    }.takeWhile(_.isDefined).take(16).flatten.map(_.pid()).toSet
-    val otherJvms = ProcessHandle.allProcesses().iterator().asScala.count { p =>
-      !lineage.contains(p.pid()) &&
-        p.info().command().map[Boolean](_.contains("java")).orElse(false)
-    }
-    (loadavg, otherJvms)
-  }
+  private def loadState(): (Double, Int) = graft.metrics.HostLoad.state()
 
   /** Per-query trailing solo record, read from the newest
     * BENCH_SOLO_r*.json next to the working directory (or the file named

@@ -136,6 +136,13 @@ object ScaleReport {
   def scalingJson(spark: SparkSession, realDir: String): String = {
     val (x1, x10) = ensureCorpora(spark, realDir)
     val (hx1, hx10) = ensureHeaps(spark, realDir)
+    // wall ratios from a contended host do not reflect the build (the
+    // bench-solo lesson); the sweep records its start conditions so the
+    // regression gate can demote wall flags to "suspect" when foreign
+    // load was present — shuffle ratios are deterministic either way
+    val (loadavg, otherJvms) = graft.metrics.HostLoad.state()
+    val contended = graft.metrics.HostLoad.contended(
+      Runtime.getRuntime.availableProcessors(), loadavg, otherJvms)
     val probe = new TaskMetricsProbe
     spark.sparkContext.addSparkListener(probe)
     try {
@@ -151,6 +158,8 @@ object ScaleReport {
          |  "corpus": {"x1": "$x1", "x10": "$x10",
          |    "hx1": "$hx1", "hx10": "$hx10", "seed": $Seed,
          |    "generator": "ScaleCorpus fit-and-sample from $realDir"},
+         |  "load": {"loadavg_start": ${d2(loadavg)},
+         |    "other_jvms": $otherJvms, "contended": $contended},
          |  "containment_census": {
          |${censusJson(spark, Seq("x1" -> x1, "x10" -> x10,
              "hx1" -> hx1, "hx10" -> hx10))}
@@ -281,21 +290,40 @@ object ScaleReport {
     }.find(_._2.nonEmpty)
   }
 
-  /** The gate's JSON section + loud stderr flagging. With
-    * SPARK_GRAFT_SCALE_GATE=strict a regression THROWS instead of
-    * flagging, for use as a hard CI gate. */
+  /** True when the scaling artifact records a contended sweep. */
+  def contendedOf(scalingJson: String): Boolean = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(scalingJson)
+    val load =
+      if (root.has("scaling")) root.path("scaling").path("load")
+      else root.path("load")
+    load.path("contended").asBoolean(false)
+  }
+
+  /** The gate's JSON section + loud stderr flagging. Wall-ratio
+    * degradations measured on a CONTENDED host demote to "suspect"
+    * (walls there reflect foreign load, not the build — the bench-solo
+    * discipline); shuffle-ratio degradations are deterministic and
+    * always hard. With SPARK_GRAFT_SCALE_GATE=strict a hard regression
+    * THROWS instead of flagging, for use as a hard CI gate. */
   def regressionGateJson(cwd: String, currentRound: Int,
       currentScalingJson: String): String = {
     val current = scalingRatiosOf(currentScalingJson)
+    val contended = contendedOf(currentScalingJson)
     priorScalingBaseline(cwd, currentRound) match {
       case None =>
-        """{"baseline": null, "deltas": {}, "regressions": [], "ok": true}"""
+        """{"baseline": null, "deltas": {}, "regressions": [], "suspect": [], "ok": true}"""
       case Some((name, prior)) =>
         val deltas = ratioDeltas(prior, current)
-        val regressed = deltas.filter(_.degraded)
+        val degraded = deltas.filter(_.degraded)
+        val (suspect, regressed) = degraded.partition(d =>
+          contended && d.metric == "wall_ratio_10x")
         regressed.foreach(d => System.err.println(
           s"SCALING REGRESSION: ${d.query} ${d.metric} " +
             s"${d2(d.prior)} -> ${d2(d.current)} (> ${RegressionFactor}x)"))
+        suspect.foreach(d => System.err.println(
+          s"SCALING SUSPECT (contended host): ${d.query} ${d.metric} " +
+            s"${d2(d.prior)} -> ${d2(d.current)} — rerun solo"))
         if (regressed.nonEmpty &&
           sys.env.get("SPARK_GRAFT_SCALE_GATE").contains("strict"))
           throw new IllegalStateException(
@@ -307,15 +335,17 @@ object ScaleReport {
                 s""""current": ${d2(d.current)}, "degraded": ${d.degraded}}""")
             s"""    "$q": {${ms.mkString(", ")}}"""
         }.mkString(",\n")
-        val regNames = regressed
-          .map(d => s""""${d.query}/${d.metric}"""").mkString(", ")
+        def names(ds: Seq[RatioDelta]) =
+          ds.map(d => s""""${d.query}/${d.metric}"""").mkString(", ")
         s"""{
            |  "baseline": "$name",
            |  "factor": $RegressionFactor,
+           |  "contended": $contended,
            |  "deltas": {
            |$body
            |  },
-           |  "regressions": [$regNames],
+           |  "regressions": [${names(regressed)}],
+           |  "suspect": [${names(suspect)}],
            |  "ok": ${regressed.isEmpty}
            |}""".stripMargin
     }

@@ -12,8 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class ScaleGateSuite extends AnyFunSuite {
 
-  private def metrics(wall: Double, shuffle: Double): String =
-    s"""{"round": 16, "scaling": {"queries": {
+  private def metrics(wall: Double, shuffle: Double,
+      contended: Boolean = false): String =
+    s"""{"round": 16, "scaling": {
+       |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": $contended},
+       |"queries": {
        |  "knn_graph": {"x1": {"wall_sec": 1.0}, "wall_ratio_10x": $wall,
        |    "shuffle_ratio_10x": $shuffle, "output_ratio_10x": 10.0}
        |}}}""".stripMargin
@@ -66,5 +69,22 @@ class ScaleGateSuite extends AnyFunSuite {
     val none = ScaleReport.regressionGateJson(empty.toString, 17,
       metrics(9.0, 9.8))
     assert(none.contains(""""baseline": null"""), none)
+  }
+
+  test("contended-host wall degradations demote to suspect; shuffle stays hard") {
+    val dir = java.nio.file.Files.createTempDirectory("gate3")
+    java.nio.file.Files.write(dir.resolve("METRICS_r16.json"),
+      metrics(4.7, 9.8).getBytes("UTF-8"))
+    // wall regressed but the sweep ran contended: suspect, ok stays true
+    val wallOnly = ScaleReport.regressionGateJson(dir.toString, 17,
+      metrics(9.0, 9.8, contended = true))
+    assert(wallOnly.contains(""""ok": true"""), wallOnly)
+    assert(wallOnly.contains(""""suspect": ["knn_graph/wall_ratio_10x"]"""),
+      wallOnly)
+    // a shuffle regression is deterministic — hard even when contended
+    val shuffleToo = ScaleReport.regressionGateJson(dir.toString, 17,
+      metrics(4.7, 20.0, contended = true))
+    assert(shuffleToo.contains(""""ok": false"""), shuffleToo)
+    assert(shuffleToo.contains("knn_graph/shuffle_ratio_10x"), shuffleToo)
   }
 }
