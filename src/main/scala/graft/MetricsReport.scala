@@ -67,6 +67,10 @@ object MetricsReport {
     val outPath = args.lift(1).getOrElse(s"METRICS_r$round.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // invocation-start load snapshot: the scaling sweep runs ~15 min in,
+    // when the 1-min loadavg would read this JVM's own probes as
+    // contention — run conditions are a property of the invocation
+    val loadAtStart = graft.metrics.HostLoad.state()
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -258,7 +262,8 @@ object MetricsReport {
     // artifact iterations; the tracked per-round artifact includes it.
     val skipScale = sys.env.get("SPARK_GRAFT_SKIP_SCALE").contains("1")
     val scaleJson =
-      if (skipScale) "null" else ScaleReport.scalingJson(spark, sfDir)
+      if (skipScale) "null"
+      else ScaleReport.scalingJson(spark, sfDir, Some(loadAtStart))
     val stagesJson =
       if (skipScale) "null" else ScaleReport.pipelineStagesJson(spark, sfDir)
     // 5b. (r17) the cross-round regression gate: a heavy-family wall or

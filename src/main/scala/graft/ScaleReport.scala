@@ -132,15 +132,21 @@ object ScaleReport {
         s""""output_pairs": ${fr.result.count()}}"""
     }.mkString(",\n")
 
-  /** The scaling table as a JSON object body (no surrounding key). */
-  def scalingJson(spark: SparkSession, realDir: String): String = {
+  /** The scaling table as a JSON object body (no surrounding key).
+    * `loadAtStart` should be captured at INVOCATION start (before any
+    * Spark work): when the sweep is embedded after 15 minutes of
+    * measurement (MetricsReport), the 1-minute loadavg otherwise reads
+    * this JVM's own just-finished probes as foreign contention. */
+  def scalingJson(spark: SparkSession, realDir: String,
+      loadAtStart: Option[(Double, Int)] = None): String = {
     val (x1, x10) = ensureCorpora(spark, realDir)
     val (hx1, hx10) = ensureHeaps(spark, realDir)
     // wall ratios from a contended host do not reflect the build (the
     // bench-solo lesson); the sweep records its start conditions so the
     // regression gate can demote wall flags to "suspect" when foreign
     // load was present — shuffle ratios are deterministic either way
-    val (loadavg, otherJvms) = graft.metrics.HostLoad.state()
+    val (loadavg, otherJvms) =
+      loadAtStart.getOrElse(graft.metrics.HostLoad.state())
     val contended = graft.metrics.HostLoad.contended(
       Runtime.getRuntime.availableProcessors(), loadavg, otherJvms)
     val probe = new TaskMetricsProbe
@@ -234,22 +240,36 @@ object ScaleReport {
   val RegressionFactor = 1.5
 
   final case class RatioDelta(query: String, metric: String,
-      prior: Double, current: Double) {
+      prior: Double, current: Double,
+      priorHi: Double = -1.0, currentHi: Double = -1.0) {
+    /** A ratio past the factor alone is NOT a regression: an x1
+      * improvement shrinks the denominator and inflates the ratio while
+      * the x10 absolute number IMPROVED (measured r17: the count memo
+      * took cosine's x1 wall 9.4→1.9 s and the ratio 4.5→14.6 while the
+      * x10 wall fell 42→27 s). The x10 ABSOLUTE must have grown too
+      * (>1.2× — wall noise floor) when the artifact records it. */
     def degraded: Boolean =
-      prior > 0 && current > prior * RegressionFactor
+      prior > 0 && current > prior * RegressionFactor &&
+        (priorHi <= 0 || currentHi > priorHi * 1.2)
   }
 
   /** Pure comparison core of the gate — unit-tested against synthetic
     * regressions. `prior` is empty for queries/metrics the baseline
     * round didn't record (new rows never flag). */
   def ratioDeltas(prior: Map[String, Map[String, Double]],
-      current: Map[String, Map[String, Double]]): Seq[RatioDelta] =
+      current: Map[String, Map[String, Double]]): Seq[RatioDelta] = {
+    def abs(metric: String) = metric match {
+      case "wall_ratio_10x" => "x10_wall_sec"
+      case _ => "x10_shuffle_write_bytes"
+    }
     for {
       (q, cur) <- current.toSeq.sortBy(_._1)
       metric <- Seq("wall_ratio_10x", "shuffle_ratio_10x")
       c <- cur.get(metric).toSeq
-    } yield RatioDelta(q, metric,
-      prior.getOrElse(q, Map.empty).getOrElse(metric, -1.0), c)
+      p = prior.getOrElse(q, Map.empty)
+    } yield RatioDelta(q, metric, p.getOrElse(metric, -1.0), c,
+      p.getOrElse(abs(metric), -1.0), cur.getOrElse(abs(metric), -1.0))
+  }
 
   /** Extract `scaling.queries.<q>.<*_ratio_10x>` from a METRICS (or
     * standalone ScaleReport) JSON artifact. */
@@ -265,6 +285,15 @@ object ScaleReport {
       e.getValue.properties().forEach { f =>
         if (f.getKey.endsWith("_ratio_10x") && f.getValue.isNumber)
           ratios(f.getKey) = f.getValue.asDouble()
+        // the hi-scale ABSOLUTE numbers back the degraded() guard
+        if (f.getKey.endsWith("x10") && f.getValue.isObject) {
+          val hi = f.getValue
+          if (hi.path("wall_sec").isNumber)
+            ratios("x10_wall_sec") = hi.path("wall_sec").asDouble()
+          if (hi.path("shuffle_write_bytes").isNumber)
+            ratios("x10_shuffle_write_bytes") =
+              hi.path("shuffle_write_bytes").asDouble()
+        }
       }
       out(e.getKey) = ratios.toMap
     }
@@ -372,7 +401,8 @@ object ScaleReport {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val scaling = scalingJson(spark, sfDir)
+    val loadAtStart = graft.metrics.HostLoad.state()
+    val scaling = scalingJson(spark, sfDir, Some(loadAtStart))
     val json =
       s"""{
          |  "round": $round,

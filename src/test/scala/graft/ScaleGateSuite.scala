@@ -71,6 +71,22 @@ class ScaleGateSuite extends AnyFunSuite {
     assert(none.contains(""""baseline": null"""), none)
   }
 
+  test("a ratio inflated by an x1 IMPROVEMENT is not a regression when the x10 absolute fell") {
+    // the measured r17 case: the count memo took cosine's x1 wall
+    // 9.4→1.9s, inflating the ratio 4.5→14.6 while the x10 wall FELL
+    def m(ratio: Double, x10Wall: Double): String =
+      s"""{"scaling": {"queries": {"q": {
+         |  "x10": {"wall_sec": $x10Wall, "shuffle_write_bytes": 100},
+         |  "wall_ratio_10x": $ratio, "shuffle_ratio_10x": 5.0}}}}""".stripMargin
+    val prior = ScaleReport.scalingRatiosOf(m(4.5, 42.0))
+    val improved = ScaleReport.scalingRatiosOf(m(14.6, 27.0))
+    assert(!ScaleReport.ratioDeltas(prior, improved).exists(_.degraded))
+    // but a ratio regression WITH a grown x10 absolute is real
+    val worse = ScaleReport.scalingRatiosOf(m(14.6, 90.0))
+    assert(ScaleReport.ratioDeltas(prior, worse)
+      .filter(_.degraded).map(_.metric) == Seq("wall_ratio_10x"))
+  }
+
   test("contended-host wall degradations demote to suspect; shuffle stays hard") {
     val dir = java.nio.file.Files.createTempDirectory("gate3")
     java.nio.file.Files.write(dir.resolve("METRICS_r16.json"),
