@@ -53,23 +53,56 @@ object LanguageModel {
       .select(keep.map(col) :+ expr("toks[i]").as("w1") :+
         expr("concat(toks[i], ' ', toks[i + 1])").as("bigram"): _*)
 
+  /** One row per corpus bigram with its add-one-smoothed FIXED-POINT
+    * probability — (keep..., p_fx) — the scoring kernel of
+    * [[textLmScore]], exposed so `mix_doremi`'s per-domain losses
+    * ([[Sampling]]) share the model by construction (one definition,
+    * never a fork). */
+  private[operators] def bigramProbsFx(
+      docs: org.apache.spark.sql.DataFrame,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val docBigrams = explodeBigrams(docs, keep)
+    // model tables (vocabulary-sized)
+    val uni = docs.withColumn("toks", split(col("text"), " "))
+      .select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = explodeBigrams(docs, Seq.empty)
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v")) // one row
+    docBigrams
+      .join(bi, Seq("bigram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_fx", expr(
+        "((coalesce(c2, 0L) + 1L) * 1000000L) div (coalesce(c1, 0L) + v)"))
+      .select(keep.map(col) :+ col("p_fx"): _*)
+  }
+
+  /** CTEs ending in `lmp(doc_id, source, p_fx)` — the DuckDB twin of
+    * [[bigramProbsFx]] over `documents` (both keeps carried; consumers
+    * project). Prefix `lm` keeps the chain composable. */
+  private[operators] val bigramProbsSqlCtes: String =
+    """lmt AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |lmdb AS (
+      |  SELECT doc_id, source, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+      |  FROM lmt, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |lmuc AS (SELECT w1, COUNT(*) AS c1
+      |         FROM (SELECT unnest(toks) AS w1 FROM lmt) GROUP BY w1),
+      |lmbc AS (SELECT bigram, COUNT(*) AS c2 FROM lmdb GROUP BY bigram),
+      |lmv AS (SELECT COUNT(*) AS v FROM lmuc),
+      |lmp AS (
+      |  SELECT d.doc_id, d.source,
+      |         ((COALESCE(bc.c2, 0) + 1) * 1000000) // (COALESCE(uc.c1, 0) + v.v) AS p_fx
+      |  FROM lmdb d
+      |  LEFT JOIN lmbc bc USING (bigram)
+      |  LEFT JOIN lmuc uc USING (w1)
+      |  CROSS JOIN lmv v)""".stripMargin
+
   private val textLmScore = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir).repartition(64)
-      val docBigrams = explodeBigrams(docs, Seq("doc_id"))
-      // model tables (vocabulary-sized)
-      val uni = docs.withColumn("toks", split(col("text"), " "))
-        .select(explode(col("toks")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val bi = explodeBigrams(docs, Seq.empty)
-        .groupBy("bigram").agg(count(lit(1)).as("c2"))
-      val vocab = uni.agg(count(lit(1)).as("v")) // one row
-      docBigrams
-        .join(bi, Seq("bigram"), "left")
-        .join(uni, Seq("w1"), "left")
-        .crossJoin(broadcast(vocab))
-        .withColumn("p_fx", expr(
-          "((coalesce(c2, 0L) + 1L) * 1000000L) div (coalesce(c1, 0L) + v)"))
+      bigramProbsFx(docs, Seq("doc_id"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("p_fx")).as("sum_fx"))
@@ -80,28 +113,15 @@ object LanguageModel {
             .as("lm_score"))
         .orderBy("doc_id")
     },
-    Some("""WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |db AS (
-      |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
-      |  FROM t, unnest(range(1, len(toks))) AS u(i)
-      |  WHERE len(toks) >= 2),
-      |uni AS (
-      |  SELECT unnest(toks) AS w1 FROM t),
-      |uc AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
-      |bc AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY bigram),
-      |v AS (SELECT COUNT(*) AS v FROM uc)
+    Some(s"""WITH $bigramProbsSqlCtes
       |SELECT doc_id, n_bigrams,
       |  FLOOR(CAST(sum_fx AS DOUBLE) / n_bigrams / 1e6 * 1e8 + 0.5) / 1e8 AS lm_score
       |FROM (
-      |  SELECT d.doc_id,
+      |  SELECT doc_id,
       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |    CAST(SUM(((COALESCE(bc.c2, 0) + 1) * 1000000) // (COALESCE(uc.c1, 0) + v.v)) AS BIGINT) AS sum_fx
-      |  FROM db d
-      |  LEFT JOIN bc USING (bigram)
-      |  LEFT JOIN uc USING (w1)
-      |  CROSS JOIN v
-      |  GROUP BY d.doc_id)
+      |    CAST(SUM(p_fx) AS BIGINT) AS sum_fx
+      |  FROM lmp
+      |  GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, QueryDef] = Map(

@@ -666,6 +666,103 @@ object Sampling {
       |        (CAST(source_tokens AS DOUBLE) / total) * 1e4 + 0.5) / 1e4 AS boost
       |FROM t ORDER BY source""".stripMargin))
 
+  /** DoReMi step size η on the 1e6 fixed-point probability scale: the
+    * fixture's per-domain excess sits at 0–350 fp, so η = 1000 spreads
+    * the multiplier over ~1.0–1.35× — large enough that the reweight is
+    * visible at 4 dp, small enough that no domain dominates. */
+  private[operators] val DoremiEtaFp = 1000L
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023): upweight the
+    * domains the reference model fits WORST — excess loss per domain,
+    * exponentiated into multiplicative weights over the baseline token
+    * shares. The reference model here is [[LanguageModel]]'s corpus
+    * bigram model (ONE definition — `mix_doremi` and `text_lm_score`
+    * share the kernel by construction); a deployment substitutes its
+    * proxy/reference model losses, same shape. Determinism choices:
+    * excess loss is the EXACT integer gap between the corpus-wide and
+    * per-domain mean fixed-point bigram probabilities (integer `div`,
+    * order-free integer sums), and the exponential is LINEARIZED to its
+    * first-order expansion `1 + η·excess` in 1e6 fixed point — `exp()`
+    * is a transcendental with no cross-engine rounding guarantee (the
+    * [[mixTemperature]] `pow` stance), while the linear form is exact
+    * integer arithmetic at every step. Headroom: weight =
+    * tokens·mult/1e6 stays within BIGINT up to ~6.9e12 tokens per
+    * domain (≈ a 25 TB single domain); raise the fixed-point scale to
+    * DECIMAL before that corpus exists.
+    *
+    * Scale shape: [[mixTemperature]]'s — the corpus reduces through TWO
+    * map-side-combined groupBy(source) passes (token sums; bigram-model
+    * scoring, whose tables are vocabulary-sized — [[LanguageModel]]'s
+    * 100 TB notes); every window below runs over #sources rows of
+    * metadata, never the corpus. */
+  private lazy val mixDoremi = QueryDef(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy() // #sources rows — metadata, not corpus
+      val docs = Tables.documents(s, dir).repartition(64)
+      val toks = docs
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("source_tokens"))
+      val losses = LanguageModel.bigramProbsFx(docs, Seq("source"))
+        .groupBy("source")
+        .agg(sum("p_fx").as("s_fx"), count(lit(1)).as("n_big"))
+      losses.join(toks, "source")
+        .withColumn("tot_fx", sum(col("s_fx")).over(w))
+        .withColumn("tot_big", sum(col("n_big")).over(w))
+        .withColumn("excess_fp", greatest(lit(0L),
+          expr("tot_fx div tot_big - s_fx div n_big")))
+        .withColumn("weight", expr(
+          s"(source_tokens * (1000000L + $DoremiEtaFp * excess_fp)) div 1000000L"))
+        .withColumn("tot_tokens", sum(col("source_tokens")).over(w))
+        .withColumn("tot_weight", sum(col("weight")).over(w))
+        .select(
+          col("source"), col("source_tokens"), col("excess_fp"),
+          (floor(col("source_tokens").cast("double") / col("tot_tokens") * 1e4 + 0.5) / 1e4)
+            .as("actual_share"),
+          (floor(col("weight").cast("double") / col("tot_weight") * 1e4 + 0.5) / 1e4)
+            .as("doremi_share"),
+          // boost from the EXACT intermediates, not the rounded shares
+          (floor((col("weight").cast("double") / col("tot_weight")) /
+            (col("source_tokens").cast("double") / col("tot_tokens")) * 1e4 + 0.5) / 1e4)
+            .as("boost"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${LanguageModel.bigramProbsSqlCtes},
+      |per AS (
+      |  SELECT source, CAST(SUM(p_fx) AS BIGINT) AS s_fx,
+      |         CAST(COUNT(*) AS BIGINT) AS n_big
+      |  FROM lmp GROUP BY source),
+      |tok AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+      |  FROM documents GROUP BY source),
+      |j AS (
+      |  SELECT p.source, s_fx, n_big, source_tokens,
+      |         CAST(SUM(s_fx) OVER () AS BIGINT) AS tot_fx,
+      |         CAST(SUM(n_big) OVER () AS BIGINT) AS tot_big
+      |  FROM per p JOIN tok USING (source)),
+      |x AS (
+      |  SELECT source, source_tokens,
+      |         GREATEST(0, tot_fx // tot_big - s_fx // n_big) AS excess_fp
+      |  FROM j),
+      |wgt AS (
+      |  SELECT source, source_tokens, excess_fp,
+      |         (source_tokens * (1000000 + $DoremiEtaFp * excess_fp)) // 1000000 AS weight
+      |  FROM x),
+      |fin AS (
+      |  SELECT source, source_tokens, excess_fp, weight,
+      |         SUM(source_tokens) OVER () AS tot_tokens,
+      |         SUM(weight) OVER () AS tot_weight
+      |  FROM wgt)
+      |SELECT source, CAST(source_tokens AS BIGINT) AS source_tokens,
+      |  CAST(excess_fp AS BIGINT) AS excess_fp,
+      |  FLOOR(CAST(source_tokens AS DOUBLE) / tot_tokens * 1e4 + 0.5) / 1e4 AS actual_share,
+      |  FLOOR(CAST(weight AS DOUBLE) / tot_weight * 1e4 + 0.5) / 1e4 AS doremi_share,
+      |  FLOOR((CAST(weight AS DOUBLE) / tot_weight) /
+      |        (CAST(source_tokens AS DOUBLE) / tot_tokens) * 1e4 + 0.5) / 1e4 AS boost
+      |FROM fin ORDER BY source""".stripMargin))
+
   // ---- deterministic corpus shuffle -----------------------------------
 
   /** Seeded global corpus permutation: every document gets a unique
@@ -1030,6 +1127,7 @@ object Sampling {
     "shuffle_corpus" -> shuffleCorpus,
     "split_holdout" -> splitHoldout,
     "mix_temperature" -> mixTemperature,
+    "mix_doremi" -> mixDoremi,
     "export_shards" -> exportShards,
     "export_jsonl" -> exportJsonl)
 }

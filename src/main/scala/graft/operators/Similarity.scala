@@ -2120,7 +2120,101 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim
       |FROM rng ORDER BY query_id, neighbor_id""".stripMargin))
 
+  /** MAXIMUM-INNER-PRODUCT search — the UN-normalized face of the top-k
+    * family (recommendation/retrieval scoring where vector MAGNITUDE is
+    * signal: a user-item dot, a learned relevance head — the similarity
+    * cosine deliberately erases). Same plan as [[annCosineTopk]]: the
+    * query set broadcasts, the score fuses into one narrow corpus scan,
+    * and [[topKPerQuery]]'s bounded partial aggregation ships at most k
+    * rows per (map partition, query). The score is [[dotCol]]'s
+    * left-associated double fold — bit-identical to the oracle's
+    * explicit sums, so the rank cut is deterministic across engines. */
+  private lazy val annMipsTopk = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).repartition(64)
+      val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      val scored = broadcast(queries)
+        .join(corpus, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", dotCol("q", "v"))
+      topKPerQuery(s, scored)
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+      |queries AS (
+      |  SELECT vec_id AS query_id, embedding AS q
+      |  FROM embeddings WHERE vec_id < $NumQueries),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, (${dotSql("q", "v")}) AS sim
+      |  FROM queries, corpus WHERE neighbor_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  /** Cosine threshold for [[decontaminateEmbedding]]. Fixture-tuned the
+    * [[RangeTau]] way: the synthetic embeddings are near-orthogonal, so
+    * 0.30 yields a non-trivial report at every SF (22/25/337 pairs at
+    * sf0.001/0.01/0.1) where a real-text deployment would sit near
+    * 0.9+. The knob, not the shape, is what changes in deployment. */
+  private[operators] val SemDecontamTau = 0.30
+
+  /** SEMANTIC decontamination — the embedding face of the contamination
+    * family ([[Dedup]]'s `decontaminate_overlap`/`decontaminate_minhash`
+    * catch verbatim and lightly-edited eval leakage; this face catches
+    * PARAPHRASED leakage that shares no shingles — the reported gap in
+    * n-gram contamination audits). One row per (corpus, benchmark) pair
+    * with cosine ≥ τ: the audit evidence a removal decision reads.
+    *
+    * 100 TB shape (the [[Dedup]] decontamination stance): eval suites
+    * are metadata-sized, so the benchmark side BROADCASTS and the score
+    * fuses into one narrow corpus scan — the corpus never self-joins
+    * and never shuffles; the only exchange is the presentation sort
+    * over the (rare) contaminated pairs. The τ compare crosses engines
+    * on bit-identical left-associated sims. */
+  private lazy val decontaminateEmbedding = QueryDef(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).repartition(64)
+      val bench = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("bench_vec_id"), col("embedding").as("q"))
+      val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id"), col("embedding").as("v"))
+      corpus.crossJoin(broadcast(bench))
+        .withColumn("sim",
+          graft.functions.VectorFunctions.cosineSimilarity(col("q"), col("v")))
+        .filter(col("sim") >= SemDecontamTau)
+        .select(col("vec_id"), col("bench_vec_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id", "bench_vec_id")
+    },
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |bench AS (
+      |  SELECT vec_id AS bench_vec_id, embedding AS q, nrm AS qn
+      |  FROM e WHERE vec_id % 97 = 0),
+      |corpus AS (
+      |  SELECT vec_id, embedding AS v, nrm AS vn
+      |  FROM e WHERE vec_id % 97 <> 0),
+      |scored AS (
+      |  SELECT c.vec_id, b.bench_vec_id,
+      |         (${dotSql("b.q", "c.v")}) / (b.qn * c.vn) AS sim
+      |  FROM corpus c, bench b),
+      |hits AS (
+      |  SELECT vec_id, bench_vec_id, sim FROM scored
+      |  WHERE sim >= $SemDecontamTau)
+      |SELECT vec_id, bench_vec_id, ROUND(sim, 4) AS sim
+      |FROM hits ORDER BY vec_id, bench_vec_id""".stripMargin))
+
   val all: Map[String, QueryDef] = Map(
+    "ann_mips_topk" -> annMipsTopk,
+    "decontaminate_embedding" -> decontaminateEmbedding,
     "knn_graph" -> knnGraph,
     "graph_triangles" -> graphTriangles,
     "ann_cosine_topk" -> annCosineTopk,

@@ -207,4 +207,43 @@ class RecallSuite extends SparkSuite {
         s"top-k neighbor $n of query $q (sim ≥ τ) missing from range result")
     }
   }
+
+  test("ann_mips_topk is exact: matches brute-force inner-product ranking") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expected = vecs.keys.filter(_ < 5).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, dot(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(TopK).zipWithIndex
+        .map { case ((id, _), i) => (q, i + 1, id) }
+    }.toSet
+    val got = run("ann_mips_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"MIPS ranking diverged from brute force: ${got.diff(expected)} / ${expected.diff(got)}")
+  }
+
+  test("decontaminate_embedding reports exactly the brute-force pairs at tau") {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val brute = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding").as("e1"))
+      .crossJoin(e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("bench_vec_id"), col("embedding").as("e2")))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
+      .filter(col("sim") >= 0.30)
+      .select("vec_id", "bench_vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run("decontaminate_embedding").select("vec_id", "bench_vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture should surface contaminated pairs at τ=0.30")
+    assert(got == brute,
+      s"semantic-decontamination report diverged: ${got.diff(brute)} / ${brute.diff(got)}")
+  }
 }
