@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 /**
  * EMPIRICAL scaling sweep (r16): every "scale-correct" adjudication of
  * the heavy operator family so far rests on plan reading; this artifact
- * measures the curve instead. The seven most expensive queries run at
+ * measures the curve instead. The heavy family (the most expensive
+ * queries, plus — r17 — every remaining pair-generating dedup, the
+ * seeded-quantizer face, and the iterative BPE trainer: the classes
+ * where superlinearity hides) runs at
  * the real sf0.1 corpus, a fitted synthetic 1× twin, and the same
  * generator's 10× corpus ([[ScaleCorpus]]); each point records wall
  * (min of 2 — artifact/codegen warm-up excluded), shuffle bytes, spill,
@@ -22,7 +25,12 @@ object ScaleReport {
 
   val HeavyFamily: Seq[String] = Seq("dedup_clusters", "dedup_clusters_star",
     "pipeline_curate_full", "knn_graph", "dedup_containment",
-    "match_entities", "dedup_embedding_cosine")
+    "match_entities", "dedup_embedding_cosine",
+    // r17: the remaining pair-generating dedups, the seeded-quantizer
+    // face, and the iterative tokenizer trainer — every query class
+    // where superlinear candidate mass or chain re-expansion can hide
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_semantic",
+    "tokenize_bpe_encode")
 
   val ScaleBase: String = "/tmp/graft_scale"
   val Seed = 2016L
