@@ -103,4 +103,36 @@ class ScaleGateSuite extends AnyFunSuite {
     assert(shuffleToo.contains(""""ok": false"""), shuffleToo)
     assert(shuffleToo.contains("knn_graph/shuffle_ratio_10x"), shuffleToo)
   }
+
+  test("wall-only flag with stable resource signals demotes to suspect") {
+    // the measured r17 case: two back-to-back UNCONTENDED sweeps held
+    // dedup_clusters' shuffle/spill/peak-mem bit-identical while the
+    // x10 wall swung 35->46s (ratio 3.5->6.3) — host/GC noise, not a
+    // scaling regression; the gate must corroborate before failing
+    def m(ratio: Double, x10Wall: Double, shuf: Long, spill: Long,
+        peak: Long): String =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": false},
+         |"queries": {"q": {
+         |  "x10": {"wall_sec": $x10Wall, "shuffle_write_bytes": $shuf,
+         |    "disk_spill_bytes": $spill, "peak_task_memory_bytes": $peak},
+         |  "wall_ratio_10x": $ratio, "shuffle_ratio_10x": 39.7}}}}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gate4")
+    java.nio.file.Files.write(dir.resolve("METRICS_r16.json"),
+      m(3.5, 35.0, 8496000000L, 740000000L, 168000000L).getBytes("UTF-8"))
+    val demoted = ScaleReport.regressionGateJson(dir.toString, 17,
+      m(6.3, 46.0, 8496000000L, 740000000L, 168000000L))
+    assert(demoted.contains(""""ok": true"""), demoted)
+    assert(demoted.contains(""""suspect": ["q/wall_ratio_10x"]"""), demoted)
+    // the same wall swing with GROWN shuffle bytes is corroborated: hard
+    val hard = ScaleReport.regressionGateJson(dir.toString, 17,
+      m(6.3, 46.0, 17000000000L, 740000000L, 168000000L))
+    assert(hard.contains(""""ok": false"""), hard)
+    // ... or with spill materializing from a spill-free prior
+    java.nio.file.Files.write(dir.resolve("METRICS_r16.json"),
+      m(3.5, 35.0, 8496000000L, 0L, 168000000L).getBytes("UTF-8"))
+    val spillGrew = ScaleReport.regressionGateJson(dir.toString, 17,
+      m(6.3, 46.0, 8496000000L, 740000000L, 168000000L))
+    assert(spillGrew.contains(""""ok": false"""), spillGrew)
+  }
 }
