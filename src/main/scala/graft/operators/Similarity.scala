@@ -2177,17 +2177,57 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * and never shuffles; the only exchange is the presentation sort
     * over the (rare) contaminated pairs. The τ compare crosses engines
     * on bit-identical left-associated sims. */
+  /** Corpus-vs-benchmark cosine hits at [[SemDecontamTau]] —
+    * (vec_id, bench_vec_id, sim) — the ONE pair definition behind the
+    * standalone [[decontaminateEmbedding]] report and the curation
+    * pipeline's semantic-decontamination stage (the stage can't desync
+    * from the audit report). Benchmark side broadcasts. */
+  private[operators] def semanticContamPairsOf(
+      corpus: DataFrame, bench: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").as("v"))
+      .crossJoin(broadcast(bench.select(
+        col("vec_id").as("bench_vec_id"), col("embedding").as("q"))))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSimilarity(col("q"), col("v")))
+      .filter(col("sim") >= SemDecontamTau)
+
+  /** The corpus ids semantic decontamination DROPS: embedding cosine ≥
+    * [[SemDecontamTau]] vs any benchmark embedding. One column
+    * `vec_id`, distinct — [[graft.operators.TrainingPipeline]]'s stage
+    * face. `benchmark` carries the benchmark doc_ids (metadata-sized,
+    * broadcasts into both the split and the score join). */
+  private[operators] def semanticContaminatedIds(
+      emb: DataFrame, benchmark: DataFrame): DataFrame = {
+    val ids = benchmark.select(col("doc_id").as("vec_id"))
+    val bench = emb.join(broadcast(ids), Seq("vec_id"))
+    val corpus = emb.join(broadcast(ids), Seq("vec_id"), "left_anti")
+    semanticContamPairsOf(corpus, bench).select("vec_id").distinct()
+  }
+
+  /** CTEs ending in `semcontam(doc_id)` — the DuckDB twin of
+    * [[semanticContaminatedIds]] for the `vec_id % 97 = 0` benchmark
+    * convention (the pipeline oracle composes it; prefix `sc` keeps the
+    * chain collision-free). */
+  private[operators] val semContamSqlCtes: String =
+    s"""sce AS (
+      |  SELECT vec_id, embedding,
+      |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |scb AS (SELECT vec_id, embedding AS q, nrm AS qn
+      |        FROM sce WHERE vec_id % 97 = 0),
+      |scc AS (SELECT vec_id, embedding AS v, nrm AS vn
+      |        FROM sce WHERE vec_id % 97 <> 0),
+      |semcontam AS (
+      |  SELECT DISTINCT c.vec_id AS doc_id
+      |  FROM scc c, scb b
+      |  WHERE (${dotSql("b.q", "c.v")}) / (b.qn * c.vn) >= $SemDecontamTau)""".stripMargin
+
   private lazy val decontaminateEmbedding = QueryDef(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir).repartition(64)
-      val bench = emb.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("bench_vec_id"), col("embedding").as("q"))
-      val corpus = emb.filter(col("vec_id") % 97 =!= 0)
-        .select(col("vec_id"), col("embedding").as("v"))
-      corpus.crossJoin(broadcast(bench))
-        .withColumn("sim",
-          graft.functions.VectorFunctions.cosineSimilarity(col("q"), col("v")))
-        .filter(col("sim") >= SemDecontamTau)
+      semanticContamPairsOf(
+          emb.filter(col("vec_id") % 97 =!= 0),
+          emb.filter(col("vec_id") % 97 === 0))
         .select(col("vec_id"), col("bench_vec_id"),
           round(col("sim"), 4).as("sim"))
         .orderBy("vec_id", "bench_vec_id")

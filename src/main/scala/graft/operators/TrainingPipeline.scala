@@ -139,6 +139,14 @@ object TrainingPipeline {
     *     ([[Dedup.fuzzyContaminatedIds]]) — rewritten/truncated
     *     benchmark text that exact shingles miss leaves by minhash-band
     *     + verified-Jaccard (≥ 0.5, integer threshold);
+    *  7b. SEMANTIC decontamination
+    *     ([[Similarity.semanticContaminatedIds]]) — a PARAPHRASED eval
+    *     doc shares no shingles (stages 7's screens miss it) and
+    *     survives stage 6 whenever the corpus copy is the more central
+    *     of the pair; any doc with embedding cosine ≥ SemDecontamTau vs
+    *     a benchmark embedding leaves unconditionally (benchmark side
+    *     broadcasts — the `decontaminate_embedding` report's pair
+    *     definition, shared);
     *  8. annotations: global quality quintile
     *     ([[Sampling.withGlobalQuintile]] — distributed prefix-sum, no
     *     global sort), the leakage-safe content-fingerprint split
@@ -204,9 +212,19 @@ object TrainingPipeline {
     // fuzzy stage: `clean` has two consumers here (anti-join left +
     // candidate generation) — the persist above keeps the span-cut chain
     // from re-executing; `cleanFz` persists too because the quintile
-    // stage's rank+histogram pair scans it twice
+    // stage's rank+histogram pair scans it twice. The SEMANTIC
+    // (embedding) decontamination anti-join rides the same boundary:
+    // an eval doc PARAPHRASED into the corpus shares no shingles with
+    // the benchmark (both text screens miss it) and survives semantic
+    // DEDUP whenever the corpus copy is the more central of the pair —
+    // only an embedding-vs-benchmark screen closes that hole. Benchmark
+    // embeddings broadcast; ids come from the ONE pair definition the
+    // standalone `decontaminate_embedding` report uses.
     val cleanFz = clean
       .join(Dedup.fuzzyContaminatedIds(clean, benchmark),
+        Seq("doc_id"), "left_anti")
+      .join(Similarity.semanticContaminatedIds(embeddings, benchmark)
+        .withColumnRenamed("vec_id", "doc_id"),
         Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = TextAnalysis.qualityRaw(cleanFz)
@@ -434,10 +452,14 @@ object TrainingPipeline {
       |fzclean AS (
       |  SELECT * FROM clean WHERE doc_id NOT IN (
       |    SELECT doc_id FROM fzcand WHERE ${Dedup.fuzzyThresholdSql})),
+      |${Similarity.semContamSqlCtes},
+      |szclean AS (
+      |  SELECT * FROM fzclean WHERE doc_id NOT IN (
+      |    SELECT doc_id FROM semcontam)),
       |q AS (
       |  SELECT doc_id, lang, source, text, n_tokens,
       |    ${TextAnalysis.scoreFpSql} AS score_fp
-      |  FROM fzclean),
+      |  FROM szclean),
       |rk AS (
       |  SELECT doc_id, lang, source, n_tokens, score_fp,
       |         md5(text) AS fingerprint,

@@ -78,6 +78,13 @@ class TrainingPipelineSuite extends SparkSuite {
     val dropped = Similarity.semanticDropped(emb.select("vec_id", "embedding"))
       .collect().map(_.getLong(0)).toSet
     assert(rows.forall(r => !dropped(r.getLong(0))))
+    // semantic DECONTAMINATION held: no output doc sits within τ of a
+    // benchmark embedding (the paraphrase-leakage hole stage 7b closes)
+    val semContam = Similarity.semanticContaminatedIds(emb, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(semContam.nonEmpty, "fixture should surface semantic contamination")
+    assert(rows.forall(r => !semContam(r.getLong(0))),
+      "a semantically contaminated doc survived curation")
     // quintiles are balanced to ±1 doc (the prefix-sum rank contract)
     val byQ = rows.groupBy(_.getInt(7)).view.mapValues(_.length)
     if (rows.length >= 5) {
