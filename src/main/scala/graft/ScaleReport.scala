@@ -130,13 +130,14 @@ object ScaleReport {
   }
 
   /** The SECOND-decade family (r17): linear-claim rows measured x1→x30
-    * so the extrapolation is judged from two decades, not one.
-    * `knn_graph` and `dedup_semantic` cross [[graft.operators.Similarity]]'s
-    * LiteralCentroidMax at x30 (1.8M vectors → nlist ≈ 7.3k), so these
-    * rows also measure the r17 BROADCAST-JOIN quantizer face on real
-    * corpus growth — occupancy ∝ const is a sweep number here, not just
-    * the suite pin. The x30 rows carry `_ratio_30x` keys the regression
-    * gate deliberately ignores (evidence, not gate input). */
+    * so the extrapolation is judged from two decades, not one. At x30
+    * the embeddings corpus is 60k vectors → nlist 240, still on the
+    * literal-centroid face; the BROADCAST-quantizer face past
+    * LiteralCentroidMax is measured separately by the one-off xcap
+    * drive (docs/PLANS_r17.md — 520× embeddings, nlist 4160) plus the
+    * SeededQuantizerFaceSuite occupancy pin. The x30 rows carry
+    * `_ratio_30x` keys the regression gate deliberately ignores
+    * (evidence, not gate input). */
   val DecadeFamily: Seq[String] =
     Seq("knn_graph", "dedup_semantic", "match_entities")
 
