@@ -301,4 +301,9 @@ object VectorFunctions {
   /** Column API for the native fixed-point SRP band codes. */
   def srpBandCodes(embedding: Column, rowsPerBand: Int, nBands: Int): Column =
     Shim.column(SrpBandCodes(Shim.expression(embedding), rowsPerBand, nBands))
+
+  /** Column API for the native coarse-quantizer assignment kernel. */
+  def nearestCentroid(cents: Column, vec: Column, nrm: Column): Column =
+    Shim.column(NearestCentroid(
+      Shim.expression(cents), Shim.expression(vec), Shim.expression(nrm)))
 }

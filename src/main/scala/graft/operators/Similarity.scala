@@ -366,15 +366,30 @@ object Similarity {
     s"(SELECT GREATEST($NumCentroids, " +
       s"count(*) // $AdaptiveCellTarget) FROM embeddings)"
 
-  /** Nearest-centroid as ONE per-row HOF fold over the (tiny, literal)
-    * centroid array (r2 verdict #1): replaces the broadcast-cross-join +
-    * `row_number` window, which blew the corpus up ×nlist through a
-    * shuffle and a per-vec_id sort just to pick an argmax. Here nothing
-    * shuffles and nothing is replicated: each row scans the nlist-entry
-    * array once. Tie-break: the array is sorted by cent_id and the fold
+  /** Nearest-centroid assignment — the NATIVE codegen'd kernel
+    * ([[graft.functions.NearestCentroid]], r17 verdict #1): identical
+    * left-associated arithmetic, strict-`>` NaN-safe argmax, and
+    * ascending-cent_id tie-break as the HOF fold it replaced
+    * ([[nearestCentroidHof]], kept below as the suite's bit-identity
+    * witness), but as a tight primitive double loop under whole-stage
+    * codegen instead of interpreted lambda dispatch per centroid — the
+    * measured N×nlist = N²/250 assignment term past ~1M vectors
+    * (docs/PLANS_r17.md §4) keeps its work count and loses its constant.
+    * Plan shape is unchanged on both quantizer faces: nothing shuffles
+    * and nothing is replicated; each row scans the nlist-entry array
+    * once (literal below [[LiteralCentroidMax]], one broadcast row past
+    * it). */
+  private def nearestCentroid(cents: Column, vec: Column, nrm: Column): Column =
+    graft.functions.VectorFunctions.nearestCentroid(cents, vec, nrm)
+
+  /** The original HOF fold (r2 verdict #1 replaced the cross-join +
+    * `row_number` window with this; r17 verdict #1 replaced THIS with the
+    * native kernel). Kept as the executable specification the
+    * `SeededQuantizerFaceSuite` pins the kernel against, cell-for-cell
+    * and csim-bit-for-bit: the array is sorted by cent_id and the fold
     * replaces only on a STRICT csim improvement, so ties keep the lowest
     * cent_id — exactly the oracle's `ORDER BY csim DESC, cent_id`. */
-  private def nearestCentroid(cents: Column, vec: Column, nrm: Column): Column =
+  private[operators] def nearestCentroidHof(cents: Column, vec: Column, nrm: Column): Column =
     aggregate(
       cents,
       struct(lit(-1L).as("cent_id"), lit(-2.0).as("csim")),

@@ -78,6 +78,14 @@ object GraftExtensions {
     binary("dot_long", classOf[ArrayDotLong], ArrayDotLong.apply),
     binary("array_md5", classOf[ArrayMd5], ArrayMd5.apply),
     unary("simhash64", classOf[SimHash64], SimHash64.apply),
+    (FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[graft.functions.NearestCentroid].getName,
+        "nearest_centroid"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"nearest_centroid expects (cents, vec, nrm), got ${args.length} args")
+        graft.functions.NearestCentroid(args.head, args(1), args(2))
+      }),
     (FunctionIdentifier("srp_band_codes"),
       new ExpressionInfo(classOf[SrpBandCodes].getName, "srp_band_codes"),
       (args: Seq[Expression]) => {

@@ -44,6 +44,97 @@ class SeededQuantizerFaceSuite extends SparkSuite {
     }
   }
 
+  test("native kernel ≡ HOF fold, cell-for-cell and csim-bit-for-bit, both faces") {
+    // The r17-verdict task: the codegen'd NearestCentroid expression must
+    // be the SAME function as the executable spec it replaced. Literal
+    // face (typedLit centroids) on the real embeddings:
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(Similarity.dotCol("embedding", "embedding")))
+    val nlist = Similarity.adaptiveNlist(emb.count())
+    val cents = Similarity.collectCentroids(emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm")))
+    def run(best: org.apache.spark.sql.Column) = emb.withColumn("best", best)
+      .select(col("vec_id"), col("best.cent_id"), col("best.csim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val hof = run(Similarity.nearestCentroidHof(
+      typedLit(cents), col("embedding"), col("nrm")))
+    val native = run(graft.functions.VectorFunctions.nearestCentroid(
+      typedLit(cents), col("embedding"), col("nrm")))
+    assert(hof.length == native.length && hof.nonEmpty)
+    hof.zip(native).foreach { case (h, k) =>
+      assert(h._1 == k._1 && h._2 == k._2, s"cell mismatch: $h vs $k")
+      assert(java.lang.Double.doubleToRawLongBits(h._3) ==
+        java.lang.Double.doubleToRawLongBits(k._3), s"csim bits: $h vs $k")
+    }
+    // Broadcast face: the packed sort_array centroid row through the
+    // kernel vs through the fold — same pin.
+    val packed = Similarity.seededCentsDf(emb, nlist)
+      .agg(sort_array(collect_list(struct(
+        col("cent_id"), col("cvec"), col("cnrm")))).as("cents_arr"))
+    def runB(mk: org.apache.spark.sql.Column) = emb.crossJoin(broadcast(packed))
+      .withColumn("best", mk)
+      .select(col("vec_id"), col("best.cent_id"), col("best.csim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val hofB = runB(Similarity.nearestCentroidHof(
+      col("cents_arr"), col("embedding"), col("nrm")))
+    val natB = runB(graft.functions.VectorFunctions.nearestCentroid(
+      col("cents_arr"), col("embedding"), col("nrm")))
+    hofB.zip(natB).foreach { case (h, k) =>
+      assert(h._1 == k._1 && h._2 == k._2 &&
+        java.lang.Double.doubleToRawLongBits(h._3) ==
+          java.lang.Double.doubleToRawLongBits(k._3), s"bcast face: $h vs $k")
+    }
+  }
+
+  test("native kernel ≡ HOF fold on the degenerate truth table") {
+    // Ties, length mismatches, null elements, null vec/nrm, NaN, null
+    // centroid entries — every clause of the bit-equality contract,
+    // pinned against the fold as the executable spec.
+    import spark.implicits._
+    val cents = Seq(
+      Similarity.Centroid(0L, Seq(1.0, 0.0), 1.0),
+      Similarity.Centroid(1L, Seq(1.0, 0.0), 1.0),          // exact tie with 0
+      Similarity.Centroid(2L, Seq(1.0, 0.0, 5.0), 3.0),     // length mismatch: skipped
+      Similarity.Centroid(3L, Seq(0.5, 0.5), 0.7071067811865476))
+    val rows = Seq(
+      (0L, Some(Seq(Some(1.0f), Some(0.1f))), Some(1.0050368893189337)),
+      (1L, Some(Seq(Some(0.1f), Some(1.0f))), Some(1.0050368893189337)),
+      (2L, Some(Seq(Some(1.0f), None)), Some(1.0)),         // null element: all skipped
+      (3L, None, Some(1.0)),                                // null vec -> (-1, -2.0)
+      (4L, Some(Seq(Some(1.0f), Some(0.0f))), None),        // null nrm -> (-1, -2.0)
+      (5L, Some(Seq(Some(Float.NaN), Some(0.0f))), Some(1.0)))
+      .toDF("vec_id", "embedding", "nrm")
+    def run(best: org.apache.spark.sql.Column) = rows.withColumn("best", best)
+      .select(col("vec_id"), col("best.cent_id"), col("best.csim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val hof = run(Similarity.nearestCentroidHof(
+      typedLit(cents), col("embedding"), col("nrm")))
+    val native = run(graft.functions.VectorFunctions.nearestCentroid(
+      typedLit(cents), col("embedding"), col("nrm")))
+    assert(hof.length == native.length)
+    hof.zip(native).foreach { case (h, k) =>
+      assert(h._1 == k._1 && h._2 == k._2 &&
+        java.lang.Double.doubleToRawLongBits(h._3) ==
+          java.lang.Double.doubleToRawLongBits(k._3),
+        s"degenerate row: $h vs $k")
+    }
+    // the tie keeps the LOWEST cent_id and the null-vec rows yield the
+    // initial accumulator, per the contract
+    val byId = native.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(0L)._1 == 0L)
+    assert(byId(3L) == ((-1L, -2.0)) && byId(4L) == ((-1L, -2.0)))
+    // null cents -> null result on both forms
+    val nullCents = lit(null).cast(
+      "array<struct<cent_id:bigint,cvec:array<double>,cnrm:double>>")
+    val h = rows.limit(1).select(Similarity.nearestCentroidHof(
+      nullCents, col("embedding"), col("nrm")).as("b")).collect()(0)
+    val k = rows.limit(1).select(graft.functions.VectorFunctions.nearestCentroid(
+      nullCents, col("embedding"), col("nrm")).as("b")).collect()(0)
+    assert(h.isNullAt(0) && k.isNullAt(0))
+  }
+
   test("past LiteralCentroidMax the assignment plans a broadcast join; below it, none") {
     import spark.implicits._
     val tiny = (0L until 64L).map { i =>
