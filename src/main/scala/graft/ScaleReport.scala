@@ -139,7 +139,11 @@ object ScaleReport {
     * `_ratio_30x` keys the regression gate deliberately ignores
     * (evidence, not gate input). */
   val DecadeFamily: Seq[String] =
-    Seq("knn_graph", "dedup_semantic", "match_entities")
+    Seq("knn_graph", "dedup_semantic", "match_entities",
+      // r18: the remaining heavy movers the r17 verdict wanted judged
+      // from two decades — the spill watch item, the intrinsically
+      // output-heavy cosine pairs, and the fixed-latency pipeline
+      "dedup_clusters", "dedup_embedding_cosine", "pipeline_curate_full")
 
   def ensureCorpora30(spark: SparkSession, realDir: String): String = {
     val x30 = s"$ScaleBase/x30"
@@ -284,6 +288,11 @@ object ScaleReport {
     * round's recorded ratio. */
   val RegressionFactor = 1.5
 
+  /** Below this, x10 spill growth is measurement noise, not a memory
+    * regression — a few shuffle blocks crossing the in-memory threshold
+    * on a busy host, not a lost partial combine. */
+  val SpillFloorBytes: Double = 256e6
+
   final case class RatioDelta(query: String, metric: String,
       prior: Double, current: Double,
       priorHi: Double = -1.0, currentHi: Double = -1.0) {
@@ -292,11 +301,29 @@ object ScaleReport {
       * the x10 absolute number IMPROVED (measured r17: the count memo
       * took cosine's x1 wall 9.4→1.9 s and the ratio 4.5→14.6 while the
       * x10 wall fell 42→27 s). The x10 ABSOLUTE must have grown too
-      * (>1.2× — wall noise floor) when the artifact records it. */
-    def degraded: Boolean =
-      prior > 0 && current > prior * RegressionFactor &&
-        (priorHi <= 0 || currentHi > priorHi * 1.2)
+      * (>1.2× — wall noise floor) when the artifact records it.
+      *
+      * `x10_spill_bytes` is ABSOLUTE, not a ratio (x1 spill is normally
+      * zero, so a ×-ratio is undefined exactly where the signal lives —
+      * the r17 verdict's "a memory-scaling regression would pass today"
+      * hole): it flags when the x10 spill grew past the factor AND past
+      * the noise floor; a spill-free prior (0) flags on any material
+      * spill. A missing prior (new row) never flags. */
+    def degraded: Boolean = metric match {
+      case "x10_spill_bytes" =>
+        prior >= 0 && current > SpillFloorBytes &&
+          current > prior * RegressionFactor
+      case _ =>
+        prior > 0 && current > prior * RegressionFactor &&
+          (priorHi <= 0 || currentHi > priorHi * 1.2)
+    }
   }
+
+  /** The gate's metric set (r18 adds peak task memory and spill — the
+    * r17-verdict class of regression the shuffle-only gate missed). */
+  val GateMetrics: Seq[String] =
+    Seq("wall_ratio_10x", "shuffle_ratio_10x", "peak_mem_ratio_10x",
+      "x10_spill_bytes")
 
   /** Pure comparison core of the gate — unit-tested against synthetic
     * regressions. `prior` is empty for queries/metrics the baseline
@@ -305,15 +332,20 @@ object ScaleReport {
       current: Map[String, Map[String, Double]]): Seq[RatioDelta] = {
     def abs(metric: String) = metric match {
       case "wall_ratio_10x" => "x10_wall_sec"
+      case "peak_mem_ratio_10x" => "x10_peak_task_memory_bytes"
       case _ => "x10_shuffle_write_bytes"
     }
     for {
       (q, cur) <- current.toSeq.sortBy(_._1)
-      metric <- Seq("wall_ratio_10x", "shuffle_ratio_10x")
-      c <- cur.get(metric).toSeq
+      metric <- GateMetrics
+      key = if (metric == "x10_spill_bytes") "x10_spill_total_bytes" else metric
+      c <- cur.get(key).toSeq
       p = prior.getOrElse(q, Map.empty)
-    } yield RatioDelta(q, metric, p.getOrElse(metric, -1.0), c,
-      p.getOrElse(abs(metric), -1.0), cur.getOrElse(abs(metric), -1.0))
+    } yield
+      if (metric == "x10_spill_bytes")
+        RatioDelta(q, metric, p.getOrElse(key, -1.0), c)
+      else RatioDelta(q, metric, p.getOrElse(metric, -1.0), c,
+        p.getOrElse(abs(metric), -1.0), cur.getOrElse(abs(metric), -1.0))
   }
 
   /** Extract `scaling.queries.<q>.<*_ratio_10x>` from a METRICS (or
@@ -345,6 +377,14 @@ object ScaleReport {
           if (hi.path("peak_task_memory_bytes").isNumber)
             ratios("x10_peak_task_memory_bytes") =
               hi.path("peak_task_memory_bytes").asDouble()
+          // the spill GATE metric is the combined footprint: a lost
+          // partial combine shows up in either counter depending on
+          // executor memory headroom at that scale point
+          if (hi.path("disk_spill_bytes").isNumber &&
+              hi.path("mem_spill_bytes").isNumber)
+            ratios("x10_spill_total_bytes") =
+              hi.path("disk_spill_bytes").asDouble() +
+                hi.path("mem_spill_bytes").asDouble()
         }
       }
       out(e.getKey) = ratios.toMap
@@ -353,9 +393,11 @@ object ScaleReport {
   }
 
   /** Newest prior-round METRICS artifact in `cwd` carrying a scaling
-    * table (the Bench solo-baseline discovery pattern). */
-  def priorScalingBaseline(cwd: String, currentRound: Int)
-      : Option[(String, Map[String, Map[String, Double]])] = {
+    * table (the Bench solo-baseline discovery pattern) — name + raw
+    * text, so the gate can read BOTH the ratios and its own prior
+    * output (the suspect list) from the same file. */
+  def priorScalingBaselineText(cwd: String, currentRound: Int)
+      : Option[(String, String)] = {
     val dir = new java.io.File(cwd)
     val cand = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
       .map(_.getName)
@@ -367,8 +409,30 @@ object ScaleReport {
     cand.view.map { case (_, name) =>
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(cwd, name)), "UTF-8")
-      name -> scalingRatiosOf(text)
-    }.find(_._2.nonEmpty)
+      name -> text
+    }.find(t => scalingRatiosOf(t._2).nonEmpty)
+  }
+
+  def priorScalingBaseline(cwd: String, currentRound: Int)
+      : Option[(String, Map[String, Map[String, Double]])] =
+    priorScalingBaselineText(cwd, currentRound)
+      .map { case (n, t) => n -> scalingRatiosOf(t) }
+
+  /** The prior gate's `suspect` entries ("query/metric") from a METRICS
+    * artifact — the escalation input: a wall flag demoted to suspect
+    * LAST round that fires again this round on a quiet host is a
+    * REPRODUCED pure-compute regression (lost codegen, a slower
+    * expression — moves wall but not shuffle/spill/peak-mem), and must
+    * not be demotable forever. */
+  def gateSuspectsOf(json: String): Set[String] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val arr = root.path("scaling_regression_gate").path("suspect")
+    if (!arr.isArray) Set.empty
+    else {
+      val out = Set.newBuilder[String]
+      arr.forEach(n => if (n.isTextual) out += n.asText())
+      out.result()
+    }
   }
 
   /** A wall-only flag whose RESOURCE signals are stable is (measured)
@@ -379,9 +443,11 @@ object ScaleReport {
     * swung 35→46 s. A real scaling regression moves bytes or memory
     * (more pair mass, a lost partial combine, wider rows); a
     * pure-compute regression (lost codegen, a slower expression)
-    * reproduces across reruns — it stays visible in `suspect` every
-    * round until a rerun confirms it, never silently dropped. Shuffle
-    * flags are never demoted: shuffle bytes are deterministic. */
+    * reproduces across reruns — it lands in `suspect` once, and its
+    * SECOND quiet-host occurrence escalates to a hard regression (the
+    * gate reads its own prior `suspect` list — see
+    * [[regressionGateJson]]), never silently dropped. Shuffle flags are
+    * never demoted: shuffle bytes are deterministic. */
   def wallNoiseDemoted(d: RatioDelta, prior: Map[String, Double],
       cur: Map[String, Double]): Boolean = {
     def stable(key: String, slack: Double): Boolean =
@@ -411,26 +477,43 @@ object ScaleReport {
   /** The gate's JSON section + loud stderr flagging. Wall-ratio
     * degradations measured on a CONTENDED host demote to "suspect"
     * (walls there reflect foreign load, not the build — the bench-solo
-    * discipline); shuffle-ratio degradations are deterministic and
-    * always hard. With SPARK_GRAFT_SCALE_GATE=strict a hard regression
-    * THROWS instead of flagging, for use as a hard CI gate. */
+    * discipline); shuffle/peak-mem/spill degradations are deterministic
+    * and always hard. A demotable wall flag that was ALREADY suspect in
+    * the prior round's gate ESCALATES to hard when this sweep ran quiet
+    * (r17-advice fix: the second uncontended occurrence IS the rerun
+    * that corroborates a reproducible pure-compute regression — without
+    * escalation a lost-codegen wall regression demotes forever). With
+    * SPARK_GRAFT_SCALE_GATE=strict a hard regression THROWS instead of
+    * flagging, for use as a hard CI gate. */
   def regressionGateJson(cwd: String, currentRound: Int,
       currentScalingJson: String): String = {
     val current = scalingRatiosOf(currentScalingJson)
     val contended = contendedOf(currentScalingJson)
-    priorScalingBaseline(cwd, currentRound) match {
+    priorScalingBaselineText(cwd, currentRound) match {
       case None =>
-        """{"baseline": null, "deltas": {}, "regressions": [], "suspect": [], "ok": true}"""
-      case Some((name, prior)) =>
+        """{"baseline": null, "deltas": {}, "regressions": [], "suspect": [], "escalated": [], "ok": true}"""
+      case Some((name, priorText)) =>
+        val prior = scalingRatiosOf(priorText)
+        val priorSuspects = gateSuspectsOf(priorText)
         val deltas = ratioDeltas(prior, current)
         val degraded = deltas.filter(_.degraded)
-        val (suspect, regressed) = degraded.partition(d =>
+        val (demotable, hardRaw) = degraded.partition(d =>
           (contended && d.metric == "wall_ratio_10x") ||
             wallNoiseDemoted(d, prior.getOrElse(d.query, Map.empty),
               current.getOrElse(d.query, Map.empty)))
+        // a quiet-host recurrence of a prior suspect is corroborated —
+        // escalate; on a contended host nothing can be corroborated,
+        // the suspect carries forward
+        val (escalated, suspect) =
+          if (contended) (Seq.empty[RatioDelta], demotable)
+          else demotable.partition(d =>
+            priorSuspects.contains(s"${d.query}/${d.metric}"))
+        val regressed = hardRaw ++ escalated
         regressed.foreach(d => System.err.println(
           s"SCALING REGRESSION: ${d.query} ${d.metric} " +
-            s"${d2(d.prior)} -> ${d2(d.current)} (> ${RegressionFactor}x)"))
+            s"${d2(d.prior)} -> ${d2(d.current)} (> ${RegressionFactor}x)" +
+            (if (escalated.contains(d)) " [escalated: suspect last round, reproduced quiet]"
+             else "")))
         suspect.foreach(d => System.err.println(
           s"SCALING SUSPECT (wall-only, resources stable or contended " +
             s"host): ${d.query} ${d.metric} " +
@@ -457,6 +540,7 @@ object ScaleReport {
            |  },
            |  "regressions": [${names(regressed)}],
            |  "suspect": [${names(suspect)}],
+           |  "escalated": [${names(escalated)}],
            |  "ok": ${regressed.isEmpty}
            |}""".stripMargin
     }

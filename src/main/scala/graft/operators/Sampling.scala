@@ -707,11 +707,22 @@ object Sampling {
       val losses = LanguageModel.bigramProbsFx(docs, Seq("source"))
         .groupBy("source")
         .agg(sum("p_fx").as("s_fx"), count(lit(1)).as("n_big"))
-      losses.join(toks, "source")
+      // LEFT join from toks (the complete source list): a domain whose
+      // docs are all single-token has no bigrams and thus no model loss
+      // — it must still appear in the mixture (excess 0 ⇒ boost ≤ 1)
+      // and in the tot_tokens/tot_weight normalizations, not silently
+      // vanish from the output (r17 advice).
+      toks.join(losses, Seq("source"), "left")
+        .withColumn("s_fx", coalesce(col("s_fx"), lit(0L)))
+        .withColumn("n_big", coalesce(col("n_big"), lit(0L)))
         .withColumn("tot_fx", sum(col("s_fx")).over(w))
         .withColumn("tot_big", sum(col("n_big")).over(w))
-        .withColumn("excess_fp", greatest(lit(0L),
-          expr("tot_fx div tot_big - s_fx div n_big")))
+        // CASE is lazy on both engines: the div-by-zero arm is never
+        // evaluated for bigram-less domains, and n_big > 0 implies
+        // tot_big > 0 on the other arm
+        .withColumn("excess_fp", when(col("n_big") === 0L, lit(0L))
+          .otherwise(greatest(lit(0L),
+            expr("tot_fx div tot_big - s_fx div n_big"))))
         .withColumn("weight", expr(
           s"(source_tokens * (1000000L + $DoremiEtaFp * excess_fp)) div 1000000L"))
         .withColumn("tot_tokens", sum(col("source_tokens")).over(w))
@@ -738,13 +749,16 @@ object Sampling {
       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
       |  FROM documents GROUP BY source),
       |j AS (
-      |  SELECT p.source, s_fx, n_big, source_tokens,
-      |         CAST(SUM(s_fx) OVER () AS BIGINT) AS tot_fx,
-      |         CAST(SUM(n_big) OVER () AS BIGINT) AS tot_big
-      |  FROM per p JOIN tok USING (source)),
+      |  SELECT t.source, COALESCE(s_fx, 0) AS s_fx,
+      |         COALESCE(n_big, 0) AS n_big, source_tokens,
+      |         CAST(SUM(COALESCE(s_fx, 0)) OVER () AS BIGINT) AS tot_fx,
+      |         CAST(SUM(COALESCE(n_big, 0)) OVER () AS BIGINT) AS tot_big
+      |  FROM tok t LEFT JOIN per p USING (source)),
       |x AS (
       |  SELECT source, source_tokens,
-      |         GREATEST(0, tot_fx // tot_big - s_fx // n_big) AS excess_fp
+      |         CASE WHEN n_big = 0 THEN 0
+      |              ELSE GREATEST(0, tot_fx // tot_big - s_fx // n_big)
+      |         END AS excess_fp
       |  FROM j),
       |wgt AS (
       |  SELECT source, source_tokens, excess_fp,

@@ -292,18 +292,22 @@ object Similarity {
         col("embedding"), DedupRowsPerBand, DedupBands)).as("band"))
       .repartition(col("band"))
     // hot bands (boilerplate-dense SRP cells) triangle-salted by
-    // SkewGuard; cold bands keep the shuffle-hash self-join. The
-    // distinct deliberately stays at the DEFAULT exchange: Spark plans
-    // a PARTIAL aggregate above the 128-task pair stages (local dedup
-    // before the shuffle), which beats a wider explicit repartition by
-    // 3× at the ×10 corpus (measured r16: the explicit form loses the
-    // partial combine and ships the raw candidate mass) — the final
-    // stage's sort buffers spilling under quadratic pair mass is the
-    // cheaper trade, and the spill is memory-accounting-dominated.
+    // SkewGuard; cold bands keep the shuffle-hash self-join. Candidates
+    // verify FIRST and dedupe LAST (r18, closing the r17 spill watch):
+    // a pair colliding in k bands is verified k times, but cross-band
+    // duplication is shallow (measured ×10: 138M raw vs 95M distinct,
+    // 1.45×) while the verified output is ~1000× smaller than the
+    // candidate mass — a pre-verify distinct builds candidate-SIZED
+    // hash-agg state (the one 10.4 GB-spill stage of the whole heavy
+    // family; its partial combine couldn't help, duplicates of a pair
+    // live in DIFFERENT band partitions), whereas the post-filter
+    // distinct's state is OUTPUT-sized, which is the shape that holds
+    // at 100 TB: aggregate memory ∝ results, never ∝ candidates. The
+    // duplicate verifies ride the already-streaming joins and the
+    // codegen'd cosine kernel (+45% probe rows, no new exchange class).
     val cand = SkewGuard.pairs(bands, "vec_id")
       .select(col("vec_id_1").as("vec_id_keeper"),
         col("vec_id_2").as("vec_id_dropped"))
-      .distinct()
     cand
       .join(emb.select(col("vec_id").as("vec_id_keeper"),
         col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_keeper")
@@ -314,6 +318,9 @@ object Similarity {
       .filter(col("sim") >= NearDupThreshold)
       .select(col("vec_id_keeper"), col("vec_id_dropped"),
         round(col("sim"), 4).as("sim"))
+      // same pair from different bands ⇒ same embeddings ⇒ identical
+      // sim bits, so the pair-key distinct can carry sim through
+      .distinct()
   }
 
   /** SQL twin of [[embeddingCosinePairs]] — reused (as a subquery) by the
@@ -2220,18 +2227,24 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
   /** CTEs ending in `semcontam(doc_id)` — the DuckDB twin of
-    * [[semanticContaminatedIds]] for the `vec_id % 97 = 0` benchmark
+    * [[semanticContaminatedIds]] for the `doc_id % 97 = 0` benchmark
     * convention (the pipeline oracle composes it; prefix `sc` keeps the
-    * chain collision-free). */
+    * chain collision-free). The bench/corpus split derives from
+    * DOCUMENTS — the same id list the Spark stage receives — not from a
+    * `vec_id % 97` shortcut over embeddings: an embedding whose vec_id
+    * has no documents row is CORPUS on the Spark side (the anti-join
+    * keeps it), and the twin must agree even when the two id domains
+    * drift (r17 advice). */
   private[operators] val semContamSqlCtes: String =
     s"""sce AS (
       |  SELECT vec_id, embedding,
       |         SQRT(${dotSql("embedding", "embedding")}) AS nrm
       |  FROM embeddings),
+      |scbids AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
       |scb AS (SELECT vec_id, embedding AS q, nrm AS qn
-      |        FROM sce WHERE vec_id % 97 = 0),
+      |        FROM sce WHERE vec_id IN (SELECT doc_id FROM scbids)),
       |scc AS (SELECT vec_id, embedding AS v, nrm AS vn
-      |        FROM sce WHERE vec_id % 97 <> 0),
+      |        FROM sce WHERE vec_id NOT IN (SELECT doc_id FROM scbids)),
       |semcontam AS (
       |  SELECT DISTINCT c.vec_id AS doc_id
       |  FROM scc c, scb b

@@ -104,6 +104,108 @@ class ScaleGateSuite extends AnyFunSuite {
     assert(shuffleToo.contains("knn_graph/shuffle_ratio_10x"), shuffleToo)
   }
 
+  test("a spill regression fires the gate even with wall and shuffle stable") {
+    // the r17-verdict hole: dedup_clusters' x10 spill grew superlinearly
+    // while wall/shuffle looked fine — the shuffle-only gate passed. The
+    // spill metric is judged on the x10 ABSOLUTE (x1 spill is normally
+    // zero, a ratio is undefined exactly where the signal lives).
+    def m(memSpill: Long, diskSpill: Long): String =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": false},
+         |"queries": {"q": {
+         |  "x10": {"wall_sec": 35.0, "shuffle_write_bytes": 8496000000,
+         |    "mem_spill_bytes": $memSpill, "disk_spill_bytes": $diskSpill,
+         |    "peak_task_memory_bytes": 168000000},
+         |  "wall_ratio_10x": 4.8, "shuffle_ratio_10x": 39.7,
+         |  "peak_mem_ratio_10x": 4.9}}}}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gate5")
+    java.nio.file.Files.write(dir.resolve("METRICS_r17.json"),
+      m(0L, 0L).getBytes("UTF-8"))
+    // spill materialized from a spill-free prior: hard
+    val grew = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(9660000000L, 740000000L))
+    assert(grew.contains(""""ok": false"""), grew)
+    assert(grew.contains(""""q/x10_spill_bytes""""), grew)
+    // sub-floor jitter from zero never flags
+    val jitter = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(100000000L, 0L))
+    assert(jitter.contains(""""ok": true"""), jitter)
+    // growth within the factor never flags
+    java.nio.file.Files.write(dir.resolve("METRICS_r17.json"),
+      m(9000000000L, 700000000L).getBytes("UTF-8"))
+    val flat = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(9660000000L, 740000000L))
+    assert(flat.contains(""""ok": true"""), flat)
+    // past the factor: hard again
+    val worse = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(20000000000L, 740000000L))
+    assert(worse.contains(""""ok": false"""), worse)
+  }
+
+  test("a peak-task-memory ratio regression fires the gate") {
+    def m(peakRatio: Double, x10Peak: Long): String =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": false},
+         |"queries": {"q": {
+         |  "x10": {"wall_sec": 35.0, "shuffle_write_bytes": 100,
+         |    "mem_spill_bytes": 0, "disk_spill_bytes": 0,
+         |    "peak_task_memory_bytes": $x10Peak},
+         |  "wall_ratio_10x": 4.8, "shuffle_ratio_10x": 9.7,
+         |  "peak_mem_ratio_10x": $peakRatio}}}}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gate6")
+    java.nio.file.Files.write(dir.resolve("METRICS_r17.json"),
+      m(1.1, 20000000L).getBytes("UTF-8"))
+    val grew = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(4.9, 100000000L))
+    assert(grew.contains(""""ok": false"""), grew)
+    assert(grew.contains(""""q/peak_mem_ratio_10x""""), grew)
+    // ratio inflated by a SHRUNK x1 denominator while the x10 absolute
+    // held: not a regression (same guard as the wall metric)
+    val denom = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(4.9, 20000000L))
+    assert(denom.contains(""""ok": true"""), denom)
+  }
+
+  test("a prior-round suspect that reproduces on a quiet host escalates to hard") {
+    // the r17-advice hole: wallNoiseDemoted demoted a REPRODUCIBLE
+    // pure-compute regression to suspect every round forever. The
+    // second quiet-host occurrence is the corroborating rerun.
+    def m(ratio: Double, x10Wall: Double, suspects: String): String =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": false},
+         |"queries": {"q": {
+         |  "x10": {"wall_sec": $x10Wall, "shuffle_write_bytes": 8496000000,
+         |    "mem_spill_bytes": 0, "disk_spill_bytes": 0,
+         |    "peak_task_memory_bytes": 168000000},
+         |  "wall_ratio_10x": $ratio, "shuffle_ratio_10x": 39.7}}},
+         |"scaling_regression_gate": {"suspect": [$suspects]}}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gate7")
+    // round 17 gate already demoted q's wall flag to suspect
+    java.nio.file.Files.write(dir.resolve("METRICS_r17.json"),
+      m(3.5, 35.0, "\"q/wall_ratio_10x\"").getBytes("UTF-8"))
+    val again = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(6.3, 46.0, ""))
+    assert(again.contains(""""ok": false"""), again)
+    assert(again.contains(""""escalated": ["q/wall_ratio_10x"]"""), again)
+    // without the prior suspect the same flag still demotes
+    java.nio.file.Files.write(dir.resolve("METRICS_r17.json"),
+      m(3.5, 35.0, "").getBytes("UTF-8"))
+    val first = ScaleReport.regressionGateJson(dir.toString, 18,
+      m(6.3, 46.0, ""))
+    assert(first.contains(""""ok": true"""), first)
+    assert(first.contains(""""suspect": ["q/wall_ratio_10x"]"""), first)
+    // on a CONTENDED host nothing corroborates — the suspect carries
+    def contendedM(ratio: Double, x10Wall: Double): String =
+      m(ratio, x10Wall, "").replace("\"contended\": false",
+        "\"contended\": true")
+    java.nio.file.Files.write(dir.resolve("METRICS_r17.json"),
+      m(3.5, 35.0, "\"q/wall_ratio_10x\"").getBytes("UTF-8"))
+    val contended = ScaleReport.regressionGateJson(dir.toString, 18,
+      contendedM(6.3, 46.0))
+    assert(contended.contains(""""ok": true"""), contended)
+    assert(contended.contains(""""suspect": ["q/wall_ratio_10x"]"""), contended)
+  }
+
   test("wall-only flag with stable resource signals demotes to suspect") {
     // the measured r17 case: two back-to-back UNCONTENDED sweeps held
     // dedup_clusters' shuffle/spill/peak-mem bit-identical while the
