@@ -295,3 +295,204 @@ object NearestCentroid {
   def divideByZero(): ArithmeticException =
     new ArithmeticException("[DIVIDE_BY_ZERO] Division by zero")
 }
+
+/**
+ * `nearest_code(cbs, sub)` — the PQ sub-quantizer assignment (argmin_code
+ * ‖sub − cvec‖²) as a native kernel, bit-identical to the HOF fold it
+ * replaces (`Similarity.nearestCodeHof`):
+ *
+ *   aggregate(cbs, struct(-1 AS code, DoubleMax AS dist), (acc, c) ->
+ *     CASE WHEN aggregate(zip_with(sub, c.cvec, (x, y) ->
+ *                   (x - y) * (x - y)), 0D, (a, x) -> a + x) < acc.dist
+ *          THEN struct(c.code, d) ELSE acc END).code
+ *
+ * [[NearestCentroid]]'s contract under an L2 objective, minus the
+ * division (no ANSI arm): codewords are visited in array order (callers
+ * sort by code) and an improvement requires STRICT `<` under the
+ * NaN-safe double ordering, so ties keep the LOWEST code — exactly the
+ * oracle's `ORDER BY dist, code` row_number; the sub-distance is the
+ * left-associated IEEE double sum in index order from 0.0; a null
+ * codeword entry, null cvec field, length mismatch, or null element
+ * skips that codeword; a null `sub` yields the initial code (-1), a
+ * null `cbs` yields null. PQ encode runs this M times per row
+ * (M×K×subdim multiply-adds — linear in N but the same interpreted-HOF
+ * constant the assignment kernel shed), and the per-subspace Lloyd
+ * trainer runs it once per train row per iteration.
+ */
+final case class NearestCode(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def cbs = left
+  private def sub = right
+
+  override def prettyName: String = "nearest_code"
+
+  private lazy val cbsType: ArrayType = cbs.dataType.asInstanceOf[ArrayType]
+  private lazy val cbStruct: StructType = cbsType.elementType.asInstanceOf[StructType]
+  private lazy val codeOrd: Int = cbStruct.fieldIndex("code")
+  private lazy val cvecOrd: Int = cbStruct.fieldIndex("cvec")
+  private lazy val cvecNullable: Boolean = cbStruct(cvecOrd).nullable
+  private lazy val entryNullable: Boolean = cbsType.containsNull
+  private lazy val cvecType: ArrayType =
+    cbStruct(cvecOrd).dataType.asInstanceOf[ArrayType]
+  private lazy val subType: ArrayType = sub.dataType.asInstanceOf[ArrayType]
+  private lazy val cvecElemFloat: Boolean = cvecType.elementType == FloatType
+  private lazy val subElemFloat: Boolean = subType.elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def floatish(t: DataType) = t == FloatType || t == DoubleType
+    cbs.dataType match {
+      case ArrayType(s: StructType, _)
+          if s.fieldNames.contains("code") && s.fieldNames.contains("cvec") &&
+            s(s.fieldIndex("code")).dataType == IntegerType &&
+            (s(s.fieldIndex("cvec")).dataType match {
+              case ArrayType(e, _) => floatish(e); case _ => false
+            }) =>
+        sub.dataType match {
+          case ArrayType(e, _) if floatish(e) => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects sub as ARRAY<FLOAT|DOUBLE>, got ${other.simpleString}")
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects codewords as ARRAY<STRUCT<code INT, " +
+          s"cvec ARRAY<FLOAT|DOUBLE>>>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = IntegerType
+
+  /** Null only when `cbs` is null; a null `sub` yields the initial -1,
+    * exactly as the fold's `.getField("code")` over the untouched
+    * accumulator (whose code field is non-null). The struct's own code
+    * field nullability surfaces only through a winning null code. */
+  override def nullable: Boolean =
+    cbs.nullable || cbStruct(codeOrd).nullable
+
+  override def eval(input: InternalRow): Any = {
+    val cbsV = cbs.eval(input)
+    if (cbsV == null) return null
+    val ca = cbsV.asInstanceOf[ArrayData]
+    val subV = sub.eval(input)
+    var best: Any = -1
+    var bestDist = Double.MaxValue
+    if (subV != null) {
+      val v = subV.asInstanceOf[ArrayData]
+      val vn = v.numElements()
+      val n = ca.numElements()
+      var ci = 0
+      while (ci < n) {
+        var skip = entryNullable && ca.isNullAt(ci)
+        if (!skip) {
+          val c = ca.getStruct(ci, cbStruct.size)
+          skip = cvecNullable && c.isNullAt(cvecOrd)
+          if (!skip) {
+            val cv = c.getArray(cvecOrd)
+            if (cv.numElements() != vn) skip = true
+            else {
+              var d = 0.0
+              var i = 0
+              while (i < vn && !skip) {
+                if ((subType.containsNull && v.isNullAt(i)) ||
+                    (cvecType.containsNull && cv.isNullAt(i))) skip = true
+                else {
+                  val x = if (subElemFloat) v.getFloat(i).toDouble else v.getDouble(i)
+                  val y = if (cvecElemFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+                  val diff = x - y
+                  d += diff * diff
+                  i += 1
+                }
+              }
+              if (!skip && org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                  .compareDoubles(d, bestDist) < 0) {
+                bestDist = d
+                best = if (cbStruct(codeOrd).nullable && c.isNullAt(codeOrd)) null
+                  else c.getInt(codeOrd)
+              }
+            }
+          }
+        }
+        ci += 1
+      }
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbsGen = cbs.genCode(ctx)
+    val subGen = sub.genCode(ctx)
+    val irCls = classOf[InternalRow].getName
+    val adCls = classOf[ArrayData].getName
+    val ordUtil = "org.apache.spark.sql.catalyst.util.SQLOrderingUtil"
+
+    val ca = ctx.freshName("ca"); val v = ctx.freshName("v")
+    val vn = ctx.freshName("vn"); val n = ctx.freshName("n")
+    val ci = ctx.freshName("ci"); val c = ctx.freshName("c")
+    val cv = ctx.freshName("cv"); val d = ctx.freshName("d")
+    val ok = ctx.freshName("ok"); val i = ctx.freshName("i")
+    val diff = ctx.freshName("diff")
+    val best = ctx.freshName("best"); val bestNull = ctx.freshName("bestNull")
+    val bestDist = ctx.freshName("bestDist")
+
+    val xExpr = if (subElemFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+    val yExpr = if (cvecElemFloat) s"(double) $cv.getFloat($i)" else s"$cv.getDouble($i)"
+    val entryGuard =
+      if (entryNullable) s"if ($ca.isNullAt($ci)) continue;" else ""
+    val fieldGuard =
+      if (cvecNullable) s"if ($c.isNullAt($cvecOrd)) continue;" else ""
+    val elemGuard = {
+      val checks = Seq(
+        if (subType.containsNull) Some(s"$v.isNullAt($i)") else None,
+        if (cvecType.containsNull) Some(s"$cv.isNullAt($i)") else None).flatten
+      if (checks.isEmpty) ""
+      else s"if (${checks.mkString(" || ")}) { $ok = false; break; }"
+    }
+    val takeCode =
+      if (cbStruct(codeOrd).nullable)
+        s"""$bestNull = $c.isNullAt($codeOrd);
+           |$best = $bestNull ? -1 : $c.getInt($codeOrd);""".stripMargin
+      else s"$bestNull = false; $best = $c.getInt($codeOrd);"
+
+    val code =
+      code"""
+        |${cbsGen.code}
+        |boolean ${ev.isNull} = ${cbsGen.isNull};
+        |int ${ev.value} = -1;
+        |if (!${ev.isNull}) {
+        |  ${subGen.code}
+        |  int $best = -1; boolean $bestNull = false;
+        |  double $bestDist = Double.MAX_VALUE;
+        |  if (!${subGen.isNull}) {
+        |    final $adCls $ca = ${cbsGen.value};
+        |    final $adCls $v = ${subGen.value};
+        |    final int $vn = $v.numElements();
+        |    final int $n = $ca.numElements();
+        |    for (int $ci = 0; $ci < $n; $ci++) {
+        |      $entryGuard
+        |      final $irCls $c = $ca.getStruct($ci, ${cbStruct.size});
+        |      $fieldGuard
+        |      final $adCls $cv = $c.getArray($cvecOrd);
+        |      if ($cv.numElements() != $vn) continue;
+        |      double $d = 0.0; boolean $ok = true;
+        |      for (int $i = 0; $i < $vn; $i++) {
+        |        $elemGuard
+        |        final double $diff = ($xExpr) - ($yExpr);
+        |        $d += $diff * $diff;
+        |      }
+        |      if (!$ok) continue;
+        |      if ($ordUtil.compareDoubles($d, $bestDist) < 0) {
+        |        $bestDist = $d;
+        |        $takeCode
+        |      }
+        |    }
+        |  }
+        |  ${ev.isNull} = $bestNull;
+        |  ${ev.value} = $best;
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCode =
+    copy(left = newLeft, right = newRight)
+}

@@ -306,4 +306,8 @@ object VectorFunctions {
   def nearestCentroid(cents: Column, vec: Column, nrm: Column): Column =
     Shim.column(NearestCentroid(
       Shim.expression(cents), Shim.expression(vec), Shim.expression(nrm)))
+
+  /** Column API for the native PQ sub-quantizer assignment kernel. */
+  def nearestCode(cbs: Column, sub: Column): Column =
+    Shim.column(NearestCode(Shim.expression(cbs), Shim.expression(sub)))
 }

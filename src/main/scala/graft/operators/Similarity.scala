@@ -902,12 +902,20 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   /** One subspace codeword. Field names are what the encode fold reads. */
   private[operators] case class SubCentroid(code: Int, cvec: Seq[Double])
 
-  /** argmin_code ‖sub − cvec‖² as a literal fold (the [[nearestCentroid]]
-    * pattern under an L2 objective): strict `<` improvement over the
+  /** argmin_code ‖sub − cvec‖² — the NATIVE kernel
+    * ([[graft.functions.NearestCode]], the [[nearestCentroid]] pattern
+    * under an L2 objective): strict `<` improvement over the
     * code-ascending list ⇒ ties keep the LOWEST code, exactly the
     * oracle's `ORDER BY dist, code` row_number. Sub-distance is the
-    * left-assoc 8-term fold from 0.0 ≡ the twin's explicit sum. */
+    * left-assoc 8-term fold from 0.0 ≡ the twin's explicit sum;
+    * [[nearestCodeHofIn]] below is the executable spec the suite pins
+    * the kernel against. */
   private def nearestCodeIn(cbs: Column, sub: Column): Column =
+    graft.functions.VectorFunctions.nearestCode(cbs, sub)
+
+  /** The original HOF fold, kept as the kernel's bit-identity witness
+    * (`SeededQuantizerFaceSuite`). */
+  private[operators] def nearestCodeHofIn(cbs: Column, sub: Column): Column =
     aggregate(
       cbs,
       struct(lit(-1).as("code"), lit(Double.MaxValue).as("dist")),

@@ -86,6 +86,8 @@ object GraftExtensions {
           s"nearest_centroid expects (cents, vec, nrm), got ${args.length} args")
         graft.functions.NearestCentroid(args.head, args(1), args(2))
       }),
+    binary("nearest_code", classOf[graft.functions.NearestCode],
+      (a: Expression, b: Expression) => graft.functions.NearestCode(a, b)),
     (FunctionIdentifier("srp_band_codes"),
       new ExpressionInfo(classOf[SrpBandCodes].getName, "srp_band_codes"),
       (args: Seq[Expression]) => {

@@ -135,6 +135,54 @@ class SeededQuantizerFaceSuite extends SparkSuite {
     assert(h.isNullAt(0) && k.isNullAt(0))
   }
 
+  test("native nearest_code kernel ≡ HOF fold on real PQ subspaces and the degenerate table") {
+    // same contract as the centroid kernel under an L2 objective: the
+    // PQ encode must pick identical codes on every subspace of the real
+    // embeddings, and agree with the fold on ties/mismatches/nulls
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(Similarity.dotCol("embedding", "embedding")))
+      .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
+    val books = Similarity.pqTrainBooks(emb)
+    (0 until Similarity.PqM).foreach { m =>
+      val sub = slice(col("nx"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim)
+      val both = emb.select(col("vec_id"),
+          Similarity.nearestCodeHofIn(typedLit(books(m)), sub).as("hof"),
+          graft.functions.VectorFunctions.nearestCode(
+            typedLit(books(m)), sub).as("native"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(both.nonEmpty)
+      both.foreach { case (id, h, k) =>
+        assert(h == k, s"subspace $m vec $id: fold=$h kernel=$k")
+      }
+    }
+    // degenerate truth table: exact tie (lowest code wins), length
+    // mismatch (skipped), null sub (-1), null codebook (null)
+    import spark.implicits._
+    val cb = Seq(
+      Similarity.SubCentroid(0, Seq(1.0, 0.0)),
+      Similarity.SubCentroid(1, Seq(1.0, 0.0)),   // exact tie with 0
+      Similarity.SubCentroid(2, Seq(1.0, 0.0, 9.0)), // mismatch: skipped
+      Similarity.SubCentroid(3, Seq(0.0, 1.0)))
+    val rows = Seq(
+      (0L, Some(Seq(1.0, 0.05))), (1L, Some(Seq(0.05, 1.0))), (2L, None))
+      .toDF("vec_id", "sub")
+    val out = rows.select(col("vec_id"),
+        Similarity.nearestCodeHofIn(typedLit(cb), col("sub")).as("hof"),
+        graft.functions.VectorFunctions.nearestCode(
+          typedLit(cb), col("sub")).as("native"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    out.foreach { case (id, h, k) => assert(h == k, s"row $id: $h vs $k") }
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(0L) == 0 && byId(1L) == 3 && byId(2L) == -1)
+    val nullCb = lit(null).cast("array<struct<code:int,cvec:array<double>>>")
+    val h = rows.limit(1).select(Similarity.nearestCodeHofIn(
+      nullCb, col("sub")).as("c")).collect()(0)
+    val k = rows.limit(1).select(graft.functions.VectorFunctions.nearestCode(
+      nullCb, col("sub")).as("c")).collect()(0)
+    assert(h.isNullAt(0) && k.isNullAt(0))
+  }
+
   test("past LiteralCentroidMax the assignment plans a broadcast join; below it, none") {
     import spark.implicits._
     val tiny = (0L until 64L).map { i =>
