@@ -16,10 +16,17 @@ object XCapDrive18 {
         s"$dir/embeddings.parquet")
     }
     val q = graft.SparkEntry.queries("dedup_semantic")(s, dir)
-    val plan = q.queryExecution.optimizedPlan.toString
-    println(s"##XCAP## vectors=${graft.Tables.embeddings(s, dir).count()} " +
-      s"bcastFace=${plan.contains("cents_arr")} " +
-      s"nativeKernel=${plan.contains("nearest_centroid")}")
+    // the query's own optimized plan hides the assignment behind the
+    // localCheckpoint RDD boundary — probe the face/kernel markers on
+    // the assignment subplan (what the checkpoint materializes)
+    val emb = graft.Tables.embeddings(s, dir).repartition(64)
+    val n = emb.count()
+    val assignedPlan = graft.operators.Similarity
+      .quantizerAssignment(emb, Some(n))
+      .queryExecution.optimizedPlan.toString
+    println(s"##XCAP## vectors=$n " +
+      s"bcastFace=${assignedPlan.contains("cents_arr")} " +
+      s"nativeKernel=${assignedPlan.contains("nearest_centroid")}")
     for (i <- 1 to 2) {
       val t0 = System.nanoTime
       val n = q.count()

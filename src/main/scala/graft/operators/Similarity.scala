@@ -1569,6 +1569,16 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     seededAssignedOf(Tables.embeddings(s, dir).repartition(64),
       Some(embeddingsCountFor(s, dir)))
 
+  /** PUBLIC face of the seeded coarse-quantizer assignment — (vec_id,
+    * cell, csim, embedding, nrm) for an embeddings frame. The library
+    * API a pipeline uses to bucket its own vectors (and what the xcap
+    * drive scripts probe for the face/kernel plan markers): picks the
+    * literal or broadcast quantizer face by [[adaptiveNlist]] exactly as
+    * every internal consumer does. `precount` skips the sizing count
+    * when the caller already knows the corpus size. */
+  def quantizerAssignment(emb: DataFrame, precount: Option[Long] = None): DataFrame =
+    seededAssignedOf(emb, precount)
+
   /** DuckDB twin of [[seededAssigned]]: CTEs ending in
     * `assigned(vec_id, cell, csim, embedding, nrm)`. The centroid count
     * is the SQL [[adaptiveNlistSql]] twin of [[adaptiveNlist]] — same
@@ -1599,12 +1609,16 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * semantic stage so the prune rule can't desync. */
   private[operators] def semanticDropped(
       emb0: DataFrame, precount: Option[Long] = None): DataFrame =
-    semanticDropped(emb0, seededAssignedOf(emb0, precount))
+    semanticDropped(emb0,
+      seededAssignedOf(emb0, precount).localCheckpoint(false))
 
   /** As above with a precomputed [[seededAssignedOf]] frame, so a caller
-    * that also consumes the assignment pays the centroid collect once. */
+    * that also consumes the assignment pays the centroid collect once.
+    * Every corpus read here goes through `assigned` (which carries the
+    * embeddings) — a caller that materializes it ([[dedupSemantic]]'s
+    * localCheckpoint) makes the assignment fold run exactly once. */
   private[operators] def semanticDropped(emb0: DataFrame, assigned: DataFrame): DataFrame = {
-    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val emb = assigned.select(col("vec_id"), col("embedding"))
     val cells = assigned
       .select(col("vec_id"), col("csim"), col("cell").as("band"))
       .repartition(col("band"))
@@ -1636,7 +1650,14 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private val dedupSemantic = QueryDef(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir).repartition(64)
-      val assigned = seededAssignedOf(emb, Some(embeddingsCountFor(s, dir)))
+      // materialize the assignment ONCE (the containmentFrames/
+      // graph_triangles localCheckpoint precedent): the anti-join left,
+      // SkewGuard's occupancy pass, and both verify-join fetches all
+      // consume it — without the boundary each recomputed the full
+      // N×nlist fold (the 1.04M-vector drive measured 4 assignment-sized
+      // stages ≈ 85% of task time, docs/PLANS_r18.md §4)
+      val assigned = seededAssignedOf(emb,
+        Some(embeddingsCountFor(s, dir))).localCheckpoint(false)
       assigned
         .join(semanticDropped(emb, assigned), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"))
