@@ -199,8 +199,11 @@ object IvfIndex {
       .flatMap { case (bk, m) => bk.map(c => (m, c.code, c.cvec)) }
       .toDF("m", "code", "cvec").write.mode("overwrite").parquet(s"$path/books")
     Similarity.pqWithRecon(resFrame.withColumn("nx", col("rx")), books)
+      // on-disk layout keeps one small int column per subspace (column
+      // pruning + stats); the in-plan form is the `codes` array (r18)
       .select(col("vec_id") +: col("cell") +:
-        (0 until Similarity.PqM).map(m => col(s"code$m")): _*)
+        (0 until Similarity.PqM).map(m =>
+          element_at(col("codes"), m + 1).as(s"code$m")): _*)
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch", "cell").parquet(s"$path/codes")
     graft.ops.EpochCommit.mark(s, s"$path/codes", 0L)
@@ -229,7 +232,8 @@ object IvfIndex {
     val epoch = graft.ops.EpochCommit.nextEpoch(s, root)
     Similarity.pqWithRecon(frame.withColumn("nx", col("rx")), books)
       .select(col("vec_id") +: col("cell") +:
-        (0 until Similarity.PqM).map(m => col(s"code$m")): _*)
+        (0 until Similarity.PqM).map(m =>
+          element_at(col("codes"), m + 1).as(s"code$m")): _*)
       .withColumn("epoch", lit(epoch))
       .write.mode("append").partitionBy("epoch", "cell").parquet(root)
     graft.ops.EpochCommit.mark(s, root, epoch)

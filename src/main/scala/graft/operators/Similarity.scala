@@ -927,8 +927,6 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
           struct(c.getField("code").as("code"), d.as("dist"))).otherwise(acc)
       }).getField("code")
 
-  private def nearestCode(cbs: Seq[SubCentroid], sub: Column): Column =
-    nearestCodeIn(typedLit(cbs), sub)
 
   /** Product-quantized corpus + ADC scoring (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): vectors are L2-normalized
@@ -1017,16 +1015,32 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
   /** Adds a `recon` column — the PQ reconstruction of `nx` — via the
-    * PqM narrow argmin folds (zero shuffle) and a codeword lookup in
-    * the projection (flat concat in subspace order). */
+    * PqM narrow argmin kernels (zero shuffle) and a codeword lookup in
+    * the projection (flat concat in subspace order).
+    *
+    * The M per-subspace assignments run as ONE `transform` over the
+    * subspace index calling the native [[graft.functions.NearestCode]]
+    * kernel per element — NOT as M unrolled codegen'd call sites.
+    * Measured (r18, sf0.1 = 2k vectors): unrolled call sites made the
+    * projection whole-stage-codegen-able and the per-run janino compile
+    * of the resulting method dominated the query (+0.6-0.9 s per run —
+    * fresh expression ids defeat the codegen cache, so EVERY run pays
+    * it), while the data work is milliseconds at this corpus. The HOF
+    * form keeps the projection off janino entirely and the interpreted
+    * path evaluates the SAME tight kernel loop per subspace — the
+    * arithmetic is identical at every scale, and at 100 TB the
+    * per-element lambda dispatch (M=8 per row) is noise against the
+    * K×subdim native loop inside each call. */
   private[operators] def pqWithRecon(df: DataFrame, books: Seq[Seq[SubCentroid]]): DataFrame = {
     val booksVecs: Seq[Seq[Seq[Double]]] = books.map(_.map(_.cvec))
-    val encoded = (0 until PqM).foldLeft(df) { (d, m) =>
-      d.withColumn(s"code$m",
-        nearestCode(books(m), slice(col("nx"), m * PqSubDim + 1, PqSubDim)))
-    }
+    val booksLit = typedLit(books.map(_.toIndexedSeq).toIndexedSeq)
+    val encoded = df.withColumn("codes",
+      transform(sequence(lit(0), lit(PqM - 1)), m =>
+        graft.functions.VectorFunctions.nearestCode(
+          element_at(booksLit, m + 1),
+          slice(col("nx"), m * PqSubDim + 1, lit(PqSubDim)))))
     encoded.withColumn("recon", concat((0 until PqM).map(m =>
-      element_at(typedLit(booksVecs(m)), col(s"code$m") + 1)): _*))
+      element_at(typedLit(booksVecs(m)), element_at(col("codes"), m + 1) + 1)): _*))
   }
 
   private def pqScored(s: SparkSession, dir: String): DataFrame = {
@@ -1690,9 +1704,13 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private val embeddingOutliers = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // the histogram pass and the tail join-back both consume the
+      // slotted assignment — one lazy materialization, one fold
+      // (the dedupSemantic r18 precedent)
       val slotted = seededAssigned(s, dir)
         .select(col("vec_id"), col("cell"), col("csim"),
           (floor(col("csim") * 500).cast("long") + 500L).as("slot"))
+        .localCheckpoint(false)
       val hist = slotted.groupBy("cell", "slot").agg(count(lit(1)).as("n"))
       val cum = hist
         .withColumn("cum_lo",
@@ -2031,7 +2049,10 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private val sampleDiversity = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // size table + rank join-back both consume the assignment —
+      // one lazy materialization, one fold (the dedupSemantic precedent)
       val assigned = seededAssigned(s, dir).select("vec_id", "cell", "csim")
+        .localCheckpoint(false)
       val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
         .withColumn("n_pick", greatest(lit(1L),
           floor(sqrt(col("cell_size").cast("double"))).cast("long")))
