@@ -140,10 +140,18 @@ object ScaleReport {
     * (evidence, not gate input). */
   val DecadeFamily: Seq[String] =
     Seq("knn_graph", "dedup_semantic", "match_entities",
-      // r18: the remaining heavy movers the r17 verdict wanted judged
-      // from two decades — the spill watch item, the intrinsically
-      // output-heavy cosine pairs, and the fixed-latency pipeline
-      "dedup_clusters", "dedup_embedding_cosine", "pipeline_curate_full")
+      // r18: the fixed-latency pipeline joins the second decade. The
+      // other two r17 watch items (dedup_clusters, dedup_embedding_
+      // cosine) are deliberately NOT here: their banded candidate mass
+      // is ~quadratic on this corpus (fixed 2560-key band space ⇒
+      // occupancy ∝ N ⇒ x30 ≈ 1.1B pairs, measured ~54 GB of shuffle
+      // spill-to-disk before the host filesystem filled) — at x30 the
+      // row measures the corpus's quadratic OUTPUT, not engine scaling,
+      // and the x10 row plus the output_ratio yardstick is the gated
+      // claim (docs/PLANS_r18.md; at 100 TB the same contract holds:
+      // candidate mass is output-bound, and output-bound work is
+      // provisioned by output size, not corpus size)
+      "pipeline_curate_full")
 
   def ensureCorpora30(spark: SparkSession, realDir: String): String = {
     val x30 = s"$ScaleBase/x30"
