@@ -492,6 +492,121 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("cvec"),
         col("nrm").as("cnrm"))
 
+  /** Past this many centroids the FLAT argmax itself is the measured
+    * bottleneck (docs/PLANS_r18.md §1: with the native kernel,
+    * assignment work N×nlist = N²/250 re-dominates past ~5M vectors ≈
+    * nlist ~20k). The TWO-LEVEL face ([[assignCellsWithSimTwoLevel]],
+    * N·(√nlist + members) probes instead of N·nlist) was built for this
+    * regime and measured 42× faster at 4.16M vectors — and REJECTED as
+    * a default by measurement: the standard IVF coarse-assignment
+    * approximation recovers only 16% cell agreement / 38% of the
+    * dedup's dropped set vs the exact flat quantizer on this
+    * near-isotropic embedding family, with or without Lloyd-trained
+    * reps (docs/PLANS_r18.md §6). This constant marks the measured
+    * regime boundary and sizes the experimental face's tests; the
+    * DEFAULT stays the exact flat quantizer at every nlist. */
+  private[operators] val TwoLevelMin = 16384L
+
+  /** Deterministic group count: ⌊√nlist⌋ floored at 1 — balances the
+    * two probe phases (reps vs members) at √nlist each. */
+  private[operators] def twoLevelGroups(nlist: Long): Long =
+    math.max(1L, math.sqrt(nlist.toDouble).toLong)
+
+  /** The TWO-LEVEL quantizer face — EXPERIMENTAL, deliberately NOT a
+    * default face (measured rejection, docs/PLANS_r18.md §6): group
+    * representatives are Lloyd-trained from the centroids
+    * ([[twoLevelReps]]); every centroid joins the group of its nearest
+    * rep (the IDENTICAL [[nearestCentroid]] fold semantics — strict
+    * `>`, ascending rep id on ties); a corpus row probes the reps, then
+    * the winning group's member list. All quantizer metadata moves as
+    * ONE broadcast row {members_map} plus the rep literal; the corpus
+    * never shuffles for assignment (the broadcast-face invariant). The
+    * reps array is RESTRICTED to non-empty groups (collected as
+    * group-id metadata, ≤ √nlist longs), so the map lookup is total by
+    * construction — no row can probe an empty group. Within the chosen
+    * group the assignment is EXACT (same fold, true cent_ids), which is
+    * the suite's within-group pin: wherever the flat argmax's winner
+    * lives in the probed group, two-level ≡ flat bit-for-bit.
+    *
+    * Measured at 4.16M vectors / nlist 16640 (TwoLevelDrive): the
+    * assignment pass is 16.5 s vs flat's 686.6 s (42×) and the full
+    * dedup_semantic completes deterministically — but single-probe
+    * coarse assignment recovers only 16% cell agreement and 38% of the
+    * dedup dropped set vs exact flat on this near-isotropic embedding
+    * family (TwoLevelRecallProbe at 500k; Lloyd training moved
+    * agreement 13→16%, recall within noise). Kept suite-pinned for a
+    * future clustered-embedding family or an explicit opt-in; never a
+    * silent default. */
+  /** Lloyd rounds for the two-level REPS: seeded reps over random-ish
+    * 64-dim vectors group centroids near-arbitrarily (measured: 13%
+    * cell agreement with flat, 39% dropped-set recall at 500k vectors),
+    * so the coarse level is TRAINED — the classic IVF/IMI design, with
+    * the engine's kmeans determinism precedent (ROUND(AVG, 6)
+    * coordinate means, exact driver-side norms, renumbered ascending).
+    * Two rounds over nlist METADATA rows per round. */
+  private[operators] val TwoLevelLloydRounds = 2
+
+  /** The TRAINED two-level reps for a centroid relation — seed = the
+    * first ⌊√nlist⌋ centroids, then [[TwoLevelLloydRounds]] Lloyd
+    * rounds (renumbered ascending; empty groups drop naturally). Shared
+    * with the suite so the driver replica probes the SAME reps. */
+  private[operators] def twoLevelReps(
+      cents: DataFrame, nlist: Long): Seq[Centroid] = {
+    val reps0 = collectCentroids(
+      cents.filter(col("cent_id") < twoLevelGroups(nlist)))
+    val dim = reps0.head.cvec.length
+    def lloyd(reps: Seq[Centroid]): Seq[Centroid] = {
+      val repsL = typedLit(reps)
+      cents
+        .withColumn("grp", graft.functions.VectorFunctions.nearestCentroid(
+          repsL, col("cvec"), col("cnrm")).getField("cent_id"))
+        .groupBy("grp")
+        .agg(array((1 to dim).map(j =>
+          round(avg(element_at(col("cvec"), j)), 6)): _*).as("cvec"))
+        .collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, cv), i) =>
+          Centroid(i.toLong, cv,
+            math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+    }
+    (1 to TwoLevelLloydRounds).foldLeft(reps0)((r, _) => lloyd(r))
+  }
+
+  private[operators] def assignCellsWithSimTwoLevel(
+      emb: DataFrame, cents: DataFrame, nlist: Long): DataFrame = {
+    val repsAll = twoLevelReps(cents, nlist)
+    val repsLit = typedLit(repsAll)
+    // each centroid joins its nearest rep's group (metadata-sized job;
+    // the kernel accepts the double-widened cvec directly)
+    val grouped = cents.withColumn("grp",
+      graft.functions.VectorFunctions.nearestCentroid(
+        repsLit, col("cvec"), col("cnrm"))
+        .getField("cent_id"))
+    val packed = grouped.groupBy("grp")
+      .agg(sort_array(collect_list(struct(
+        col("cent_id"), col("cvec"), col("cnrm")))).as("members"))
+      .agg(
+        map_from_entries(sort_array(collect_list(
+          struct(col("grp"), col("members"))))).as("members_map"),
+        sort_array(collect_list(col("grp"))).as("live_grps"))
+    // restrict the rep list to non-empty groups so element_at is total
+    val liveGrps = packed.select(explode(col("live_grps"))).collect()
+      .map(_.getLong(0)).toSet
+    val repsLive = typedLit(repsAll.filter(c => liveGrps.contains(c.cent_id)))
+    emb.crossJoin(broadcast(packed.select("members_map")))
+      .withColumn("grp",
+        graft.functions.VectorFunctions.nearestCentroid(
+          repsLive, col("embedding"), col("nrm")).getField("cent_id"))
+      .withColumn("best",
+        graft.functions.VectorFunctions.nearestCentroid(
+          element_at(col("members_map"), col("grp")),
+          col("embedding"), col("nrm")))
+      .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
+        col("best").getField("csim").as("csim"), col("embedding"), col("nrm"))
+  }
+
   /** Exact driver-side replica of the [[nearestCentroid]] fold for one
     * query vector: same left-associated double accumulation, same strict
     * `>` improvement over the cent_id-sorted list, same `exclude` probe
@@ -1561,6 +1676,15 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
           col("nrm").as("cnrm")))
       assignCellsWithSim(emb, cents)
     } else assignCellsWithSimBcast(emb, seededCentsDf(emb, nlist))
+    // NOT a third face: two-level coarse assignment was built as the
+    // r17-flagged asymptotic fix ([[assignCellsWithSimTwoLevel]]),
+    // measured 42× faster than flat at 4.16M vectors — and REJECTED as
+    // the default by measurement: 16% cell agreement / 38% dropped-set
+    // recall vs the exact flat quantizer on this near-isotropic
+    // embedding family (docs/PLANS_r18.md §6). Exact-flat through the
+    // native kernel is affordable to ~5M vectors; past that, prefer
+    // provisioning or an EXPLICIT approximate-face opt-in, never a
+    // silent contract change.
   }
 
   /** Corpus row count, ONE action per (session, dir) — [[adaptiveNlist]]
