@@ -387,12 +387,16 @@ object ScaleReport {
               hi.path("peak_task_memory_bytes").asDouble()
           // the spill GATE metric is the combined footprint: a lost
           // partial combine shows up in either counter depending on
-          // executor memory headroom at that scale point
-          if (hi.path("disk_spill_bytes").isNumber &&
+          // executor memory headroom at that scale point. Sum whichever
+          // counters are present (missing = 0) — requiring BOTH silently
+          // dropped the gate metric for older/external artifacts that
+          // recorded only one counter, a coverage gap in the exact
+          // metric the r18 gate added (r18 advice)
+          if (hi.path("disk_spill_bytes").isNumber ||
               hi.path("mem_spill_bytes").isNumber)
             ratios("x10_spill_total_bytes") =
-              hi.path("disk_spill_bytes").asDouble() +
-                hi.path("mem_spill_bytes").asDouble()
+              hi.path("disk_spill_bytes").asDouble(0.0) +
+                hi.path("mem_spill_bytes").asDouble(0.0)
         }
       }
       out(e.getKey) = ratios.toMap
@@ -499,7 +503,7 @@ object ScaleReport {
     val contended = contendedOf(currentScalingJson)
     priorScalingBaselineText(cwd, currentRound) match {
       case None =>
-        """{"baseline": null, "deltas": {}, "regressions": [], "suspect": [], "escalated": [], "ok": true}"""
+        """{"baseline": null, "deltas": {}, "regressions": [], "suspect": [], "escalated": [], "recovered": [], "ok": true}"""
       case Some((name, priorText)) =>
         val prior = scalingRatiosOf(priorText)
         val priorSuspects = gateSuspectsOf(priorText)
@@ -512,15 +516,50 @@ object ScaleReport {
         // a quiet-host recurrence of a prior suspect is corroborated —
         // escalate; on a contended host nothing can be corroborated,
         // the suspect carries forward
-        val (escalated, suspect) =
+        val (escalated0, suspect0) =
           if (contended) (Seq.empty[RatioDelta], demotable)
           else demotable.partition(d =>
             priorSuspects.contains(s"${d.query}/${d.metric}"))
+        // PLATEAU carry-forward (r18 advice, medium): the baseline is
+        // the NEWEST prior artifact — which already recorded the
+        // regressed ratio. A reproducible regression that plateaus
+        // (3.5 -> 3.5) is never `degraded` vs that ratcheted baseline,
+        // so without this the prior suspect would silently vanish,
+        // contradicting the "never silently dropped / not demotable
+        // forever" contract. A prior suspect whose current ratio did
+        // NOT recover (current >= prior/1.2 — the wall noise band) is
+        // still the same open question: it escalates on a quiet host
+        // (the corroborating second occurrence, exactly the re-flag
+        // rule) and carries as suspect on a contended one. A suspect
+        // whose metric vanished from the sweep also carries (visible,
+        // current = -1). Recovered suspects land in `recovered`.
+        val flaggedNow = degraded.map(d => s"${d.query}/${d.metric}").toSet
+        val carriedAll = priorSuspects.toSeq.sorted
+          .filterNot(flaggedNow.contains)
+          .flatMap { key =>
+            val slash = key.lastIndexOf('/')
+            if (slash <= 0) None
+            else {
+              val (q, metric) = (key.take(slash), key.drop(slash + 1))
+              val p = prior.getOrElse(q, Map.empty)
+                .getOrElse(metric, -1.0)
+              val c = current.getOrElse(q, Map.empty)
+                .getOrElse(metric, -1.0)
+              Some(RatioDelta(q, metric, p, c))
+            }
+          }
+        val (recovered, carried) = carriedAll.partition(d =>
+          d.prior > 0 && d.current >= 0 && d.current < d.prior / 1.2)
+        val (escalated, suspect) =
+          if (contended) (escalated0, suspect0 ++ carried)
+          else (escalated0 ++ carried.filter(_.current >= 0),
+            suspect0 ++ carried.filter(_.current < 0))
         val regressed = hardRaw ++ escalated
         regressed.foreach(d => System.err.println(
           s"SCALING REGRESSION: ${d.query} ${d.metric} " +
             s"${d2(d.prior)} -> ${d2(d.current)} (> ${RegressionFactor}x)" +
-            (if (escalated.contains(d)) " [escalated: suspect last round, reproduced quiet]"
+            (if (carried.contains(d)) " [escalated: suspect last round, plateaued quiet]"
+             else if (escalated.contains(d)) " [escalated: suspect last round, reproduced quiet]"
              else "")))
         suspect.foreach(d => System.err.println(
           s"SCALING SUSPECT (wall-only, resources stable or contended " +
@@ -549,6 +588,7 @@ object ScaleReport {
            |  "regressions": [${names(regressed)}],
            |  "suspect": [${names(suspect)}],
            |  "escalated": [${names(escalated)}],
+           |  "recovered": [${names(recovered)}],
            |  "ok": ${regressed.isEmpty}
            |}""".stripMargin
     }

@@ -552,8 +552,15 @@ object Similarity {
     * with the suite so the driver replica probes the SAME reps. */
   private[operators] def twoLevelReps(
       cents: DataFrame, nlist: Long): Seq[Centroid] = {
+    // seed from the FIRST floor(sqrt(nlist)) centroids by cent_id
+    // ORDER, not by id VALUE (`cent_id < twoLevelGroups(nlist)` assumed
+    // ids dense from 0 — sparse or offset ids selected zero rows and
+    // reps0.head threw bare NoSuchElementException; r18 advice)
     val reps0 = collectCentroids(
-      cents.filter(col("cent_id") < twoLevelGroups(nlist)))
+      cents.orderBy("cent_id").limit(twoLevelGroups(nlist).toInt))
+    require(reps0.nonEmpty,
+      s"two-level reps: no centroids to seed from (nlist=$nlist, " +
+        s"groups=${twoLevelGroups(nlist)}) — is the centroid relation empty?")
     val dim = reps0.head.cvec.length
     def lloyd(reps: Seq[Centroid]): Seq[Centroid] = {
       val repsL = typedLit(reps)
@@ -2408,7 +2415,10 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * `vec_id % 97` shortcut over embeddings: an embedding whose vec_id
     * has no documents row is CORPUS on the Spark side (the anti-join
     * keeps it), and the twin must agree even when the two id domains
-    * drift (r17 advice). */
+    * drift (r17 advice). The corpus side uses NOT EXISTS, never NOT IN:
+    * under three-valued logic one NULL doc_id in documents makes NOT IN
+    * return ZERO rows — the twin's corpus would silently go empty while
+    * the Spark left_anti keeps all non-matching rows (r18 advice). */
   private[operators] val semContamSqlCtes: String =
     s"""sce AS (
       |  SELECT vec_id, embedding,
@@ -2418,7 +2428,8 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       |scb AS (SELECT vec_id, embedding AS q, nrm AS qn
       |        FROM sce WHERE vec_id IN (SELECT doc_id FROM scbids)),
       |scc AS (SELECT vec_id, embedding AS v, nrm AS vn
-      |        FROM sce WHERE vec_id NOT IN (SELECT doc_id FROM scbids)),
+      |        FROM sce WHERE NOT EXISTS (
+      |          SELECT 1 FROM scbids WHERE scbids.doc_id = sce.vec_id)),
       |semcontam AS (
       |  SELECT DISTINCT c.vec_id AS doc_id
       |  FROM scc c, scb b

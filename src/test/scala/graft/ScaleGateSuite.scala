@@ -237,4 +237,69 @@ class ScaleGateSuite extends AnyFunSuite {
       m(6.3, 46.0, 8496000000L, 740000000L, 168000000L))
     assert(spillGrew.contains(""""ok": false"""), spillGrew)
   }
+
+  test("a prior suspect that PLATEAUS is carried, escalated quiet, recovered loud") {
+    // r18-advice medium: the baseline is the newest prior artifact —
+    // which already recorded the regressed ratio. A plateau (3.5 ->
+    // 3.5) is never `degraded` vs that ratcheted baseline, so without
+    // carry-forward the suspect silently vanished from the gate.
+    def m(ratio: Double, x10Wall: Double, suspects: String,
+        contended: Boolean = false): String =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": $contended},
+         |"queries": {"q": {
+         |  "x10": {"wall_sec": $x10Wall, "shuffle_write_bytes": 8496000000,
+         |    "mem_spill_bytes": 0, "disk_spill_bytes": 0,
+         |    "peak_task_memory_bytes": 168000000},
+         |  "wall_ratio_10x": $ratio, "shuffle_ratio_10x": 39.7}}},
+         |"scaling_regression_gate": {"suspect": [$suspects]}}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gate8")
+    java.nio.file.Files.write(dir.resolve("METRICS_r18.json"),
+      m(3.5, 46.0, "\"q/wall_ratio_10x\"").getBytes("UTF-8"))
+    // quiet host, ratio plateaued (3.5 -> 3.5, not degraded vs the
+    // ratcheted baseline): the suspect escalates — second quiet strike
+    val plateau = ScaleReport.regressionGateJson(dir.toString, 19,
+      m(3.5, 46.0, ""))
+    assert(plateau.contains(""""ok": false"""), plateau)
+    assert(plateau.contains(""""escalated": ["q/wall_ratio_10x"]"""), plateau)
+    // quiet host, ratio within the 1.2x noise band of the suspect-round
+    // value (3.5 -> 3.0 >= 3.5/1.2): still not recovered — escalates
+    val noisy = ScaleReport.regressionGateJson(dir.toString, 19,
+      m(3.0, 40.0, ""))
+    assert(noisy.contains(""""ok": false"""), noisy)
+    // contended host: nothing corroborates — the suspect carries forward
+    val carried = ScaleReport.regressionGateJson(dir.toString, 19,
+      m(3.5, 46.0, "", contended = true))
+    assert(carried.contains(""""ok": true"""), carried)
+    assert(carried.contains(""""suspect": ["q/wall_ratio_10x"]"""), carried)
+    // genuine recovery (3.5 -> 1.4 < 3.5/1.2): recorded, gate clean
+    val recovered = ScaleReport.regressionGateJson(dir.toString, 19,
+      m(1.4, 18.0, ""))
+    assert(recovered.contains(""""ok": true"""), recovered)
+    assert(recovered.contains(""""suspect": []"""), recovered)
+    assert(recovered.contains(""""recovered": ["q/wall_ratio_10x"]"""), recovered)
+    // a suspect whose metric VANISHED from the sweep stays visible
+    val gone = ScaleReport.regressionGateJson(dir.toString, 19,
+      m(3.5, 46.0, "").replace("\"q\":", "\"other\":"))
+    assert(gone.contains(""""suspect": ["q/wall_ratio_10x"]"""), gone)
+    assert(gone.contains(""""ok": true"""), gone)
+  }
+
+  test("spill gate metric sums whichever counters are present (missing = 0)") {
+    // r18-advice low: requiring BOTH counters silently dropped the
+    // spill gate metric for artifacts recording only one of them
+    val onlyDisk =
+      """{"queries": {"q": {"x10": {"disk_spill_bytes": 7.0e8},
+        |  "wall_ratio_10x": 3.0}}}""".stripMargin
+    val ratios = ScaleReport.scalingRatiosOf(onlyDisk)
+    assert(ratios("q")("x10_spill_total_bytes") == 7.0e8, ratios)
+    val onlyMem =
+      """{"queries": {"q": {"x10": {"mem_spill_bytes": 5.0e8},
+        |  "wall_ratio_10x": 3.0}}}""".stripMargin
+    assert(ScaleReport.scalingRatiosOf(onlyMem)("q")("x10_spill_total_bytes") == 5.0e8)
+    val neither =
+      """{"queries": {"q": {"x10": {"wall_sec": 1.0},
+        |  "wall_ratio_10x": 3.0}}}""".stripMargin
+    assert(!ScaleReport.scalingRatiosOf(neither)("q").contains("x10_spill_total_bytes"))
+  }
 }

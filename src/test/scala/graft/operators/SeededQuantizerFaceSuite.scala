@@ -286,6 +286,29 @@ class SeededQuantizerFaceSuite extends SparkSuite {
     assert(flatPlan.contains("cents_arr") && !flatPlan.contains("members_map"))
   }
 
+  test("two-level reps seed from the first centroids by ORDER, not by id value") {
+    import spark.implicits._
+    // sparse/offset cent_ids: the old `cent_id < groups` filter selected
+    // ZERO rows here and reps0.head threw NoSuchElementException (r18
+    // advice) — seeding must take the first ⌊√nlist⌋ by cent_id order
+    val nlist = 16L
+    val sparse = (0 until nlist.toInt).map { i =>
+      val r = new java.util.SplittableRandom(i * 7919L + 3)
+      val cv = Seq.fill(4)(r.nextDouble(-1.0, 1.0))
+      (1000L + 100L * i, cv, math.sqrt(cv.map(x => x * x).sum))
+    }.toDF("cent_id", "cvec", "cnrm")
+    val reps = Similarity.twoLevelReps(sparse, nlist)
+    assert(reps.nonEmpty && reps.size <= Similarity.twoLevelGroups(nlist),
+      s"got ${reps.size} reps for ${Similarity.twoLevelGroups(nlist)} groups")
+    // renumbered ascending from 0 (the Lloyd contract), whatever the ids
+    assert(reps.map(_.cent_id) == reps.indices.map(_.toLong))
+    // and an EMPTY centroid relation fails loudly, not with a bare head
+    val empty = sparse.filter(col("cent_id") < 0L)
+    val ex = intercept[IllegalArgumentException](
+      Similarity.twoLevelReps(empty, nlist))
+    assert(ex.getMessage.contains("no centroids"), ex.getMessage)
+  }
+
   test("broadcast face: occupancy stays ~constant as the corpus grows") {
     import spark.implicits._
     def corpus(n: Long) = spark.range(0, n, 1, 16).map { id =>
