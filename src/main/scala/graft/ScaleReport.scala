@@ -47,8 +47,33 @@ object ScaleReport {
     (x1, x10)
   }
 
+  /** Deterministic JVM settle between measured runs and query rows
+    * (r18 verdict task 3 + the ×30 disk budget): long-sweep JVM state
+    * was the measured source of BOTH failure modes this addresses —
+    * (a) wall-only gate suspects that never reproduce solo
+    * (`dedup_clusters_star` 3.16× in-sweep vs 1.30× solo,
+    * `dedup_containment_heaps` 2.70× vs 1.62×, r18 §11: lingering
+    * localCheckpoint blocks shrink the unified memory pool and
+    * promoted-heap pressure lands on whichever row runs next), and
+    * (b) shuffle files of FINISHED jobs awaiting ContextCleaner, whose
+    * accumulation across a min-of-2 + output-count row at ×30
+    * candidate mass (~27 GB/run) overran the host filesystem. Drop
+    * every persistent RDD (between rows nothing may legitimately stay
+    * cached — queries unpersist their own frames; localCheckpoint
+    * blocks are plan-internal leftovers, and no memo in the tree holds
+    * a live DataFrame), then GC twice so the cleaner's reference queue
+    * drains and shuffle files delete before the next run starts. */
+  def settle(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    (1 to 2).foreach { _ => System.gc(); Thread.sleep(400) }
+  }
+
   private def runLabeled(spark: SparkSession, probe: TaskMetricsProbe,
       q: String, dir: String, label: String): (Double, ResourceStats) = {
+    // every measured run starts from the same JVM state: no foreign
+    // cached blocks, cleaner queue drained, heap compacted
+    settle(spark)
     spark.sparkContext.setJobGroup(label, s"scale probe: $label",
       interruptOnCancel = false)
     val t0 = System.nanoTime()
@@ -107,6 +132,7 @@ object ScaleReport {
       // against: an operator whose TRUE pair mass is quadratic in
       // this corpus (e.g. cosine pairs at a low threshold) is
       // linear-in-output even when it is superlinear-in-input
+      settle(spark)
       val outRows = SparkEntry.queries(q)(spark, dir).count()
       (tag, runs.minBy(_._1), outRows)
     }
@@ -140,18 +166,21 @@ object ScaleReport {
     * (evidence, not gate input). */
   val DecadeFamily: Seq[String] =
     Seq("knn_graph", "dedup_semantic", "match_entities",
-      // r18: the fixed-latency pipeline joins the second decade. The
-      // other two r17 watch items (dedup_clusters, dedup_embedding_
-      // cosine) are deliberately NOT here: their banded candidate mass
-      // is ~quadratic on this corpus (fixed 2560-key band space ⇒
-      // occupancy ∝ N ⇒ x30 ≈ 1.1B pairs, measured ~54 GB of shuffle
-      // spill-to-disk before the host filesystem filled) — at x30 the
-      // row measures the corpus's quadratic OUTPUT, not engine scaling,
-      // and the x10 row plus the output_ratio yardstick is the gated
-      // claim (docs/PLANS_r18.md; at 100 TB the same contract holds:
-      // candidate mass is output-bound, and output-bound work is
-      // provisioned by output size, not corpus size)
-      "pipeline_curate_full")
+      // r18: the fixed-latency pipeline joins the second decade
+      "pipeline_curate_full",
+      // r19: the banded cosine-pair family joins it — the previously
+      // impossible rows. Under the FIXED 2560-key band space their
+      // candidate mass was ~quadratic at any corpus (x30 ≈ 1.1B pairs;
+      // the r18 attempt wrote ~54 GB of shuffle before the host
+      // filesystem filled). The adaptive band ladder
+      // (Similarity.adaptiveBandParams — occupancy-constant rows-per-
+      // band, recall-preserving band count) makes candidates
+      // OUTPUT-BOUND: measured x30 raw candidates 444M (vs the 1.1B
+      // extrapolation), with candidates-per-verified-pair FALLING
+      // across decades (see band_census). The rows are real now; the
+      // settle() hook keeps the min-of-2 shuffle footprint within the
+      // host's disk
+      "dedup_embedding_cosine", "dedup_clusters")
 
   def ensureCorpora30(spark: SparkSession, realDir: String): String = {
     val x30 = s"$ScaleBase/x30"
@@ -178,6 +207,26 @@ object ScaleReport {
         s""""pairs": ${fr.pairs.count()}, """ +
         s""""screen_survivors": ${fr.screened.count()}, """ +
         s""""output_pairs": ${fr.result.count()}}"""
+    }.mkString(",\n")
+
+  /** SRP band-candidate CENSUS per corpus (r19): the adaptive band
+    * ladder's claim — candidates are OUTPUT-bound, i.e. raw candidates
+    * per verified pair must be non-increasing across decades — judged
+    * in numbers: the chosen rung, raw candidate mass (with cross-band
+    * multiplicity), and the verified pair count. */
+  private def bandCensusJson(spark: SparkSession,
+      dirs: Seq[(String, String)]): String =
+    dirs.map { case (tag, dir) =>
+      settle(spark)
+      val n = graft.operators.Similarity.embeddingsCountFor(spark, dir)
+      val (r, b) = graft.operators.Similarity.adaptiveBandParams(n)
+      val raw = graft.operators.Similarity.bandCandidates(spark, dir).count()
+      settle(spark)
+      val verified =
+        graft.operators.Similarity.embeddingCosinePairs(spark, dir).count()
+      s"""    "$tag": {"vectors": $n, "rows_per_band": $r, "bands": $b, """ +
+        s""""raw_candidates": $raw, "verified_pairs": $verified, """ +
+        s""""cand_per_output": ${d2(raw.toDouble / math.max(1L, verified))}}"""
     }.mkString(",\n")
 
   /** The scaling table as a JSON object body (no surrounding key).
@@ -226,6 +275,10 @@ object ScaleReport {
          |  "containment_census": {
          |${censusJson(spark, Seq("x1" -> x1, "x10" -> x10,
              "hx1" -> hx1, "hx10" -> hx10))}
+         |  },
+         |  "band_census": {
+         |${bandCensusJson(spark, Seq("x1" -> x1, "x10" -> x10,
+             "x30" -> x30))}
          |  },
          |  "queries": {
          |${(rows ++ rows30).mkString(",\n")}

