@@ -62,7 +62,14 @@ object ScaleReport {
     * cached — queries unpersist their own frames; localCheckpoint
     * blocks are plan-internal leftovers, and no memo in the tree holds
     * a live DataFrame), then GC twice so the cleaner's reference queue
-    * drains and shuffle files delete before the next run starts. */
+    * drains and shuffle files delete before the next run starts.
+    *
+    * SAFE ONLY BETWEEN FULLY-REBUILT FRAMES: unpersisting a
+    * localCheckpointed RDD truncates its lineage — a caller holding a
+    * checkpointed frame ACROSS a settle() gets
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next use (measured: the
+    * TwoLevelRecallProbe p-loop). Every sweep row rebuilds its frames
+    * from SparkEntry.queries, which is what makes the hook sound here. */
   def settle(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
@@ -229,6 +236,58 @@ object ScaleReport {
         s""""cand_per_output": ${d2(raw.toDouble / math.max(1L, verified))}}"""
     }.mkString(",\n")
 
+  /** Persisted IVF-PQ probe census (r18 verdict task 5): the serving
+    * contract is bytes-read ∝ nprobe/nlist × corpus — a probe must read
+    * its nprobe cells' CODE files (plus metadata-sized centroids/books
+    * and the shortlist rerank's float fetch), never the whole code
+    * layout. Build the index once per corpus (fixture), probe ONE query
+    * (so exactly nprobe cells are touched), and record: the on-disk
+    * code bytes total vs the probed cells' bytes (filesystem truth),
+    * and the labeled probe run's task-metrics input bytes. */
+  private def ivfpqProbeJson(spark: SparkSession, probe: TaskMetricsProbe,
+      dirs: Seq[(String, String)]): String = {
+    import org.apache.spark.sql.functions.col
+    def duData(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.filter(_.isFile).filterNot(_.getName.startsWith("_"))
+        .filterNot(_.getName.startsWith(".")).map(_.length).sum +
+        kids.filter(_.isDirectory).map(duData).sum
+    }
+    dirs.map { case (tag, dir) =>
+      settle(spark)
+      val path = graft.operators.IvfIndex.pqIndexPath(spark, dir)
+      val emb = graft.Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+      val cents = graft.operators.IvfIndex.centroidsOf(spark, path)
+      val nprobe = 2
+      val cells = graft.operators.IvfIndex.rankedCells(cents, q.head._2, nprobe)
+      val codesTotal = duData(new java.io.File(s"$path/codes"))
+      val probedBytes = cells.map(c =>
+        duData(new java.io.File(s"$path/codes/epoch=0/cell=$c"))).sum
+      val embBytes = duData(new java.io.File(s"$dir/embeddings.parquet"))
+      val label = s"ivfpq_probe@$tag"
+      spark.sparkContext.setJobGroup(label, label, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      try graft.operators.IvfIndex.probePq(spark, path, emb, q, nprobe = nprobe)
+        .write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      probe.quiesce(sc = spark.sparkContext)
+      val st = probe.snapshot(label).getOrElse(
+        throw new IllegalStateException(s"no task metrics for '$label'"))
+      s"""    "$tag": {"nlist": ${cents.size}, "nprobe": $nprobe, """ +
+        s""""probed_cells": [${cells.mkString(", ")}], """ +
+        s""""codes_total_bytes": $codesTotal, """ +
+        s""""probed_cells_bytes": $probedBytes, """ +
+        s""""probed_fraction": ${d2(probedBytes.toDouble / math.max(1L, codesTotal))}, """ +
+        s""""embeddings_bytes": $embBytes, """ +
+        s""""probe_input_bytes": ${st.inputBytes}, """ +
+        s""""probe_wall_sec": ${d2(wall)}}"""
+    }.mkString(",\n")
+  }
+
   /** The scaling table as a JSON object body (no surrounding key).
     * `loadAtStart` should be captured at INVOCATION start (before any
     * Spark work): when the sweep is embedded after 15 minutes of
@@ -279,6 +338,9 @@ object ScaleReport {
          |  "band_census": {
          |${bandCensusJson(spark, Seq("x1" -> x1, "x10" -> x10,
              "x30" -> x30))}
+         |  },
+         |  "ivfpq_probe": {
+         |${ivfpqProbeJson(spark, probe, Seq("x1" -> x1, "x10" -> x10))}
          |  },
          |  "queries": {
          |${(rows ++ rows30).mkString(",\n")}

@@ -148,13 +148,7 @@ object IvfIndex {
       qnrm = math.sqrt(qnrm)
       // rank ALL cells (there are only nlist) by the same (sim DESC,
       // cent_id) order the fold uses, take the nprobe nearest
-      val cells = cents.map { c =>
-        var dot = 0.0
-        var i = 0
-        while (i < q.length) { dot += q(i).toDouble * c.cvec(i); i += 1 }
-        (c.cent_id, dot / (qnrm * c.cnrm))
-      }.sortBy { case (id, sim) => (-sim, id) }.take(nprobe).map(_._1)
-      cells.map(cell => (qid, q, qnrm, cell))
+      rankedCells(cents, q, nprobe).map(cell => (qid, q, qnrm, cell))
     }
     import s.implicits._
     val probes = probeRows.toDF("query_id", "q", "qnrm", "cell")
@@ -257,6 +251,33 @@ object IvfIndex {
     * shortlist-sized). Query normalization and cell ranking replicate
     * the fold arithmetic exactly, so results match the inline
     * `ann_ivfpq_residual_topk` row-for-row. */
+  /** The nprobe cells a query vector ranks highest — the driver-side
+    * cell ranking [[probe]]/[[probePq]] use (fold arithmetic: exact
+    * dots, sim DESC then cent_id ASC). Exposed so the scaling census
+    * can compute which partition directories a probe may touch. */
+  private[graft] def rankedCells(cents: Seq[Similarity.Centroid],
+      q: Seq[Float], nprobe: Int): Seq[Long] = {
+    var qnrm = 0.0
+    q.foreach(x => qnrm += x.toDouble * x.toDouble)
+    qnrm = math.sqrt(qnrm)
+    cents.map { c =>
+      var dot = 0.0
+      var i = 0
+      while (i < q.length) { dot += q(i).toDouble * c.cvec(i); i += 1 }
+      (c.cent_id, dot / (qnrm * c.cnrm))
+    }.sortBy { case (id, sim) => (-sim, id) }.take(nprobe).map(_._1)
+  }
+
+  /** Fixture path of the persisted PQ index for `dir` (building it on
+    * first call) — the scaling census's entry point (r19). */
+  private[graft] def pqIndexPath(s: SparkSession, dir: String): String =
+    ensurePqIndex(s, dir)
+
+  /** Driver-side centroid load for census callers (r19). */
+  private[graft] def centroidsOf(
+      s: SparkSession, path: String): Seq[Similarity.Centroid] =
+    loadCentroids(s, path)
+
   def probePq(
       s: SparkSession, path: String, emb: DataFrame,
       queries: Seq[(Long, Seq[Float])],
@@ -273,13 +294,7 @@ object IvfIndex {
       q.foreach(x => qnrm += x.toDouble * x.toDouble)
       qnrm = math.sqrt(qnrm)
       val qx = q.map(_.toDouble / qnrm)
-      val cells = cents.map { c =>
-        var dot = 0.0
-        var i = 0
-        while (i < q.length) { dot += q(i).toDouble * c.cvec(i); i += 1 }
-        (c.cent_id, dot / (qnrm * c.cnrm))
-      }.sortBy { case (id, sim) => (-sim, id) }.take(nprobe).map(_._1)
-      cells.map(cell => (qid, qx, cell))
+      rankedCells(cents, q, nprobe).map(cell => (qid, qx, cell))
     }
     import s.implicits._
     val probes = probeRows.toDF("query_id", "qx", "cell")

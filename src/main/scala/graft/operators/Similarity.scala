@@ -745,39 +745,66 @@ object Similarity {
     val repsLive = typedLit(repsLiveSeq)
     val p = math.min(probes, repsLiveSeq.size)
     val k = graft.functions.VectorFunctions.nearestCentroid _
-    // top-p probe groups by sequential exclusion over the rep literal:
-    // grp_i = argmax over reps minus {grp_1..grp_i-1} (p·√nlist rep
-    // scans per row — still far below one flat nlist scan)
     val base = emb.crossJoin(broadcast(packed.select("members_map")))
-    val withGrps = (1 to p).foldLeft(base) { (df, i) =>
-      val prior = (1 until i).map(j => col(s"grp_$j"))
-      val repsCol =
-        if (prior.isEmpty) repsLive
-        else filter(repsLive, r =>
-          prior.map(g => r.getField("cent_id") =!= g).reduce(_ && _))
-      df.withColumn(s"grp_$i",
-        k(repsCol, col("embedding"), col("nrm")).getField("cent_id"))
+    if (p == 1) {
+      // the r18 single-probe face VERBATIM (native kernel argmax over
+      // the reps, then over the winning group) — suite-pinned
+      // bit-identity is preserved by not touching this path
+      base
+        .withColumn("grp",
+          k(repsLive, col("embedding"), col("nrm")).getField("cent_id"))
+        .withColumn("best",
+          k(element_at(col("members_map"), col("grp")),
+            col("embedding"), col("nrm")))
+        .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
+          col("best").getField("csim").as("csim"), col("embedding"), col("nrm"))
+    } else {
+      // p ≥ 2: EVERYTHING under single-evaluation HOFs. The first
+      // attempt computed grp_i columns by sequential exclusion
+      // (filter + kernel per probe) and folded p winner expressions
+      // with nested when() — CollapseProject inlined each grp tree
+      // into every later reference and the expression DUPLICATED
+      // exponentially (p=8 never finished; measured p=2 already 10×
+      // the p=1 wall). Here each stage is one array expression whose
+      // lambda arguments are evaluated exactly once: rank ALL reps
+      // (one transform + array_sort by (-csim, id) — ascending-id on
+      // ties like the kernel), slice the top p, map each probed group
+      // to its EXACT member-kernel winner, fold once (strict csim,
+      // lower cent_id on ties — the flat argmax's selection rule;
+      // degenerate (-1) winners lose).
+      val ranked = array_sort(transform(repsLive, r => struct(
+        (lit(0.0) - nearestCentroidHofSim(r, col("embedding"), col("nrm")))
+          .as("negsim"),
+        r.getField("cent_id").as("cent_id"))))
+      val winners = transform(
+        slice(ranked, 1, p),
+        g => k(element_at(col("members_map"), g.getField("cent_id")),
+          col("embedding"), col("nrm")))
+      val best = aggregate(winners,
+        struct(lit(-1L).as("cent_id"), lit(-2.0).as("csim")),
+        (acc, w) =>
+          when(w.isNull || w.getField("cent_id") === -1L, acc)
+            .otherwise(when(acc.getField("cent_id") === -1L, w)
+              .otherwise(when(
+                w.getField("csim") > acc.getField("csim") ||
+                  (w.getField("csim") === acc.getField("csim") &&
+                    w.getField("cent_id") < acc.getField("cent_id")), w)
+                .otherwise(acc))))
+      base
+        .withColumn("best", best)
+        .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
+          col("best").getField("csim").as("csim"), col("embedding"), col("nrm"))
     }
-    // exact per-group winners, then the flat argmax's selection rule
-    // across them (strict csim, lower cent_id on ties); degenerate
-    // winners (cent_id -1, the kernel's empty/null accumulator) lose
-    val winners = (1 to p).map(i =>
-      k(element_at(col("members_map"), col(s"grp_$i")),
-        col("embedding"), col("nrm")))
-    val best = winners.reduce { (a, w) =>
-      val aBad = a.isNull || a.getField("cent_id") === -1L
-      val wBad = w.isNull || w.getField("cent_id") === -1L
-      when(wBad, a).otherwise(when(aBad, w).otherwise(
-        when(w.getField("csim") > a.getField("csim") ||
-          (w.getField("csim") === a.getField("csim") &&
-            w.getField("cent_id") < a.getField("cent_id")), w)
-          .otherwise(a)))
-    }
-    withGrps
-      .withColumn("best", best)
-      .select(col("vec_id"), col("best").getField("cent_id").as("cell"),
-        col("best").getField("csim").as("csim"), col("embedding"), col("nrm"))
   }
+
+  /** One centroid's cosine vs a vector — the [[nearestCentroidHof]]
+    * inner formula as a standalone expression (left-associated fold,
+    * same arithmetic as the native kernel computes per entry). */
+  private def nearestCentroidHofSim(c: Column, vec: Column, nrm: Column): Column =
+    aggregate(
+      zip_with(vec, c.getField("cvec"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (a, x) => a + x) / (nrm * c.getField("cnrm"))
 
   /** Exact driver-side replica of the [[nearestCentroid]] fold for one
     * query vector: same left-associated double accumulation, same strict

@@ -1355,7 +1355,29 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftLogOffset].offsets
-    val latest = currentEnd()
+    val latest0 = currentEnd()
+    // TRUNCATE detection (r19, closing the streaming half of the
+    // truncate contract at GraftLogCatalog.truncateTable): committed
+    // positions PAST the log end mean the log restarted at offset 0
+    // under this checkpoint — a new incarnation. Without this check the
+    // max(0, ...) backlog silently STALLS the stream, and once the new
+    // incarnation grows past the committed position it silently
+    // delivers MIXED incarnations (new rows below the old watermark
+    // never redelivered). ALWAYS a hard error — deliberately NOT
+    // demoted by failOnDataLoss: the new incarnation reuses the old
+    // offset space, so a stale checkpoint cannot redeliver it
+    // consistently under exactly-once (offset 0 is already "committed"
+    // there); failOnDataLoss governs FORWARD loss only. The only sound
+    // recovery is a fresh checkpoint, and the error says so.
+    val regressed = from.filter { case (p, o) => latest0.getOrElse(p, 0L) < o }
+    if (regressed.nonEmpty)
+      throw new IllegalStateException(
+        s"committed offsets ${regressed.toSeq.sorted.mkString(", ")} are past " +
+          s"the log end ${latest0.toSeq.sorted.mkString(", ")}: the log was " +
+          "truncated or rewritten under this checkpoint (a new incarnation " +
+          "reusing the old offset space — no consistent redelivery exists). " +
+          "Start the query with a NEW checkpoint location.")
+    val latest = latest0
     val backlog = latest.map { case (p, l) =>
       p -> math.max(0L, l - from.getOrElse(p, 0L))
     }
@@ -1398,15 +1420,32 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
   override def deserializeOffset(json: String): Offset =
     GraftLogOffset(GraftLog.offsetsFromJson(json))
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftLogOffset].offsets
+    val until = end.asInstanceOf[GraftLogOffset].offsets
+    // an INVERTED window (checkpointed start past the batch end) is the
+    // truncation signature at plan time — GraftLogScan.plan would
+    // otherwise skip those partitions SILENTLY (until <= from yields no
+    // ranges), turning a new log incarnation into a quiet stall and,
+    // once it grows, mixed delivery. Hard like latestOffset's check
+    // (belt and braces: this one also catches a truncation landing
+    // between admission and planning, and a restart whose FIRST call is
+    // a plan of a checkpoint-reconstructed batch)
+    val inverted = from.filter { case (p, o) => until.getOrElse(p, o) < o }
+    if (inverted.nonEmpty)
+      throw new IllegalStateException(
+        s"microbatch start ${inverted.toSeq.sorted.mkString(", ")} is past its " +
+          s"end ${until.toSeq.sorted.mkString(", ")}: the log was truncated or " +
+          "rewritten under this checkpoint (a new incarnation reusing the old " +
+          "offset space — no consistent redelivery exists). Start the query " +
+          "with a NEW checkpoint location.")
     // the Scan's pushed bounds apply here too — the claimed-exact
     // pushdown contract must hold if Spark ever pushes into streaming
     // relations (today it does not; offsets still advance for pruned
     // partitions, whose rows the bounds exclude by construction)
-    GraftLogScan.plan(path, conf,
-      start.asInstanceOf[GraftLogOffset].offsets,
-      end.asInstanceOf[GraftLogOffset].offsets, bounds,
+    GraftLogScan.plan(path, conf, from, until, bounds,
       GraftLogScan.minSplitsOption(options))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required, confBc)

@@ -47,8 +47,10 @@ object TwoLevelRecallProbe {
     val flatCells = flatA.select(col("vec_id"), col("cell").as("f"))
       .localCheckpoint(false)
     println(f"##REC## flat_assign_wall=$flatWall%.1f dropped_flat=${df.size}")
+    // NO settle() here: the probe's own emb/flatCells localCheckpoints
+    // are live across iterations, and settle unpersists every
+    // checkpointed RDD (safe only between fully-rebuilt frames)
     Seq(1, 2, 4, 8, 16).foreach { p =>
-      graft.ScaleReport.settle(s)
       val tlA = Similarity.assignCellsWithSimTwoLevel(emb, cents, nlist, p)
       val tlWall = wallOf(tlA)
       val agree = tlA.select(col("vec_id"), col("cell").as("t"))

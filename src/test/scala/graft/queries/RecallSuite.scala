@@ -177,12 +177,18 @@ class RecallSuite extends SparkSuite {
     val exact = exactThresholdPairs(0.45)
     val falsePos = banded -- exact
     assert(falsePos.isEmpty, s"banded pairs not over threshold: $falsePos")
-    // 40×6 fixed-point banding (r8): analytic 1-(1-p^6)^40 ≈ 0.955 at
-    // the threshold itself — the r7 24×6 design measured 0.857 here and
-    // 0.847 at sf0.1 (METRICS_r07), the r6 4×4 design 0.62
+    // 40×6 fixed-point banding (r8; the sf0.1 corpus sits on the r19
+    // adaptive ladder's FLOOR, so this pin is unchanged by the
+    // re-parameterization): analytic 1-(1-p^6)^40 ≈ 0.955 at the
+    // threshold itself — the r7 24×6 design measured 0.857 here and
+    // 0.847 at sf0.1 (METRICS_r07), the r6 4×4 design 0.62. Pinned at
+    // the measured value (0.97 at sf0.1, deterministic; 0.9716/0.9708
+    // at the ×10/×30 adaptive rungs by BandRawProbe) minus a thin
+    // guard — the r19 verdict's "recall must survive the
+    // re-parameterization" contract, hardened from the old 0.9 floor.
     val recall = if (exact.isEmpty) 1.0 else (banded & exact).size.toDouble / exact.size
     info(f"dedup_embedding_cosine pair recall = $recall%.3f (${banded.size}/${exact.size})")
-    assert(recall >= 0.9)
+    assert(recall >= 0.96, f"recall $recall%.4f below the measured-value pin")
   }
 
   test("ann_range_search is consistent with the exact top-k ranking") {

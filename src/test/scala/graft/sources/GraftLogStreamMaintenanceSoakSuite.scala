@@ -163,6 +163,100 @@ class GraftLogStreamMaintenanceSoakSuite extends SparkSuite {
     }
   }
 
+  test("TRUNCATE under a checkpointed stream: loud stale-checkpoint error, never mixed incarnations") {
+    // the r18 soak covered compaction swaps + recover; TRUNCATE is the
+    // other incarnation-changing op (GraftLogCatalog.truncateTable) —
+    // the log restarts at offset 0 in the SAME offset space, so a stale
+    // checkpoint has already "committed" the new incarnation's offsets.
+    // Contract: the live stream and every restart from that checkpoint
+    // must FAIL LOUDLY (no consistent redelivery exists — the error
+    // says to start a new checkpoint); deliberately NOT demotable by
+    // failOnDataLoss, which governs forward loss only. A fresh
+    // checkpoint reads the new incarnation from 0.
+    val root = java.nio.file.Files.createTempDirectory("glog-stream-trunc").toString
+    val dir = s"$root/tt"
+    val cp = s"$root/cp"
+    spark.conf.set("spark.sql.catalog.gst", classOf[GraftLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gst.root", root)
+    def append(i: Int): Unit = GraftLog.appendBatch(
+      spark.range(0, 4).selectExpr("cast(id % 2 as int) as partition",
+        s"concat('b$i-', id) as key", s"concat('b$i-', id) as value"),
+      dir, batchId = i.toLong)
+
+    val delivered = new ConcurrentHashMap[(Int, Long), String]()
+    def start(where: String, failOnDataLoss: Boolean = true,
+        sink: ConcurrentHashMap[(Int, Long), String] = delivered) =
+      spark.readStream.format("graftlog")
+        .option("path", dir)
+        .option("failOnDataLoss", failOnDataLoss.toString).load()
+        .writeStream.option("checkpointLocation", where)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.selectExpr("partition", "offset", "value").collect().foreach { r =>
+            val prev = sink.putIfAbsent((r.getInt(0), r.getLong(1)), r.getString(2))
+            assert(prev == null || prev == r.getString(2),
+              s"write-once violated (mixed incarnations?): $r after '$prev'")
+          }
+        }.start()
+
+    append(0); append(1)
+    val q1 = start(cp)
+    q1.processAllAvailable()
+    assert(delivered.size() == 8)
+
+    // TRUNCATE while the checkpointed stream is live, then grow the new
+    // incarnation past the old watermark — the silent-mixing window
+    spark.sql("TRUNCATE TABLE gst.tt").collect()
+    append(100)
+    val e1 = intercept[Throwable] { q1.processAllAvailable() }
+    assert(chainContains(e1, "truncated or rewritten"),
+      s"live stream must go loud on truncation: $e1")
+    try q1.stop() catch { case _: Throwable => () }
+
+    // a RESTART from the stale checkpoint is loud too — never a silent
+    // resume, and failOnDataLoss=false does NOT demote it (forward-loss
+    // opt-out only; redelivery in a reused offset space cannot be
+    // consistent)
+    Seq(true, false).foreach { fodl =>
+      val qr = start(cp, failOnDataLoss = fodl)
+      val er = intercept[Throwable] { qr.processAllAvailable() }
+      assert(chainContains(er, "truncated or rewritten"),
+        s"stale-checkpoint restart (failOnDataLoss=$fodl) must be loud: $er")
+      try qr.stop() catch { case _: Throwable => () }
+    }
+
+    // nothing from the new incarnation ever reached the stale
+    // checkpoint's sink — no mixed delivery in any window above
+    delivered.forEach((k, v) => assert(v.startsWith("b0-") || v.startsWith("b1-"),
+      s"mixed incarnation delivered at $k: '$v'"))
+
+    // the sanctioned recovery: a FRESH checkpoint reads the new
+    // incarnation from offset 0
+    val fresh = new ConcurrentHashMap[(Int, Long), String]()
+    val q2 = start(s"$root/cp2", sink = fresh)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(fresh.size() == 4, s"fresh checkpoint: ${fresh.size()} rows")
+    fresh.forEach((k, v) => assert(v.startsWith("b100-"),
+      s"fresh checkpoint saw old-incarnation value at $k: '$v'"))
+    (0 to 1).foreach { p =>
+      val offs = {
+        import scala.jdk.CollectionConverters._
+        fresh.asScala.keys.filter(_._1 == p).map(_._2).toSeq.sorted
+      }
+      assert(offs == (0L until 2L).toSeq, s"partition $p: $offs")
+    }
+  }
+
+  private def chainContains(t: Throwable, needle: String): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (Option(cur.getMessage).exists(_.contains(needle))) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   test("a held seqlock makes the stream loud mid-flight; the restarted query resumes without loss") {
     // the DETERMINISTIC loud arm (the soak above can only race): crash a
     // maintenance mid-swap (odd SEQ) while a stream is live — the next
