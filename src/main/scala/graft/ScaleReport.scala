@@ -585,10 +585,22 @@ object ScaleReport {
         case (Some(_), Some(c)) => c <= 1e6
         case _ => false // missing signals can't corroborate — stay hard
       }
-    d.metric == "wall_ratio_10x" &&
+    (d.metric == "wall_ratio_10x" &&
       stable("x10_shuffle_write_bytes", 1.1) &&
       stable("x10_disk_spill_bytes", 1.2) &&
-      stable("x10_peak_task_memory_bytes", 1.2)
+      stable("x10_peak_task_memory_bytes", 1.2)) ||
+      // r19: PEAK TASK MEMORY is not deterministic either — it depends
+      // on AQE coalescing and task scheduling, not just the plan
+      // (measured: dedup_clusters ×10 peaked 305 MB in-sweep vs 69.8 MB
+      // on the same-day solo rerun of identical code and data). A
+      // peak-mem flag whose BYTE signals are stable (shuffle within
+      // 10%, disk spill within 20% — those ARE deterministic) demotes
+      // to `suspect` under the same escalation discipline as wall:
+      // solo-rerun to adjudicate, a quiet-host recurrence escalates,
+      // a plateau carries forward. Shuffle and spill flags stay hard.
+      (d.metric == "peak_mem_ratio_10x" &&
+        stable("x10_shuffle_write_bytes", 1.1) &&
+        stable("x10_disk_spill_bytes", 1.2))
   }
 
   /** True when the scaling artifact records a contended sweep. */
@@ -677,7 +689,7 @@ object ScaleReport {
              else if (escalated.contains(d)) " [escalated: suspect last round, reproduced quiet]"
              else "")))
         suspect.foreach(d => System.err.println(
-          s"SCALING SUSPECT (wall-only, resources stable or contended " +
+          s"SCALING SUSPECT (byte signals stable or contended " +
             s"host): ${d.query} ${d.metric} " +
             s"${d2(d.prior)} -> ${d2(d.current)} — rerun solo"))
         if (regressed.nonEmpty &&
