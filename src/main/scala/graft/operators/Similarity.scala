@@ -288,6 +288,18 @@ object Similarity {
     * two-face discipline as [[LiteralCentroidMax]]. */
   private[graft] val FetchBroadcastMaxRows = 1000000L
 
+  /** One side of a candidate-verify embedding fetch, SIZED (see
+    * [[FetchBroadcastMaxRows]]): below the threshold the dim-lookup
+    * relation broadcasts so the candidate mass never exchanges; past it
+    * the shuffle-hash face returns. Shared by the banded pair family
+    * and the quantizer-cell verify ([[semanticDropped]]). */
+  private def verifyFetchSide(emb: DataFrame, n: Long,
+      as: String, ecol: String): DataFrame = {
+    val side = emb.select(col("vec_id").as(as), col("embedding").as(ecol))
+    if (n <= FetchBroadcastMaxRows) broadcast(side)
+    else side.hint("shuffle_hash")
+  }
+
   /** Per-plane agreement probability for a pair at exactly the
     * threshold: p = 1 − acos(τ)/π (StrictMath — the constant feeds
     * GENERATED SQL, so it must be identical on every JVM). */
@@ -429,15 +441,10 @@ object Similarity {
     // scale the production answer is attaching compact codes (int8
     // bound-prefilter) to the candidate stream — see the class note.
     val n = embeddingsCountFor(s, dir)
-    def fetch(as: String, ecol: String) = {
-      val side = emb.select(col("vec_id").as(as), col("embedding").as(ecol))
-      if (n <= FetchBroadcastMaxRows) broadcast(side)
-      else side.hint("shuffle_hash")
-    }
     val cand = bandCandidates(s, dir)
     cand
-      .join(fetch("vec_id_keeper", "e1"), "vec_id_keeper")
-      .join(fetch("vec_id_dropped", "e2"), "vec_id_dropped")
+      .join(verifyFetchSide(emb, n, "vec_id_keeper", "e1"), "vec_id_keeper")
+      .join(verifyFetchSide(emb, n, "vec_id_dropped", "e2"), "vec_id_dropped")
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineSimilarity(col("e1"), col("e2")))
       .filter(col("sim") >= NearDupThreshold)
@@ -1947,24 +1954,34 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private[operators] def semanticDropped(
       emb0: DataFrame, precount: Option[Long] = None): DataFrame =
     semanticDropped(emb0,
-      seededAssignedOf(emb0, precount).localCheckpoint(false))
+      seededAssignedOf(emb0, precount).localCheckpoint(false), precount)
 
   /** As above with a precomputed [[seededAssignedOf]] frame, so a caller
     * that also consumes the assignment pays the centroid collect once.
     * Every corpus read here goes through `assigned` (which carries the
     * embeddings) — a caller that materializes it ([[dedupSemantic]]'s
-    * localCheckpoint) makes the assignment fold run exactly once. */
-  private[operators] def semanticDropped(emb0: DataFrame, assigned: DataFrame): DataFrame = {
+    * localCheckpoint) makes the assignment fold run exactly once. The
+    * verify fetch takes the SIZED face (r19, [[verifyFetchSide]]):
+    * candidates here are cell-bounded (N·occupancy/2 — linear by
+    * [[adaptiveNlist]]), but each still carried raw float embeddings
+    * through two exchanges (~192 B/candidate); below
+    * [[FetchBroadcastMaxRows]] the assignment frame's (vec_id,
+    * embedding) projection broadcasts instead. `precount` skips the
+    * sizing count when the caller already knows the corpus size. */
+  private[operators] def semanticDropped(emb0: DataFrame, assigned: DataFrame): DataFrame =
+    semanticDropped(emb0, assigned, None)
+
+  private[operators] def semanticDropped(emb0: DataFrame, assigned: DataFrame,
+      precount: Option[Long]): DataFrame = {
     val emb = assigned.select(col("vec_id"), col("embedding"))
+    val n = precount.getOrElse(assigned.count())
     val cells = assigned
       .select(col("vec_id"), col("csim"), col("cell").as("band"))
       .repartition(col("band"))
     // vec_id_1 < vec_id_2 by SkewGuard's contract, csim riding along
     val verified = SkewGuard.pairs(cells, "vec_id")
-      .join(emb.select(col("vec_id").as("vec_id_1"),
-        col("embedding").as("e1")).hint("shuffle_hash"), "vec_id_1")
-      .join(emb.select(col("vec_id").as("vec_id_2"),
-        col("embedding").as("e2")).hint("shuffle_hash"), "vec_id_2")
+      .join(verifyFetchSide(emb, n, "vec_id_1", "e1"), "vec_id_1")
+      .join(verifyFetchSide(emb, n, "vec_id_2", "e2"), "vec_id_2")
       .filter(graft.functions.VectorFunctions.cosineSimilarity(
         col("e1"), col("e2")) >= NearDupThreshold)
     verified.select(
@@ -1996,7 +2013,8 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       val assigned = seededAssignedOf(emb,
         Some(embeddingsCountFor(s, dir))).localCheckpoint(false)
       assigned
-        .join(semanticDropped(emb, assigned), Seq("vec_id"), "left_anti")
+        .join(semanticDropped(emb, assigned,
+          Some(embeddingsCountFor(s, dir))), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"))
         .orderBy("vec_id")
     },
