@@ -282,11 +282,17 @@ object Similarity {
   private[operators] val MaxRowsPerBand = 16
 
   /** Verify-fetch face threshold: embeddings relations up to this many
-    * rows (~300 MB of 64-dim float rows) broadcast for the candidate
-    * verify joins — the dim-lookup pattern, so the candidate mass never
-    * exchanges; past it the shuffle-hash fetch face returns. Same sized
-    * two-face discipline as [[LiteralCentroidMax]]. */
-  private[graft] val FetchBroadcastMaxRows = 1000000L
+    * rows broadcast for the candidate verify joins — the dim-lookup
+    * pattern, so the candidate mass never exchanges; past it the
+    * shuffle-hash fetch face returns. Same sized two-face discipline as
+    * [[LiteralCentroidMax]]. The row count is a proxy for a ~0.6 GB
+    * byte budget at this corpus's 64-dim float rows (~300 B/row) — a
+    * higher-dim deployment should derate it byte-wise. Set by
+    * measurement (xcap drive, 1.04M vectors, docs/PLANS_r19.md §2):
+    * the broadcast face took dedup_semantic's post-assignment verify
+    * phase 40.1 → 5.8 s vs the shuffle-hash face, rows identical —
+    * worth two 300 MB broadcasts per executor at that size. */
+  private[graft] val FetchBroadcastMaxRows = 2000000L
 
   /** One side of a candidate-verify embedding fetch, SIZED (see
     * [[FetchBroadcastMaxRows]]): below the threshold the dim-lookup
