@@ -677,10 +677,19 @@ object ScaleReport {
           }
         val (recovered, carried) = carriedAll.partition(d =>
           d.prior > 0 && d.current >= 0 && d.current < d.prior / 1.2)
+        // r20 (r19 advice, low): a carried suspect whose PRIOR ratio is
+        // missing from the baseline artifact (prior <= 0 — e.g. a
+        // suspect carried through a round whose sweep dropped the
+        // metric) can never satisfy the recovery test above, so without
+        // this split a perfectly healthy current ratio would escalate
+        // to a hard regression on a quiet host. No prior means nothing
+        // was corroborated: it re-baselines as a FRESH suspect (stays
+        // visible, adjudicable next round) instead of escalating.
         val (escalated, suspect) =
           if (contended) (escalated0, suspect0 ++ carried)
-          else (escalated0 ++ carried.filter(_.current >= 0),
-            suspect0 ++ carried.filter(_.current < 0))
+          else (escalated0 ++ carried.filter(d => d.prior > 0 && d.current >= 0),
+            suspect0 ++ carried.filter(_.current < 0) ++
+              carried.filter(d => d.prior <= 0 && d.current >= 0))
         val regressed = hardRaw ++ escalated
         regressed.foreach(d => System.err.println(
           s"SCALING REGRESSION: ${d.query} ${d.metric} " +

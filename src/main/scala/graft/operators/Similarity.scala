@@ -281,28 +281,56 @@ object Similarity {
     * [[BandCellTarget]]·2¹⁶ ≈ 2.1M vectors — see the class note). */
   private[operators] val MaxRowsPerBand = 16
 
-  /** Verify-fetch face threshold: embeddings relations up to this many
-    * rows broadcast for the candidate verify joins — the dim-lookup
-    * pattern, so the candidate mass never exchanges; past it the
-    * shuffle-hash fetch face returns. Same sized two-face discipline as
-    * [[LiteralCentroidMax]]. The row count is a proxy for a ~0.6 GB
-    * byte budget at this corpus's 64-dim float rows (~300 B/row) — a
-    * higher-dim deployment should derate it byte-wise. Set by
-    * measurement (xcap drive, 1.04M vectors, docs/PLANS_r19.md §2):
-    * the broadcast face took dedup_semantic's post-assignment verify
-    * phase 40.1 → 5.8 s vs the shuffle-hash face, rows identical —
-    * worth two 300 MB broadcasts per executor at that size. */
-  private[graft] val FetchBroadcastMaxRows = 2000000L
+  /** Verify-fetch face BYTE budget: an embeddings relation whose
+    * estimated broadcast size (rows × per-row bytes from the vector
+    * dimension) stays under this broadcasts for the candidate verify
+    * joins — the dim-lookup pattern, so the candidate mass never
+    * exchanges; past it the shuffle-hash fetch face returns. Same sized
+    * two-face discipline as [[LiteralCentroidMax]]. Set by measurement
+    * (xcap drive, 1.04M vectors at dim 64, docs/PLANS_r19.md §2): the
+    * broadcast face took dedup_semantic's post-assignment verify phase
+    * 40.1 → 5.8 s vs the shuffle-hash face, rows identical, and the
+    * 1M-vs-2M row A/B picked the 2M-row (= 600 MB at dim 64) cap —
+    * worth two such broadcasts per executor at that size. r20 (r19
+    * advice): the budget is BYTES, not rows — a 1536-dim deployment
+    * crosses to the shuffle-hash face at ~97k rows, not 2M (the row
+    * proxy would have broadcast ~12 GB). */
+  private[graft] val FetchBroadcastMaxBytes = 600L * 1000 * 1000
+
+  /** Estimated broadcast bytes per (vec_id, embedding) row at vector
+    * dimension `dim`: 4-byte floats plus the measured ~44 B of UnsafeRow
+    * + array-header + hash-map overhead at dim 64 (≈300 B/row total —
+    * the r19 xcap measurement the byte budget was calibrated on). */
+  private[graft] def fetchRowBytes(dim: Int): Long = 4L * dim + 44L
+
+  /** Row threshold the byte budget implies at dimension `dim` —
+    * exactly 2,000,000 rows at this corpus's dim 64 (the shipped r19
+    * value, now DERIVED so a dimension change rescales it). */
+  private[graft] def fetchBroadcastMaxRows(dim: Int): Long =
+    FetchBroadcastMaxBytes / fetchRowBytes(dim)
+
+  /** Test/drive override of the sized verify-fetch face:
+    * -Dgraft.verifyFetchFace=broadcast|shuffle pins the face regardless
+    * of corpus size (A/B attribution — the r20 peak-memory adjudication
+    * and the past-cap int8-screen drives); absent or `auto` keeps the
+    * sized decision. Results are bit-identical on either face. */
+  private def fetchFaceOverride: Option[String] =
+    sys.props.get("graft.verifyFetchFace").filterNot(_ == "auto")
 
   /** One side of a candidate-verify embedding fetch, SIZED (see
-    * [[FetchBroadcastMaxRows]]): below the threshold the dim-lookup
+    * [[FetchBroadcastMaxBytes]]): below the byte budget the dim-lookup
     * relation broadcasts so the candidate mass never exchanges; past it
     * the shuffle-hash face returns. Shared by the banded pair family
     * and the quantizer-cell verify ([[semanticDropped]]). */
-  private def verifyFetchSide(emb: DataFrame, n: Long,
-      as: String, ecol: String): DataFrame = {
+  private[graft] def verifyFetchSide(emb: DataFrame, n: Long,
+      as: String, ecol: String, dim: Int = Dim): DataFrame = {
     val side = emb.select(col("vec_id").as(as), col("embedding").as(ecol))
-    if (n <= FetchBroadcastMaxRows) broadcast(side)
+    val wantBroadcast = fetchFaceOverride match {
+      case Some("broadcast") => true
+      case Some("shuffle") => false
+      case _ => n <= fetchBroadcastMaxRows(dim)
+    }
+    if (wantBroadcast) broadcast(side)
     else side.hint("shuffle_hash")
   }
 
@@ -437,7 +465,7 @@ object Similarity {
     // second exchange carries e1 (64 floats barely compress): measured
     // ~192 B/candidate — 11.5 GB at ×10, an extrapolated ~84 GB at ×30,
     // which (not the band space) is what filled the host after the
-    // ladder fixed candidate GROWTH. Below [[FetchBroadcastMaxRows]]
+    // ladder fixed candidate GROWTH. Below the [[FetchBroadcastMaxBytes]] budget
     // the embeddings side BROADCASTS (≲ 300 MB of plan-estimated
     // bytes): both fetch joins become map-side over the band-partitioned
     // candidate stream, the candidate mass never exchanges at all, and
@@ -1907,11 +1935,20 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     lazy val value: Long = build()
   }
   private val corpusCountMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyCount]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), LazyCount]
+  /** r20 (r19 advice, low): the memo key carries the embeddings
+    * directory's mtime — a corpus REWRITTEN within a session (parquet
+    * overwrite touches the directory) invalidates the cached count, so
+    * the band-ladder rung and the DuckDB twin (which recomputes
+    * count(*) at query time) re-parameterize from the same corpus
+    * instead of diverging on a stale memo. One File.lastModified stat
+    * per lookup — metadata-priced, same as the sizing count it guards. */
   private[graft] def embeddingsCountFor(s: SparkSession, dir: String): Long = {
-    corpusCountMemo.keys.filter(_._1.sparkContext.isStopped)
+    val snap = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    corpusCountMemo.keys.filter(k =>
+      k._1.sparkContext.isStopped || (k._2 == dir && k._3 != snap))
       .foreach(corpusCountMemo.remove)
-    corpusCountMemo.getOrElseUpdate((s, dir),
+    corpusCountMemo.getOrElseUpdate((s, dir, snap),
       new LazyCount(() => Tables.embeddings(s, dir).count())).value
   }
 
@@ -1971,7 +2008,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * candidates here are cell-bounded (N·occupancy/2 — linear by
     * [[adaptiveNlist]]), but each still carried raw float embeddings
     * through two exchanges (~192 B/candidate); below
-    * [[FetchBroadcastMaxRows]] the assignment frame's (vec_id,
+    * the [[FetchBroadcastMaxBytes]] budget the assignment frame's (vec_id,
     * embedding) projection broadcasts instead. `precount` skips the
     * sizing count when the caller already knows the corpus size. */
   private[operators] def semanticDropped(emb0: DataFrame, assigned: DataFrame): DataFrame =

@@ -308,6 +308,39 @@ class ScaleGateSuite extends AnyFunSuite {
     assert(gone.contains(""""ok": true"""), gone)
   }
 
+  test("a carried suspect with NO recorded prior ratio re-baselines as suspect, never escalates") {
+    // r19-advice low: a suspect whose prior ratio is missing from the
+    // baseline artifact (prior = -1 — e.g. carried through a round whose
+    // sweep dropped the metric) can never satisfy the recovery test
+    // (requires prior > 0), so on a quiet host it escalated to a hard
+    // regression regardless of how healthy the current ratio is. No
+    // prior means nothing was corroborated: it must re-baseline as a
+    // FRESH suspect instead.
+    val priorArtifact =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": false},
+         |"queries": {"q": {
+         |  "x10": {"wall_sec": 46.0, "shuffle_write_bytes": 8496000000},
+         |  "wall_ratio_10x": 2.0, "shuffle_ratio_10x": 9.7}}},
+         |"scaling_regression_gate": {"suspect": ["q/peak_mem_ratio_10x"]}}""".stripMargin
+    val current =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": false},
+         |"queries": {"q": {
+         |  "x10": {"wall_sec": 46.0, "shuffle_write_bytes": 8496000000,
+         |    "peak_task_memory_bytes": 70000000},
+         |  "wall_ratio_10x": 2.0, "shuffle_ratio_10x": 9.7,
+         |  "peak_mem_ratio_10x": 1.4}}},
+         |"scaling_regression_gate": {"suspect": []}}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gate9")
+    java.nio.file.Files.write(dir.resolve("METRICS_r19.json"),
+      priorArtifact.getBytes("UTF-8"))
+    val out = ScaleReport.regressionGateJson(dir.toString, 20, current)
+    assert(out.contains(""""ok": true"""), out)
+    assert(out.contains(""""escalated": []"""), out)
+    assert(out.contains(""""suspect": ["q/peak_mem_ratio_10x"]"""), out)
+  }
+
   test("spill gate metric sums whichever counters are present (missing = 0)") {
     // r18-advice low: requiring BOTH counters silently dropped the
     // spill gate metric for artifacts recording only one of them

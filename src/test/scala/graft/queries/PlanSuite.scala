@@ -202,7 +202,8 @@ class PlanSuite extends SparkSuite {
     * aggregate — metadata-sized by construction), and — r19, cosine
     * only — the SIZED verify-fetch face (build side = exactly an
     * embeddings dim-lookup relation, taken only below
-    * `Similarity.FetchBroadcastMaxRows`: the candidate mass then never
+    * the `Similarity.FetchBroadcastMaxBytes` budget: the candidate mass
+    * then never
     * exchanges; measured ×10 total shuffle 11.5 GB → 0.12 GB).
     * Anything else broadcasting is the r1 scale bug coming back. */
   private def assertBandedPairsPlan(
@@ -238,13 +239,33 @@ class PlanSuite extends SparkSuite {
   }
 
   test("dedup_embedding_cosine routes through SRP candidates — no all-pairs join") {
-    // the sfDir corpus is under FetchBroadcastMaxRows, so the verify
-    // fetch takes the broadcast dim-lookup face — those two build sides
-    // are the DESIGN, not a regression; nothing else may broadcast
+    // the sfDir corpus is under the fetch byte budget at dim 64, so the
+    // verify fetch takes the broadcast dim-lookup face — those two build
+    // sides are the DESIGN, not a regression; nothing else may broadcast
     assert(graft.operators.Similarity.embeddingsCountFor(spark, sfDir) <=
-      graft.operators.Similarity.FetchBroadcastMaxRows)
+      graft.operators.Similarity.fetchBroadcastMaxRows(64))
     assertBandedPairsPlan("dedup_embedding_cosine", fetchSides =
       Set(Set("vec_id_keeper", "e1"), Set("vec_id_dropped", "e2")))
+  }
+
+  test("verify-fetch face is BYTE-aware: a high-dim corpus at the same row count takes shuffle-hash") {
+    import graft.operators.Similarity
+    // the budget derives the shipped r19 row cap exactly at dim 64...
+    assert(Similarity.fetchBroadcastMaxRows(64) == 2000000L)
+    // ...and derates ~20x at dim 1536 (the row proxy would broadcast ~12 GB)
+    assert(Similarity.fetchBroadcastMaxRows(1536) < 100000L,
+      Similarity.fetchBroadcastMaxRows(1536))
+    // the face decision reads the caller-supplied count + dim (sizing
+    // metadata), so a tiny frame pins the plan choice: 150k rows fits the
+    // old 2M-row proxy at ANY dim, but at dim 1536 it is ~930 MB — over
+    // the byte budget, so the shuffle-hash face must return
+    val emb = spark.range(4).selectExpr("id as vec_id",
+      "array_repeat(float(0.1), 1536) as embedding")
+    def analyzed(n: Long, dim: Int): String =
+      Similarity.verifyFetchSide(emb, n, "vec_id_1", "e1", dim)
+        .queryExecution.analyzed.toString
+    assert(analyzed(150000L, 1536).contains("shuffle_hash"))
+    assert(analyzed(150000L, 64).toLowerCase.contains("broadcast"))
   }
 
   test("dedup_ngram_jaccard generates candidates via LSH bands, not a blocked self-join") {
