@@ -448,6 +448,33 @@ object ScaleReport {
     Seq("wall_ratio_10x", "shuffle_ratio_10x", "peak_mem_ratio_10x",
       "x10_spill_bytes")
 
+  /** ADJUDICATED absolute x10 peak-task-memory ceilings (r20, closing
+    * the r19 gate suspect): for these queries the ×10 peak-mem RATIO
+    * grows by design, so the gate holds the ABSOLUTE instead.
+    *
+    * Evidence (docs/PLANS_r20.md §1, PeakMemProbe/PeakMemProbe2):
+    * `dedup_clusters`' 8.55× was (a) FACE-INDEPENDENT — bit-identical
+    * 304.7 MB under the broadcast AND the forced shuffle-hash
+    * verify-fetch face, refuting the "broadcast relation grows ∝ N"
+    * hypothesis; (b) stage-attributed to the map-side shuffle sort
+    * buffers of the pair families' Generate→Exchange stages, where AQE
+    * coalesces the combined edge-union job to 16 tasks (each buffer
+    * holds its task's share of the exploded band/shingle rows UP TO the
+    * spill threshold — data-proportional below it, spilling past it);
+    * and (c) ELASTIC — with spark.memory.fraction=0.05 the query
+    * completes with identical output, so the watermark is headroom
+    * consumed, not a per-task requirement. `dedup_embedding_cosine`'s
+    * 3.43× is the output-sized distinct/sort state growing SUBLINEARLY
+    * in output (59.3 MB at 100× output). Both are the documented
+    * spill-aware shape, so the honest gate contract is: ratio growth is
+    * expected; the absolute must stay under ~2× the adjudicated
+    * measurement, and past the ceiling the pin stops applying — the
+    * flag re-enters the normal peak-mem suspect/escalation discipline
+    * (a watched number, never a blind spot). */
+  val AdjudicatedPeakMemCeilingBytes: Map[String, Long] = Map(
+    "dedup_clusters" -> 640L * 1000 * 1000,
+    "dedup_embedding_cosine" -> 128L * 1000 * 1000)
+
   /** Pure comparison core of the gate — unit-tested against synthetic
     * regressions. `prior` is empty for queries/metrics the baseline
     * round didn't record (new rows never flag). */
@@ -630,12 +657,24 @@ object ScaleReport {
     val contended = contendedOf(currentScalingJson)
     priorScalingBaselineText(cwd, currentRound) match {
       case None =>
-        """{"baseline": null, "deltas": {}, "regressions": [], "suspect": [], "escalated": [], "recovered": [], "ok": true}"""
+        """{"baseline": null, "deltas": {}, "regressions": [], "suspect": [], "escalated": [], "recovered": [], "pinned": [], "ok": true}"""
       case Some((name, priorText)) =>
         val prior = scalingRatiosOf(priorText)
         val priorSuspects = gateSuspectsOf(priorText)
         val deltas = ratioDeltas(prior, current)
-        val degraded = deltas.filter(_.degraded)
+        // r20: a peak-mem flag on a query with an ADJUDICATED ceiling
+        // resolves as `pinned` while the current ABSOLUTE stays under
+        // it — ratio growth there is the measured by-design shape
+        // ([[AdjudicatedPeakMemCeilingBytes]]); a missing absolute
+        // cannot verify the ceiling and is never pinned
+        def pinnedOk(d: RatioDelta): Boolean =
+          d.metric == "peak_mem_ratio_10x" &&
+            AdjudicatedPeakMemCeilingBytes.get(d.query).exists { c =>
+              current.getOrElse(d.query, Map.empty)
+                .get("x10_peak_task_memory_bytes").exists(_ <= c.toDouble)
+            }
+        val degradedAll = deltas.filter(_.degraded)
+        val (pinnedDeg, degraded) = degradedAll.partition(pinnedOk)
         val (demotable, hardRaw) = degraded.partition(d =>
           (contended && d.metric == "wall_ratio_10x") ||
             wallNoiseDemoted(d, prior.getOrElse(d.query, Map.empty),
@@ -660,8 +699,8 @@ object ScaleReport {
         // rule) and carries as suspect on a contended one. A suspect
         // whose metric vanished from the sweep also carries (visible,
         // current = -1). Recovered suspects land in `recovered`.
-        val flaggedNow = degraded.map(d => s"${d.query}/${d.metric}").toSet
-        val carriedAll = priorSuspects.toSeq.sorted
+        val flaggedNow = degradedAll.map(d => s"${d.query}/${d.metric}").toSet
+        val carriedRaw = priorSuspects.toSeq.sorted
           .filterNot(flaggedNow.contains)
           .flatMap { key =>
             val slash = key.lastIndexOf('/')
@@ -675,6 +714,10 @@ object ScaleReport {
               Some(RatioDelta(q, metric, p, c))
             }
           }
+        // an adjudicated carried suspect resolves as pinned, never
+        // escalates — the ceiling is now the watched number
+        val (pinnedCarried, carriedAll) = carriedRaw.partition(pinnedOk)
+        val pinned = pinnedDeg ++ pinnedCarried
         val (recovered, carried) = carriedAll.partition(d =>
           d.prior > 0 && d.current >= 0 && d.current < d.prior / 1.2)
         // r20 (r19 advice, low): a carried suspect whose PRIOR ratio is
@@ -701,6 +744,10 @@ object ScaleReport {
           s"SCALING SUSPECT (byte signals stable or contended " +
             s"host): ${d.query} ${d.metric} " +
             s"${d2(d.prior)} -> ${d2(d.current)} — rerun solo"))
+        pinned.foreach(d => System.err.println(
+          s"SCALING PINNED (adjudicated by-design growth, absolute " +
+            s"under ceiling): ${d.query} ${d.metric} " +
+            s"${d2(d.prior)} -> ${d2(d.current)}"))
         if (regressed.nonEmpty &&
           sys.env.get("SPARK_GRAFT_SCALE_GATE").contains("strict"))
           throw new IllegalStateException(
@@ -725,6 +772,7 @@ object ScaleReport {
            |  "suspect": [${names(suspect)}],
            |  "escalated": [${names(escalated)}],
            |  "recovered": [${names(recovered)}],
+           |  "pinned": [${names(pinned)}],
            |  "ok": ${regressed.isEmpty}
            |}""".stripMargin
     }

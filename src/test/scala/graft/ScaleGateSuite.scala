@@ -341,6 +341,61 @@ class ScaleGateSuite extends AnyFunSuite {
     assert(out.contains(""""suspect": ["q/peak_mem_ratio_10x"]"""), out)
   }
 
+  test("adjudicated peak-mem pin: ratio growth under the absolute ceiling resolves pinned") {
+    // r20, closing the r19 gate suspect: dedup_clusters' x10 peak-mem
+    // ratio grows by design (face-independent elastic shuffle sort
+    // buffers — docs/PLANS_r20.md §1), so the gate watches the ABSOLUTE
+    // against the adjudicated ceiling instead of the ratio.
+    def m(ratio: Double, absBytes: String, suspects: String): String =
+      s"""{"scaling": {
+         |"load": {"loadavg_start": 0.1, "other_jvms": 0, "contended": false},
+         |"queries": {"dedup_clusters": {
+         |  "x10": {"wall_sec": 16.0, "shuffle_write_bytes": 500000000,
+         |    "mem_spill_bytes": 0, "disk_spill_bytes": 0$absBytes},
+         |  "wall_ratio_10x": 2.0, "shuffle_ratio_10x": 11.9,
+         |  "peak_mem_ratio_10x": $ratio}}},
+         |"scaling_regression_gate": {"suspect": [$suspects]}}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gate10")
+    java.nio.file.Files.write(dir.resolve("METRICS_r19.json"),
+      m(1.4, ", \"peak_task_memory_bytes\": 36000000",
+        "\"dedup_clusters/peak_mem_ratio_10x\"").getBytes("UTF-8"))
+    // the EXACT r20 situation: carried suspect, ratio plateaued at 8.55
+    // on a quiet host, absolute 305 MB < the 640 MB ceiling -> pinned
+    val plateau = ScaleReport.regressionGateJson(dir.toString, 20,
+      m(8.55, ", \"peak_task_memory_bytes\": 304700000", ""))
+    assert(plateau.contains(""""ok": true"""), plateau)
+    assert(plateau.contains(""""pinned": ["dedup_clusters/peak_mem_ratio_10x"]"""), plateau)
+    assert(plateau.contains(""""escalated": []"""), plateau)
+    assert(plateau.contains(""""suspect": []"""), plateau)
+    // a fresh degradation under the ceiling also resolves pinned
+    java.nio.file.Files.write(dir.resolve("METRICS_r19.json"),
+      m(1.4, ", \"peak_task_memory_bytes\": 36000000", "").getBytes("UTF-8"))
+    val fresh = ScaleReport.regressionGateJson(dir.toString, 20,
+      m(8.55, ", \"peak_task_memory_bytes\": 304700000", ""))
+    assert(fresh.contains(""""ok": true""") &&
+      fresh.contains(""""pinned": ["dedup_clusters/peak_mem_ratio_10x"]"""), fresh)
+    // past the ceiling the pin does NOT apply — the flag re-enters the
+    // normal peak-mem discipline (suspect on first occurrence since
+    // byte signals are stable, escalating on a quiet recurrence), so
+    // the ceiling is a watched number, not a blind spot
+    val over = ScaleReport.regressionGateJson(dir.toString, 20,
+      m(20.0, ", \"peak_task_memory_bytes\": 900000000", ""))
+    assert(over.contains(""""pinned": []"""), over)
+    assert(over.contains(""""suspect": ["dedup_clusters/peak_mem_ratio_10x"]"""), over)
+    // ...and that suspect escalates on the next quiet round (unlike a
+    // pinned-resolved one)
+    java.nio.file.Files.write(dir.resolve("METRICS_r20.json"),
+      m(20.0, ", \"peak_task_memory_bytes\": 900000000",
+        "\"dedup_clusters/peak_mem_ratio_10x\"").getBytes("UTF-8"))
+    val overNext = ScaleReport.regressionGateJson(dir.toString, 21,
+      m(20.0, ", \"peak_task_memory_bytes\": 900000000", ""))
+    assert(overNext.contains(""""ok": false"""), overNext)
+    // a missing absolute cannot verify the ceiling -> never pinned
+    val noAbs = ScaleReport.regressionGateJson(dir.toString, 20,
+      m(8.55, "", ""))
+    assert(noAbs.contains(""""pinned": []"""), noAbs)
+  }
+
   test("spill gate metric sums whichever counters are present (missing = 0)") {
     // r18-advice low: requiring BOTH counters silently dropped the
     // spill gate metric for artifacts recording only one of them
