@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /**
  * Shared null-ELEMENT propagation for the binary array kernels: a null
@@ -274,6 +274,72 @@ final case class ArrayDotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `dot_tiny(x: ARRAY<TINYINT>, y: ARRAY<TINYINT>) -> BIGINT` — integer
+ * dot product over int8 codes, the kernel of the verify-fetch int8
+ * bound-prefilter ([[graft.operators.Similarity]]'s shuffle-hash face):
+ * the candidate exchange carries 1 B/dim codes instead of 4 B/dim
+ * floats, and this dot feeds the lossless cosine upper bound that
+ * screens candidates before the raw-float fetch. Same associative-sum /
+ * null-semantics contract as [[ArrayDotLong]]; products fit a Long for
+ * any array shorter than 2⁴⁸ elements (|x·y| ≤ 127² per term).
+ */
+final case class ArrayDotTiny(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayElementNullPropagation {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<TINYINT>, ARRAY<TINYINT>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "dot_tiny"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"dot_tiny: length mismatch ($n vs ${y.numElements()})")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (elemIsNull(x, y, i)) return null
+      s += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_tiny: length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${elemNullGuard(x, y, i, ev)}
+         |  $s += (long) $x.getByte($i) * (long) $y.getByte($i);
+         |}
+         |${guardedAssign(ev, s)}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotTiny =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.Shim
@@ -289,6 +355,10 @@ object VectorFunctions {
   /** Column API for the native integer dot product. */
   def dotLong(x: Column, y: Column): Column =
     Shim.column(ArrayDotLong(Shim.expression(x), Shim.expression(y)))
+
+  /** Column API for the native int8-code dot product. */
+  def dotTiny(x: Column, y: Column): Column =
+    Shim.column(ArrayDotTiny(Shim.expression(x), Shim.expression(y)))
 
   /** Column API for the native per-element md5. */
   def arrayMd5(arr: Column, prefix: Column): Column =

@@ -269,7 +269,7 @@ object Similarity {
     * The DuckDB twin derives (r, b) from the SAME integer thresholds
     * via a generated CASE ladder over count(*) ([[bandParamsSqlCtes]]),
     * so both engines re-parameterize in lockstep by construction. */
-  private val NearDupThreshold = 0.45
+  private[graft] val NearDupThreshold = 0.45
   private val DedupBands = 40
   private val DedupRowsPerBand = 6
 
@@ -317,6 +317,16 @@ object Similarity {
   private def fetchFaceOverride: Option[String] =
     sys.props.get("graft.verifyFetchFace").filterNot(_ == "auto")
 
+  /** The ONE face decision shared by [[verifyFetchSide]] and
+    * [[int8Screen]] — they must agree or the screen would pay its two
+    * extra joins on the face that doesn't need it. */
+  private def shuffleFaceChosen(n: Long, dim: Int): Boolean =
+    fetchFaceOverride match {
+      case Some("shuffle") => true
+      case Some("broadcast") => false
+      case _ => n > fetchBroadcastMaxRows(dim)
+    }
+
   /** One side of a candidate-verify embedding fetch, SIZED (see
     * [[FetchBroadcastMaxBytes]]): below the byte budget the dim-lookup
     * relation broadcasts so the candidate mass never exchanges; past it
@@ -325,14 +335,88 @@ object Similarity {
   private[graft] def verifyFetchSide(emb: DataFrame, n: Long,
       as: String, ecol: String, dim: Int = Dim): DataFrame = {
     val side = emb.select(col("vec_id").as(as), col("embedding").as(ecol))
-    val wantBroadcast = fetchFaceOverride match {
-      case Some("broadcast") => true
-      case Some("shuffle") => false
-      case _ => n <= fetchBroadcastMaxRows(dim)
-    }
-    if (wantBroadcast) broadcast(side)
+    if (!shuffleFaceChosen(n, dim)) broadcast(side)
     else side.hint("shuffle_hash")
   }
+
+  /** Slack on the screen threshold absorbing double-arithmetic rounding
+    * in the upper bound — over-KEEPING only (a kept candidate just pays
+    * its exact verify; the bound itself is derived in exact terms). */
+  private val ScreenSlackEps = 1e-9
+
+  /** One side of the int8 screen: per-vector symmetric int8 codes
+    * (same floor(x·127/m + 0.5) quantization as the `ann_int8_*`
+    * family's [[quantized]]) packed as ARRAY<TINYINT> (1 B/dim on the
+    * exchange vs 4 B/dim floats), plus the scale s = m/127, the code
+    * norm ‖c‖, and the EXACT vector norm ‖v‖. ~112 B/row at dim 64 vs
+    * ~300 B for the float row — the ~4× per-candidate byte cut. */
+  private[graft] def int8ScreenSide(emb: DataFrame, as: String, sfx: String): DataFrame =
+    emb
+      .withColumn("__m",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn(s"c$sfx", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * " +
+          "(case when __m = 0.0 then 0.0 else 127.0 / __m end) + 0.5) as tinyint))"))
+      .withColumn(s"cs$sfx",
+        when(col("__m") === 0.0, lit(0.0)).otherwise(col("__m") / lit(127.0)))
+      .withColumn(s"cn$sfx", sqrt(graft.functions.VectorFunctions
+        .dotTiny(col(s"c$sfx"), col(s"c$sfx")).cast("double")))
+      .withColumn(s"nr$sfx", sqrt(dotCol("embedding", "embedding")))
+      .select(col("vec_id").as(as),
+        col(s"c$sfx"), col(s"cs$sfx"), col(s"cn$sfx"), col(s"nr$sfx"))
+
+  /** Int8 BOUND-PREFILTER on the shuffle-hash fetch face (r20 — the
+    * rung past [[FetchBroadcastMaxBytes]] named in docs/PLANS_r19.md §2,
+    * the same lossless-screen discipline as `dedup_containment`'s
+    * xxhash64 verify screen): candidates first fetch 1 B/dim int8 codes
+    * instead of 4 B/dim floats, and only candidates whose cosine UPPER
+    * BOUND clears the threshold proceed to the raw-float fetch — so the
+    * exchanges carrying the full candidate mass shrink ~4×, and the
+    * float fetch joins run at SURVIVOR size (output-bound, the shape
+    * that holds at 100 TB).
+    *
+    * LOSSLESS by construction (suite-pinned, Int8ScreenSuite): with
+    * v = s·c + e, |e_i| ≤ s/2 elementwise ⇒ ‖e‖ ≤ s·√d/2 = ε, so
+    *   u·v ≤ s_u s_v (c_u·c_v) + ‖û‖ε_v + ε_u‖v̂‖ + ε_u ε_v
+    *       = s_u s_v (c_u·c_v + (√d/2)(‖c_u‖+‖c_v‖) + d/4)
+    * and dividing by the EXACT norms gives ub ≥ cos(u,v) for every
+    * pair; the screen keeps ub ≥ τ − [[ScreenSlackEps]]. A zero-norm
+    * vector yields ub = NaN and is screened — its exact sim is NaN and
+    * the verify filter drops it identically, so the OUTPUT contract
+    * (and the DuckDB oracle, which never sees the screen) is unchanged.
+    *
+    * Candidate columns ride through untouched (the quantizer-cell face
+    * carries csim_1/csim_2); only the screen's own columns are dropped.
+    * On the broadcast face the candidates return unscreened — the fetch
+    * is exchange-free there, so the screen would only add joins. */
+  private[graft] def int8Screen(emb: DataFrame, n: Long, cand: DataFrame,
+      leftId: String, rightId: String, dim: Int = Dim): DataFrame =
+    // -Dgraft.int8Screen=off disables the screen on the shuffle face —
+    // the drive-side A/B isolating the screen's byte cut from the face
+    // choice (results are identical either way; the screen is lossless)
+    if (!shuffleFaceChosen(n, dim) ||
+        sys.props.get("graft.int8Screen").contains("off")) cand
+    else {
+      val rootD2 = math.sqrt(dim.toDouble) / 2.0
+      val dotq = graft.functions.VectorFunctions
+        .dotTiny(col("c_s1"), col("c_s2")).cast("double")
+      // a zero-norm side bypasses the division (ANSI mode makes 0/0 an
+      // error) and is KEPT: the exact verify computes sim = NaN there,
+      // and Spark SQL orders NaN above every double, so `sim >= τ`
+      // RETAINS such pairs — the screen must match that engine
+      // contract, not IEEE intuition (suite-pinned with a zero vector)
+      val ub = when(col("nr_s1") > 0.0 && col("nr_s2") > 0.0,
+        (col("cs_s1") * col("cs_s2") *
+          (dotq + lit(rootD2) * (col("cn_s1") + col("cn_s2")) +
+            lit(rootD2 * rootD2))) / (col("nr_s1") * col("nr_s2")))
+        .otherwise(lit(Double.PositiveInfinity))
+      cand
+        .join(int8ScreenSide(emb, leftId, "_s1").hint("shuffle_hash"), leftId)
+        .join(int8ScreenSide(emb, rightId, "_s2").hint("shuffle_hash"), rightId)
+        .filter(ub >= lit(NearDupThreshold - ScreenSlackEps))
+        .drop("c_s1", "cs_s1", "cn_s1", "nr_s1",
+          "c_s2", "cs_s2", "cn_s2", "nr_s2")
+    }
 
   /** Per-plane agreement probability for a pair at exactly the
     * threshold: p = 1 − acos(τ)/π (StrictMath — the constant feeds
@@ -475,7 +559,11 @@ object Similarity {
     // scale the production answer is attaching compact codes (int8
     // bound-prefilter) to the candidate stream — see the class note.
     val n = embeddingsCountFor(s, dir)
-    val cand = bandCandidates(s, dir)
+    // past the broadcast budget, the int8 bound-prefilter screens the
+    // candidate mass before any raw-float fetch (lossless — see
+    // [[int8Screen]]); below it the screen is a no-op
+    val cand = int8Screen(emb, n, bandCandidates(s, dir),
+      "vec_id_keeper", "vec_id_dropped")
     cand
       .join(verifyFetchSide(emb, n, "vec_id_keeper", "e1"), "vec_id_keeper")
       .join(verifyFetchSide(emb, n, "vec_id_dropped", "e2"), "vec_id_dropped")
@@ -2022,7 +2110,9 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       .select(col("vec_id"), col("csim"), col("cell").as("band"))
       .repartition(col("band"))
     // vec_id_1 < vec_id_2 by SkewGuard's contract, csim riding along
-    val verified = SkewGuard.pairs(cells, "vec_id")
+    // (through the int8 screen too — it preserves candidate columns)
+    val verified = int8Screen(emb, n, SkewGuard.pairs(cells, "vec_id"),
+        "vec_id_1", "vec_id_2")
       .join(verifyFetchSide(emb, n, "vec_id_1", "e1"), "vec_id_1")
       .join(verifyFetchSide(emb, n, "vec_id_2", "e2"), "vec_id_2")
       .filter(graft.functions.VectorFunctions.cosineSimilarity(
