@@ -85,6 +85,34 @@ object GraftLogMaintenance {
     if (n % 2 == 1) writeSeq(fs, dir, n + 1)
   }
 
+  // ---- the TRUNCATE incarnation stamp (r20, r19 advice medium) -------
+  // The r19 offset-regression guards fire only while the new
+  // incarnation is still SHORTER than the checkpointed watermark — a
+  // stream stopped across a TRUNCATE whose replacement grows past the
+  // committed offsets before the restart would resume silently and
+  // deliver mixed incarnations. The stamp closes the timing hole:
+  // TRUNCATE bumps a counter at `_maint/INC` (outside `_staging` and
+  // the partition dirs, so the bump itself survives the deletes), every
+  // streaming offset carries the incarnation it was committed under,
+  // and admission/planning fail HARD on any mismatch — independent of
+  // relative offsets, and deliberately not demotable by failOnDataLoss
+  // (the new incarnation reuses the old offset space; no consistent
+  // redelivery exists under the stale checkpoint).
+
+  private def incPath(dir: String) = new Path(dir, "_maint/INC")
+
+  private[sources] def incarnation(fs: FileSystem, dir: String): Long =
+    GraftLog.readSmall(fs, incPath(dir))
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+
+  private[sources] def bumpIncarnation(fs: FileSystem, dir: String): Unit = {
+    val tmp = new Path(dir, "_maint/INC.tmp")
+    GraftLog.writeSmall(fs, tmp, (incarnation(fs, dir) + 1).toString)
+    fs.delete(incPath(dir), false)
+    require(fs.rename(tmp, incPath(dir)),
+      s"failed to publish log incarnation under $dir")
+  }
+
   /** Compact every partition with more than `minFiles` segments down to
     * one. Returns (partition → segments merged) for the partitions
     * touched. */

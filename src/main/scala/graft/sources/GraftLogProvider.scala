@@ -392,15 +392,37 @@ object GraftLog {
     m.toSeq.sortBy(_._1)
       .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
 
-  private[sources] def offsetsFromJson(s: String): Map[Int, Long] = {
+  /** Streaming-checkpoint form: the partition map plus the log
+    * incarnation the offsets were committed under (`"_inc"`, r20 — the
+    * TRUNCATE stamp). A negative incarnation (batch options, legacy
+    * checkpoints) serializes without the key, byte-identical to the
+    * classic form. */
+  private[sources] def offsetsToJson(m: Map[Int, Long], inc: Long): String =
+    if (inc < 0) offsetsToJson(m)
+    else {
+      val body = m.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" } :+
+        s""""_inc":$inc"""
+      body.mkString("{", ",", "}")
+    }
+
+  private[sources] def offsetsFromJson(s: String): Map[Int, Long] =
+    offsetsAndIncFromJson(s)._1
+
+  /** Parse offsets + the `_inc` incarnation stamp (-1 when absent — a
+    * legacy checkpoint or a user-supplied option map). */
+  private[sources] def offsetsAndIncFromJson(s: String): (Map[Int, Long], Long) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(s) match {
-      case JObject(fields) => fields.map {
-        case (k, JInt(v)) => k.toInt -> v.toLong
-        case (k, JLong(v)) => k.toInt -> v
-        case (k, v) => throw new IllegalArgumentException(s"bad offset $k=$v")
-      }.toMap
+      case JObject(fields) =>
+        val (incF, partF) = fields.partition(_._1 == "_inc")
+        def num(k: String, v: JValue): Long = v match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case other => throw new IllegalArgumentException(s"bad offset $k=$other")
+        }
+        (partF.map { case (k, v) => k.toInt -> num(k, v) }.toMap,
+          incF.headOption.map { case (k, v) => num(k, v) }.getOrElse(-1L))
       case other => throw new IllegalArgumentException(s"bad offset json: $other")
     }
   }
@@ -450,8 +472,12 @@ private[sources] final class ProducerMarkers(
   }
 }
 
-final case class GraftLogOffset(offsets: Map[Int, Long]) extends Offset {
-  override def json(): String = GraftLog.offsetsToJson(offsets)
+/** @param incarnation the `_maint/INC` TRUNCATE counter the offsets
+  *   were committed under (r20); -1 for legacy checkpoints and batch
+  *   option maps, which serialize without the stamp. */
+final case class GraftLogOffset(offsets: Map[Int, Long],
+    incarnation: Long = -1L) extends Offset {
+  override def json(): String = GraftLog.offsetsToJson(offsets, incarnation)
 }
 
 /** [[graft.sources.LogSource]] face over the V2 connector — what plugs
@@ -577,6 +603,12 @@ final class GraftLogTable(path: String) extends Table with SupportsRead
       throw new IllegalStateException(
         s"TRUNCATE left ${survivors.length} entr${if (survivors.length == 1) "y" else "ies"} " +
           s"under $path: ${survivors.map(_.getPath.getName).mkString(", ")}")
+    // stamp the NEW incarnation before settling the seqlock: a stale
+    // streaming checkpoint then fails its next admission on the
+    // incarnation mismatch even if the replacement log has already
+    // grown past the committed offsets (r20 — the timing hole the
+    // r19 offset-regression guards left open)
+    GraftLogMaintenance.bumpIncarnation(fs, path)
     GraftLogMaintenance.endMaintenance(fs, path)
     true
   }
@@ -1321,6 +1353,21 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
     }
   }
 
+  /** The log's `_maint/INC` TRUNCATE counter — one small-file read,
+    * checked at every admission and plan (r20). */
+  private def currentIncarnation(): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    GraftLogMaintenance.incarnation(p.getFileSystem(conf), path)
+  }
+
+  private def incarnationMismatch(checkpointed: Long, cur: Long): Nothing =
+    throw new IllegalStateException(
+      s"checkpointed log incarnation $checkpointed != current $cur for $path: " +
+        "the log was truncated or rewritten under this checkpoint (a new " +
+        "incarnation reusing the old offset space — no consistent redelivery " +
+        "exists, regardless of relative offsets). Start the query with a " +
+        "NEW checkpoint location.")
+
   override def initialOffset(): Offset = {
     val latest = GraftLog.latestOffsets(path, conf)
     val start = options.get("startingoffsets") match {
@@ -1342,7 +1389,7 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
           } else p -> o
         } ++ (latest.keySet -- want.keySet).map(p => p -> 0L)
     }
-    GraftLogOffset(start)
+    GraftLogOffset(start, currentIncarnation())
   }
 
   override def latestOffset(): Offset =
@@ -1355,6 +1402,15 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftLogOffset].offsets
+    // incarnation stamp FIRST (r20): catches a TRUNCATE even after the
+    // replacement log has grown past the committed offsets — the timing
+    // the offset-regression check below cannot see. A legacy checkpoint
+    // (stamp -1) falls through to the offset checks and is stamped with
+    // the current incarnation on its next committed batch.
+    val startInc = start.asInstanceOf[GraftLogOffset].incarnation
+    val curInc = currentIncarnation()
+    if (startInc >= 0 && startInc != curInc)
+      incarnationMismatch(startInc, curInc)
     val latest0 = currentEnd()
     // TRUNCATE detection (r19, closing the streaming half of the
     // truncate contract at GraftLogCatalog.truncateTable): committed
@@ -1393,7 +1449,7 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
       availableNowEnd.isEmpty && total < m.minRows() &&
         System.currentTimeMillis() - lastTriggerMs < m.maxTriggerDelayMs()
     }
-    if (gateHolds) GraftLogOffset(from) // no progress = no batch this trigger
+    if (gateHolds) GraftLogOffset(from, curInc) // no progress = no batch this trigger
     else {
       lastTriggerMs = System.currentTimeMillis()
       limits.collectFirst { case r: ReadMaxRows => r } match {
@@ -1411,18 +1467,28 @@ final class GraftLogMicroBatchStream(path: String, options: Map[String, String],
           }.toMap
           GraftLogOffset(latest.map { case (p, _) =>
             p -> (from.getOrElse(p, 0L) + takes.getOrElse(p, 0L))
-          })
-        case _ => GraftLogOffset(latest) // all-available / under the cap
+          }, curInc)
+        case _ => GraftLogOffset(latest, curInc) // all-available / under the cap
       }
     }
   }
 
-  override def deserializeOffset(json: String): Offset =
-    GraftLogOffset(GraftLog.offsetsFromJson(json))
+  override def deserializeOffset(json: String): Offset = {
+    val (m, inc) = GraftLog.offsetsAndIncFromJson(json)
+    GraftLogOffset(m, inc)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftLogOffset].offsets
     val until = end.asInstanceOf[GraftLogOffset].offsets
+    // incarnation stamp at plan time too (r20): catches a restart whose
+    // FIRST call replans a checkpoint-reconstructed batch, and a
+    // TRUNCATE landing between admission and planning
+    val planInc = end.asInstanceOf[GraftLogOffset].incarnation
+    if (planInc >= 0) {
+      val cur = currentIncarnation()
+      if (planInc != cur) incarnationMismatch(planInc, cur)
+    }
     // an INVERTED window (checkpointed start past the batch end) is the
     // truncation signature at plan time — GraftLogScan.plan would
     // otherwise skip those partitions SILENTLY (until <= from yields no

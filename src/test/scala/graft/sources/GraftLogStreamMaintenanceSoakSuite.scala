@@ -246,6 +246,72 @@ class GraftLogStreamMaintenanceSoakSuite extends SparkSuite {
     }
   }
 
+  test("TRUNCATE then regrowth PAST the old watermark: the incarnation stamp keeps the stale checkpoint loud") {
+    // r20 (r19 advice, medium): the r19 guards compare committed
+    // offsets against the current log end, so they fire only while the
+    // replacement log is still SHORTER than the watermark. A stream
+    // STOPPED across a TRUNCATE whose replacement grows past the
+    // committed offsets before the restart hit the silent-resume
+    // timing. The `_maint/INC` stamp (bumped by truncateTable, carried
+    // in every streaming offset) fails the restart INDEPENDENT of
+    // relative offsets.
+    val root = java.nio.file.Files.createTempDirectory("glog-stream-inc").toString
+    val dir = s"$root/ti"
+    val cp = s"$root/cp"
+    spark.conf.set("spark.sql.catalog.gsi", classOf[GraftLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsi.root", root)
+    def append(i: Int): Unit = GraftLog.appendBatch(
+      spark.range(0, 4).selectExpr("cast(id % 2 as int) as partition",
+        s"concat('b$i-', id) as key", s"concat('b$i-', id) as value"),
+      dir, batchId = i.toLong)
+    val delivered = new ConcurrentHashMap[(Int, Long), String]()
+    def start(where: String, failOnDataLoss: Boolean = true,
+        sink: ConcurrentHashMap[(Int, Long), String] = delivered) =
+      spark.readStream.format("graftlog")
+        .option("path", dir)
+        .option("failOnDataLoss", failOnDataLoss.toString).load()
+        .writeStream.option("checkpointLocation", where)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.selectExpr("partition", "offset", "value").collect().foreach { r =>
+            val prev = sink.putIfAbsent((r.getInt(0), r.getLong(1)), r.getString(2))
+            assert(prev == null || prev == r.getString(2),
+              s"write-once violated (mixed incarnations?): $r after '$prev'")
+          }
+        }.start()
+
+    append(0); append(1)
+    val q1 = start(cp)
+    q1.processAllAvailable()
+    q1.stop() // the stream is STOPPED across the truncate — the timing hole
+    assert(delivered.size() == 8)
+
+    spark.sql("TRUNCATE TABLE gsi.ti").collect()
+    // the replacement GROWS PAST the committed watermark (6 offsets per
+    // partition vs 4 committed) — every committed offset is in range,
+    // so the r19 offset checks alone would resume silently here
+    append(100); append(101); append(102)
+
+    Seq(true, false).foreach { fodl =>
+      val qr = start(cp, failOnDataLoss = fodl)
+      val er = intercept[Throwable] { qr.processAllAvailable() }
+      assert(chainContains(er, "incarnation"),
+        s"regrown-log restart (failOnDataLoss=$fodl) must fail on the " +
+          s"incarnation stamp: $er")
+      try qr.stop() catch { case _: Throwable => () }
+    }
+    // nothing from the new incarnation ever reached the stale sink
+    delivered.forEach((k, v) => assert(v.startsWith("b0-") || v.startsWith("b1-"),
+      s"mixed incarnation delivered at $k: '$v'"))
+
+    // the sanctioned recovery reads all 12 new-incarnation rows from 0
+    val fresh = new ConcurrentHashMap[(Int, Long), String]()
+    val q2 = start(s"$root/cp2", sink = fresh)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(fresh.size() == 12, s"fresh checkpoint: ${fresh.size()} rows")
+    fresh.forEach((k, v) => assert(v.startsWith("b10"),
+      s"fresh checkpoint saw old-incarnation value at $k: '$v'"))
+  }
+
   private def chainContains(t: Throwable, needle: String): Boolean = {
     var cur = t
     var depth = 0
