@@ -929,7 +929,7 @@ object Similarity {
   /** One centroid's cosine vs a vector — the [[nearestCentroidHof]]
     * inner formula as a standalone expression (left-associated fold,
     * same arithmetic as the native kernel computes per entry). */
-  private def nearestCentroidHofSim(c: Column, vec: Column, nrm: Column): Column =
+  private[operators] def nearestCentroidHofSim(c: Column, vec: Column, nrm: Column): Column =
     aggregate(
       zip_with(vec, c.getField("cvec"),
         (x, y) => x.cast("double") * y.cast("double")),

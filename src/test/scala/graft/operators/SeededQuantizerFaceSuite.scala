@@ -286,6 +286,94 @@ class SeededQuantizerFaceSuite extends SparkSuite {
     assert(flatPlan.contains("cents_arr") && !flatPlan.contains("members_map"))
   }
 
+  test("multi-probe p>=2: ≡ flat when the winner is probed; HOF sim ≡ kernel bit-for-bit") {
+    import spark.implicits._
+    // r19 advice (low): the p>=2 path was exercised only by the
+    // TwoLevelRecallProbe main; this is the DETERMINISTIC pin. Corpus
+    // and quantizer are small enough for exact flat comparison.
+    val n = 2500
+    val dims = 8
+    val nlist = 256L
+    val corpus = spark.range(0, n, 1, 8).map { id =>
+      val r = new java.util.SplittableRandom(id * 0x9E3779B97F4A7C15L + 11)
+      (id, Array.fill(dims)(r.nextDouble(-1.0, 1.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(Similarity.dotCol("embedding", "embedding")))
+    val centsDf = Similarity.seededCentsDf(corpus, nlist)
+
+    def collectAssign(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "csim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+
+    val flat = collectAssign(Similarity.assignCellsWithSimBcast(corpus, centsDf))
+
+    // ---- probe EVERY group: every winner is in a probed group by
+    // construction, so p = groups must equal flat for ALL rows,
+    // cell-for-cell and csim-bit-for-bit (the advice's corpus property,
+    // taken to its exhaustive limit)
+    val groups = Similarity.twoLevelGroups(nlist).toInt
+    val pAll = collectAssign(Similarity.assignCellsWithSimTwoLevel(
+      corpus, centsDf, nlist, probes = groups))
+    assert(pAll.length == n && flat.length == n)
+    pAll.zip(flat).foreach { case ((id, c2, s2), (idf, cf, sf)) =>
+      assert(id == idf)
+      assert(c2 == cf, s"row $id: p=all cell $c2 vs flat $cf")
+      assert(java.lang.Double.doubleToRawLongBits(s2) ==
+        java.lang.Double.doubleToRawLongBits(sf),
+        s"row $id: p=all csim $s2 vs flat $sf")
+    }
+
+    // ---- p = 2: equality must hold exactly on the rows whose flat
+    // winner's group ranks in that row's top-2 probed groups (driver
+    // replica of the rep ranking — same fold arithmetic)
+    val cents = Similarity.collectCentroids(centsDf)
+    val reps = Similarity.twoLevelReps(centsDf, nlist)
+    val grpOf = cents.map { c =>
+      c.cent_id -> Similarity.nearestCentroidLocal(
+        c.cvec.map(_.toFloat), c.cnrm, reps)
+    }.toMap
+    val liveReps = reps.filter(r => grpOf.values.toSet.contains(r.cent_id))
+    val p2 = collectAssign(Similarity.assignCellsWithSimTwoLevel(
+      corpus, centsDf, nlist, probes = 2))
+    val embRows = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    var pinned2 = 0
+    embRows.foreach { case (id, v) =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val top2 = liveReps.map { r =>
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i).toDouble * r.cvec(i); i += 1 }
+        (r.cent_id, dot / (nrm * r.cnrm))
+      }.sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
+      val (_, fcell, fsim) = flat(id.toInt)
+      if (top2.contains(grpOf(fcell))) {
+        val (_, tcell, tsim) = p2(id.toInt)
+        assert(tcell == fcell && java.lang.Double.doubleToRawLongBits(tsim) ==
+          java.lang.Double.doubleToRawLongBits(fsim),
+          s"row $id: flat ($fcell, $fsim) in top-2 groups but p=2 ($tcell, $tsim)")
+        pinned2 += 1
+      }
+    }
+    assert(pinned2 > n / 2, s"p=2 pin vacuous: only $pinned2 of $n rows in scope")
+
+    // ---- the HOF sim (the p>=2 rep-ranking arithmetic) is bit-identical
+    // to the native kernel's csim, per (row, rep) pair
+    val k = graft.functions.VectorFunctions.nearestCentroid _
+    val bitMismatch = liveReps.map { rep =>
+      val one = typedLit(Seq(rep))
+      corpus.select(
+        k(one, col("embedding"), col("nrm")).getField("csim").as("a"),
+        Similarity.nearestCentroidHofSim(typedLit(rep), col("embedding"),
+          col("nrm")).as("b"))
+        .collect().count(r =>
+          java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }.sum
+    assert(bitMismatch == 0,
+      s"HOF sim diverged from the kernel on $bitMismatch (row, rep) pairs")
+  }
+
   test("two-level reps seed from the first centroids by ORDER, not by id value") {
     import spark.implicits._
     // sparse/offset cent_ids: the old `cent_id < groups` filter selected
