@@ -288,6 +288,53 @@ object ScaleReport {
     }.mkString(",\n")
   }
 
+  /** Persisted TEXT-index probe census (r20, verdict task 7 — the
+    * `ivfpq_probe` discipline applied to the other persisted probe
+    * path): the r10 claim is that `search_bm25_indexed`'s probe reads
+    * ONLY its query terms' posting partitions. Filesystem truth: total
+    * postings bytes vs the probed `term=` directories' bytes, next to
+    * the labeled probe run's task-metrics input bytes and the term
+    * selectivity (probed terms / vocabulary partitions), per corpus
+    * per round. */
+  private def textProbeJson(spark: SparkSession, probe: TaskMetricsProbe,
+      dirs: Seq[(String, String)]): String = {
+    def duData(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.filter(_.isFile).filterNot(_.getName.startsWith("_"))
+        .filterNot(_.getName.startsWith(".")).map(_.length).sum +
+        kids.filter(_.isDirectory).map(duData).sum
+    }
+    dirs.map { case (tag, dir) =>
+      settle(spark)
+      val path = graft.operators.Search.ensureTextIndex(spark, dir)
+      val postingsDir = new java.io.File(s"$path/postings")
+      val termDirs = Option(postingsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("term="))
+      val total = duData(postingsDir)
+      val terms = graft.operators.Search.QueryTerms
+      val probedBytes = terms.map(t =>
+        duData(new java.io.File(s"$path/postings/term=$t"))).sum
+      val label = s"text_probe@$tag"
+      spark.sparkContext.setJobGroup(label, label, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      try graft.operators.Search.probeTextIndex(spark, path, terms)
+        .write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      probe.quiesce(sc = spark.sparkContext)
+      val st = probe.snapshot(label).getOrElse(
+        throw new IllegalStateException(s"no task metrics for '$label'"))
+      s"""    "$tag": {"query_terms": ${terms.size}, """ +
+        s""""term_partitions": ${termDirs.length}, """ +
+        s""""term_fraction": ${d2(terms.size.toDouble / math.max(1, termDirs.length))}, """ +
+        s""""postings_total_bytes": $total, """ +
+        s""""probed_terms_bytes": $probedBytes, """ +
+        s""""probed_fraction": ${d2(probedBytes.toDouble / math.max(1L, total))}, """ +
+        s""""probe_input_bytes": ${st.inputBytes}, """ +
+        s""""probe_wall_sec": ${d2(wall)}}"""
+    }.mkString(",\n")
+  }
+
   /** The scaling table as a JSON object body (no surrounding key).
     * `loadAtStart` should be captured at INVOCATION start (before any
     * Spark work): when the sweep is embedded after 15 minutes of
@@ -341,6 +388,9 @@ object ScaleReport {
          |  },
          |  "ivfpq_probe": {
          |${ivfpqProbeJson(spark, probe, Seq("x1" -> x1, "x10" -> x10))}
+         |  },
+         |  "text_probe": {
+         |${textProbeJson(spark, probe, Seq("x1" -> x1, "x10" -> x10))}
          |  },
          |  "queries": {
          |${(rows ++ rows30).mkString(",\n")}

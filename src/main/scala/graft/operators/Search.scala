@@ -28,7 +28,7 @@ object Search {
 
   /** Fixed keyword query for the oracle-gated demo; a deployment binds
     * this per-request. */
-  private[operators] val QueryTerms = Seq("spark", "join", "vector", "window")
+  private[graft] val QueryTerms = Seq("spark", "join", "vector", "window")
   private def termsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
 
   /** Mitchell fixed-point idf over (df, n_docs) columns — the one idf
@@ -394,7 +394,7 @@ object Search {
   /** Probe the persisted index: [[prunedCandidates]] through the SAME
     * [[bm25Rollup]] as the inline query — no corpus scan anywhere; the
     * only inputs are posting lists and the broadcast constants. */
-  private[operators] def probeTextIndex(
+  private[graft] def probeTextIndex(
       s: SparkSession, path: String, terms: Seq[String]): DataFrame =
     bm25Rollup(prunedCandidates(s, path, terms))
 
@@ -406,7 +406,7 @@ object Search {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(): Unit
   }
-  private[operators] def ensureTextIndex(s: SparkSession, dir: String): String =
+  private[graft] def ensureTextIndex(s: SparkSession, dir: String): String =
     textIndexes.getOrElseUpdate(dir, new LazyIdx(() => {
       val pid = ProcessHandle.current().pid()
       val slug = java.security.MessageDigest.getInstance("MD5")
