@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDotDouble, ArrayDotLong, ArrayMd5, CosineSimilarity, SimHash64, SrpBandCodes}
+import graft.functions.{ArrayDotDouble, ArrayDotLong, ArrayDotTiny, ArrayMd5, CosineSimilarity, SimHash64, SrpBandCodes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -76,6 +76,7 @@ object GraftExtensions {
     binary("cosine_similarity", classOf[CosineSimilarity], CosineSimilarity.apply),
     binary("dot_double", classOf[ArrayDotDouble], ArrayDotDouble.apply),
     binary("dot_long", classOf[ArrayDotLong], ArrayDotLong.apply),
+    binary("dot_tiny", classOf[ArrayDotTiny], ArrayDotTiny.apply),
     binary("array_md5", classOf[ArrayMd5], ArrayMd5.apply),
     unary("simhash64", classOf[SimHash64], SimHash64.apply),
     (FunctionIdentifier("nearest_centroid"),

@@ -120,6 +120,37 @@ class VectorExpressionsSuite extends SparkSuite {
     assert(got(2L) === None)
   }
 
+  test("dot_tiny matches the bigint fold on int8 codes and is SQL-callable") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).limit(300)
+      .withColumn("c", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 64 + 0.5) as tinyint))"))
+    // the widened dot over the same values is the executable spec
+    val viaLong = VectorFunctions.dotLong(
+      expr("transform(c, x -> cast(x as bigint))"),
+      expr("transform(c, x -> cast(x as bigint))"))
+    val native = VectorFunctions.dotTiny(col("c"), col("c"))
+    val mismatches = emb.select((viaLong =!= native).as("ne"))
+      .filter(col("ne")).count()
+    assert(mismatches === 0L)
+    // SQL registration + extreme signed bytes (-128 * -128 = 16384)
+    val r = spark.sql(
+      """SELECT dot_tiny(array(CAST(-128 AS TINYINT), CAST(127 AS TINYINT)),
+        |                array(CAST(-128 AS TINYINT), CAST(127 AS TINYINT)))""".stripMargin)
+      .head().getLong(0)
+    assert(r === 16384L + 16129L)
+    // null element ⇒ null; length mismatch ⇒ loud
+    val sparkS = spark
+    import sparkS.implicits._
+    val edge = Seq((Array[java.lang.Byte](2.toByte, null),
+      Array[java.lang.Byte](4.toByte, 5.toByte))).toDF("x", "y")
+    assert(edge.select(VectorFunctions.dotTiny(col("x"), col("y")))
+      .head().isNullAt(0))
+    val bad = Seq((Array[Byte](1), Array[Byte](1, 2))).toDF("x", "y")
+    intercept[Exception](
+      bad.select(VectorFunctions.dotTiny(col("x"), col("y"))).collect())
+  }
+
   test("null ELEMENTS propagate to a null result, matching the HOF truth table") {
     val sparkS = spark
     import sparkS.implicits._
