@@ -108,6 +108,15 @@ object StatefulOps {
    * the in-horizon members of that band — O(collisions per horizon),
    * never O(stream).
    *
+   * Key-space note (r20): the batch face grew an adaptive B-block
+   * ladder because its candidate mass is CORPUS-bounded and turns
+   * quadratic near 2.1M docs ([[graft.operators.Dedup.simhashBlocksFor]]).
+   * This face deliberately keeps the fixed 4×16 scheme: its occupancy
+   * is HORIZON-bounded (in-horizon docs / 2¹⁶ per band), so the
+   * quadratic-mass ceiling applies only past ~2.1M documents per
+   * event-time horizon — a horizon that dense should shrink, or the
+   * ingest should hand off to the batch ladder downstream.
+   *
    * Contract mirrors the batch pairs operators: a pair colliding in k
    * bands emits up to k times (callers dedupe downstream), and a
    * duplicate arriving after its original left the horizon is not

@@ -95,6 +95,42 @@ class SimhashLadderSuite extends SparkSuite {
     }
   }
 
+  test("forced rung 5/6 EXECUTION equals brute-force hamming truth — 100% recall at every rung") {
+    import spark.implicits._
+    // pigeonhole recall is 100% and verification is exact, so the
+    // verified pairs must EQUAL the all-pairs hamming<=3 truth at EVERY
+    // rung; `precount` forces the rung on a small corpus (the decision
+    // reads sizing metadata, like the fetch face)
+    val rnd = new scala.util.Random(20030)
+    val words = (0 until 50).map(i => s"w$i")
+    val docs = (0 until 40).flatMap { g =>
+      val toks = Seq.fill(30)(words(rnd.nextInt(words.length)))
+      Seq(
+        (g * 3L, toks.mkString(" ")),
+        (g * 3L + 1, toks.mkString(" ")), // exact dup -> hamming 0
+        (g * 3L + 2, (toks.dropRight(1) :+
+          words(rnd.nextInt(words.length))).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.simhash64(
+        split(col("text"), " ")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sig.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(sig(ids(i)) ^ sig(ids(j))); if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    assert(truth.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    for (forcedN <- Seq(1L, (32L << 16) + 1, (32L << 25) + 1)) { // rungs 4, 5, 6
+      val got = Dedup.simhashPairs(docs, precount = Some(forcedN))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.get(2).toString.toInt)).toSet
+      assert(got == truth,
+        s"rung for n=$forcedN: missing ${(truth -- got).take(3)}, " +
+          s"extra ${(got -- truth).take(3)}")
+    }
+  }
+
   test("the SQL rung ladder carries the same thresholds as the Scala ladder") {
     val cte = Dedup.simhashBandsSqlCte
     assert(cte.contains(s"WHEN cnt <= ${32L << 16} THEN 4"), cte)
