@@ -53,4 +53,57 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Parallelism-adaptive spread of a freshly-loaded table (r20 opt).
+    *
+    * The corpus operators used to open with a FIXED `repartition(64)` —
+    * load-bearing on the test fixtures (each table is ONE parquet file =
+    * a 1-task scan, so the expensive per-row work above it would run
+    * single-threaded; the Dedup pushdown-safety scaladoc) but wrong at
+    * both ends of the scale axis: at 100 TB the scan already has
+    * ~bytes/maxPartitionBytes tasks and a constant 64 would BOTH add a
+    * full-corpus round-robin exchange (text payload — the heaviest
+    * possible shuffle, guide §2.4's removable kind) and CAP the plan's
+    * parallelism at 64; on the driver's low-core bench runs a fixed 64
+    * over-splits kilobyte inputs. This helper keeps the spread exactly
+    * where it helps and nowhere else:
+    *
+    *  - estimated scan tasks ≥ 2×cores → the input is already parallel:
+    *    NO exchange at all (the repartition vanishes at scale);
+    *  - otherwise → `repartition(2 × defaultParallelism)`: on the
+    *    driver's local[32] bench this is 64 — bit-identical to the plan
+    *    shipped since r7 — and it tracks the session's core count on
+    *    every other master instead of pinning local-mode tuning.
+    *
+    * Scan-task estimate = total input bytes / maxPartitionBytes (the
+    * same arithmetic FilePartition planning uses, floor 1; openCost is
+    * negligible at both ends). Results are partitioning-independent for
+    * every declared query (each is oracle-checked against an engine with
+    * no partitioning notion), so this is physical-only. */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")))
+    val scanTasks = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      math.max(1L, (fs.getContentSummary(p).getLength + maxSplit - 1) / maxSplit)
+    } catch { case _: Exception => 1L } // unreadable size → assume small
+    if (scanTasks >= 2L * cores) df else df.repartition(2 * cores)
+  }
+
+  /** [[spread]] for an ALREADY-CONSTRUCTED frame (operator entry points
+    * taking caller frames, where there is no file to size): same policy,
+    * partition count read from the frame's own physical plan. */
+  def spreadFrame(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= 2 * cores) df else df.repartition(2 * cores)
+  }
+
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, dir, "documents")
+  def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, dir, "embeddings")
 }

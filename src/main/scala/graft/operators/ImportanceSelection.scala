@@ -155,7 +155,7 @@ object ImportanceSelection {
 
   private val dsirWeightsQuery = QueryDef(
     (s, dir) => dsirWeights(
-      Tables.documents(s, dir).repartition(64), targetSourceCol),
+      Tables.documentsSpread(s, dir), targetSourceCol),
     Some(s"""WITH ${dsirSqlCtes("documents", scoreTargets = false)}
       |SELECT doc_id, n_tokens, weight FROM dsirw ORDER BY doc_id""".stripMargin))
 

@@ -101,7 +101,7 @@ object LanguageModel {
 
   private val textLmScore = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       bigramProbsFx(docs, Seq("doc_id"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),

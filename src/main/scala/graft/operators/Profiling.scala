@@ -30,7 +30,7 @@ object Profiling {
 
   private val profileDocuments = QueryDef(
     (s, dir) => {
-      val base = Tables.documents(s, dir).repartition(64)
+      val base = Tables.documentsSpread(s, dir)
         .select(col("source"), col("lang"),
           size(split(col("text"), " ")).as("n_tokens"))
       val totals = base.groupBy("source").agg(
@@ -135,7 +135,7 @@ object Profiling {
   private val profileVocab = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val counts = Tables.documents(s, dir).repartition(64)
+      val counts = Tables.documentsSpread(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
       val headMass = counts
@@ -197,7 +197,7 @@ object Profiling {
   private val profileNgramTopk = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
         .select(col("source"), col("toks"),
@@ -338,7 +338,7 @@ object Profiling {
     * raise the prefix width (shards = 16^k) — depth stays 2. */
   private lazy val profileManifest = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("shard", substring(col("fp"), 1, 1))
@@ -395,7 +395,7 @@ object Profiling {
 
   private val corpusDiffQuery = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       val prev = docs.filter(col("doc_id") % 7 =!= 0)
       val curr = docs.filter(col("doc_id") % 5 =!= 0)
         .withColumn("text", when(col("doc_id") % 11 === 0,
@@ -447,7 +447,7 @@ object Profiling {
       // TWO aggregates consume the gram stream — materialize the
       // expensive per-doc shingle computation ONCE (the dedup_containment
       // localCheckpoint precedent; doc-count rows of arrays)
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= Dedup.ShingleN)
         .withColumn("sh", Dedup.shinglesExpr)

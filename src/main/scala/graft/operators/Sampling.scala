@@ -68,7 +68,7 @@ object Sampling {
 
   private val sampleStratified = QueryDef(
     (s, dir) =>
-      hashPrioritySample(Tables.documents(s, dir).repartition(64), "lang", K)
+      hashPrioritySample(Tables.documentsSpread(s, dir), "lang", K)
         .orderBy("lang", "rank"),
     Some(s"""WITH ranked AS (
       |  SELECT lang, doc_id,
@@ -104,7 +104,7 @@ object Sampling {
   private val mixBudgetCutoff = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val hist = Tables.documents(s, dir).repartition(64)
+      val hist = Tables.documentsSpread(s, dir)
         .select(col("source"),
           expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)")
             .as("bucket"),
@@ -166,7 +166,7 @@ object Sampling {
   private val packSequences = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val base = Tables.documents(s, dir).repartition(64)
+      val base = Tables.documentsSpread(s, dir)
         .select(col("source"), col("doc_id"),
           expr("substring(md5(cast(doc_id as string)), 1, 13)").as("prio"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -232,7 +232,7 @@ object Sampling {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy() // #sources rows — metadata, not corpus
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .groupBy("source")
@@ -304,7 +304,7 @@ object Sampling {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy()
-      val factors = Tables.documents(s, dir).repartition(64)
+      val factors = Tables.documentsSpread(s, dir)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .groupBy("source")
@@ -314,7 +314,7 @@ object Sampling {
         .select(col("source"),
           floor((col("total").cast("double") / col("n_sources")) /
             col("source_tokens") * 1e4 + 0.5).cast("long").as("e4"))
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("source"))
         .join(broadcast(factors), "source")
         .withColumn("u", expr(EpochDrawUSql))
@@ -374,7 +374,7 @@ object Sampling {
     (s, dir) => {
       val W = ChunkWin
       val S = ChunkStride
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("n", size(col("toks")))
         .withColumn("nc", when(col("n") <= W, lit(1))
@@ -486,7 +486,7 @@ object Sampling {
   private val mixQualityBySource = QueryDef(
     (s, dir) => {
       val scored = TextAnalysis.qualityRaw(
-          Tables.documents(s, dir).repartition(64))
+          Tables.documentsSpread(s, dir))
         .select(col("source"), col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
           TextAnalysis.qualityScoreFp.as("score_fp"))
@@ -538,7 +538,7 @@ object Sampling {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val scored = TextAnalysis.qualityRaw(
-          Tables.documents(s, dir).repartition(64))
+          Tables.documentsSpread(s, dir))
         .select(col("source"), col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
           TextAnalysis.qualityScoreFp.as("score_fp"))
@@ -576,7 +576,7 @@ object Sampling {
   private val mixQualityBuckets = QueryDef(
     (s, dir) => {
       val scored = TextAnalysis.qualityRaw(
-          Tables.documents(s, dir).repartition(64))
+          Tables.documentsSpread(s, dir))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           TextAnalysis.qualityScoreFp.as("score_fp"))
       withGlobalQuintile(scored)
@@ -619,7 +619,7 @@ object Sampling {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy() // #sources rows — metadata, not corpus
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .groupBy("source")
@@ -699,7 +699,7 @@ object Sampling {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy() // #sources rows — metadata, not corpus
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       val toks = docs
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -820,7 +820,7 @@ object Sampling {
   private val sampleWeighted = QueryDef(
     (s, dir) => {
       import graft.operators.{ImportanceSelection => IS}
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("source"),
           expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
         .withColumn("h", expr(
@@ -858,7 +858,7 @@ object Sampling {
     * without a second scan or a corpus-wide `count() OVER ()`. */
   private[operators] def shuffledPositions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(s, dir).repartition(64)
+    val base = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("source"),
         md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"))
       .withColumn("bucket",
@@ -978,7 +978,7 @@ object Sampling {
     * layout). */
   private val exportJsonl = QueryDef(
     (s, dir) => {
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .withColumn("shard",
           pmod(conv(substring(md5(concat(lit("shard:"),
             coalesce(col("doc_id").cast("string"), lit("")))), 1, 4),
@@ -1032,7 +1032,7 @@ object Sampling {
 
   private val splitHoldout = QueryDef(
     (s, dir) => {
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fingerprint"))
         .select(col("doc_id"), col("fingerprint"),
           splitColumn(col("fingerprint")).as("split"))
@@ -1071,7 +1071,7 @@ object Sampling {
     * cap = 2 epochs (demo constants a deployment binds). */
   private lazy val mixUnimax = QueryDef(
     (s, dir) => {
-      val per = Tables.documents(s, dir).repartition(64)
+      val per = Tables.documentsSpread(s, dir)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .groupBy("source").agg(sum("n_tokens").as("source_tokens"))

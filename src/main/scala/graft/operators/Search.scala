@@ -86,7 +86,7 @@ object Search {
     * unchanged ([[searchBm25Indexed]] IS that deployment). */
   private val searchBm25 = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast("long").as("dl"))
@@ -222,7 +222,7 @@ object Search {
 
   private val textBoilerplateStrip = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       docs.join(boilerplateCuts(docs), Seq("doc_id"), "left")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("kept", when(col("bs_cut_starts").isNull, col("toks"))
@@ -282,7 +282,7 @@ object Search {
   }
 
   private lazy val indexPostings = QueryDef(
-    (s, dir) => postingsOf(Tables.documents(s, dir).repartition(64))
+    (s, dir) => postingsOf(Tables.documentsSpread(s, dir))
       .select(col("term"), col("df"),
         array_join(col("postings"), " ").as("postings"))
       .orderBy("term"),
@@ -302,7 +302,7 @@ object Search {
     * contract, and the driver checks it row-for-row. */
   private lazy val indexPostingsIncremental = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       // null-total split: a NULL doc_id makes BOTH bare predicates
       // null-valued and the row would silently vanish from the merged
       // index while the full-rebuild oracle still counts its terms
@@ -416,7 +416,7 @@ object Search {
       val f = new java.io.File(path)
       if (f.exists()) rmTree(f)
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(f)))
-      buildTextIndex(Tables.documents(s, dir).repartition(64), path)
+      buildTextIndex(Tables.documentsSpread(s, dir), path)
       path
     })).value
 
@@ -476,7 +476,7 @@ object Search {
   private lazy val searchPhrase = QueryDef(
     (s, dir) => {
       val L = PhraseLen
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .filter(col("text").contains(Phrase)) // pushable guard
         .withColumn("toks", split(col("text"), " "))
         .withColumn("hits", filter(
@@ -524,7 +524,7 @@ object Search {
     * side is K idf rows broadcast; TakeOrdered finishes. */
   private lazy val searchTfidfCosine = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val consts = docs.agg(count(lit(1)).as("n_docs"))
       // empty tokens (split artifacts) are NOT vocabulary — the same

@@ -76,7 +76,7 @@ object Similarity {
       // single-file input = one partition; spread the O(Dim) per-row math.
       // sim via the native codegen'd expression (bit-identical to the HOF
       // fold and to the oracle's explicit sums).
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
       val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -143,7 +143,7 @@ object Similarity {
       val signature = (0 until NumPlanes).map { p =>
         when(projCol(p) >= 0, 1L << p).otherwise(0L)
       }.reduce(_ + _)
-      Tables.embeddings(s, dir).repartition(64)
+      Tables.embeddingsSpread(s, dir)
         .withColumn("signature", signature)
         .withColumn("bucket_size",
           count(lit(1)).over(Window.partitionBy("signature")))
@@ -181,7 +181,7 @@ object Similarity {
       // Hot signatures (a dense SRP cell — THE skew-prone key of this
       // repo, r3/r4 verdict #1) are triangle-salted by SkewGuard instead
       // of landing one quadratic task.
-      val sig = Tables.embeddings(s, dir).repartition(64)
+      val sig = Tables.embeddingsSpread(s, dir)
         .withColumn("band", signature)
         .withColumn("norm", sqrt(dotCol("embedding", "embedding")))
         .repartition(col("band"))
@@ -499,7 +499,7 @@ object Similarity {
     * the scaling census counts ([[graft.ScaleReport]]) and the verify
     * stage consumes. */
   private[graft] def bandCandidates(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).repartition(64)
+    val emb = Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding"))
     // nlist-precedent sizing action: ONE memoized count per (session,
     // dir) picks the band ladder rung; the twin derives the same rung
@@ -526,7 +526,7 @@ object Similarity {
     // the native codegen'd expression (graft.functions.CosineSimilarity)
     // computes dot+norms in one tight loop per pair — bit-identical to
     // the HOF fold (VectorExpressionsSuite), so the oracle still matches
-    val emb = Tables.embeddings(s, dir).repartition(64)
+    val emb = Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding"))
     // Candidates verify FIRST and dedupe LAST (r18, closing the r17
     // spill watch): a pair colliding in k bands is verified k times,
@@ -961,7 +961,7 @@ object Similarity {
   private val annIvfTopk = QueryDef(
     (s, dir) => {
       val cos = graft.functions.VectorFunctions.cosineSimilarity _
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
       val cents = collectCentroids(emb.filter(col("vec_id") < NumCentroids)
@@ -1042,7 +1042,7 @@ object Similarity {
     (s, dir) => {
       // norms precomputed ONCE per relation (IEEE-identical to inlining:
       // same ops, same order — only evaluated once instead of per pair)
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
       val train = Tables.embeddings(s, dir)
@@ -1198,7 +1198,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * quantized vectors — shared by the single-stage query and the
     * re-rank pipeline so the quantization contract can't diverge. */
   private def int8Scored(s: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(Tables.embeddings(s, dir).repartition(64))
+    val emb = quantized(Tables.embeddingsSpread(s, dir))
       .select(col("vec_id"), col("q"), col("qn"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
       col("q").as("qv"), col("qn").as("vn"))
@@ -1406,7 +1406,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
       .withColumn("nx", expr("transform(embedding, x -> cast(x as double) / nrm)"))
 
   private[operators] def pqNormalized(s: SparkSession, dir: String): DataFrame =
-    pqNormalizedOf(Tables.embeddings(s, dir).repartition(64))
+    pqNormalizedOf(Tables.embeddingsSpread(s, dir))
 
   private[operators] def pqTrainBooks(emb: DataFrame): Seq[Seq[SubCentroid]] = {
     // seed codebooks: PqM × PqK × PqSubDim doubles — metadata
@@ -1797,7 +1797,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
   private[operators] def pqResidualFrame(s: SparkSession, dir: String): (DataFrame, Seq[Centroid]) =
-    pqResidualFrameOf(Tables.embeddings(s, dir).repartition(64))
+    pqResidualFrameOf(Tables.embeddingsSpread(s, dir))
 
   /** Residual codebooks — [[pqTrainBooks]] run over `rx` instead of `nx`
     * (identical Lloyd arithmetic on a different vector family), memoized
@@ -2041,7 +2041,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
   private def seededAssigned(s: SparkSession, dir: String): DataFrame =
-    seededAssignedOf(Tables.embeddings(s, dir).repartition(64),
+    seededAssignedOf(Tables.embeddingsSpread(s, dir),
       Some(embeddingsCountFor(s, dir)))
 
   /** PUBLIC face of the seeded coarse-quantizer assignment — (vec_id,
@@ -2136,7 +2136,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   private val dedupSemantic = QueryDef(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
       // materialize the assignment ONCE (the containmentFrames/
       // graph_triangles localCheckpoint precedent): the anti-join left,
       // SkewGuard's occupancy pass, and both verify-join fetches all
@@ -2386,7 +2386,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * sim = Dim − hamming — shared by the single-stage query and the
     * re-rank pipeline so the sign-quantization contract can't diverge. */
   private def hammingScored(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).repartition(64)
+    val emb = Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"),
         expr(signHalfSpark(0, Dim / 2)).as("sig_lo"),
         expr(signHalfSpark(Dim / 2, Dim)).as("sig_hi"))
@@ -2567,7 +2567,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * / IVF probe) and re-applies the same label filter + top-k. */
   private val mineHardNegatives = QueryDef(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
       val corpus = emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v"), col("label").as("nl"))
@@ -2633,7 +2633,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * by (query_id, neighbor_id) — unique, no tie hazard. */
   private lazy val annRangeSearch = QueryDef(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
       val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -2677,7 +2677,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * explicit sums, so the rank cut is deterministic across engines. */
   private lazy val annMipsTopk = QueryDef(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
       val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -2780,7 +2780,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   private lazy val decontaminateEmbedding = QueryDef(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
       semanticContamPairsOf(
           emb.filter(col("vec_id") % 97 =!= 0),
           emb.filter(col("vec_id") % 97 === 0))
@@ -2853,7 +2853,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
   private lazy val embeddingLabelNoise = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, dir).repartition(64)
+      val emb = Tables.embeddingsSpread(s, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
         .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
       val cents = collectCentroids(

@@ -429,7 +429,7 @@ object TextAnalysis {
   private val textEntropy = QueryDef(
     (s, dir) => {
       import ImportanceSelection.{mlog2Spark, Scale}
-      Tables.documents(s, dir).repartition(64)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(

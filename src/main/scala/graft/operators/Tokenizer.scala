@@ -54,7 +54,15 @@ object Tokenizer {
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
       .select(col("w"), charSeg(col("w")).as("seg"), col("wcnt"))
     var vocab = vocab0.persist()
-    vocab.count() // materialize before the loop reuses it
+    // r20 opt: no standalone materialization actions. Each round's argmax
+    // collect is the job that fills the CURRENT vocab state's cache (the
+    // rewrite computes inline over the cached predecessor); the
+    // predecessor retires only AFTER that materialization, so nothing is
+    // ever recomputed through lineage. One job per merge round instead of
+    // two (the old shape ran argmax + a count() per round: 11 jobs for 5
+    // merges, now 6) — at 100 TB that is one vocabulary pass per round,
+    // not two.
+    var retired: Option[DataFrame] = None
     val merges = (1 to Merges).map { rank =>
       val top = vocab
         .select(col("wcnt"), split(col("seg"), " ").as("toks"))
@@ -67,6 +75,9 @@ object Tokenizer {
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
         .collect()(0)
+      // the collect above materialized `vocab`'s cache — its input state
+      // can retire now without any risk of lineage recomputation
+      retired.foreach(_.unpersist(blocking = false))
       val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
       // learned symbols are DATA interpolated into a SQL literal —
       // escape quote/backslash or a corpus token containing either
@@ -78,11 +89,15 @@ object Tokenizer {
           s"trim(replace(' ' || seg || ' ', ' ${lq} ${rq} ', ' ${lq}${rq} '))")
           .as("seg"), col("wcnt"))
         .persist()
-      next.count()
-      vocab.unpersist()
+      retired = Some(vocab)
       vocab = next
       (rank, l, r, c)
     }
+    // Materialize the FINAL state before retiring its input: consumers
+    // (the encode/units joins, or bpeMerges' immediate unpersist) must
+    // see a pinned table, never a lineage chain into unpersisted frames.
+    vocab.count()
+    retired.foreach(_.unpersist(blocking = false))
     (merges, vocab)
   }
 
@@ -135,7 +150,7 @@ object Tokenizer {
   }
 
   private val vocabBpeMerges = QueryDef(
-    (s, dir) => bpeMerges(s, Tables.documents(s, dir).repartition(64)),
+    (s, dir) => bpeMerges(s, Tables.documentsSpread(s, dir)),
     Some {
       val union = (1 to Merges)
         .map(i => s"SELECT $i AS merge_rank, lhs, rhs, pair_count FROM m$i")
@@ -158,7 +173,7 @@ object Tokenizer {
     * combined rollup. */
   private lazy val tokenizeBpeEncode = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       val (_, vocab) = train(s, docs)
       // eager localCheckpoint then RELEASE the training cache: without
       // this the final vocab stays persisted for the session lifetime
@@ -201,7 +216,7 @@ object Tokenizer {
   private lazy val tokenizeVocabUnits = QueryDef(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       val (_, vocab) = train(s, docs)
       val units = vocab
         .select(col("wcnt"), explode(split(col("seg"), " ")).as("unit"))

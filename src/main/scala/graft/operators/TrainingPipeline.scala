@@ -324,7 +324,7 @@ object TrainingPipeline {
     * expresses. */
   private val pipelineCurate = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       val bench = docs.filter(col("doc_id") % 97 === 0)
       curate(docs, bench).orderBy("lang", "rank")
     },
@@ -389,9 +389,9 @@ object TrainingPipeline {
     * the composition automatically. */
   private val pipelineCurateFull = QueryDef(
     (s, dir) => {
-      val docs = Tables.documents(s, dir).repartition(64)
+      val docs = Tables.documentsSpread(s, dir)
       val bench = docs.filter(col("doc_id") % 97 === 0)
-      curateFull(docs, Tables.embeddings(s, dir).repartition(64), bench,
+      curateFull(docs, Tables.embeddingsSpread(s, dir), bench,
         embCount = Some(Similarity.embeddingsCountFor(s, dir)))
         .orderBy("doc_id")
     },
