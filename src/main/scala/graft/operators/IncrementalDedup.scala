@@ -315,17 +315,36 @@ object IncrementalDedup {
   def dedupFuzzyAgainstCatalog(
       newBatch: DataFrame, catalogTable: String, history: DataFrame): DataFrame = {
     val s = newBatch.sparkSession
-    val cands = Dedup.minhashBanded(newBatch)
+    // r20 opt (guide §2.3 "shuffle keys, not payloads"): the band join
+    // and the candidate distinct used to carry the batch's full shingle
+    // arrays — 55.7 MB of this query's 55.7 MB shuffle at sf0.1, and a
+    // shingle-array-KEYED distinct whose hash-agg state grows with the
+    // candidate mass. The catalog's own contract ("the index stays
+    // signature-sized; the verify re-fetches docs") now holds on the
+    // batch side too: only (band, doc_id) crosses the catalog join, the
+    // candidate distinct is id-pair-sized, and each side's shingles
+    // attach narrowly afterwards (batch sh re-derived batch-sized, AQE
+    // sizes the join; catalog sh from the doc store, unchanged).
+    // Candidate pair set is identical — sh was functionally dependent
+    // on doc_id in the old distinct key.
+    val cands = Dedup.minhashBanded(newBatch).select("band", "doc_id")
       .join(committedTable(s, catalogTable).hint("merge")
         .withColumnRenamed("doc_id", "cat_doc_id"), Seq("band"))
-      .select("doc_id", "sh", "cat_doc_id")
+      .select("doc_id", "cat_doc_id")
       .distinct()
+    val batchSh = newBatch
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= Dedup.ShingleN)
+      .withColumn("sh", Dedup.shinglesExpr)
+      .select(col("doc_id"), col("sh"))
     val catSh = history
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= Dedup.ShingleN)
       .withColumn("sh_b", Dedup.shinglesExpr)
       .select(col("doc_id").as("cat_doc_id"), col("sh_b"))
-    val dupIds = cands.join(catSh, Seq("cat_doc_id"))
+    val dupIds = cands
+      .join(batchSh, Seq("doc_id"))
+      .join(catSh, Seq("cat_doc_id"))
       .filter(lit(3) * size(array_intersect(col("sh"), col("sh_b"))) >=
         size(col("sh")) + size(col("sh_b")))
       .select("doc_id").distinct()

@@ -107,6 +107,10 @@ object Redaction {
   // rule-chain above; only this fixture text is query-specific.
   private val piiRedact = QueryDef(
     (s, dir) => {
+      // measured r20: spreading events off its 1-task fixture scan did
+      // NOT pay here — the five-automaton chain over short rows is
+      // cheaper than the added exchange (2.5 → 3.4 s A/B), so the scan
+      // stays as-is (at scale it parallelizes by itself)
       val base = Tables.events(s, dir).select(col("event_id"),
         concat(
           lit("user "), col("user_id").cast("string"),

@@ -403,6 +403,10 @@ object AnalyticsQueries {
       // a truncating cast reads 434 while DuckDB's CAST rounds to 435
       // (measured: 33,423/600,000 rows diverge at sf0.1). Both engines
       // must round.
+      // measured r20: spreading lineitem off its 1-task fixture scan
+      // did NOT pay (2.5 → 7.4 s A/B — the repartition exchange costs
+      // more than the 1-core partial agg it relieves), so the scan
+      // stays as-is (at scale it parallelizes by itself)
       val t = Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"),

@@ -205,19 +205,32 @@ object EventTimeQueries {
   private lazy val aggThetaSets = QueryDef(
     (s, dir) => {
       val ev = Tables.events(s, dir)
-      def users(t: String) = ev.filter(col("event_type") === t)
-        .select(col("user_id")).distinct()
-      val clicks = users("click"); val buys = users("purchase")
-      val exactBoth = clicks.intersect(buys).count()
-      val exactOnly = clicks.except(buys).count()
+      // r20 opt (guide §1.2 "don't compute things twice"): the old shape
+      // ran FIVE actions — intersect().count(), except().count(), an
+      // intersection-estimate aggregate, a sketch collect, and the
+      // difference estimate — scanning events six times and building the
+      // theta sketches twice. Now: ONE pass computes both exact set
+      // counts (per-user click/purchase flags, then one count aggregate —
+      // set semantics identical to intersect/except incl. the NULL user
+      // group), ONE pass builds both sketches, and both set-algebra
+      // estimates read the two collected sketch byte arrays through the
+      // binary theta_intersection/theta_difference on a 1-row local
+      // frame (the sketches are set-determined, so the binary
+      // intersection estimate equals the old theta_intersection_agg's).
+      // At 100 TB that is 2 corpus passes instead of 6.
+      val flags = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(max(col("event_type") === "click").as("c"),
+          max(col("event_type") === "purchase").as("p"))
+      val ex = flags.agg(
+        count(when(col("c") && col("p"), lit(1))).as("nboth"),
+        count(when(col("c") && !col("p"), lit(1))).as("nonly"))
+        .collect()(0)
+      val (exactBoth, exactOnly) = (ex.getLong(0), ex.getLong(1))
       val sk = ev.filter(col("event_type").isin("click", "purchase"))
         .groupBy("event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
-      val both = sk.agg(
-        expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("est"))
-        .collect()(0).getLong(0)
-      // difference is binary: click-sketch minus purchase-sketch
       val skMap = sk.collect().map(r => r.getString(0) -> r.get(1)).toMap
-      val diff = s.createDataFrame(
+      val ests = s.createDataFrame(
           java.util.List.of(org.apache.spark.sql.Row(
             skMap("click"), skMap("purchase"))),
           org.apache.spark.sql.types.StructType(Seq(
@@ -225,8 +238,11 @@ object EventTimeQueries {
               org.apache.spark.sql.types.BinaryType),
             org.apache.spark.sql.types.StructField("b",
               org.apache.spark.sql.types.BinaryType))))
-        .selectExpr("theta_sketch_estimate(theta_difference(a, b)) as est")
-        .collect()(0).getLong(0)
+        .selectExpr(
+          "theta_sketch_estimate(theta_intersection(a, b)) as both",
+          "theta_sketch_estimate(theta_difference(a, b)) as diff")
+        .collect()(0)
+      val (both, diff) = (ests.getLong(0), ests.getLong(1))
       import s.implicits._
       def ok(est: Long, exact: Long) =
         if (exact == 0) est == 0
@@ -263,7 +279,6 @@ object EventTimeQueries {
       val docs = Tables.documents(s, dir)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val n = docs.count()
       val merged = docs.groupBy("source")
         .agg(expr("kll_sketch_agg_bigint(n_tokens)").as("sk"))
         .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
@@ -273,9 +288,18 @@ object EventTimeQueries {
             s"kll_sketch_get_quantile_bigint(msk, cast($q as float)) as q$i"
           }: _*)
         .collect()(0)
+      // r20 opt: the rank checks used to run one count() per quantile
+      // plus a separate docs.count() — five corpus scans. One aggregate
+      // computes every exact rank numerator and the denominator in a
+      // single pass (same integers, same rank doubles, same booleans).
+      val rk = docs.agg(
+        count(lit(1)).as("n"),
+        qs.indices.map(i =>
+          count(when(col("n_tokens") <= ests.getLong(i), lit(1))).as(s"r$i")): _*)
+        .collect()(0)
+      val n = rk.getLong(0)
       val rows = qs.zipWithIndex.map { case (q, i) =>
-        val est = ests.getLong(i)
-        val rank = docs.filter(col("n_tokens") <= est).count().toDouble / n
+        val rank = rk.getLong(i + 1).toDouble / n
         (f"p$q%.2f", math.abs(rank - q) <= 0.03)
       }
       import s.implicits._
