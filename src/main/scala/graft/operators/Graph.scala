@@ -56,18 +56,31 @@ object Graph {
     * supp = 2k+1) so one BIGINT column carries the bipartite namespace. */
   private val graphPagerank = QueryDef(
     (s, dir) => {
+      // r20 opt: pairs is consumed by BOTH union arms (and through them
+      // by deg and the join) — the stage census showed the whole
+      // lineitem⋈orders+distinct subtree executing twice (two identical
+      // 5.5 MB map stages + two 11 MB reduces). A LAZY checkpoint
+      // materializes it once when ewd's eager checkpoint below runs;
+      // every later consumer reads the cached rows.
       val pairs = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("cust_node"),
           (col("l_suppkey") * 2 + 1).as("supp_node"))
         .distinct()
+        .localCheckpoint(false)
       val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
         .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // eager materialization: every iteration re-reads the edge list,
       // so cut its lineage ONCE (localCheckpoint = the curateIngest
-      // precedent — no unpersist bookkeeping, freed with the session)
-      val ewd = edges.join(deg, "src").localCheckpoint()
+      // precedent — no unpersist bookkeeping, freed with the session).
+      // r20 opt: checkpoint the list ALREADY hash-partitioned by src —
+      // the shape the class doc promises ("persists ONCE partitioned by
+      // src") — so each iteration's edges⋈scores join consumes the
+      // checkpoint's partitioning instead of re-exchanging the edge
+      // list (the census showed that exchange written twice and read
+      // three times: 2 × 13.9 MB writes gone).
+      val ewd = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
       pageRankFp(ewd, Iters)
         .orderBy(col("fx").desc, col("node"))
         .limit(TopN)

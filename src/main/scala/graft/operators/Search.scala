@@ -530,15 +530,26 @@ object Search {
       // empty tokens (split artifacts) are NOT vocabulary — the same
       // filter the index build applies, so stored norms ≡ inline norms
       // on any input, not just clean fixtures
+      // r20 opt: tfAll feeds dfAll AND the weighting join, dfAll feeds
+      // the weighting join AND the query-vector derivation, weighted
+      // feeds the norm aggregate AND the dot join — without
+      // materialization boundaries the tokenize+count chain replicated
+      // FIVE times (20 parquet scans in one plan). Lazy checkpoints (the
+      // r18 multi-arm pattern) compute each once; tfAll/weighted are the
+      // same size class the plan already exchanges, dfAll is
+      // vocabulary-sized.
       val tfAll = docs
         .select(col("doc_id"), explode(col("toks")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val dfAll = tfAll.groupBy("w").agg(count(lit(1)).as("df"))
+        .localCheckpoint(false)
       val weighted = tfAll.join(dfAll, "w")
         .crossJoin(broadcast(consts))
         .withColumn("idf_fx", idfFx)
         .withColumn("w_fx", expr("(tf * idf_fx) div 1024"))
+        .localCheckpoint(false)
       val nd = weighted.groupBy("doc_id")
         .agg(sum(expr("w_fx * w_fx")).as("nd"))
       val qw = dfAll.filter(col("w").isin(QueryTerms: _*))

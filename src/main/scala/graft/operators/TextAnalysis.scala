@@ -212,7 +212,12 @@ object TextAnalysis {
     * text plus a shorter prefix band (the cheap pre-cluster key used
     * before pairwise dedup). */
   private val docFingerprint = QueryDef(
-    (s, dir) => Tables.documents(s, dir)
+    // spread (r20 opt): the per-character rolling-hash fold is the
+    // heaviest per-row expression in the text family and ran entirely on
+    // the fixture's 1-task scan (4-task query); the documents-family
+    // spread applies (exchange is corpus-text-sized, tiny here; a no-op
+    // at scale)
+    (s, dir) => Tables.documentsSpread(s, dir)
       .withColumn("normalized",
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
       .select(
@@ -243,7 +248,10 @@ object TextAnalysis {
     * mode is computed per row over the (small) distinct-token set, never
     * via a corpus-level groupBy. */
   private val textRepetition = QueryDef(
-    (s, dir) => Tables.documents(s, dir)
+    // spread (r20 opt): same 1-task-scan relief as doc_fingerprint — the
+    // per-row bigram/top-word HOFs dominate and parallelize off the
+    // exchange
+    (s, dir) => Tables.documentsSpread(s, dir)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("bigrams", expr(

@@ -428,11 +428,18 @@ object TpchExtraQueries {
     * ordering on it is engine-stable. */
   private val q2 = QueryDef(
     (s, dir) => {
+      // r20 opt: offers feeds BOTH the per-part minimum and the join's
+      // left side — without a materialization boundary the whole
+      // lineitem aggregation executed twice (2 × ~10 MB partial-agg
+      // exchanges, the query's entire 19.8 MB shuffle). Lazy checkpoint
+      // = the r18 multi-arm dedup pattern; offers is (part, supp)-pair
+      // sized, far smaller than the fact table, at any scale.
       val offers = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey"),
           expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cost_c"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(min("cost_c").as("cost_c"))
+        .localCheckpoint(false)
       val minCost = offers.groupBy("l_partkey")
         .agg(min("cost_c").as("min_c"))
       val eligible = Tables.part(s, dir)
