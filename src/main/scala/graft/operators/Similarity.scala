@@ -2256,9 +2256,16 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     val banded = seededAssigned(s, dir)
       .select(col("vec_id"), col("cell").as("band"), col("embedding"), col("nrm"))
       .repartition(col("band"))
+    // r20 opt: sims feeds BOTH symmetrization arms — without a boundary
+    // the whole cell self-join + per-pair dot kernel executed twice (32
+    // parquet scans in one plan). Checkpoint the NARROW (id, id, sim)
+    // projection — 24 B/candidate, strictly cheaper than recomputing the
+    // join and the 64-dim dots at any scale; embeddings never ride it.
     val sims = SkewGuard.pairs(banded, "vec_id")
       .withColumn("sim", dotCol("embedding_1", "embedding_2") /
         (col("nrm_1") * col("nrm_2")))
+      .select("vec_id_1", "vec_id_2", "sim")
+      .localCheckpoint(false)
     val directed = sims
       .select(col("vec_id_1").as("query_id"), col("vec_id_2").as("neighbor_id"),
         col("sim"))
