@@ -2251,21 +2251,34 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
     * [[KnnGraphStore.build]] can write the identical edges WITHOUT the
     * presentation sort (a partitioned store write needs no global
     * order). */
-  private[operators] def knnRankedEdges(
-      s: SparkSession, dir: String, sorted: Boolean = true): DataFrame = {
-    val banded = seededAssigned(s, dir)
+  /** The kNN pair-similarity stream BEFORE its checkpoint boundary —
+    * (vec_id_1, vec_id_2, sim), one row per in-cell pair. Exposed so the
+    * plan suite can pin the cell-exchange reuse the checkpoint hides. */
+  private[graft] def knnPairSims(banded: DataFrame): DataFrame =
+    SkewGuard.pairs(banded, "vec_id")
+      .withColumn("sim", dotCol("embedding_1", "embedding_2") /
+        (col("nrm_1") * col("nrm_2")))
+      .select("vec_id_1", "vec_id_2", "sim")
+
+  /** [[knnPairSims]]' banded input for (s, dir) — shared by the query
+    * path and the plan pin. */
+  private[graft] def knnBanded(s: SparkSession, dir: String): DataFrame =
+    seededAssigned(s, dir)
       .select(col("vec_id"), col("cell").as("band"), col("embedding"), col("nrm"))
       .repartition(col("band"))
+
+  private[operators] def knnRankedEdges(
+      s: SparkSession, dir: String, sorted: Boolean = true): DataFrame = {
+    val banded = knnBanded(s, dir)
     // r20 opt: sims feeds BOTH symmetrization arms — without a boundary
     // the whole cell self-join + per-pair dot kernel executed twice (32
     // parquet scans in one plan). Checkpoint the NARROW (id, id, sim)
     // projection — 24 B/candidate, strictly cheaper than recomputing the
     // join and the 64-dim dots at any scale; embeddings never ride it.
-    val sims = SkewGuard.pairs(banded, "vec_id")
-      .withColumn("sim", dotCol("embedding_1", "embedding_2") /
-        (col("nrm_1") * col("nrm_2")))
-      .select("vec_id_1", "vec_id_2", "sim")
-      .localCheckpoint(false)
+    // (PlanSuite pins the cell-exchange reuse on [[knnPairSims]] — the
+    // pre-checkpoint subplan — since the boundary hides it from the
+    // outer plan, the r18 LogicalRDD note.)
+    val sims = knnPairSims(banded).localCheckpoint(false)
     val directed = sims
       .select(col("vec_id_1").as("query_id"), col("vec_id_2").as("neighbor_id"),
         col("sim"))

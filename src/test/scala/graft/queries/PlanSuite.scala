@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkSuite
 import graft.SparkEntry
+import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -168,11 +169,22 @@ class PlanSuite extends SparkSuite {
   }
 
   test("knn_graph: both self-join sides read ONE cell exchange (ReusedExchange)") {
-    val df = SparkEntry.queries("knn_graph")(spark, sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // r20: the pair-sim stream checkpoints before symmetrization (it
+    // used to execute twice, once per union arm), which hides the cell
+    // exchange behind a LogicalRDD in the outer plan — pin the reuse on
+    // the PRE-checkpoint subplan instead (the r18 subplan discipline)
+    val sims = Similarity.knnPairSims(Similarity.knnBanded(spark, sfDir))
+    sims.collect()
+    val p = sims.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"),
       "banded self-join must reuse the cell exchange:\n" + p.take(3000))
+    // and the outer plan carries exactly the one checkpointed stream
+    // into both arms
+    val df = SparkEntry.queries("knn_graph")(spark, sfDir)
+    df.collect()
+    val outer = df.queryExecution.executedPlan.toString
+    assert(outer.contains("ExistingRDD") || outer.contains("LogicalRDD"),
+      outer.take(3000))
   }
 
   test("decontaminate_minhash: benchmark side broadcasts — corpus never sort-merges") {
