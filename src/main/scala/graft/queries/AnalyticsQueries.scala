@@ -334,6 +334,10 @@ object AnalyticsQueries {
       import s.implicits._
       import graft.functions.{Scored, TopKAggregator}
       val topk = new TopKAggregator(3).toColumn.name("topk")
+      // measured r20: spreading orders off its 1-task fixture scan made
+      // this query WORSE (1.4 -> 4.6 s A/B) — the groupByKey below
+      // already shuffles by customer, so the extra round-robin exchange
+      // is pure overhead. Scan stays as-is.
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
         .as[(Long, Long, Double)]
