@@ -197,7 +197,22 @@ object Bench {
     val suspectJson =
       if (suspects.isEmpty) ""
       else suspects.map("\"" + _ + "\"").mkString(""","suspect":[""", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadavg%.2f,"loadavg_end":$loadEnd%.2f,"other_jvms_start":$otherJvms,"other_jvms_end":$jvmsEnd,"contended":$contended$rerunJson$suspectJson$warn${soloRecordJson()}}""")
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadavg%.2f,"loadavg_end":$loadEnd%.2f,"other_jvms_start":$otherJvms,"other_jvms_end":$jvmsEnd,"contended":$contended$rerunJson$suspectJson$warn${soloRecordJson()}}"""
+    println(record)
+    // r21 measurement-harness fix (judge item 2): the full record is
+    // ~7 KB for 181 queries and the driver keeps only a 2000-char tail
+    // of stdout, which truncates the line mid-object — every
+    // BENCH_r*.json since r01 carries parsed:null. The full record is
+    // ALSO written to a fixed file, and stdout ENDS with a compact
+    // summary line (<500 bytes, guaranteed to survive any tail) naming
+    // that file. The contractual full JSON line above is unchanged.
+    val resultFile = sys.env.getOrElse("SPARK_GRAFT_RESULT_FILE", "BENCH_RESULT.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(resultFile), record + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] result-file write failed: ${e.getMessage}")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","cpus":"$cpus","contended":$contended,"result_file":"$resultFile"}""")
     spark.stop()
   }
 }

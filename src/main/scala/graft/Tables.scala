@@ -89,17 +89,56 @@ object Tables {
     val scanTasks = try {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      math.max(1L, (fs.getContentSummary(p).getLength + maxSplit - 1) / maxSplit)
-    } catch { case _: Exception => 1L } // unreadable size → assume small
-    if (scanTasks >= 2L * cores) df else df.repartition(2 * cores)
+      Some(math.max(1L, (fs.getContentSummary(p).getLength + maxSplit - 1) / maxSplit))
+    } catch { case e: Exception =>
+      // fail SAFE toward no added exchange (r20 ADVICE): at scale a
+      // transient FS error must never buy a full-corpus round-robin
+      // shuffle; the plan change is logged so it is attributable.
+      System.err.println(s"[graft] spread($name): size estimate failed " +
+        s"(${e.getMessage}) — skipping the parallelizing repartition")
+      None
+    }
+    scanTasks match {
+      case Some(t) if t < 2L * cores => df.repartition(2 * cores)
+      case _ => df
+    }
   }
 
   /** [[spread]] for an ALREADY-CONSTRUCTED frame (operator entry points
     * taking caller frames, where there is no file to size): same policy,
-    * partition count read from the frame's own physical plan. */
+    * width estimated from the frame's LOGICAL plan — an explicit upstream
+    * repartition width, a checkpointed RDD's partition count, or the
+    * [[spread]] bytes/maxPartitionBytes arithmetic over file-scan leaves,
+    * whichever is widest. Deliberately NOT `df.rdd.getNumPartitions`
+    * (r20 ADVICE): that forces physical planning of a frame that is then
+    * re-planned, and under AQE eagerly EXECUTES upstream shuffle/broadcast
+    * stages just to read a count — the curation pipeline passes
+    * join-lineage frames through here. Estimation failure falls toward
+    * NO exchange (the at-scale-safe direction, as in [[spread]]). */
   def spreadFrame(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= 2 * cores) df else df.repartition(2 * cores)
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")))
+    val widths = try {
+      df.queryExecution.optimizedPlan.collect {
+        case r: Repartition => BigInt(r.numPartitions)
+        case r: RepartitionByExpression if r.optNumPartitions.isDefined =>
+          BigInt(r.optNumPartitions.get)
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          BigInt(l.rdd.getNumPartitions)
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          (BigInt(l.relation.sizeInBytes) + maxSplit - 1) / maxSplit
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[graft] spreadFrame: width estimate failed " +
+        s"(${e.getMessage}) — skipping the parallelizing repartition")
+      Seq(BigInt(2) * cores) // fail safe toward no added exchange
+    }
+    val est = if (widths.isEmpty) BigInt(1) else widths.max
+    if (est >= 2 * cores) df else df.repartition(2 * cores)
   }
 
   def documentsSpread(spark: SparkSession, dir: String): DataFrame =

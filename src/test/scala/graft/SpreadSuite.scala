@@ -48,4 +48,46 @@ class SpreadSuite extends SparkSuite {
     val wide = narrow.repartition(4 * spark.sparkContext.defaultParallelism)
     assert(Tables.spreadFrame(wide) eq wide)
   }
+
+  test("spreadFrame never launches jobs to size a frame") {
+    // The r20 ADVICE trap: df.rdd.getNumPartitions on an AQE plan with
+    // shuffle/broadcast lineage EXECUTES the upstream stages just to
+    // read a count. The width estimate must stay plan-side.
+    import java.util.concurrent.atomic.AtomicInteger
+    // frames built BEFORE the listener attaches: read.parquet's schema
+    // inference launches its own job, which is not spreadFrame's doing
+    val docs = Tables.documents(spark, sfDir)
+    // join lineage (the curateFull shape) + shuffle lineage
+    val joined = docs.join(docs.select("doc_id").limit(10), Seq("doc_id"), "left_anti")
+    val shuffled = docs.repartition(org.apache.spark.sql.functions.col("doc_id"))
+    val jobs = new AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    new graft.metrics.TaskMetricsProbe().quiesce(sc = spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Tables.spreadFrame(joined)
+      Tables.spreadFrame(shuffled)
+      new graft.metrics.TaskMetricsProbe().quiesce(sc = spark.sparkContext)
+      assert(jobs.get() == 0, s"spreadFrame launched ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("Dedup entry points carry the spread (dedup_minhash, dedup_spans)") {
+    // r21: the Dedup family's fixed repartition(64) sites converted to
+    // the scale-adaptive spread — on the fixtures the plan must keep the
+    // parallelizing round-robin exchange at exactly 2 x cores (the
+    // bit-identical local face), and at estimated-parallel inputs the
+    // documentsSpread face (pinned above) drops it.
+    for (q <- Seq("dedup_minhash", "dedup_spans")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val rr = roundRobins(df)
+      assert(rr.nonEmpty, s"$q lost its spread exchange")
+      assert(rr.head.outputPartitioning.numPartitions ==
+        2 * spark.sparkContext.defaultParallelism, s"$q spread width")
+    }
+  }
 }
