@@ -172,10 +172,10 @@ object TrainingPipeline {
     val trainable = docs
       .filter(col("doc_id").isNotNull)
       .join(benchmark.select("doc_id"), Seq("doc_id"), "left_anti")
-    // persist: the strip stage consumes this frame THREE times (gram
+    // boundary: the strip stage consumes this frame THREE times (gram
     // derivation twice inside boilerplateCuts + the join left side) —
     // without the boundary the whole span-cut exchange chain re-executes
-    // per consumer (the `redacted`/`clean` persist rationale, one stage
+    // per consumer (the `redacted`/`clean` boundary rationale, one stage
     // earlier)
     val cut = Dedup.spanCut(trainable)
       .drop("n_tokens", "n_cut_tokens")
@@ -197,6 +197,21 @@ object TrainingPipeline {
     // ContextCleaner drops the blocks when the frame is unreferenced. A
     // production run materializes this boundary to storage outright
     // (the redacted corpus IS a deliverable) — same cut, durable form.
+    //
+    // Measured r21 REJECTION — persist → lazy localCheckpoint: the
+    // persists embed the whole upstream chain in every consumer's plan
+    // (224 parquet scans / 530 exchanges in the initial plan, ~3 s of
+    // warm driver-side ANALYSIS per run at sf0.1 — guide §7.3's
+    // giant-plan cost), and checkpoints would truncate that. Tried, and
+    // REVERTED on measurement: a LogicalRDD boundary carries NO
+    // statistics (defaultSizeInBytes), so the joins that AQE/Catalyst
+    // broadcast off the persisted frames' known sizes re-planned as
+    // shuffles — sw 3.0 -> 11.5 MB (3.8x), sr 3.2 -> 13.1 MB, stages
+    // 49 -> 57 at sf0.1, walls within noise (9.6 vs 10.2 s bench A/B,
+    // rows identical at sf0.001/0.01/0.1). At scale the join-strategy
+    // information is worth far more than the driver analysis time; the
+    // durable fix for plan width is the production storage
+    // materialization above, which keeps stats AND truncates lineage.
     val redacted = stripped.withColumn("text", Redaction.redactColumn(col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = qualityGate(redacted, cfg)
@@ -210,8 +225,8 @@ object TrainingPipeline {
     val clean = decontaminate(sem, benchmark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fuzzy stage: `clean` has two consumers here (anti-join left +
-    // candidate generation) — the persist above keeps the span-cut chain
-    // from re-executing; `cleanFz` persists too because the quintile
+    // candidate generation) — the boundary above keeps the span-cut chain
+    // from re-executing; `cleanFz` takes one too because the quintile
     // stage's rank+histogram pair scans it twice. The SEMANTIC
     // (embedding) decontamination anti-join rides the same boundary:
     // an eval doc PARAPHRASED into the corpus shares no shingles with
