@@ -179,12 +179,27 @@ class PlanSuite extends SparkSuite {
     assert(p.contains("ReusedExchange"),
       "banded self-join must reuse the cell exchange:\n" + p.take(3000))
     // and the outer plan carries exactly the one checkpointed stream
-    // into both arms
+    // into both union arms (r21, the r20-ADVICE tightening: a
+    // regression that re-executes the pair-sim subtree beside a
+    // checkpoint elsewhere must FAIL this, so count the RDD scans,
+    // require one shared RDD id, and forbid parquet from reappearing)
     val df = SparkEntry.queries("knn_graph")(spark, sfDir)
     df.collect()
-    val outer = df.queryExecution.executedPlan.toString
-    assert(outer.contains("ExistingRDD") || outer.contains("LogicalRDD"),
-      outer.take(3000))
+    val outer = df.queryExecution.executedPlan
+    val rddScans = flattenPlan(outer).collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.size == 2,
+      s"expected the 2 union arms as RDD scans, got ${rddScans.size}:\n" +
+        outer.toString.take(3000))
+    assert(rddScans.map(_.rdd.id).distinct.size == 1,
+      "both union arms must read the SAME checkpointed pair-sim stream")
+    val fileScans = flattenPlan(outer).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty,
+      "no parquet scan may reappear beside the checkpointed stream:\n" +
+        outer.toString.take(3000))
   }
 
   test("decontaminate_minhash: benchmark side broadcasts — corpus never sort-merges") {
