@@ -491,7 +491,16 @@ object Multimodal {
   }
 
   /** The verifiable query: full binary pipeline, oracle reproduces the
-    * stub arithmetic in SQL (md5/byte-length are engine-identical). */
+    * stub arithmetic in SQL (md5/byte-length are engine-identical).
+    *
+    * Measured r21: spreading the six query entry points
+    * (Tables.documentsSpread before toBinary) REGRESSED the family
+    * 0.42 -> 0.71 s avg at sf0.1 — the stub decoders are too light per
+    * row to amortize the round-robin exchange (contrast
+    * text_repetition's rolling-hash fold, where the r20 spread won
+    * 4x). A REAL codec deployment (javax.sound decode of genuine WAV
+    * payloads, frame extraction) should revisit: the scan stays as-is
+    * here, and at 100 TB the scan parallelizes by itself. */
   private val multimodalFeatures = QueryDef(
     (s, dir) => extractFeatures(s, toBinary(Tables.documents(s, dir)))
       .toDF().orderBy("doc_id"),

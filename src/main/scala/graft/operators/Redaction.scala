@@ -107,11 +107,14 @@ object Redaction {
   // rule-chain above; only this fixture text is query-specific.
   private val piiRedact = QueryDef(
     (s, dir) => {
-      // measured r20: spreading events off its 1-task fixture scan did
-      // NOT pay here — the five-automaton chain over short rows is
-      // cheaper than the added exchange (2.5 → 3.4 s A/B), so the scan
-      // stays as-is (at scale it parallelizes by itself)
-      val base = Tables.events(s, dir).select(col("event_id"),
+      // measured r20: spreading events off its 1-task fixture scan read
+      // 2.5 → 3.4 s and was rejected. RE-MEASURED r21 (interleaved A/B,
+      // two reps each): the spread WINS 1.8 → 1.15 s — the r20 numbers
+      // were host noise (that session documented ±40% cross-run swings
+      // on identical code). Adopted: the five-automaton chain is the
+      // heaviest per-row work in the events family, and the spread
+      // vanishes at scale by construction.
+      val base = Tables.spread(s, dir, "events").select(col("event_id"),
         concat(
           lit("user "), col("user_id").cast("string"),
           lit(" at 10."), (col("user_id") % 200).cast("string"),
