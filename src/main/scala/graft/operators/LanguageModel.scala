@@ -61,6 +61,16 @@ object LanguageModel {
   private[operators] def bigramProbsFx(
       docs: org.apache.spark.sql.DataFrame,
       keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // Measured r21: lazy-checkpointing docBigrams and deriving `bi`
+    // from it (one explode pass instead of two) reads marginally
+    // better locally (text_lm_score/mix_doremi: −1 stage, sw −17-19%,
+    // 4.25→3.43 MB) but stores the full positional bigram stream
+    // (~2-3x corpus bytes) on executor storage to save ONE narrow
+    // explode — the store-vs-recompute calculus the r20 adjudication
+    // already resolved to recompute at 100 TB. Rejected; walls were
+    // host-noise-dominated either way (the same A/B protocol produced
+    // a phantom 30% "win" on dsir_weights, whose plan this kernel
+    // never touches — deterministic columns identical).
     val docBigrams = explodeBigrams(docs, keep)
     // model tables (vocabulary-sized)
     val uni = docs.withColumn("toks", split(col("text"), " "))

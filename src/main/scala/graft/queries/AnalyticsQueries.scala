@@ -412,7 +412,9 @@ object AnalyticsQueries {
       // measured r20: spreading lineitem off its 1-task fixture scan
       // did NOT pay (2.5 → 7.4 s A/B — the repartition exchange costs
       // more than the 1-core partial agg it relieves), so the scan
-      // stays as-is (at scale it parallelizes by itself)
+      // stays as-is (at scale it parallelizes by itself). Re-measured
+      // r21 interleaved (after the text_pii_redact rejection flipped on
+      // re-measurement): still loses, 1.99/2.64 → 2.32/3.39 s.
       val t = Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"),
