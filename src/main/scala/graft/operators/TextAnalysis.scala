@@ -38,7 +38,13 @@ object TextAnalysis {
   /** Token count + distinct-token count + char stats — the basic
     * token-accounting operator. */
   private val textTokens = QueryDef(
-    (s, dir) => Tables.documents(s, dir)
+    // measured r21 (interleaved A/B, 2 reps): spreading wins here
+    // (0.79 -> 0.72 / 0.78 -> 0.65 s — the pre-tokenizer class regexes
+    // are heavy enough per row), while the same spread LOSES on
+    // text_gopher_rules (0.85 -> 1.0) and text_lang_id (0.63 -> 0.78),
+    // whose flag math is lighter than the exchange — those two scans
+    // stay as-is (at scale they parallelize by themselves).
+    (s, dir) => Tables.documentsSpread(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
